@@ -1,0 +1,238 @@
+"""Bit packing for quantized weights, laid out for TPU kernels.
+
+Canonical packed format ("tpu_strided"): int4/int2 codes of shape [K, N]
+(K = reduction dim) are packed into uint32 lanes **along K**, strided within
+each quantization group so a Pallas kernel can unpack nibble-planes with
+cheap shifts and a plain reshape — no element interleave / relayout:
+
+    for group g (G rows), lane-row i in [0, G/P), nibble/field s in [0, P):
+        packed[g*G/P + i, n] field s  ==  codes[g*G + s*(G/P) + i, n]
+
+where P = 32/bits values per uint32 lane. Unpacking all P shift-planes and
+concatenating along the row axis reproduces the original order.
+
+This replaces the reference's numba bit packers
+(neural_compressor/torch/utils/bit_packer.py:25-278) and the
+optimum/GPTQ-format packing in
+neural_compressor/torch/algorithms/weight_only/modules.py:195-268, with a
+layout chosen for MXU-friendly unpack instead of CPU loops. Interchange
+converters to/from the GPTQ ("optimum") layout are provided for checkpoint
+compatibility.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .qtensor import QTensor, CODEBOOKS, FLOAT_CODE_DTYPES
+
+LANE_BITS = 32
+
+
+class PackedWeight(NamedTuple):
+    """A packed, serving-ready quantized weight.
+
+    ``packed``: uint32 [K/P, N] (bits in {2,4}) or int8 [K, N] (bits==8 or
+        unpacked fallback).
+    ``scales``: [K/G, N] float32.
+    ``zeros``: optional [K/G, N] (asym int zero points), float32.
+    ``bits`` / ``group_size`` / ``dtype`` / ``orig_shape``: as in QTensor.
+    ``layout``: "tpu_strided" | "int8" | "raw".
+    """
+
+    packed: jax.Array
+    scales: jax.Array
+    zeros: jax.Array | None
+    bits: int
+    group_size: int
+    dtype: str
+    orig_shape: tuple[int, int]
+    layout: str
+
+
+def _values_per_lane(bits: int) -> int:
+    return LANE_BITS // bits
+
+
+def pack_codes(codes: jax.Array, bits: int, group_size: int) -> jax.Array:
+    """Pack int codes [K, N] -> uint32 [K/P, N] in tpu_strided layout.
+
+    Codes are stored as raw low ``bits`` bits (two's complement for signed
+    symmetric codes). Requires K % G == 0 and G % P == 0.
+    """
+    P = _values_per_lane(bits)
+    K, N = codes.shape
+    G = group_size if group_size > 0 else K
+    assert K % G == 0, f"K={K} not a multiple of group_size={G}"
+    assert G % P == 0, f"group_size={G} not a multiple of values-per-lane={P}"
+    ng = K // G
+    mask = (1 << bits) - 1
+    c = codes.astype(jnp.uint32) & mask
+    # [ng, P, G/P, N]: field s holds original row s*(G/P)+i of group g
+    c = c.reshape(ng, P, G // P, N)
+    packed = jnp.zeros((ng, G // P, N), dtype=jnp.uint32)
+    for s in range(P):
+        packed = packed | (c[:, s] << (bits * s))
+    return packed.reshape(ng * (G // P), N)
+
+
+def unpack_codes(packed: jax.Array, bits: int, group_size: int, K: int,
+                 signed: bool) -> jax.Array:
+    """Inverse of ``pack_codes``: uint32 [K/P, N] -> int8 codes [K, N]."""
+    P = _values_per_lane(bits)
+    G = group_size if group_size > 0 else K
+    ng = K // G
+    N = packed.shape[-1]
+    p = packed.reshape(ng, G // P, N)
+    mask = (1 << bits) - 1
+    planes = [(p >> (bits * s)) & mask for s in range(P)]
+    codes = jnp.concatenate(planes, axis=1).reshape(K, N).astype(jnp.int32)
+    if signed:
+        half = 1 << (bits - 1)
+        codes = codes - ((codes >= half) * (1 << bits))
+    return codes.astype(jnp.int8)
+
+
+def pack_qtensor(qt: QTensor, force_int8: bool = False) -> PackedWeight:
+    """QTensor -> PackedWeight in the best available layout."""
+    K, N = qt.orig_shape
+    G = qt.group_size
+    P = _values_per_lane(qt.bits) if qt.bits in (2, 4) else 0
+    packable = (
+        not force_int8
+        and qt.bits in (2, 4)
+        and K % G == 0
+        and G % P == 0
+    )
+    if packable:
+        packed = pack_codes(qt.codes[:K], qt.bits, G)
+        layout = "tpu_strided"
+    else:
+        packed = qt.codes[:K].astype(jnp.int8)
+        layout = "int8"
+    return PackedWeight(
+        packed=packed,
+        scales=qt.scales.astype(jnp.float32),
+        zeros=None if qt.zeros is None else qt.zeros.astype(jnp.float32),
+        bits=qt.bits,
+        group_size=G,
+        dtype=qt.dtype,
+        orig_shape=(K, N),
+        layout=layout,
+    )
+
+
+def unpack_to_codes(pw: PackedWeight) -> jax.Array:
+    """PackedWeight -> int8 codes [K, N]."""
+    K, N = pw.orig_shape
+    if pw.layout == "tpu_strided":
+        # int codes (sym and centered-asym alike) are two's-complement signed;
+        # codebook indices are unsigned.
+        signed = pw.dtype not in FLOAT_CODE_DTYPES
+        return unpack_codes(pw.packed, pw.bits, pw.group_size, K, signed=signed)
+    return pw.packed.astype(jnp.int8)
+
+
+def dequantize_packed(pw: PackedWeight, out_dtype=jnp.bfloat16) -> jax.Array:
+    """Full dequantization via XLA (reference path for the Pallas kernels)."""
+    K, N = pw.orig_shape
+    G = pw.group_size if pw.group_size > 0 else K
+    codes = unpack_to_codes(pw).reshape(K // G, G, N)
+    if pw.dtype in FLOAT_CODE_DTYPES:
+        vals = CODEBOOKS[pw.dtype][codes.astype(jnp.int32)]
+    else:
+        vals = codes.astype(jnp.float32)
+        if pw.zeros is not None:
+            vals = vals - pw.zeros[:, None, :]
+    w = vals * pw.scales[:, None, :]
+    return w.reshape(K, N).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# GPTQ / optimum layout interchange
+# ---------------------------------------------------------------------------
+# The optimum/AutoGPTQ checkpoint layout (documented in the reference at
+# weight_only/modules.py:195-268): for a torch Linear [out=N, in=K],
+#   qweight: int32 [K/8, N], row i packs input rows 8i..8i+7, nibble s = row 8i+s
+#   qzeros:  int32 [K/G, N/8], stores (zero_point - 1), packed along N
+#   scales:  fp16  [K/G, N]
+#   g_idx:   int32 [K] mapping each input row to its group (act-order support)
+
+
+def from_gptq_layout(qweight: np.ndarray, qzeros: np.ndarray, scales: np.ndarray,
+                     g_idx: np.ndarray | None, bits: int = 4,
+                     sym: bool = False) -> PackedWeight:
+    """Convert an optimum/AutoGPTQ checkpoint tensor set to PackedWeight.
+
+    Handles act-order (``g_idx``) by inverse-permuting rows back to natural
+    order is NOT done here — GPTQ with act_order stores rows in natural order
+    with per-row group indices; we materialize per-row scales via g_idx only
+    when groups are non-contiguous.
+    """
+    qweight = np.asarray(qweight)
+    Kp8, N = qweight.shape
+    K = Kp8 * (32 // bits)
+    mask = (1 << bits) - 1
+    planes = [((qweight >> (bits * s)) & mask) for s in range(32 // bits)]
+    codes = np.stack(planes, axis=1).reshape(K, N).astype(np.int32)  # row 8i+s
+
+    zp_planes = [((np.asarray(qzeros) >> (bits * s)) & mask) for s in range(32 // bits)]
+    zeros = np.stack(zp_planes, axis=2).reshape(qzeros.shape[0], -1).astype(np.int32)
+    zeros = zeros + 1  # optimum stores zero-1
+    scales = np.asarray(scales, dtype=np.float32)
+    ng = scales.shape[0]
+    G = K // ng
+    # convert to the centered convention (see qtensor.quantize_int_asym)
+    half = 1 << (bits - 1)
+    codes = codes - half
+    zeros = zeros - half
+
+    if g_idx is not None and not np.array_equal(
+        np.asarray(g_idx), np.arange(K) // G
+    ):
+        # Non-contiguous groups (act-order): fall back to per-row regrouping by
+        # sorting rows by group index; record the permutation for the matmul.
+        raise NotImplementedError(
+            "act-order g_idx import requires the act_order permutation path; "
+            "use load_gptq_checkpoint(...) which handles it."
+        )
+
+    codes_j = jnp.asarray(codes.astype(np.int8))
+    qt = QTensor(codes_j, jnp.asarray(scales), jnp.asarray(zeros, dtype=jnp.float32)
+                 if not sym else None, "int", bits, G, (K, N))
+    return pack_qtensor(qt)
+
+
+def to_gptq_layout(pw: PackedWeight) -> dict[str, np.ndarray]:
+    """Export PackedWeight to the optimum/AutoGPTQ tensor layout."""
+    K, N = pw.orig_shape
+    bits = pw.bits
+    pf = 32 // bits
+    codes = np.asarray(unpack_to_codes(pw)).astype(np.int64)
+    half = 1 << (bits - 1)
+    codes = codes + half  # centered -> unsigned
+    if pw.zeros is None:
+        zeros = np.full((pw.scales.shape[0], N), half, dtype=np.int64)
+    else:
+        zeros = np.asarray(pw.zeros).astype(np.int64) + half
+    mask = (1 << bits) - 1
+    qweight = np.zeros((K // pf, N), dtype=np.int64)
+    for s in range(pf):
+        qweight |= (codes[s::pf] & mask) << (bits * s)
+    # interleave: row 8i+s must live in word i nibble s → codes[s::pf] has rows
+    # s, s+pf, ... which is exactly word index i = row//pf for rows ≡ s (mod pf)
+    zeros_m1 = (zeros - 1) & mask
+    qzeros = np.zeros((zeros.shape[0], N // pf), dtype=np.int64)
+    for s in range(pf):
+        qzeros |= zeros_m1[:, s::pf] << (bits * s)
+    g_idx = (np.arange(K) // (pw.group_size if pw.group_size > 0 else K)).astype(np.int32)
+    return {
+        "qweight": qweight.astype(np.int32),
+        "qzeros": qzeros.astype(np.int32),
+        "scales": np.asarray(pw.scales).astype(np.float16),
+        "g_idx": g_idx,
+    }

@@ -1,0 +1,33 @@
+"""Test harness configuration.
+
+Forces an 8-virtual-device CPU platform so sharding/multi-chip logic is
+exercised without real TPU hardware. The axon sitecustomize imports jax
+eagerly, so we must update jax.config (env vars are read at jax import).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+try:
+    # Must run before any backend is initialized (no jax.devices() yet).
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_device_mesh():
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.array(devs[:8]).reshape(2, 4), ("data", "model"))

@@ -1,0 +1,157 @@
+"""Tests for the config/tuning core (parity with reference test/common/)."""
+
+import pytest
+
+from neural_compressor_tpu.common import (
+    BaseConfig,
+    ComposableConfig,
+    ConfigLoader,
+    ConfigSet,
+    SequentialSampler,
+    TuningConfig,
+    TuningMonitor,
+    init_tuning,
+    register_config,
+    config_registry,
+    Statistics,
+    options,
+)
+
+
+class FakeConfig(BaseConfig):
+    name = "fake"
+    params_list = ("bits", "group_size")
+
+    def __init__(self, bits=4, group_size=32, white_list="*"):
+        super().__init__(white_list=white_list)
+        self.bits = bits
+        self.group_size = group_size
+
+    @classmethod
+    def supported_op_types(cls):
+        return ("Linear", "Einsum")
+
+
+class OtherConfig(BaseConfig):
+    name = "other"
+    params_list = ("alpha",)
+
+    def __init__(self, alpha=0.5, white_list="*"):
+        super().__init__(white_list=white_list)
+        self.alpha = alpha
+
+
+MODEL_INFO = [
+    ("blocks.0.attn.q_proj", "Linear"),
+    ("blocks.0.mlp.up_proj", "Linear"),
+    ("lm_head", "Linear"),
+    ("blocks.0.norm", "RMSNorm"),
+]
+
+
+class TestConfig:
+    def test_expand_cartesian(self):
+        cfg = FakeConfig(bits=[4, 8], group_size=[32, 64, 128])
+        expanded = cfg.expand()
+        assert len(expanded) == 6
+        combos = {(c.bits, c.group_size) for c in expanded}
+        assert (4, 32) in combos and (8, 128) in combos
+
+    def test_expand_scalar_is_identity(self):
+        cfg = FakeConfig(bits=4, group_size=32)
+        assert len(cfg.expand()) == 1
+
+    def test_to_config_mapping_global(self):
+        cfg = FakeConfig(bits=4)
+        mapping = cfg.to_config_mapping(MODEL_INFO)
+        assert ("blocks.0.attn.q_proj", "Linear") in mapping
+        assert ("blocks.0.norm", "RMSNorm") not in mapping
+        assert len(mapping) == 3
+
+    def test_local_override_by_name_regex(self):
+        cfg = FakeConfig(bits=4)
+        cfg.set_local("lm_head", FakeConfig(bits=8))
+        mapping = cfg.to_config_mapping(MODEL_INFO)
+        assert mapping[("lm_head", "Linear")].bits == 8
+        assert mapping[("blocks.0.attn.q_proj", "Linear")].bits == 4
+
+    def test_local_override_by_pattern(self):
+        cfg = FakeConfig(bits=4)
+        cfg.set_local(r".*mlp.*", FakeConfig(bits=2))
+        mapping = cfg.to_config_mapping(MODEL_INFO)
+        assert mapping[("blocks.0.mlp.up_proj", "Linear")].bits == 2
+
+    def test_white_list_restricts(self):
+        cfg = FakeConfig(bits=4, white_list=[r".*attn.*"])
+        mapping = cfg.to_config_mapping(MODEL_INFO)
+        assert len(mapping) == 1
+
+    def test_to_from_dict_roundtrip(self):
+        cfg = FakeConfig(bits=4, group_size=64)
+        cfg.set_local("lm_head", FakeConfig(bits=8))
+        d = cfg.to_dict()
+        cfg2 = FakeConfig.from_dict(d)
+        assert cfg2.to_dict() == d
+
+    def test_composable(self):
+        combined = FakeConfig(bits=4) + OtherConfig(alpha=0.7)
+        assert isinstance(combined, ComposableConfig)
+        assert len(combined.config_list) == 2
+        mapping = combined.to_config_mapping(MODEL_INFO)
+        assert len(mapping) == 3
+
+    def test_composable_expand(self):
+        combined = FakeConfig(bits=[4, 8], group_size=32) + OtherConfig(alpha=[0.3, 0.5])
+        assert len(combined.expand()) == 4
+
+    def test_registry(self):
+        @register_config("unit_test_algo", priority=99)
+        class UTConfig(BaseConfig):
+            def __init__(self):
+                super().__init__()
+
+        assert config_registry.get_config_cls_by_name("unit_test_algo") is UTConfig
+        sorted_names = [n for n, _ in config_registry.get_sorted_configs()]
+        assert sorted_names[0] == "unit_test_algo"
+
+
+class TestTuning:
+    def test_config_loader_iterates_expanded(self):
+        loader = ConfigLoader(FakeConfig(bits=[4, 8]))
+        assert len(list(loader)) == 2
+
+    def test_monitor_stop_on_goal(self):
+        tcfg = TuningConfig(config_set=FakeConfig(bits=[4, 8]), tolerable_loss=0.01,
+                            max_trials=10)
+        loader, tlogger, monitor = init_tuning(tcfg)
+        monitor.set_baseline(1.0)
+        monitor.add_trial_result(1, 0.995, FakeConfig(bits=4))
+        assert monitor.need_stop()
+
+    def test_monitor_stop_on_max_trials(self):
+        tcfg = TuningConfig(config_set=FakeConfig(bits=[4, 8]), tolerable_loss=0.0,
+                            max_trials=2)
+        _, _, monitor = init_tuning(tcfg)
+        monitor.set_baseline(1.0)
+        monitor.add_trial_result(1, 0.5, FakeConfig(bits=4))
+        assert not monitor.need_stop()
+        monitor.add_trial_result(2, 0.6, FakeConfig(bits=8))
+        assert monitor.need_stop()
+        assert monitor.get_best_trial_record().trial_result == 0.6
+
+    def test_sampler(self):
+        cs = ConfigSet.from_fwk_configs([FakeConfig(bits=[4, 8]), OtherConfig()])
+        assert len(cs) == 3
+        assert list(SequentialSampler(cs)) == [0, 1, 2]
+
+
+class TestUtility:
+    def test_statistics_renders(self):
+        s = Statistics([["Linear", 10], ["Einsum", 2]], header="ops",
+                       field_names=["type", "count"])
+        text = str(s)
+        assert "Linear" in text and "count" in text
+
+    def test_options_seed(self):
+        options.random_seed = 42
+        assert options.random_seed == 42

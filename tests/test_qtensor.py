@@ -1,0 +1,191 @@
+"""Analytic QDQ expectation tests for the quant math core.
+
+Style mirrors the reference's JAX accuracy tests
+(test/jax/test_accuracy.py + jax_test_utility.py): compute the expected QDQ
+result analytically in numpy and require (near-)exact agreement.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_compressor_tpu.ops import qtensor as qt
+from neural_compressor_tpu.ops import packing
+
+
+def rand(K, N, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal((K, N), dtype=np.float32))
+
+
+class TestIntSym:
+    def test_analytic_expectation_per_group(self):
+        w = rand(64, 16)
+        G, bits = 32, 4
+        out = qt.qdq_tensor(w, bits=bits, group_size=G, scheme="sym")
+        wn = np.asarray(w).reshape(2, G, 16)
+        qmax = 7
+        scale = np.abs(wn).max(axis=1) / qmax
+        expected = np.clip(np.round(wn / scale[:, None, :]), -qmax, qmax) * scale[:, None, :]
+        np.testing.assert_allclose(np.asarray(out), expected.reshape(64, 16), rtol=1e-6)
+
+    def test_full_range_uses_extra_code(self):
+        w = jnp.array([[-8.0], [4.0], [2.0], [1.0]])
+        r = qt.quantize_int_sym(w, bits=4, group_size=4, full_range=True)
+        assert int(r.codes.min()) == -8
+
+    def test_roundtrip_error_bounded(self):
+        w = rand(128, 32, seed=1)
+        for bits in (2, 3, 4, 8):
+            out = qt.qdq_tensor(w, bits=bits, group_size=32, scheme="sym")
+            err = float(jnp.abs(out - w).max())
+            scale_bound = float(jnp.abs(w).max()) / (2 ** (bits - 1) - 1)
+            assert err <= scale_bound * 0.51 + 1e-6
+
+    def test_exact_codes_recoverable(self):
+        w = rand(64, 8)
+        r = qt.quantize_int_sym(w, bits=8, group_size=-1)
+        assert r.codes.dtype == jnp.int8
+        assert r.scales.shape == (1, 8)
+
+
+class TestIntAsym:
+    def test_analytic_expectation(self):
+        w = rand(32, 8, seed=2) + 1.5  # shifted distribution favors asym
+        r = qt.quantize_int_asym(w, bits=4, group_size=32)
+        wn = np.asarray(w).reshape(1, 32, 8)
+        scale = (wn.max(axis=1) - wn.min(axis=1)) / 15
+        zero = np.round(-wn.min(axis=1) / scale)
+        q = np.clip(np.round(wn / scale[:, None, :]) + zero[:, None, :], 0, 15)
+        # codes are stored centered (shifted by -8)
+        np.testing.assert_allclose(np.asarray(r.codes).reshape(1, 32, 8), q - 8)
+        deq = qt.dequantize(r)
+        expected = (q - zero[:, None, :]) * scale[:, None, :]
+        np.testing.assert_allclose(np.asarray(deq), expected.reshape(32, 8), rtol=1e-5)
+
+    def test_asym_beats_sym_on_shifted_data(self):
+        w = rand(64, 16, seed=3) + 3.0
+        err_asym = float(jnp.abs(qt.qdq_tensor(w, 4, 32, "asym") - w).mean())
+        err_sym = float(jnp.abs(qt.qdq_tensor(w, 4, 32, "sym") - w).mean())
+        assert err_asym < err_sym
+
+
+class TestCodebooks:
+    @pytest.mark.parametrize("dtype", ["nf4", "fp4"])
+    def test_codes_in_range(self, dtype):
+        w = rand(64, 8, seed=4)
+        r = qt.quantize_codebook(w, dtype=dtype, group_size=32)
+        n = len(qt.CODEBOOKS[dtype])
+        assert int(r.codes.min()) >= 0 and int(r.codes.max()) < n
+
+    def test_nf4_exact_snap(self):
+        # weights exactly on codebook values scale=1 -> perfect reconstruction
+        cb = np.asarray(qt.NF4_CODEBOOK)
+        w = jnp.asarray(np.tile(cb.reshape(16, 1), (2, 4)))
+        out = qt.qdq_tensor(w, dtype="nf4", group_size=32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(w), atol=1e-6)
+
+    def test_nf4_better_than_int4_on_gaussian(self):
+        w = rand(256, 64, seed=5)
+        err_nf4 = float(((qt.qdq_tensor(w, dtype="nf4", group_size=64) - w) ** 2).mean())
+        err_int4 = float(((qt.qdq_tensor(w, bits=4, group_size=64, scheme="sym") - w) ** 2).mean())
+        assert err_nf4 < err_int4
+
+
+class TestClipSearch:
+    def test_clip_reduces_mse_with_outlier(self):
+        w = np.array(rand(64, 8, seed=6))
+        w[0, 0] = 30.0  # inject outlier
+        w = jnp.asarray(w)
+        ratios = qt.search_clip(w, bits=4, group_size=64, scheme="sym")
+        assert ratios.shape == (1, 8)
+        assert float(ratios[0, 0]) < 1.0  # outlier channel should clip
+
+    def test_no_clip_on_uniform(self):
+        w = jnp.asarray(np.linspace(-1, 1, 64, dtype=np.float32).reshape(64, 1))
+        ratios = qt.search_clip(w, bits=8, group_size=64)
+        assert float(ratios[0, 0]) > 0.9
+
+
+class TestScaleQuant:
+    def test_quantize_with_scale_matches(self):
+        w = rand(64, 8, seed=7)
+        r = qt.quantize_int_sym(w, bits=4, group_size=32)
+        codes2 = qt.quantize_with_scale(w, r.scales, None, bits=4, group_size=32)
+        np.testing.assert_array_equal(np.asarray(r.codes), np.asarray(codes2))
+
+    def test_double_quant_scales(self):
+        w = rand(256, 16, seed=8)
+        r = qt.quantize_int_sym(w, bits=4, group_size=32)
+        dq_scales, inner = qt.double_quant_scales(r.scales, bits=8, group_size=256)
+        rel = np.abs(np.asarray(dq_scales) - np.asarray(r.scales)) / np.abs(np.asarray(r.scales))
+        assert rel.mean() < 0.06
+        # absolute error bounded by one asym step of each column's scale range
+        s = np.asarray(r.scales)
+        step = (s.max(axis=0) - s.min(axis=0)) / 255
+        err = np.abs(np.asarray(dq_scales) - s)
+        assert (err <= step * 0.51 + 1e-6).all()
+
+
+class TestActivationQuant:
+    def test_per_tensor_dynamic(self):
+        x = rand(4, 32, seed=9)
+        q, s = qt.quantize_act_per_tensor(x)
+        deq = q.astype(jnp.float32) * s
+        assert float(jnp.abs(deq - x).max()) <= float(s) * 0.51 + 1e-6
+
+    def test_per_token(self):
+        x = rand(4, 32, seed=10)
+        q, s = qt.quantize_act_per_token(x)
+        assert s.shape == (4, 1)
+        deq = q.astype(jnp.float32) * s
+        assert float(jnp.abs(deq - x).max()) <= float(s.max()) * 0.51 + 1e-6
+
+
+class TestPacking:
+    @pytest.mark.parametrize("bits,G", [(4, 32), (4, 128), (2, 32), (4, -1)])
+    def test_pack_unpack_roundtrip_sym(self, bits, G):
+        w = rand(128, 16, seed=11)
+        r = qt.quantize_int_sym(w, bits=bits, group_size=G)
+        pw = packing.pack_qtensor(r)
+        codes = packing.unpack_to_codes(pw)
+        np.testing.assert_array_equal(np.asarray(codes), np.asarray(r.codes))
+
+    def test_pack_unpack_roundtrip_asym(self):
+        w = rand(128, 16, seed=12)
+        r = qt.quantize_int_asym(w, bits=4, group_size=32)
+        pw = packing.pack_qtensor(r)
+        codes = packing.unpack_to_codes(pw)
+        # asym codes are unsigned 0..15 -> stored raw
+        np.testing.assert_array_equal(np.asarray(codes), np.asarray(r.codes))
+
+    def test_dequantize_packed_matches_qtensor(self):
+        w = rand(128, 16, seed=13)
+        r = qt.quantize_int_sym(w, bits=4, group_size=32)
+        pw = packing.pack_qtensor(r)
+        d1 = np.asarray(qt.dequantize(r, out_dtype=jnp.float32))
+        d2 = np.asarray(packing.dequantize_packed(pw, out_dtype=jnp.float32))
+        np.testing.assert_allclose(d1, d2, rtol=1e-3, atol=1e-3)
+
+    def test_int8_layout_fallback(self):
+        w = rand(60, 8, seed=14)  # 60 rows: not packable with G=20? use G=-1 odd K
+        r = qt.quantize_int_sym(w, bits=4, group_size=-1)
+        pw = packing.pack_qtensor(r)  # K=60 not divisible cleanly -> int8 layout
+        assert pw.layout in ("int8", "tpu_strided")
+        codes = packing.unpack_to_codes(pw)
+        np.testing.assert_array_equal(np.asarray(codes)[:60], np.asarray(r.codes)[:60])
+
+    def test_gptq_layout_roundtrip(self):
+        w = rand(128, 32, seed=15)
+        r = qt.quantize_int_asym(w, bits=4, group_size=32)
+        pw = packing.pack_qtensor(r)
+        gptq = packing.to_gptq_layout(pw)
+        assert gptq["qweight"].shape == (16, 32)
+        assert gptq["qzeros"].shape == (4, 4)
+        pw2 = packing.from_gptq_layout(gptq["qweight"], gptq["qzeros"],
+                                       gptq["scales"], gptq["g_idx"], bits=4)
+        c1 = np.asarray(packing.unpack_to_codes(pw))
+        c2 = np.asarray(packing.unpack_to_codes(pw2))
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(np.asarray(pw.zeros), np.asarray(pw2.zeros))
