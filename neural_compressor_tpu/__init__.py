@@ -1,0 +1,19 @@
+"""neural_compressor_tpu — a TPU-native model compression framework.
+
+Post-training quantization (RTN/GPTQ/AWQ/TEQ/AutoRound/HQQ/SmoothQuant,
+static & dynamic INT8, FP8, MX microscaling, mixed precision), an
+accuracy-driven auto-tuner, packed serving kernels (Pallas), sharded
+serving (pjit/shard_map), and save/load in interchange formats.
+
+Built from scratch for JAX/XLA on TPU, with feature parity against
+intel/neural-compressor (the reference, /root/reference)."""
+
+from .version import __version__
+from .common import logger, set_log_level, options, TuningConfig
+from .quantization import (
+    RTNConfig, GPTQConfig, AWQConfig, TEQConfig, AutoRoundConfig, HQQConfig,
+    SmoothQuantConfig, INT8StaticQuantConfig, DynamicQuantConfig, FP8Config,
+    MXQuantConfig, MixedPrecisionConfig, KVCacheQuantConfig,
+    get_woq_tuning_config,
+    prepare, convert, quantize, finalize_calibration,
+)

@@ -1,0 +1,72 @@
+"""RTN — round-to-nearest weight-only quantization.
+
+Parity target: reference ``RTNQuantizer``
+(neural_compressor/torch/algorithms/weight_only/rtn.py:68-270) +
+``rtn_entry`` (torch/quantization/algorithm_entry.py:63-118). TPU redesign:
+no per-layer device shuttling — each kernel quantizes as one jitted
+group-wise transform; all layers stream through XLA back-to-back.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..common import logger
+from ..layers.module_utils import get_module, replace_module, named_modules
+from ..layers.woq_linear import WOQLinear
+from ..ops.qtensor import quantize_tensor, search_clip, double_quant_scales, QTensor
+from ..ops.packing import pack_qtensor
+from . import register_algo
+from .utils import extract_linear, dump_op_stats
+
+_FLOAT_SKIP = ("fp32", "bf16", "fp16", "float32", "bfloat16", "float16")
+
+
+def rtn_quantize_kernel(kernel, cfg) -> QTensor:
+    """Quantize one [K, N] kernel per an RTN-style config (shared with other
+    algorithms for their final rounding step)."""
+    w = kernel.astype(jnp.float32)
+    if getattr(cfg, "use_mse_search", False):
+        ratios = search_clip(w, bits=cfg.weight_bits, group_size=cfg.group_size,
+                             scheme=cfg.scheme, dtype=cfg.weight_dtype)
+        G = cfg.group_size if cfg.group_size > 0 else w.shape[0]
+        # clip each group to its best ratio then round
+        K, N = w.shape
+        pad = (-K) % G
+        wp = jnp.pad(w, ((0, pad), (0, 0)))
+        wg = wp.reshape(-1, G, N)
+        absmax = jnp.max(jnp.abs(wg), axis=1, keepdims=True)
+        lim = absmax * ratios[:, None, :]
+        w = jnp.clip(wg, -lim, lim).reshape(-1, N)[:K]
+    qt = quantize_tensor(w, bits=cfg.weight_bits, group_size=cfg.group_size,
+                         scheme=cfg.scheme, dtype=cfg.weight_dtype,
+                         full_range=getattr(cfg, "use_full_range", False))
+    if getattr(cfg, "use_double_quant", False):
+        dq_scales, _ = double_quant_scales(
+            qt.scales, bits=cfg.double_quant_bits,
+            group_size=cfg.double_quant_group_size,
+            scheme="sym" if cfg.double_quant_use_sym else "asym")
+        qt = qt._replace(scales=dq_scales)
+    return qt
+
+
+@register_algo("rtn")
+def rtn_entry(model, configs_mapping, mode="quantize", run_fn=None,
+              run_args=None, example_inputs=None, config=None):
+    if mode == "prepare":
+        return model  # RTN needs no calibration
+    n_done = 0
+    for (name, op_type), cfg in configs_mapping.items():
+        if cfg.dtype in _FLOAT_SKIP:
+            continue
+        mod = get_module(model, name)
+        lin = extract_linear(mod)
+        if lin is None:
+            continue
+        kernel, bias = lin
+        qt = rtn_quantize_kernel(kernel, cfg)
+        replace_module(model, name, WOQLinear.from_qtensor(qt, bias=bias))
+        n_done += 1
+    logger.info("RTN quantized %d Linear ops", n_done)
+    dump_op_stats(model)
+    return model

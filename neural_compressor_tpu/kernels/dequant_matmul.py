@@ -1,0 +1,308 @@
+"""Fused group-dequant-inside-matmul Pallas kernel.
+
+Computes ``y = x @ dequant(Wq)`` without materializing the bf16 weight in
+HBM: packed uint32 int4/int2 (or int8) codes are unpacked, zero-shifted and
+scaled **in VMEM inside the K-loop**, then fed to the MXU. At decode batch
+sizes the matmul is weight-bandwidth-bound, so reading 4 bits/weight instead
+of 16 is the ~4x lever.
+
+This is the TPU-native replacement for the reference's fused HPU dequant
+matmul (``torch.ops.hpu.convert_from_uint4``,
+neural_compressor/torch/algorithms/weight_only/modules.py:742-754). The
+packed layout is ``tpu_strided`` (see ops/packing.py): within each group of
+G rows, lane-row i field s holds original row ``s*(G/P) + i``, so unpacking
+is P shift-planes plus a reshape — no element shuffles on the VPU.
+
+Two implementations, selected by ``impl``:
+  * ``"pallas"`` — the fused kernel (TPU; interpret-mode on CPU for tests)
+  * ``"xla"``    — dequantize-then-dot, always correct, good for prefill
+``"auto"`` picks pallas for small M (decode) and xla for large M (prefill,
+where XLA's own fusion + MXU pipelining on the bf16 dot wins).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.packing import PackedWeight, dequantize_packed
+from ..ops.qtensor import CODEBOOKS, FLOAT_CODE_DTYPES
+
+_DEFAULT_IMPL = "auto"
+# M at or below this → weights-bound decode regime → fused kernel.
+_DECODE_M_THRESHOLD = 256
+
+
+def set_default_impl(impl: str) -> None:
+    global _DEFAULT_IMPL
+    assert impl in ("auto", "pallas", "xla")
+    _DEFAULT_IMPL = impl
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _codebook_select(codes_f: jax.Array, codebook) -> jax.Array:
+    """Map integer codes to codebook values with a select chain (VPU-friendly;
+    no gather on TPU)."""
+    out = jnp.zeros_like(codes_f)
+    for i, v in enumerate(codebook):
+        out = jnp.where(codes_f == i, v, out)
+    return out
+
+
+def _unpack_tile(pk, bits: int, n_groups: int, rows_per_group_packed: int):
+    """uint32 [TKp, TN] -> int32 codes [TK, TN] in original row order.
+
+    TKp = n_groups * rows_per_group_packed; TK = TKp * P.
+    """
+    P = 32 // bits
+    TN = pk.shape[-1]
+    c = pk.reshape(n_groups, rows_per_group_packed, TN)
+    mask = (1 << bits) - 1
+    planes = [
+        ((c >> (bits * s)) & mask).astype(jnp.int32) for s in range(P)
+    ]
+    codes = jnp.stack(planes, axis=1)  # [ng, P, G/P, TN]
+    return codes.reshape(n_groups, P * rows_per_group_packed, TN)
+
+
+def _dequant_group_codes(codes, scales, zeros, bits, dtype_name, cb_vals):
+    """codes [ng, G, TN] int32 (+scales/zeros [ng, TN]) -> bf16 [ng*G, TN]."""
+    if dtype_name in FLOAT_CODE_DTYPES:
+        vals = _codebook_select(codes.astype(jnp.float32), cb_vals)
+    else:
+        half = 1 << (bits - 1)
+        signed = codes - ((codes >= half).astype(jnp.int32) << bits)
+        vals = signed.astype(jnp.float32)
+        if zeros is not None:
+            vals = vals - zeros[:, None, :]
+    w = vals * scales[:, None, :]
+    ng, G, TN = w.shape
+    return w.reshape(ng * G, TN)
+
+
+def _make_kernel(bits, group_size, dtype_name, has_zeros, nk):
+    """Build the kernel body for given static config."""
+    P = 32 // bits
+    rpg = group_size // P  # packed rows per group
+    cb = None
+    if dtype_name in FLOAT_CODE_DTYPES:
+        import numpy as np
+        cb = np.asarray(CODEBOOKS[dtype_name]).tolist()
+
+    if has_zeros:
+        def kernel(x_ref, pk_ref, sc_ref, zr_ref, o_ref, acc_ref):
+            k = pl.program_id(2)
+
+            @pl.when(k == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+            ng = sc_ref.shape[0]
+            codes = _unpack_tile(pk_ref[:], bits, ng, rpg)
+            w = _dequant_group_codes(codes, sc_ref[:], zr_ref[:], bits,
+                                     dtype_name, cb).astype(x_ref.dtype)
+            acc_ref[:] += jnp.dot(x_ref[:], w,
+                                  preferred_element_type=jnp.float32)
+
+            @pl.when(k == nk - 1)
+            def _():
+                o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+    else:
+        def kernel(x_ref, pk_ref, sc_ref, o_ref, acc_ref):
+            k = pl.program_id(2)
+
+            @pl.when(k == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+            ng = sc_ref.shape[0]
+            codes = _unpack_tile(pk_ref[:], bits, ng, rpg)
+            w = _dequant_group_codes(codes, sc_ref[:], None, bits,
+                                     dtype_name, cb).astype(x_ref.dtype)
+            acc_ref[:] += jnp.dot(x_ref[:], w,
+                                  preferred_element_type=jnp.float32)
+
+            @pl.when(k == nk - 1)
+            def _():
+                o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    return kernel
+
+
+def _make_kernel_int8(has_zeros, group_size, nk):
+    """int8-codes variant (layout "int8": codes stored unpacked, [K, N])."""
+    if has_zeros:
+        def kernel(x_ref, cq_ref, sc_ref, zr_ref, o_ref, acc_ref):
+            k = pl.program_id(2)
+
+            @pl.when(k == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+            ng, TN = sc_ref.shape
+            vals = cq_ref[:].astype(jnp.float32).reshape(ng, group_size, TN)
+            vals = (vals - zr_ref[:][:, None, :]) * sc_ref[:][:, None, :]
+            w = vals.reshape(ng * group_size, TN).astype(x_ref.dtype)
+            acc_ref[:] += jnp.dot(x_ref[:], w,
+                                  preferred_element_type=jnp.float32)
+
+            @pl.when(k == nk - 1)
+            def _():
+                o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+    else:
+        def kernel(x_ref, cq_ref, sc_ref, o_ref, acc_ref):
+            k = pl.program_id(2)
+
+            @pl.when(k == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+            ng, TN = sc_ref.shape
+            vals = cq_ref[:].astype(jnp.float32).reshape(ng, group_size, TN)
+            vals = vals * sc_ref[:][:, None, :]
+            w = vals.reshape(ng * group_size, TN).astype(x_ref.dtype)
+            acc_ref[:] += jnp.dot(x_ref[:], w,
+                                  preferred_element_type=jnp.float32)
+
+            @pl.when(k == nk - 1)
+            def _():
+                o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    return kernel
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "dtype_name", "layout", "K", "N",
+                     "has_zeros", "out_dtype", "interpret", "tm", "tn", "tk"),
+)
+def _dequant_matmul_impl(x, packed, scales, zeros, *, bits, group_size,
+                         dtype_name, layout, K, N, has_zeros, out_dtype,
+                         interpret, tm, tn, tk):
+    M = x.shape[0]
+    G = group_size
+    nm, nn, nk = M // tm, N // tn, K // tk
+
+    grid = (nm, nn, nk)
+    x_spec = pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
+                          memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((tk // G, tn), lambda i, j, k: (k, j),
+                           memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
+                          memory_space=pltpu.VMEM)
+
+    if layout == "tpu_strided":
+        P = 32 // bits
+        pk_spec = pl.BlockSpec((tk // P, tn), lambda i, j, k: (k, j),
+                               memory_space=pltpu.VMEM)
+        kernel = _make_kernel(bits, G, dtype_name, has_zeros, nk)
+    else:  # int8 codes, unpacked
+        pk_spec = pl.BlockSpec((tk, tn), lambda i, j, k: (k, j),
+                               memory_space=pltpu.VMEM)
+        kernel = _make_kernel_int8(has_zeros, G, nk)
+
+    in_specs = [x_spec, pk_spec, sc_spec]
+    args = [x, packed, scales]
+    if has_zeros:
+        in_specs.append(sc_spec)
+        args.append(zeros)
+
+    flops = 2 * M * N * K
+    bytes_accessed = (
+        x.size * x.dtype.itemsize + packed.size * packed.dtype.itemsize
+        + scales.size * 4 + M * N * 2
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=interpret,
+    )(*args)
+
+
+def _pick_tiles(M, K, N, G, bits, layout):
+    """Tile sizes: K-tile must be a multiple of G and of the packing P·rows;
+    N-tile a multiple of 128; M-tile covers bf16 sublane (16)."""
+    tm = min(_round_up(M, 16), 256)
+    tn = 128 if N % 256 else 256
+    # K tile: as many groups as fit a VMEM budget (~4MB for the weight tile)
+    tk = G
+    while tk * 2 <= min(K, 2048) and K % (tk * 2) == 0:
+        tk *= 2
+    return tm, tn, tk
+
+
+def dequant_matmul_pallas(x: jax.Array, pw: PackedWeight,
+                          out_dtype=None) -> jax.Array:
+    """y[M,N] = x[M,K] @ dequant(pw). Pads M to the tile size as needed."""
+    K, N = pw.orig_shape
+    assert x.shape[-1] == K, f"x K={x.shape[-1]} vs weight K={K}"
+    out_dtype = out_dtype or x.dtype
+    G = pw.group_size if pw.group_size > 0 else K
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+
+    interpret = not _on_tpu()
+    tm, tn, tk = _pick_tiles(M, K, N, G, pw.bits, pw.layout)
+    Mp = _round_up(M, tm)
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    if x2.dtype not in (jnp.bfloat16, jnp.float32):
+        x2 = x2.astype(jnp.bfloat16)
+
+    if K % tk or N % tn or tk % G:
+        # Shapes that don't tile cleanly: fall back to XLA path.
+        y = jnp.dot(x2, dequantize_packed(pw, out_dtype=x2.dtype),
+                    preferred_element_type=jnp.float32).astype(out_dtype)
+        return y[:M].reshape(*lead, N)
+
+    y = _dequant_matmul_impl(
+        x2, pw.packed, pw.scales.astype(jnp.float32),
+        None if pw.zeros is None else pw.zeros.astype(jnp.float32),
+        bits=pw.bits, group_size=G, dtype_name=pw.dtype, layout=pw.layout,
+        K=K, N=N, has_zeros=pw.zeros is not None, out_dtype=out_dtype,
+        interpret=interpret, tm=tm, tn=tn, tk=tk,
+    )
+    return y[:M].reshape(*lead, N)
+
+
+def woq_matmul(x: jax.Array, pw: PackedWeight, impl: str | None = None,
+               out_dtype=None) -> jax.Array:
+    """Quantized-weight matmul dispatcher (see module docstring)."""
+    impl = impl or _DEFAULT_IMPL
+    out_dtype = out_dtype or x.dtype
+    if impl == "auto":
+        M = 1
+        for d in x.shape[:-1]:
+            M *= d
+        impl = "pallas" if (M <= _DECODE_M_THRESHOLD and _on_tpu()) else "xla"
+    if impl == "pallas":
+        return dequant_matmul_pallas(x, pw, out_dtype=out_dtype)
+    # Serving runs bf16; keep f32 activations in f32 for accuracy evals.
+    cdt = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    w = dequantize_packed(pw, out_dtype=cdt)
+    return jnp.dot(x.astype(cdt), w,
+                   preferred_element_type=jnp.float32).astype(out_dtype)

@@ -1,0 +1,177 @@
+"""Activation-quantized and precision-converted Linear modules (NNX).
+
+TPU-native analogs of: the reference's IPEX static-int8 path (W8A8, §2 row
+20), DynamicQuantConfig path, Gaudi FP8 ``PatchedLinear``
+(fp8_quant/_quant_common/helper_modules.py:249), and the fp16/bf16
+``HalfPrecisionModuleWrapper`` (torch/algorithms/mixed_precision/
+module_wrappers.py:22). All are jit-compiled matmul paths; INT8×INT8 uses
+the MXU's native int8 dot via ``preferred_element_type=jnp.int32``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..ops.qtensor import quantize_act_per_token
+
+_FP8_DTYPES = {
+    "fp8_e4m3": jnp.float8_e4m3fn,
+    "fp8_e5m2": jnp.float8_e5m2,
+}
+
+
+def fp8_dtype(name: str):
+    return _FP8_DTYPES[name]
+
+
+class DynamicQuantLinear(nnx.Module):
+    """W8A8 with per-token dynamic activation scales.
+
+    Weight: per-channel symmetric int8. Act: per-token sym int8 computed on
+    the fly. The matmul runs int8×int8 → int32 on the MXU, then rescales.
+    """
+
+    def __init__(self, kernel: jax.Array, bias: jax.Array | None = None,
+                 act_bits: int = 8):
+        K, N = kernel.shape
+        self.in_features, self.out_features = K, N
+        self.act_bits = act_bits
+        wf = kernel.astype(jnp.float32)
+        qmax = 127.0
+        w_scale = jnp.max(jnp.abs(wf), axis=0) / qmax  # [N]
+        w_scale = jnp.where(w_scale <= 0, 1.0, w_scale)
+        self.w_int8 = nnx.Param(
+            jnp.clip(jnp.round(wf / w_scale[None, :]), -128, 127).astype(jnp.int8))
+        self.w_scale = nnx.Param(w_scale)
+        self.bias = nnx.Param(bias) if bias is not None else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, self.in_features)
+        xq, x_scale = quantize_act_per_token(x2, bits=self.act_bits)
+        acc = jax.lax.dot_general(
+            xq, self.w_int8[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * x_scale * self.w_scale[...][None, :]
+        if self.bias is not None:
+            y = y + self.bias[...].astype(jnp.float32)
+        return y.astype(x.dtype).reshape(*lead, self.out_features)
+
+
+class StaticQuantLinear(nnx.Module):
+    """W8A8 with static (calibrated) per-tensor activation scale."""
+
+    def __init__(self, kernel: jax.Array, act_scale: jax.Array,
+                 bias: jax.Array | None = None,
+                 act_zero_point: jax.Array | None = None):
+        K, N = kernel.shape
+        self.in_features, self.out_features = K, N
+        wf = kernel.astype(jnp.float32)
+        w_scale = jnp.max(jnp.abs(wf), axis=0) / 127.0
+        w_scale = jnp.where(w_scale <= 0, 1.0, w_scale)
+        self.w_int8 = nnx.Param(
+            jnp.clip(jnp.round(wf / w_scale[None, :]), -128, 127).astype(jnp.int8))
+        self.w_scale = nnx.Param(w_scale)
+        self.act_scale = nnx.Param(jnp.asarray(act_scale, dtype=jnp.float32))
+        self.act_zp = (nnx.Param(jnp.asarray(act_zero_point, dtype=jnp.float32))
+                       if act_zero_point is not None else None)
+        self.bias = nnx.Param(bias) if bias is not None else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, self.in_features).astype(jnp.float32)
+        s = self.act_scale[...]
+        xq = x2 / s
+        if self.act_zp is not None:
+            xq = xq + self.act_zp[...]
+        xq = jnp.clip(jnp.round(xq), -128, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, self.w_int8[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        if self.act_zp is not None:
+            zp_corr = self.act_zp[...] * jnp.sum(
+                self.w_int8[...].astype(jnp.int32), axis=0).astype(jnp.float32)
+            acc = acc - zp_corr[None, :]
+        y = acc * s * self.w_scale[...][None, :]
+        if self.bias is not None:
+            y = y + self.bias[...].astype(jnp.float32)
+        return y.astype(x.dtype).reshape(*lead, self.out_features)
+
+
+class FP8Linear(nnx.Module):
+    """FP8 (e4m3/e5m2) Linear with static scales.
+
+    Weight is stored in fp8; activation is scaled and cast to fp8 at call
+    time, the dot runs on fp8 inputs with f32 accumulation (XLA native fp8
+    dot on TPU v5+; numerically emulated elsewhere). Scales follow the
+    maxabs-over-fp8-max convention with optional pow2 (HW-aligned) rounding
+    — reference scale methods, fp8_quant/_core/scale_methods.
+    """
+
+    def __init__(self, kernel: jax.Array, act_amax: jax.Array,
+                 bias: jax.Array | None = None, dtype_name: str = "fp8_e4m3",
+                 pow2_scales: bool = True, per_channel_weight: bool = False):
+        K, N = kernel.shape
+        self.in_features, self.out_features = K, N
+        self.dtype_name = dtype_name
+        fdt = fp8_dtype(dtype_name)
+        fp8_max = float(jnp.finfo(fdt).max)
+        wf = kernel.astype(jnp.float32)
+        if per_channel_weight:
+            w_amax = jnp.max(jnp.abs(wf), axis=0)  # [N]
+        else:
+            w_amax = jnp.max(jnp.abs(wf))
+        w_scale = self._round_scale(w_amax / fp8_max, pow2_scales)
+        a_scale = self._round_scale(
+            jnp.asarray(act_amax, dtype=jnp.float32) / fp8_max, pow2_scales)
+        self.w_fp8 = nnx.Param((wf / w_scale).astype(fdt))
+        self.w_scale = nnx.Param(jnp.asarray(w_scale, dtype=jnp.float32))
+        self.act_scale = nnx.Param(jnp.asarray(a_scale, dtype=jnp.float32))
+        self.bias = nnx.Param(bias) if bias is not None else None
+
+    @staticmethod
+    def _round_scale(scale: jax.Array, pow2: bool) -> jax.Array:
+        scale = jnp.where(scale <= 0, 1.0, scale)
+        if pow2:
+            scale = jnp.exp2(jnp.ceil(jnp.log2(scale)))
+        return scale
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        fdt = fp8_dtype(self.dtype_name)
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, self.in_features).astype(jnp.float32)
+        s = self.act_scale[...]
+        xq = (x2 / s).astype(fdt)
+        acc = jax.lax.dot_general(
+            xq, self.w_fp8[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = acc * s * self.w_scale[...]
+        if self.bias is not None:
+            y = y + self.bias[...].astype(jnp.float32)
+        return y.astype(x.dtype).reshape(*lead, self.out_features)
+
+
+class HalfPrecisionLinear(nnx.Module):
+    """bf16/fp16 converted Linear (mixed-precision fallback op)."""
+
+    def __init__(self, kernel: jax.Array, bias: jax.Array | None = None,
+                 dtype=jnp.bfloat16):
+        self.in_features, self.out_features = kernel.shape
+        self.dtype = dtype
+        self.kernel = nnx.Param(kernel.astype(dtype))
+        self.bias = nnx.Param(bias.astype(dtype)) if bias is not None else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = jnp.dot(x.astype(self.dtype), self.kernel[...],
+                    preferred_element_type=jnp.float32)
+        if self.bias is not None:
+            y = y + self.bias[...].astype(y.dtype)
+        return y.astype(x.dtype)

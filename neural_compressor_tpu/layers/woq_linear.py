@@ -1,0 +1,93 @@
+"""Weight-only-quantized Linear modules (NNX).
+
+``WOQLinear`` — serving module holding the packed weight; forward runs the
+fused Pallas dequant-matmul (TPU-native replacement of the reference's
+``INCWeightOnlyLinear``/``HPUWeightOnlyLinear``,
+neural_compressor/torch/algorithms/weight_only/modules.py:157-754).
+
+``QDQLinear`` — fake-quant (QDQ) Linear keeping a dequantized bf16 kernel;
+used for accuracy emulation and as the numerically-exact reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..kernels import woq_matmul
+from ..ops.packing import PackedWeight, pack_qtensor, dequantize_packed
+from ..ops.qtensor import QTensor, quantize_tensor
+
+
+class WOQLinear(nnx.Module):
+    """Packed weight-only-quantized Linear: ``y = x @ dequant(Wq) + b``."""
+
+    def __init__(self, pw: PackedWeight, bias: jax.Array | None = None,
+                 impl: str = "auto"):
+        K, N = pw.orig_shape
+        self.in_features = K
+        self.out_features = N
+        self.bits = pw.bits
+        self.group_size = pw.group_size
+        self.wdtype = pw.dtype
+        self.layout = pw.layout
+        self.impl = impl
+        self.packed = nnx.Param(pw.packed)
+        self.scales = nnx.Param(pw.scales)
+        self.zeros = nnx.Param(pw.zeros) if pw.zeros is not None else None
+        self.bias = nnx.Param(bias) if bias is not None else None
+
+    def packed_weight(self) -> PackedWeight:
+        return PackedWeight(
+            packed=self.packed[...],
+            scales=self.scales[...],
+            zeros=None if self.zeros is None else self.zeros[...],
+            bits=self.bits,
+            group_size=self.group_size,
+            dtype=self.wdtype,
+            orig_shape=(self.in_features, self.out_features),
+            layout=self.layout,
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = woq_matmul(x, self.packed_weight(), impl=self.impl)
+        if self.bias is not None:
+            y = y + self.bias[...].astype(y.dtype)
+        return y
+
+    def dequantized_kernel(self, dtype=jnp.float32) -> jax.Array:
+        return dequantize_packed(self.packed_weight(), out_dtype=dtype)
+
+    @classmethod
+    def from_qtensor(cls, qt: QTensor, bias=None, impl: str = "auto") -> "WOQLinear":
+        return cls(pack_qtensor(qt), bias=bias, impl=impl)
+
+    @classmethod
+    def from_kernel(cls, kernel: jax.Array, bias=None, *, bits=4,
+                    group_size=32, scheme="sym", dtype="int",
+                    impl: str = "auto") -> "WOQLinear":
+        qt = quantize_tensor(kernel, bits=bits, group_size=group_size,
+                             scheme=scheme, dtype=dtype)
+        return cls.from_qtensor(qt, bias=bias, impl=impl)
+
+
+class QDQLinear(nnx.Module):
+    """Fake-quantized Linear: kernel stored dequantized (bf16), matching the
+    numeric result of quantization exactly but at full memory cost. The
+    emulation path for accuracy evals (reference QDQ-mode analog,
+    fp8_quant QDQ / jax layers_static call_int8)."""
+
+    def __init__(self, kernel_qdq: jax.Array, bias: jax.Array | None = None,
+                 meta: dict | None = None):
+        self.in_features, self.out_features = kernel_qdq.shape
+        self.kernel = nnx.Param(kernel_qdq.astype(jnp.bfloat16))
+        self.bias = nnx.Param(bias) if bias is not None else None
+        self.meta = meta or {}
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = jnp.dot(x.astype(jnp.bfloat16), self.kernel[...],
+                    preferred_element_type=jnp.float32)
+        if self.bias is not None:
+            y = y + self.bias[...].astype(y.dtype)
+        return y.astype(x.dtype)

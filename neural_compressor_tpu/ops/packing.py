@@ -58,6 +58,10 @@ def _values_per_lane(bits: int) -> int:
     return LANE_BITS // bits
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "group_size"))
 def pack_codes(codes: jax.Array, bits: int, group_size: int) -> jax.Array:
     """Pack int codes [K, N] -> uint32 [K/P, N] in tpu_strided layout.
 
@@ -80,6 +84,7 @@ def pack_codes(codes: jax.Array, bits: int, group_size: int) -> jax.Array:
     return packed.reshape(ng * (G // P), N)
 
 
+@functools.partial(jax.jit, static_argnames=("bits", "group_size", "K", "signed"))
 def unpack_codes(packed: jax.Array, bits: int, group_size: int, K: int,
                  signed: bool) -> jax.Array:
     """Inverse of ``pack_codes``: uint32 [K/P, N] -> int8 codes [K, N]."""
@@ -137,19 +142,37 @@ def unpack_to_codes(pw: PackedWeight) -> jax.Array:
     return pw.packed.astype(jnp.int8)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "dtype", "layout", "K", "out_dtype"),
+)
+def _dequantize_packed_arrays(packed, scales, zeros, bits, group_size, dtype,
+                              layout, K, out_dtype):
+    G = group_size
+    if layout == "tpu_strided":
+        signed = dtype not in FLOAT_CODE_DTYPES
+        codes = unpack_codes(packed, bits, G, K, signed=signed)
+    else:
+        codes = packed.astype(jnp.int8)
+    N = codes.shape[-1]
+    codes = codes.reshape(K // G, G, N)
+    if dtype in FLOAT_CODE_DTYPES:
+        vals = CODEBOOKS[dtype][codes.astype(jnp.int32)]
+    else:
+        vals = codes.astype(jnp.float32)
+        if zeros is not None:
+            vals = vals - zeros[:, None, :]
+    w = vals * scales[:, None, :]
+    return w.reshape(K, N).astype(out_dtype)
+
+
 def dequantize_packed(pw: PackedWeight, out_dtype=jnp.bfloat16) -> jax.Array:
     """Full dequantization via XLA (reference path for the Pallas kernels)."""
     K, N = pw.orig_shape
     G = pw.group_size if pw.group_size > 0 else K
-    codes = unpack_to_codes(pw).reshape(K // G, G, N)
-    if pw.dtype in FLOAT_CODE_DTYPES:
-        vals = CODEBOOKS[pw.dtype][codes.astype(jnp.int32)]
-    else:
-        vals = codes.astype(jnp.float32)
-        if pw.zeros is not None:
-            vals = vals - pw.zeros[:, None, :]
-    w = vals * pw.scales[:, None, :]
-    return w.reshape(K, N).astype(out_dtype)
+    return _dequantize_packed_arrays(
+        pw.packed, pw.scales, pw.zeros, pw.bits, G, pw.dtype, pw.layout, K,
+        jnp.dtype(out_dtype))
 
 
 # ---------------------------------------------------------------------------

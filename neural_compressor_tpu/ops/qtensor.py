@@ -106,18 +106,8 @@ def _ungroup(wg: jax.Array, orig_K: int) -> jax.Array:
 # Integer quantization
 # ---------------------------------------------------------------------------
 
-def quantize_int_sym(
-    w: jax.Array, bits: int = 4, group_size: int = 32, full_range: bool = False
-) -> QTensor:
-    """Symmetric signed-integer group quantization.
-
-    ``full_range=False``: codes in [-(2^(b-1)-1), 2^(b-1)-1].
-    ``full_range=True``: exploit the extra negative code -2^(b-1) when the
-    group max magnitude is on the negative side (reference
-    weight_only/utility.py:199-243 semantics).
-    """
-    K, N = w.shape
-    G = _resolve_group(K, group_size)
+@functools.partial(jax.jit, static_argnames=("bits", "G", "full_range"))
+def _int_sym_arrays(w, bits, G, full_range):
     wg = _grouped(w.astype(jnp.float32), G)
     qmax = 2 ** (bits - 1) - 1
     qmin = -(2 ** (bits - 1))
@@ -131,8 +121,39 @@ def quantize_int_sym(
         lo = -qmax
     scale = jnp.where(scale <= 0, 1.0, scale)
     q = jnp.clip(jnp.round(wg / scale[:, None, :]), lo, qmax)
-    codes = q.astype(jnp.int8).reshape(-1, N)
+    codes = q.astype(jnp.int8).reshape(-1, wg.shape[-1])
+    return codes, scale
+
+
+def quantize_int_sym(
+    w: jax.Array, bits: int = 4, group_size: int = 32, full_range: bool = False
+) -> QTensor:
+    """Symmetric signed-integer group quantization.
+
+    ``full_range=False``: codes in [-(2^(b-1)-1), 2^(b-1)-1].
+    ``full_range=True``: exploit the extra negative code -2^(b-1) when the
+    group max magnitude is on the negative side (reference
+    weight_only/utility.py:199-243 semantics).
+    """
+    K, N = w.shape
+    G = _resolve_group(K, group_size)
+    codes, scale = _int_sym_arrays(w, bits, G, full_range)
     return QTensor(codes, scale, None, "int", bits, G, (K, N))
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "G"))
+def _int_asym_arrays(w, bits, G):
+    wg = _grouped(w.astype(jnp.float32), G)
+    qmax = 2**bits - 1
+    half = 2 ** (bits - 1)
+    amax = jnp.max(wg, axis=1)
+    amin = jnp.min(wg, axis=1)
+    scale = (amax - amin) / qmax
+    scale = jnp.where(scale <= 0, 1.0, scale)
+    zero = jnp.round(-amin / scale)
+    q = jnp.clip(jnp.round(wg / scale[:, None, :]) + zero[:, None, :], 0, qmax)
+    codes = (q - half).astype(jnp.int8).reshape(-1, wg.shape[-1])
+    return codes, scale, zero - half
 
 
 def quantize_int_asym(w: jax.Array, bits: int = 4, group_size: int = 32) -> QTensor:
@@ -144,17 +165,8 @@ def quantize_int_asym(w: jax.Array, bits: int = 4, group_size: int = 32) -> QTen
     """
     K, N = w.shape
     G = _resolve_group(K, group_size)
-    wg = _grouped(w.astype(jnp.float32), G)
-    qmax = 2**bits - 1
-    half = 2 ** (bits - 1)
-    amax = jnp.max(wg, axis=1)
-    amin = jnp.min(wg, axis=1)
-    scale = (amax - amin) / qmax
-    scale = jnp.where(scale <= 0, 1.0, scale)
-    zero = jnp.round(-amin / scale)
-    q = jnp.clip(jnp.round(wg / scale[:, None, :]) + zero[:, None, :], 0, qmax)
-    codes = (q - half).astype(jnp.int8).reshape(-1, N)
-    return QTensor(codes, scale, zero - half, "int", bits, G, (K, N))
+    codes, scale, zeros = _int_asym_arrays(w, bits, G)
+    return QTensor(codes, scale, zeros, "int", bits, G, (K, N))
 
 
 # ---------------------------------------------------------------------------
@@ -167,17 +179,23 @@ def _codebook_nearest(x: jax.Array, codebook: jax.Array) -> jax.Array:
     return jnp.searchsorted(mids, x, side="right").astype(jnp.int8)
 
 
-def quantize_codebook(w: jax.Array, dtype: str = "nf4", group_size: int = 32,
-                      double_quant: bool = False) -> QTensor:
-    """NF4/FP4 group quantization: normalize by group absmax, snap to codebook."""
-    K, N = w.shape
-    G = _resolve_group(K, group_size)
+@functools.partial(jax.jit, static_argnames=("dtype", "G"))
+def _codebook_arrays(w, dtype, G):
     codebook = CODEBOOKS[dtype]
     wg = _grouped(w.astype(jnp.float32), G)
     scale = jnp.max(jnp.abs(wg), axis=1)
     scale = jnp.where(scale <= 0, 1.0, scale)
     normed = wg / scale[:, None, :]
-    codes = _codebook_nearest(normed, codebook).reshape(-1, N)
+    codes = _codebook_nearest(normed, codebook).reshape(-1, wg.shape[-1])
+    return codes, scale
+
+
+def quantize_codebook(w: jax.Array, dtype: str = "nf4", group_size: int = 32,
+                      double_quant: bool = False) -> QTensor:
+    """NF4/FP4 group quantization: normalize by group absmax, snap to codebook."""
+    K, N = w.shape
+    G = _resolve_group(K, group_size)
+    codes, scale = _codebook_arrays(w, dtype, G)
     return QTensor(codes, scale, None, dtype, 4, G, (K, N))
 
 
@@ -185,20 +203,26 @@ def quantize_codebook(w: jax.Array, dtype: str = "nf4", group_size: int = 32,
 # Dequantization (shared)
 # ---------------------------------------------------------------------------
 
-def dequantize(qt: QTensor, out_dtype=jnp.float32) -> jax.Array:
-    """Reconstruct the (fake-quantized) weight from a QTensor."""
-    K, N = qt.orig_shape
-    G = qt.group_size
-    codes = qt.codes.reshape(-1, G, N)
-    if qt.dtype in FLOAT_CODE_DTYPES:
-        codebook = CODEBOOKS[qt.dtype]
+@functools.partial(jax.jit, static_argnames=("dtype", "G", "K", "out_dtype"))
+def _dequantize_arrays(codes, scales, zeros, dtype, G, K, out_dtype):
+    N = codes.shape[-1]
+    codes = codes.reshape(-1, G, N)
+    if dtype in FLOAT_CODE_DTYPES:
+        codebook = CODEBOOKS[dtype]
         vals = codebook[codes.astype(jnp.int32)]
     else:
         vals = codes.astype(jnp.float32)
-        if qt.zeros is not None:
-            vals = vals - qt.zeros[:, None, :]
-    w = vals * qt.scales[:, None, :]
+        if zeros is not None:
+            vals = vals - zeros[:, None, :]
+    w = vals * scales[:, None, :]
     return _ungroup(w, K).astype(out_dtype)
+
+
+def dequantize(qt: QTensor, out_dtype=jnp.float32) -> jax.Array:
+    """Reconstruct the (fake-quantized) weight from a QTensor."""
+    K, N = qt.orig_shape
+    return _dequantize_arrays(qt.codes, qt.scales, qt.zeros, qt.dtype,
+                              qt.group_size, K, jnp.dtype(out_dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -232,6 +256,7 @@ def qdq_tensor(w, bits=4, group_size=32, scheme="sym", dtype="int",
     return dequantize(qt, out_dtype=out_dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("bits", "group_size", "scheme"))
 def quantize_with_scale(w: jax.Array, scales: jax.Array, zeros: jax.Array | None,
                         bits: int, group_size: int, scheme: str = "sym") -> jax.Array:
     """Quantize ``w`` using externally supplied scales/zeros (GPTQ/AWQ path).
@@ -260,6 +285,10 @@ def quantize_with_scale(w: jax.Array, scales: jax.Array, zeros: jax.Array | None
 # MSE clip-ratio search
 # ---------------------------------------------------------------------------
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "scheme", "dtype", "n_grid", "max_shrink"),
+)
 def search_clip(
     w: jax.Array,
     bits: int = 4,
@@ -312,6 +341,7 @@ def double_quant_scales(scales: jax.Array, bits: int = 8, group_size: int = 256,
 # Activation quantization (for W8A8 / dynamic paths)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("bits",))
 def quantize_act_per_tensor(x: jax.Array, bits: int = 8,
                             scale: jax.Array | None = None):
     """Per-tensor symmetric activation quantization. If ``scale`` is None the
@@ -324,6 +354,7 @@ def quantize_act_per_tensor(x: jax.Array, bits: int = 8,
     return q, scale
 
 
+@functools.partial(jax.jit, static_argnames=("bits",))
 def quantize_act_per_token(x: jax.Array, bits: int = 8):
     """Per-token (row-wise) symmetric dynamic activation quantization."""
     qmax = 2 ** (bits - 1) - 1

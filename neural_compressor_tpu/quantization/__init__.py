@@ -1,0 +1,22 @@
+from .config import (
+    RTNConfig,
+    GPTQConfig,
+    AWQConfig,
+    TEQConfig,
+    AutoRoundConfig,
+    HQQConfig,
+    SmoothQuantConfig,
+    INT8StaticQuantConfig,
+    DynamicQuantConfig,
+    FP8Config,
+    MXQuantConfig,
+    MixedPrecisionConfig,
+    KVCacheQuantConfig,
+    get_woq_tuning_config,
+)
+from .quantize import (
+    prepare,
+    convert,
+    quantize,
+    finalize_calibration,
+)
