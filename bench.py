@@ -1,0 +1,118 @@
+"""Headline benchmark: INT4 weight-only Llama decode throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "llama7b_int4_decode", "value": <tokens/s/chip>,
+   "unit": "tokens/s", "vs_baseline": <speedup over bf16 decode>}
+
+The reference publishes accuracy-only tables (BASELINE.md); throughput
+depends on its external serving stacks. Our baseline is therefore the bf16
+decode of the same model on the same chip — ``vs_baseline`` > 1 means the
+quantized serving path beats the native bf16 path, which is the TPU-native
+value proposition (weights-bound decode reads 4x fewer HBM bytes).
+
+Notes for this environment: weights are random-initialized **on device**
+(no host transfer over the tunnel) and timing syncs via a tiny host
+read-back (block_until_ready does not synchronize over the axon tunnel).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+import neural_compressor_tpu as nq
+from neural_compressor_tpu.models import LlamaForCausalLM
+from neural_compressor_tpu.models.llama import init_kv_cache
+
+
+def build_decode_fn(model, batch: int, max_len: int):
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def decode(state, caches, token, pos, steps):
+        m = nnx.merge(graphdef, state)
+
+        def body(i, carry):
+            token, caches, acc = carry
+            positions = jnp.full((batch, 1), pos + i, dtype=jnp.int32)
+            logits, caches = m(token, positions=positions, caches=caches,
+                               cache_pos=pos + i)
+            nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(token.dtype)
+            return nxt, caches, acc + logits[0, 0, 0].astype(jnp.float32)
+
+        token, caches, acc = jax.lax.fori_loop(
+            0, steps, body, (token, caches, jnp.float32(0)))
+        return token, caches, acc
+
+    return state, decode
+
+
+def measure_decode(model, batch=1, max_len=256, steps=64, label=""):
+    cfg = model.cfg
+    caches = init_kv_cache(cfg, batch, max_len)
+    state, decode = build_decode_fn(model, batch, max_len)
+    tok = jnp.zeros((batch, 1), dtype=jnp.int32)
+    t0 = time.time()
+    _, caches2, acc = decode(state, caches, tok, 0, 4)  # compile + warm
+    _ = np.asarray(acc)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    _, _, acc = decode(state, caches, tok, 0, steps)
+    _ = np.asarray(acc)
+    dt = time.time() - t0
+    tok_s = batch * steps / dt
+    print(f"  [{label}] compile {compile_s:.1f}s, {steps} steps in "
+          f"{dt*1e3:.1f}ms -> {tok_s:.1f} tok/s", file=sys.stderr)
+    return tok_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default=None,
+                    help="llama preset (default: llama2-7b on TPU, "
+                         "llama-test elsewhere)")
+    ap.add_argument("--layers", type=int, default=None,
+                    help="override layer count")
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--max-len", type=int, default=256)
+    args = ap.parse_args()
+
+    on_tpu = jax.default_backend() == "tpu"
+    preset = args.preset or ("llama2-7b" if on_tpu else "llama-test")
+    overrides = {}
+    if args.layers:
+        overrides["num_hidden_layers"] = args.layers
+    print(f"building {preset} {overrides} on {jax.default_backend()}",
+          file=sys.stderr)
+
+    model = LlamaForCausalLM.from_preset(preset, **overrides)
+
+    bf16_tok_s = measure_decode(model, args.batch, args.max_len, args.steps,
+                                label="bf16")
+
+    t0 = time.time()
+    qmodel = nq.quantize(model, nq.RTNConfig(dtype="int4", group_size=128))
+    print(f"  quantize took {time.time()-t0:.1f}s", file=sys.stderr)
+    del model
+
+    int4_tok_s = measure_decode(qmodel, args.batch, args.max_len, args.steps,
+                                label="int4")
+
+    print(json.dumps({
+        "metric": f"{preset}_int4_decode_b{args.batch}",
+        "value": round(int4_tok_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(int4_tok_s / bf16_tok_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

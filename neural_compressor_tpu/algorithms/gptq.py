@@ -1,0 +1,342 @@
+"""GPTQ — Hessian-based weight-only quantization, jit-compiled.
+
+Parity target: the reference's ``RAWGPTQuantizer``/``GPTQ``
+(neural_compressor/torch/algorithms/weight_only/gptq.py): H = 2/n·X·Xᵀ
+accumulation (:1111-1141), damped Cholesky inverse (:1221-1231), blocked
+per-column error-feedback loop (:1250-1304), act_order (:1212),
+static_groups (:1193), block-sequential calibration (:399-458, 568-860).
+
+TPU redesign: no eager per-column Python loop — the column sweep is a
+``lax.fori_loop`` nest (outer over 128-column panels, inner over columns)
+compiled once per layer shape, with the panel kept in registers/VMEM by XLA.
+Hessian accumulation is a jitted XᵀX per replayed batch. The whole algorithm
+is O(K³) in the Cholesky plus O(K²·N) in the sweep, all on the MXU.
+
+Convention note: our kernels store W as [K, N] (in×out); GPTQ math runs on
+Wᵀ [N, K] with H [K, K] over the input dim, then transposes back.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..common import logger
+from ..layers.module_utils import get_module, named_modules, replace_module
+from ..layers.observers import ObserverStat
+from ..layers.woq_linear import WOQLinear
+from ..ops.qtensor import QTensor, quantize_with_scale
+from ..ops.packing import pack_qtensor
+from . import register_algo
+from .calib_capture import (
+    CalibCaptureState,
+    find_target_blocks,
+    run_capture,
+)
+from .utils import extract_linear, dump_op_stats
+
+_FLOAT_SKIP = ("fp32", "bf16", "fp16", "float32", "bfloat16", "float16")
+
+
+# ---------------------------------------------------------------------------
+# Hessian capture
+# ---------------------------------------------------------------------------
+
+class HessianObserver(nnx.Module):
+    """Wraps a Linear-like module; accumulates X᙭ = Σ xᵀx and sample count
+    over its inputs (reference ``add_batch``, gptq.py:1111-1141)."""
+
+    def __init__(self, inner: nnx.Module, in_features: int):
+        self.inner = inner
+        self.xtx = ObserverStat(jnp.zeros((in_features, in_features),
+                                          dtype=jnp.float32))
+        self.count = ObserverStat(jnp.array(0.0, dtype=jnp.float32))
+
+    def __call__(self, x, *args, **kwargs):
+        x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+        self.xtx[...] = self.xtx[...] + x2.T @ x2
+        self.count[...] = self.count[...] + x2.shape[0]
+        return self.inner(x, *args, **kwargs)
+
+    def hessian(self) -> jax.Array:
+        n = jnp.maximum(self.count[...], 1.0)
+        return 2.0 * self.xtx[...] / n
+
+
+# ---------------------------------------------------------------------------
+# The core column-sweep quantizer
+# ---------------------------------------------------------------------------
+
+def _group_scale(wg: jax.Array, bits: int, sym: bool):
+    """Per-row scale/zero for one group slab wg [N, G] (centered-asym
+    convention, matching ops.qtensor)."""
+    qmax_s = 2 ** (bits - 1) - 1
+    if sym:
+        scale = jnp.max(jnp.abs(wg), axis=1) / qmax_s
+        scale = jnp.where(scale <= 0, 1.0, scale)
+        zero = jnp.zeros_like(scale)
+    else:
+        amax = jnp.max(wg, axis=1)
+        amin = jnp.min(wg, axis=1)
+        scale = (amax - amin) / (2**bits - 1)
+        scale = jnp.where(scale <= 0, 1.0, scale)
+        zero = jnp.round(-amin / scale) - 2 ** (bits - 1)
+    return scale, zero
+
+
+def _qdq_col(w: jax.Array, scale: jax.Array, zero: jax.Array, bits: int,
+             sym: bool):
+    """Quantize-dequantize one column w [N] with per-row scale/zero."""
+    if sym:
+        qmax = 2 ** (bits - 1) - 1
+        q = jnp.clip(jnp.round(w / scale), -qmax - 1, qmax)
+        return q * scale
+    qmax = 2**bits - 1
+    half = 2 ** (bits - 1)
+    q = jnp.clip(jnp.round(w / scale) + (zero + half), 0, qmax) - half
+    return (q - zero) * scale
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "sym", "act_order", "percdamp",
+                     "block_size", "static_groups"),
+)
+def gptq_quantize_matrix(W: jax.Array, H: jax.Array, *, bits=4,
+                         group_size=128, sym=True, act_order=False,
+                         percdamp=0.01, block_size=128, static_groups=False):
+    """Run the GPTQ sweep on one weight.
+
+    W: [K, N] (in × out). H: [K, K]. Returns (Wq [K, N] QDQ values,
+    scales [K/G, N], zeros [K/G, N], perm [K] or None).
+    """
+    K, N = W.shape
+    G = group_size if group_size > 0 else K
+    B = min(block_size, K)
+    assert K % B == 0, f"K={K} must be a multiple of block_size={B}"
+    n_groups = K // G
+    # groups must align with panels for the dynamic-group path
+    dynamic_groups = (not static_groups) and (not act_order) and G <= B and B % G == 0
+
+    Wt = W.astype(jnp.float32).T  # [N, K]
+
+    # dead input dims
+    diag = jnp.diagonal(H)
+    dead = diag == 0.0
+    H = H + jnp.diag(jnp.where(dead, 1.0, 0.0))
+    Wt = jnp.where(dead[None, :], 0.0, Wt)
+
+    perm = None
+    if act_order:
+        perm = jnp.argsort(-jnp.diagonal(H))
+        Wt = Wt[:, perm]
+        H = H[perm][:, perm]
+
+    # static group parameters from the (permuted) original weights, defined
+    # on ORIGINAL column positions (reference static_groups, gptq.py:1193)
+    if act_order or not dynamic_groups:
+        W0 = Wt if perm is None else Wt[:, jnp.argsort(perm)]  # original order
+        w_groups = W0.reshape(N, n_groups, G)
+        s_all, z_all = jax.vmap(
+            lambda wg: _group_scale(wg, bits, sym), in_axes=1, out_axes=0
+        )(w_groups)  # [n_groups, N]
+        if perm is not None:
+            g_of_col = perm // G  # group id of each (permuted) column
+        else:
+            g_of_col = jnp.arange(K) // G
+    else:
+        s_all = jnp.zeros((n_groups, N), dtype=jnp.float32)
+        z_all = jnp.zeros((n_groups, N), dtype=jnp.float32)
+        g_of_col = jnp.arange(K) // G
+
+    # damped Cholesky inverse, upper factor (reference gptq.py:1221-1231)
+    damp = percdamp * jnp.mean(jnp.diagonal(H))
+    H = H + damp * jnp.eye(K, dtype=jnp.float32)
+    L = jnp.linalg.cholesky(H)
+    Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(K, dtype=jnp.float32))
+    U = jnp.linalg.cholesky(Hinv.T).T  # upper-triangular factor of Hinv
+
+    nb = K // B
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
+
+    def panel_step(b, carry):
+        Wt, Q, s_all, z_all = carry
+        start = b * B
+        Wblk = jax.lax.dynamic_slice(Wt, (0, start), (N, B))
+        U_rows = jax.lax.dynamic_slice(U, (start, 0), (B, K))  # [B, K]
+        Ublk = jax.lax.dynamic_slice(U_rows, (0, start), (B, B))
+
+        def col_step(i, inner):
+            Wblk, Qblk, Err, s_all, z_all, cur_s, cur_z = inner
+            gcol = start + i
+            if dynamic_groups:
+                # at a group boundary, compute scale from current values
+                def new_group(args):
+                    Wblk, s_all, z_all = args
+                    base = (i // G) * G
+                    wg = jax.lax.dynamic_slice(Wblk, (0, base), (N, G))
+                    s, z = _group_scale(wg, bits, sym)
+                    gidx = (start + base) // G
+                    s_all = jax.lax.dynamic_update_slice(s_all, s[None, :],
+                                                         (gidx, 0))
+                    z_all = jax.lax.dynamic_update_slice(z_all, z[None, :],
+                                                         (gidx, 0))
+                    return s, z, s_all, z_all
+
+                def old_group(args):
+                    Wblk, s_all, z_all = args
+                    return cur_s, cur_z, s_all, z_all
+
+                cur_s, cur_z, s_all, z_all = jax.lax.cond(
+                    i % G == 0, new_group, old_group, (Wblk, s_all, z_all))
+                s, z = cur_s, cur_z
+            else:
+                gid = g_of_col[gcol]
+                s = s_all[gid]
+                z = z_all[gid]
+
+            w = jax.lax.dynamic_slice(Wblk, (0, i), (N, 1))[:, 0]
+            q = _qdq_col(w, s, z, bits, sym)
+            d = jax.lax.dynamic_slice(Ublk, (i, i), (1, 1))[0, 0]
+            err = (w - q) / d
+            # update remaining columns in panel
+            urow = jax.lax.dynamic_slice(Ublk, (i, 0), (1, B))[0]  # [B]
+            mask = (col_idx > i).astype(jnp.float32)
+            Wblk = Wblk - err[:, None] * (urow * mask)[None, :]
+            Qblk = jax.lax.dynamic_update_slice(Qblk, q[:, None], (0, i))
+            Err = jax.lax.dynamic_update_slice(Err, err[:, None], (0, i))
+            return Wblk, Qblk, Err, s_all, z_all, cur_s, cur_z
+
+        init = (Wblk, jnp.zeros((N, B), jnp.float32),
+                jnp.zeros((N, B), jnp.float32), s_all, z_all,
+                jnp.ones((N,), jnp.float32), jnp.zeros((N,), jnp.float32))
+        Wblk, Qblk, Err, s_all, z_all, _, _ = jax.lax.fori_loop(
+            0, B, col_step, init)
+
+        # propagate error to all later columns: W[:, start+B:] -= Err @ U[blk, start+B:]
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)[0]
+        tail_mask = (k_idx >= start + B).astype(jnp.float32)
+        Wt = Wt - (Err @ (U_rows * tail_mask[None, :]))
+        Q = jax.lax.dynamic_update_slice(Q, Qblk, (0, start))
+        return Wt, Q, s_all, z_all
+
+    Q0 = jnp.zeros((N, K), jnp.float32)
+    Wt, Q, s_all, z_all = jax.lax.fori_loop(
+        0, nb, panel_step, (Wt, Q0, s_all, z_all))
+
+    if perm is not None:
+        inv = jnp.argsort(perm)
+        Q = Q[:, inv]
+
+    return Q.T, s_all, z_all  # [K, N], [n_groups, N], [n_groups, N]
+
+
+def gptq_layer_to_woq(kernel, H, cfg, bias=None) -> WOQLinear:
+    """Full GPTQ on one kernel → packed WOQLinear."""
+    K, N = kernel.shape
+    G = cfg.group_size if cfg.group_size > 0 else K
+    B = min(cfg.block_size, K)
+    if K % B:  # fall back to a divisor panel size
+        B = G if K % G == 0 else K
+    Wq, s_all, z_all = gptq_quantize_matrix(
+        kernel, H, bits=cfg.weight_bits, group_size=cfg.group_size,
+        sym=cfg.use_sym, act_order=cfg.act_order, percdamp=cfg.percdamp,
+        block_size=B, static_groups=cfg.static_groups)
+    zeros = None if cfg.use_sym else z_all
+    codes = quantize_with_scale(Wq, s_all, zeros, cfg.weight_bits, G,
+                                scheme=cfg.scheme)
+    qt = QTensor(codes, s_all, zeros, "int", cfg.weight_bits, G, (K, N))
+    return WOQLinear.from_qtensor(qt, bias=bias)
+
+
+# ---------------------------------------------------------------------------
+# Entry: prepare (capture) / convert (block-sequential quantize)
+# ---------------------------------------------------------------------------
+
+_capture_states: dict[int, CalibCaptureState] = {}
+_pending_run: dict[int, tuple] = {}
+
+
+@register_algo("gptq")
+def gptq_entry(model, configs_mapping, mode="quantize", run_fn=None,
+               run_args=None, example_inputs=None, config=None):
+    if mode == "prepare":
+        blocks = find_target_blocks(model)
+        assert blocks is not None, "GPTQ requires a transformer block list"
+        st = CalibCaptureState(model, *blocks)
+        st.attach()
+        _capture_states[id(model)] = st
+        return model
+
+    if mode == "convert":
+        st = _capture_states.pop(id(model), None)
+        assert st is not None, "convert() before prepare() for GPTQ"
+        captured = st.detach()
+        return _convert(model, st.block_paths, captured, configs_mapping)
+
+    # one-shot quantize
+    blocks = find_target_blocks(model)
+    assert blocks is not None, "GPTQ requires a transformer block list"
+    st = CalibCaptureState(model, *blocks)
+    captured = run_capture(model, st, run_fn, run_args)
+    assert captured, "GPTQ calibration captured no batches — did run_fn call the model?"
+    return _convert(model, st.block_paths, captured, configs_mapping)
+
+
+def _convert(model, block_paths, captured, configs_mapping):
+    cfg_by_name = {name: cfg for (name, _t), cfg in configs_mapping.items()}
+    n_done = 0
+    inputs = captured  # list of (args, kwargs) feeding the current block
+
+    for bi, bpath in enumerate(block_paths):
+        block = get_module(model, bpath)
+        # find target linears in this block
+        targets = []
+        for sub_path, sub in named_modules(block):
+            if not sub_path:
+                continue
+            full = f"{bpath}.{sub_path}"
+            cfg = cfg_by_name.get(full)
+            if cfg is None or cfg.dtype in _FLOAT_SKIP:
+                continue
+            if extract_linear(sub) is None:
+                continue
+            targets.append((sub_path, full, sub))
+
+        if targets:
+            # 1) attach Hessian observers, replay batches
+            for sub_path, _full, sub in targets:
+                k, _b = extract_linear(sub)
+                replace_module(block, sub_path,
+                               HessianObserver(sub, k.shape[0]))
+            for args, kwargs in inputs:
+                block(*args, **kwargs)
+            # 2) quantize each target, swap in WOQLinear
+            for sub_path, full, sub in targets:
+                obs = get_module(block, sub_path)
+                H = obs.hessian()
+                kernel, bias = extract_linear(sub)
+                cfg = cfg_by_name[full]
+                new = gptq_layer_to_woq(kernel, H, cfg, bias=bias)
+                replace_module(block, sub_path, new)
+                n_done += 1
+        # 3) replay through the (now quantized) block to build next inputs
+        if bi + 1 < len(block_paths):
+            inputs = [
+                (_as_next_input(block(*args, **kwargs), args), kwargs)
+                for args, kwargs in inputs
+            ]
+
+    logger.info("GPTQ quantized %d Linear ops over %d blocks",
+                n_done, len(block_paths))
+    dump_op_stats(model)
+    return model
+
+
+def _as_next_input(block_out, prev_args):
+    """Blocks may return x or (x, aux); thread x into the next block's args."""
+    x = block_out[0] if isinstance(block_out, tuple) else block_out
+    return (x, *prev_args[1:])

@@ -90,8 +90,14 @@ def _dequant_group_codes(codes, scales, zeros, bits, dtype_name, cb_vals):
     return w.reshape(ng * G, TN)
 
 
-def _make_kernel(bits, group_size, dtype_name, has_zeros, nk):
-    """Build the kernel body for given static config."""
+def _make_kernel(bits, group_size, dtype_name, has_zeros, nk, ngk):
+    """Build the kernel body for given static config.
+
+    ``ngk`` = groups per K-tile. Scales/zeros arrive pre-reshaped to
+    [nk, ngk, N] and blocked (1, ngk, tn) — the size-1 leading dim selects
+    the k-tile, keeping the (sublane, lane) tile equal to the full array
+    dims, which is always legal regardless of the group count.
+    """
     P = 32 // bits
     rpg = group_size // P  # packed rows per group
     cb = None
@@ -107,9 +113,10 @@ def _make_kernel(bits, group_size, dtype_name, has_zeros, nk):
             def _():
                 acc_ref[:] = jnp.zeros_like(acc_ref)
 
-            ng = sc_ref.shape[0]
-            codes = _unpack_tile(pk_ref[:], bits, ng, rpg)
-            w = _dequant_group_codes(codes, sc_ref[:], zr_ref[:], bits,
+            sc = sc_ref[0]
+            zr = zr_ref[0]
+            codes = _unpack_tile(pk_ref[:], bits, ngk, rpg)
+            w = _dequant_group_codes(codes, sc, zr, bits,
                                      dtype_name, cb).astype(x_ref.dtype)
             acc_ref[:] += jnp.dot(x_ref[:], w,
                                   preferred_element_type=jnp.float32)
@@ -125,9 +132,9 @@ def _make_kernel(bits, group_size, dtype_name, has_zeros, nk):
             def _():
                 acc_ref[:] = jnp.zeros_like(acc_ref)
 
-            ng = sc_ref.shape[0]
-            codes = _unpack_tile(pk_ref[:], bits, ng, rpg)
-            w = _dequant_group_codes(codes, sc_ref[:], None, bits,
+            sc = sc_ref[0]
+            codes = _unpack_tile(pk_ref[:], bits, ngk, rpg)
+            w = _dequant_group_codes(codes, sc, None, bits,
                                      dtype_name, cb).astype(x_ref.dtype)
             acc_ref[:] += jnp.dot(x_ref[:], w,
                                   preferred_element_type=jnp.float32)
@@ -139,7 +146,7 @@ def _make_kernel(bits, group_size, dtype_name, has_zeros, nk):
     return kernel
 
 
-def _make_kernel_int8(has_zeros, group_size, nk):
+def _make_kernel_int8(has_zeros, group_size, nk, ngk):
     """int8-codes variant (layout "int8": codes stored unpacked, [K, N])."""
     if has_zeros:
         def kernel(x_ref, cq_ref, sc_ref, zr_ref, o_ref, acc_ref):
@@ -149,10 +156,12 @@ def _make_kernel_int8(has_zeros, group_size, nk):
             def _():
                 acc_ref[:] = jnp.zeros_like(acc_ref)
 
-            ng, TN = sc_ref.shape
-            vals = cq_ref[:].astype(jnp.float32).reshape(ng, group_size, TN)
-            vals = (vals - zr_ref[:][:, None, :]) * sc_ref[:][:, None, :]
-            w = vals.reshape(ng * group_size, TN).astype(x_ref.dtype)
+            TN = sc_ref.shape[-1]
+            sc = sc_ref[0]
+            zr = zr_ref[0]
+            vals = cq_ref[:].astype(jnp.float32).reshape(ngk, group_size, TN)
+            vals = (vals - zr[:, None, :]) * sc[:, None, :]
+            w = vals.reshape(ngk * group_size, TN).astype(x_ref.dtype)
             acc_ref[:] += jnp.dot(x_ref[:], w,
                                   preferred_element_type=jnp.float32)
 
@@ -167,10 +176,11 @@ def _make_kernel_int8(has_zeros, group_size, nk):
             def _():
                 acc_ref[:] = jnp.zeros_like(acc_ref)
 
-            ng, TN = sc_ref.shape
-            vals = cq_ref[:].astype(jnp.float32).reshape(ng, group_size, TN)
-            vals = vals * sc_ref[:][:, None, :]
-            w = vals.reshape(ng * group_size, TN).astype(x_ref.dtype)
+            TN = sc_ref.shape[-1]
+            sc = sc_ref[0]
+            vals = cq_ref[:].astype(jnp.float32).reshape(ngk, group_size, TN)
+            vals = vals * sc[:, None, :]
+            w = vals.reshape(ngk * group_size, TN).astype(x_ref.dtype)
             acc_ref[:] += jnp.dot(x_ref[:], w,
                                   preferred_element_type=jnp.float32)
 
@@ -198,9 +208,14 @@ def _dequant_matmul_impl(x, packed, scales, zeros, *, bits, group_size,
     nm, nn, nk = M // tm, N // tn, K // tk
 
     grid = (nm, nn, nk)
+    ngk = tk // G
+    # scales/zeros as [nk, ngk, N]; size-1 leading block dim selects k-tile
+    scales = scales.reshape(nk, ngk, N)
+    if has_zeros:
+        zeros = zeros.reshape(nk, ngk, N)
     x_spec = pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
                           memory_space=pltpu.VMEM)
-    sc_spec = pl.BlockSpec((tk // G, tn), lambda i, j, k: (k, j),
+    sc_spec = pl.BlockSpec((1, ngk, tn), lambda i, j, k: (k, 0, j),
                            memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
                           memory_space=pltpu.VMEM)
@@ -209,11 +224,11 @@ def _dequant_matmul_impl(x, packed, scales, zeros, *, bits, group_size,
         P = 32 // bits
         pk_spec = pl.BlockSpec((tk // P, tn), lambda i, j, k: (k, j),
                                memory_space=pltpu.VMEM)
-        kernel = _make_kernel(bits, G, dtype_name, has_zeros, nk)
+        kernel = _make_kernel(bits, G, dtype_name, has_zeros, nk, ngk)
     else:  # int8 codes, unpacked
         pk_spec = pl.BlockSpec((tk, tn), lambda i, j, k: (k, j),
                                memory_space=pltpu.VMEM)
-        kernel = _make_kernel_int8(has_zeros, G, nk)
+        kernel = _make_kernel_int8(has_zeros, G, nk, ngk)
 
     in_specs = [x_spec, pk_spec, sc_spec]
     args = [x, packed, scales]

@@ -24,7 +24,7 @@ class WOQLinear(nnx.Module):
     """Packed weight-only-quantized Linear: ``y = x @ dequant(Wq) + b``."""
 
     def __init__(self, pw: PackedWeight, bias: jax.Array | None = None,
-                 impl: str = "auto"):
+                 impl: str = "auto", pre_scale: jax.Array | None = None):
         K, N = pw.orig_shape
         self.in_features = K
         self.out_features = N
@@ -37,6 +37,10 @@ class WOQLinear(nnx.Module):
         self.scales = nnx.Param(pw.scales)
         self.zeros = nnx.Param(pw.zeros) if pw.zeros is not None else None
         self.bias = nnx.Param(bias) if bias is not None else None
+        # AWQ/SmoothQuant per-input-channel scale that could not be folded
+        # into a parent op: forward computes (x / pre_scale) @ dequant(Wq·s)
+        self.pre_scale = (nnx.Param(pre_scale.astype(jnp.float32))
+                          if pre_scale is not None else None)
 
     def packed_weight(self) -> PackedWeight:
         return PackedWeight(
@@ -51,6 +55,8 @@ class WOQLinear(nnx.Module):
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.pre_scale is not None:
+            x = x / self.pre_scale[...].astype(x.dtype)
         y = woq_matmul(x, self.packed_weight(), impl=self.impl)
         if self.bias is not None:
             y = y + self.bias[...].astype(y.dtype)

@@ -1,0 +1,251 @@
+"""Llama-family causal LM, written TPU-first in NNX.
+
+Covers Llama-2/3 and Mistral-style architectures (GQA, RoPE, SwiGLU,
+RMSNorm) — the flagship model family of the reference's LLM recipes
+(docs/source/llm_recipes.md). All Linears are plain ``nnx.Linear`` so the
+quantization passes swap them directly; attention supports an optional
+static-shape KV cache for jit-compiled decode.
+
+Design notes (TPU):
+  * static shapes everywhere; decode uses a fixed-size cache + position
+    index with ``lax.dynamic_update_slice``
+  * attention via ``jnp.einsum`` on [B, H, S, D] — XLA maps these to MXU
+  * params created in bf16 by default (MXU native), f32 accumulation
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+
+@dataclasses.dataclass
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    head_dim: int | None = None
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+    dtype: object = jnp.bfloat16
+
+    def __post_init__(self):
+        if self.head_dim is None:
+            self.head_dim = self.hidden_size // self.num_attention_heads
+
+
+LLAMA_PRESETS = {
+    # tiny config for tests
+    "llama-test": dict(vocab_size=256, hidden_size=128, intermediate_size=256,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=2, max_position_embeddings=128),
+    "llama2-7b": dict(hidden_size=4096, intermediate_size=11008,
+                      num_hidden_layers=32, num_attention_heads=32,
+                      num_key_value_heads=32),
+    "llama2-13b": dict(hidden_size=5120, intermediate_size=13824,
+                       num_hidden_layers=40, num_attention_heads=40,
+                       num_key_value_heads=40),
+    "llama3-8b": dict(vocab_size=128256, hidden_size=4096,
+                      intermediate_size=14336, num_hidden_layers=32,
+                      num_attention_heads=32, num_key_value_heads=8,
+                      rope_theta=500000.0, max_position_embeddings=8192),
+    "mistral-7b": dict(hidden_size=4096, intermediate_size=14336,
+                       num_hidden_layers=32, num_attention_heads=32,
+                       num_key_value_heads=8, rope_theta=10000.0),
+}
+
+
+class KVCache(NamedTuple):
+    """Static-shape per-layer KV cache. k/v: [B, S_max, H_kv, D]."""
+
+    k: jax.Array
+    v: jax.Array
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
+                  dtype=None) -> list[KVCache]:
+    dtype = dtype or cfg.dtype
+    shape = (batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+    return [KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+            for _ in range(cfg.num_hidden_layers)]
+
+
+class RMSNorm(nnx.Module):
+    def __init__(self, dim: int, eps: float, dtype=jnp.bfloat16):
+        self.weight = nnx.Param(jnp.ones((dim,), dtype=jnp.float32))
+        self.eps = eps
+        self.dtype = dtype
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xn = xf * jax.lax.rsqrt(var + self.eps)
+        return (xn * self.weight[...]).astype(self.dtype)
+
+
+def _rope(positions: jax.Array, head_dim: int, theta: float):
+    """Rotary embedding tables: cos/sin [B, S, D/2] (f32)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+                                / head_dim))
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B, S, D/2]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, S, H, D]; rotate-half convention (HF llama)."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    return jnp.concatenate(
+        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+class LlamaAttention(nnx.Module):
+    def __init__(self, cfg: LlamaConfig, rngs: nnx.Rngs):
+        H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        self.cfg = cfg
+        lin = lambda i, o: nnx.Linear(i, o, use_bias=False, dtype=cfg.dtype,
+                                      param_dtype=cfg.dtype, rngs=rngs)
+        self.q_proj = lin(cfg.hidden_size, H * D)
+        self.k_proj = lin(cfg.hidden_size, Hkv * D)
+        self.v_proj = lin(cfg.hidden_size, Hkv * D)
+        self.o_proj = lin(H * D, cfg.hidden_size)
+
+    def __call__(self, x, cos, sin, mask, cache: KVCache | None = None,
+                 cache_pos: jax.Array | None = None):
+        cfg = self.cfg
+        B, S, _ = x.shape
+        H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        q = self.q_proj(x).reshape(B, S, H, D)
+        k = self.k_proj(x).reshape(B, S, Hkv, D)
+        v = self.v_proj(x).reshape(B, S, Hkv, D)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_cache = None
+        if cache is not None:
+            k_all = jax.lax.dynamic_update_slice(
+                cache.k, k.astype(cache.k.dtype), (0, cache_pos, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                cache.v, v.astype(cache.v.dtype), (0, cache_pos, 0, 0))
+            new_cache = KVCache(k_all, v_all)
+            k, v = k_all.astype(x.dtype), v_all.astype(x.dtype)
+
+        rep = H // Hkv
+        if rep > 1:
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        # [B, H, S, D] x [B, H, T, D] -> [B, H, S, T]
+        scores = jnp.einsum("bshd,bthd->bhst", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(D).astype(jnp.float32)
+        scores = jnp.where(mask, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhst,bthd->bshd", probs, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.reshape(B, S, H * D)
+        return self.o_proj(out), new_cache
+
+
+class LlamaMLP(nnx.Module):
+    def __init__(self, cfg: LlamaConfig, rngs: nnx.Rngs):
+        lin = lambda i, o: nnx.Linear(i, o, use_bias=False, dtype=cfg.dtype,
+                                      param_dtype=cfg.dtype, rngs=rngs)
+        self.gate_proj = lin(cfg.hidden_size, cfg.intermediate_size)
+        self.up_proj = lin(cfg.hidden_size, cfg.intermediate_size)
+        self.down_proj = lin(cfg.intermediate_size, cfg.hidden_size)
+
+    def __call__(self, x):
+        return self.down_proj(nnx.silu(self.gate_proj(x)) * self.up_proj(x))
+
+
+class LlamaDecoderLayer(nnx.Module):
+    def __init__(self, cfg: LlamaConfig, rngs: nnx.Rngs):
+        self.input_layernorm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.dtype)
+        self.self_attn = LlamaAttention(cfg, rngs)
+        self.post_attention_layernorm = RMSNorm(cfg.hidden_size,
+                                                cfg.rms_norm_eps, cfg.dtype)
+        self.mlp = LlamaMLP(cfg, rngs)
+
+    def __call__(self, x, cos, sin, mask, cache=None, cache_pos=None):
+        h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin, mask,
+                                      cache, cache_pos)
+        x = x + h
+        x = x + self.mlp(self.post_attention_layernorm(x))
+        return x, new_cache
+
+
+class LlamaModel(nnx.Module):
+    def __init__(self, cfg: LlamaConfig, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.embed_tokens = nnx.Embed(cfg.vocab_size, cfg.hidden_size,
+                                      dtype=cfg.dtype, param_dtype=cfg.dtype,
+                                      rngs=rngs)
+        self.layers = nnx.List(
+            [LlamaDecoderLayer(cfg, rngs) for _ in range(cfg.num_hidden_layers)])
+        self.norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.dtype)
+
+    def __call__(self, input_ids, positions=None, caches=None, cache_pos=None):
+        cfg = self.cfg
+        B, S = input_ids.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
+        x = self.embed_tokens(input_ids)
+        cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta)
+
+        if caches is None:
+            # causal mask [1, 1, S, S]
+            mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
+        else:
+            T = caches[0].k.shape[1]
+            # positions of cached keys: valid if key_pos <= query_pos
+            key_pos = jnp.arange(T)[None, None, None, :]
+            mask = key_pos <= positions[:, None, :, None]
+
+        new_caches = [] if caches is not None else None
+        for i, layer in enumerate(self.layers):
+            cache = caches[i] if caches is not None else None
+            x, nc = layer(x, cos, sin, mask, cache, cache_pos)
+            if new_caches is not None:
+                new_caches.append(nc)
+        return self.norm(x), new_caches
+
+
+class LlamaForCausalLM(nnx.Module):
+    def __init__(self, cfg: LlamaConfig, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.model = LlamaModel(cfg, rngs)
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nnx.Linear(cfg.hidden_size, cfg.vocab_size,
+                                      use_bias=False, dtype=cfg.dtype,
+                                      param_dtype=cfg.dtype, rngs=rngs)
+        else:
+            self.lm_head = None
+
+    def __call__(self, input_ids, positions=None, caches=None, cache_pos=None):
+        x, new_caches = self.model(input_ids, positions, caches, cache_pos)
+        if self.lm_head is not None:
+            logits = self.lm_head(x)
+        else:
+            logits = self.model.embed_tokens.attend(x)
+        if caches is None:
+            return logits
+        return logits, new_caches
+
+    @classmethod
+    def from_preset(cls, name: str, seed: int = 0, **overrides) -> "LlamaForCausalLM":
+        params = dict(LLAMA_PRESETS[name])
+        params.update(overrides)
+        return cls(LlamaConfig(**params), nnx.Rngs(seed))

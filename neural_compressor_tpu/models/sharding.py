@@ -1,0 +1,99 @@
+"""Tensor-parallel sharding rules over a (data, model) device mesh.
+
+TPU-native replacement for the reference's pass-through TP support
+(deepspeed/vLLM ``PatchedRowParallelLinear``/``PatchedColumnParallelLinear``,
+fp8_quant/_quant_common/helper_modules.py:360-560): instead of patching
+framework-specific parallel modules and calling NCCL collectives by hand,
+we annotate every param (including the **packed** int4/int8 weights and
+their scales) with a ``NamedSharding`` and let pjit/XLA insert the
+all-gathers/reduce-scatters over ICI.
+
+Column-parallel (shard N / output dim): q,k,v,gate,up,lm_head, fused c_attn
+and c_fc. Row-parallel (shard K / reduction dim): o_proj, down_proj, c_proj.
+Packed weights shard on the same logical dim (their row dim is K/pack_factor
+which keeps divisibility because shards align to group boundaries).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+import jax
+import numpy as np
+from flax import nnx
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (regex over dotted param path) -> (spec for 2D kernels, handled below)
+COLUMN_PAR = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "lm_head",
+              "c_attn", "c_fc", "fc1")
+ROW_PAR = ("o_proj", "down_proj", "c_proj", "fc2")
+
+# leaves of a WOQLinear / quantized linear that follow the kernel's sharding
+_WEIGHT_LEAVES = ("kernel", "packed", "scales", "zeros", "w_int8", "w_fp8")
+
+
+def llama_partition_rules():  # kept as a named export for docs/tests
+    return {"column": COLUMN_PAR, "row": ROW_PAR}
+
+
+def make_mesh(shape: Sequence[int] | None = None,
+              axis_names=("data", "model")) -> Mesh:
+    """Build a mesh over all available devices. ``shape=None`` puts every
+    device on the 'model' (TP) axis."""
+    devs = np.array(jax.devices())
+    n = devs.size
+    if shape is None:
+        shape = (1, n)
+    assert int(np.prod(shape)) == n, f"mesh {shape} != {n} devices"
+    return Mesh(devs.reshape(*shape), axis_names)
+
+
+def _spec_for(path: tuple, value) -> P:
+    parts = [str(p) for p in path]
+    dotted = ".".join(parts)
+    leaf = parts[-1]
+    ndim = getattr(value, "ndim", 0)
+    is_col = any(m in parts for m in COLUMN_PAR)
+    is_row = any(m in parts for m in ROW_PAR)
+
+    if leaf in _WEIGHT_LEAVES and ndim == 2:
+        if is_col:
+            return P(None, "model")
+        if is_row:
+            # scales/zeros of a row-parallel weight shard on their group dim
+            return P("model", None)
+        return P()
+    if leaf == "bias" and ndim == 1:
+        return P("model") if is_col else P()
+    if leaf == "embedding" and ndim == 2:
+        return P(None, "model")  # shard hidden dim
+    return P()  # replicate (norms, scalars, observer stats)
+
+
+def state_shardings(model: nnx.Module, mesh: Mesh):
+    """Flat ``[(path, NamedSharding)]`` for every array leaf of the model."""
+    flat = nnx.state(model).flat_state()
+    out = []
+    for path, var in flat:
+        spec = _spec_for(path, var.value)
+        out.append((path, NamedSharding(mesh, spec)))
+    return out
+
+
+def shard_model(model: nnx.Module, mesh: Mesh) -> nnx.Module:
+    """Device-put every param of ``model`` onto ``mesh`` per the TP rules
+    (in place). Works for both fp and quantized (packed) models."""
+    flat = nnx.state(model).flat_state()
+    new_flat = []
+    for path, var in flat:
+        spec = _spec_for(path, var.value)
+        try:
+            arr = jax.device_put(var.value, NamedSharding(mesh, spec))
+        except ValueError:
+            # dim not divisible by mesh axis: replicate rather than fail
+            arr = jax.device_put(var.value, NamedSharding(mesh, P()))
+        var.value = arr
+        new_flat.append((path, var))
+    nnx.update(model, nnx.State.from_flat_path(new_flat))
+    return model

@@ -1,0 +1,100 @@
+"""Model zoo tests: forward shapes, KV-cache/prefill consistency,
+quantize-the-model flows, TP sharding on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+import neural_compressor_tpu as nq
+from neural_compressor_tpu.layers import WOQLinear
+from neural_compressor_tpu.layers.module_utils import get_module
+from neural_compressor_tpu.models import (
+    GPT2Config,
+    GPT2LMHeadModel,
+    LlamaForCausalLM,
+    make_mesh,
+    shard_model,
+)
+from neural_compressor_tpu.models.llama import init_kv_cache
+
+
+@pytest.fixture(scope="module")
+def llama():
+    return LlamaForCausalLM.from_preset("llama-test")
+
+
+@pytest.fixture(scope="module")
+def ids():
+    return jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 16)))
+
+
+class TestLlama:
+    def test_forward_shape(self, llama, ids):
+        logits = llama(ids)
+        assert logits.shape == (2, 16, 256)
+
+    def test_kv_cache_matches_prefill(self, llama, ids):
+        caches = init_kv_cache(llama.cfg, 2, 32)
+        _, caches = llama(ids, caches=caches, cache_pos=0)
+        pos = jnp.full((2, 1), 16)
+        lg2, _ = llama(ids[:, :1], positions=pos, caches=caches, cache_pos=16)
+        full = llama(jnp.concatenate([ids, ids[:, :1]], axis=1))
+        np.testing.assert_allclose(
+            np.asarray(full[:, -1], dtype=np.float32),
+            np.asarray(lg2[:, 0], dtype=np.float32),
+            atol=1e-2,
+        )
+
+    def test_quantize_llama_int4(self, ids):
+        m = LlamaForCausalLM.from_preset("llama-test")
+        y0 = m(ids).astype(jnp.float32)
+        qm = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+        assert isinstance(get_module(qm, "model.layers.0.self_attn.q_proj"),
+                          WOQLinear)
+        # lm_head kept fp by default
+        assert isinstance(qm.lm_head, nnx.Linear)
+        y1 = qm(ids).astype(jnp.float32)
+        # random-init tiny model: int4 error compounds over layers
+        rel = float(jnp.linalg.norm(y0 - y1) / jnp.linalg.norm(y0))
+        assert rel < 0.35
+
+    def test_gqa_heads(self, llama):
+        att = llama.model.layers[0].self_attn
+        assert att.k_proj.out_features == 2 * llama.cfg.head_dim
+
+
+class TestGPT2:
+    def test_forward_and_quantize(self):
+        g = GPT2LMHeadModel(
+            GPT2Config(vocab_size=128, n_embd=64, n_layer=2, n_head=4,
+                       n_positions=64), nnx.Rngs(0))
+        ids = jnp.asarray(np.random.default_rng(1).integers(0, 128, (2, 8)))
+        y0 = g(ids).astype(jnp.float32)
+        qg = nq.quantize(g, nq.RTNConfig(dtype="int8", group_size=32))
+        y1 = qg(ids).astype(jnp.float32)
+        rel = float(jnp.linalg.norm(y0 - y1) / jnp.linalg.norm(y0))
+        assert rel < 0.05
+
+
+class TestSharding:
+    def test_tp_sharded_quantized_forward(self, eight_device_mesh, ids):
+        m = LlamaForCausalLM.from_preset("llama-test")
+        y0 = m(ids).astype(jnp.float32)
+        qm = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+        y_unsharded = qm(ids).astype(jnp.float32)
+        qm = shard_model(qm, eight_device_mesh)
+        pk = nnx.state(qm).flat_state()
+        # packed weights of column-parallel layers must shard on 'model'
+        col = [v for p, v in pk
+               if "q_proj" in map(str, p) and str(p[-1]) == "packed"]
+        assert col and all("model" in str(v.value.sharding.spec) for v in col)
+        with eight_device_mesh:
+            y1 = qm(ids).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y_unsharded),
+                                   atol=5e-2)
+
+    def test_mesh_helper(self):
+        mesh = make_mesh((2, 4))
+        assert mesh.shape == {"data": 2, "model": 4}
