@@ -1,0 +1,336 @@
+"""AWQ — activation-aware weight quantization.
+
+Parity target: reference ``ActAwareWeightQuant``
+(neural_compressor/torch/algorithms/weight_only/awq.py:199-361): 20-point
+grid over s = x_maxᵅ / w_maxଵ⁻ᵅ, MSE vs the fp output, scale folding into
+the parent op, per-channel clip search; absorb-pair discovery via
+torch.jit trace (weight_only/utility.py:728-986).
+
+TPU redesign: no graph tracing — absorb groups come from a **declarative
+per-architecture map** (llama/gpt2 patterns built in, user-extensible via
+``AWQConfig.absorb_layer_dict``); layers whose scales cannot be absorbed
+get a runtime ``pre_scale`` on the quantized module (XLA fuses the divide).
+The α-grid search is a single jitted ``lax.map`` over the grid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..common import logger
+from ..layers.module_utils import get_module, named_modules, replace_module
+from ..layers.observers import ObserverStat
+from ..layers.woq_linear import WOQLinear
+from ..ops.qtensor import quantize_tensor
+from . import register_algo
+from .calib_capture import CalibCaptureState, find_target_blocks, run_capture
+from .rtn import rtn_quantize_kernel
+from .utils import extract_linear, dump_op_stats
+
+_FLOAT_SKIP = ("fp32", "bf16", "fp16", "float32", "bfloat16", "float16")
+
+# Declarative absorb maps: (parent_path, [children sharing the scaled input],
+# kind). kind "norm": divide the norm weight by s; "prev_linear": divide the
+# parent linear's output columns by s. Matches the reference's absorb dicts.
+ABSORB_PATTERNS = {
+    "LlamaDecoderLayer": [
+        ("input_layernorm",
+         ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"], "norm"),
+        ("self_attn.v_proj", ["self_attn.o_proj"], "prev_linear"),
+        ("post_attention_layernorm", ["mlp.gate_proj", "mlp.up_proj"], "norm"),
+        ("mlp.up_proj", ["mlp.down_proj"], "prev_linear"),
+    ],
+    "GPT2Block": [
+        ("ln_1", ["attn.c_attn"], "norm"),
+        ("ln_2", ["mlp.c_fc"], "norm"),
+    ],
+}
+
+
+class ActStatObserver(nnx.Module):
+    """Wraps a Linear: records per-channel amax and an input sample."""
+
+    def __init__(self, inner: nnx.Module, in_features: int,
+                 max_sample_rows: int = 512):
+        self.inner = inner
+        self.amax = ObserverStat(jnp.zeros((in_features,), jnp.float32))
+        self.max_sample_rows = max_sample_rows
+        self._samples: list = []
+
+    def __call__(self, x, *args, **kwargs):
+        x2 = jnp.abs(x.reshape(-1, x.shape[-1]).astype(jnp.float32))
+        self.amax[...] = jnp.maximum(self.amax[...], jnp.max(x2, axis=0))
+        if sum(s.shape[0] for s in self._samples) < self.max_sample_rows:
+            self._samples.append(x.reshape(-1, x.shape[-1]).astype(jnp.float32))
+        return self.inner(x, *args, **kwargs)
+
+    def sample(self) -> jax.Array:
+        x = jnp.concatenate(self._samples, axis=0)
+        return x[: self.max_sample_rows]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "scheme", "wdtype", "n_grid"),
+)
+def awq_search_scale(X, Ws, x_amax, *, bits, group_size, scheme, wdtype,
+                     n_grid=20):
+    """Grid-search α for one absorb group.
+
+    X: [S, K] input sample; Ws: [K, Ntot] concat of the group's kernels.
+    Returns (best_scale [K], best_loss). Reference: search_scale
+    (awq.py:264-361), n_grid=20.
+    """
+    w_amax = jnp.max(jnp.abs(Ws), axis=1)  # [K]
+    w_amax = jnp.where(w_amax <= 0, 1e-8, w_amax)
+    xa = jnp.where(x_amax <= 0, 1e-8, x_amax)
+    Y = X @ Ws
+
+    def loss_for(alpha):
+        s = xa**alpha / w_amax ** (1.0 - alpha)
+        s = s / jnp.sqrt(jnp.max(s) * jnp.min(s))
+        s = jnp.clip(s, 1e-4, 1e4)
+        Wq = _qdq(Ws * s[:, None], bits, group_size, scheme, wdtype) / s[:, None]
+        return jnp.sum((X @ Wq - Y) ** 2), s
+
+    alphas = jnp.arange(n_grid, dtype=jnp.float32) / n_grid
+    losses, scales = jax.lax.map(loss_for, alphas)
+    best = jnp.argmin(losses)
+    return scales[best], losses[best]
+
+
+def _qdq(W, bits, group_size, scheme, wdtype):
+    """In-graph QDQ (works under jit; mirrors ops.qtensor.qdq_tensor)."""
+    from ..ops.qtensor import (_int_sym_arrays, _int_asym_arrays,
+                               _codebook_arrays, CODEBOOKS,
+                               FLOAT_CODE_DTYPES, _resolve_group)
+    K, N = W.shape
+    G = _resolve_group(K, group_size)
+    if wdtype in FLOAT_CODE_DTYPES:
+        codes, scale = _codebook_arrays(W, wdtype, G)
+        vals = CODEBOOKS[wdtype][codes.astype(jnp.int32).reshape(-1, G, N)]
+        return (vals * scale[:, None, :]).reshape(-1, N)[:K]
+    if scheme == "sym":
+        codes, scale = _int_sym_arrays(W, bits, G, False)
+        vals = codes.astype(jnp.float32).reshape(-1, G, N)
+        return (vals * scale[:, None, :]).reshape(-1, N)[:K]
+    codes, scale, zeros = _int_asym_arrays(W, bits, G)
+    vals = codes.astype(jnp.float32).reshape(-1, G, N) - zeros[:, None, :]
+    return (vals * scale[:, None, :]).reshape(-1, N)[:K]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "scheme", "wdtype", "n_grid",
+                     "max_shrink"),
+)
+def awq_search_clip(X, W, *, bits, group_size, scheme, wdtype, n_grid=10,
+                    max_shrink=0.5):
+    """Per-(group, out-channel) clip ratio minimizing ||X(Wq − W)||².
+
+    Output-MSE variant of the reference clip search (awq.py auto_clip),
+    approximating cross-group independence: the loss of group g's clip is
+    ‖X[:, g] (Wq−W)[g]‖² per output channel.
+    """
+    K, N = W.shape
+    G = group_size if group_size > 0 else K
+    ng = K // G if K % G == 0 else -(-K // G)
+    pad = ng * G - K
+    Wp = jnp.pad(W, ((0, pad), (0, 0)))
+    Xp = jnp.pad(X, ((0, 0), (0, pad)))
+    Wg = Wp.reshape(ng, G, N)
+    Xg = Xp.reshape(X.shape[0], ng, G)
+    absmax = jnp.max(jnp.abs(Wg), axis=1, keepdims=True)
+    ratios = 1.0 - jnp.arange(n_grid, dtype=jnp.float32) * (max_shrink / n_grid)
+
+    def loss_for(r):
+        lim = absmax * r
+        Wc = jnp.clip(Wg, -lim, lim).reshape(ng * G, N)
+        Wq = _qdq(Wc, bits, group_size, scheme, wdtype).reshape(ng, G, N)
+        diff = Wq - Wg  # [ng, G, N]
+        err = jnp.einsum("sng,ngN->snN", Xg, diff)
+        return jnp.sum(err**2, axis=0)  # [ng, N]
+
+    losses = jax.lax.map(loss_for, ratios)  # [n_grid, ng, N]
+    best = jnp.argmin(losses, axis=0)
+    lim = absmax[:, 0, :] * ratios[best]  # [ng, N]
+    lim_rows = jnp.repeat(lim, G, axis=0)[:K]
+    return jnp.clip(W, -lim_rows, lim_rows)
+
+
+_awq_captures: dict[int, CalibCaptureState] = {}
+
+
+def _absorb_groups_for_block(block, block_path, cfg):
+    """Resolve absorb groups: declarative pattern for known block types,
+    else one singleton group per linear (runtime pre_scale)."""
+    btype = type(block).__name__
+    patterns = cfg.absorb_layer_dict.get(btype) or ABSORB_PATTERNS.get(btype)
+    groups = []
+    used = set()
+    if patterns:
+        for parent, children, kind in patterns:
+            ok = all(_has(block, c) for c in children) and _has(block, parent)
+            if not ok:
+                continue
+            groups.append((parent, list(children), kind))
+            used.update(children)
+    for sub_path, sub in named_modules(block):
+        if sub_path and sub_path not in used and extract_linear(sub) is not None:
+            groups.append((None, [sub_path], "pre_scale"))
+    return groups
+
+
+def _norm_foldable(block, parent, s) -> bool:
+    pm = get_module(block, parent)
+    w = getattr(pm, "weight", None)
+    return w is not None and w[...].shape == s.shape
+
+
+def _prev_foldable(block, parent, s) -> bool:
+    pm = get_module(block, parent)
+    lin = extract_linear(pm)
+    return lin is not None and lin[0].shape[1] == s.shape[0]
+
+
+def _has(block, path):
+    try:
+        return get_module(block, path) is not None
+    except (AttributeError, KeyError):
+        return False
+
+
+@register_algo("awq")
+def awq_entry(model, configs_mapping, mode="quantize", run_fn=None,
+              run_args=None, example_inputs=None, config=None):
+    if mode == "prepare":
+        blocks = find_target_blocks(model)
+        assert blocks is not None, "AWQ requires a transformer block list"
+        st = CalibCaptureState(model, *blocks)
+        st.attach()
+        _awq_captures[id(model)] = st
+        return model
+    if mode == "convert":
+        st = _awq_captures.pop(id(model), None)
+        assert st is not None, "convert() before prepare() for AWQ"
+        captured = st.detach()
+        return _convert(model, st.block_paths, captured, configs_mapping)
+
+    blocks = find_target_blocks(model)
+    assert blocks is not None, "AWQ requires a transformer block list"
+    st = CalibCaptureState(model, *blocks)
+    captured = run_capture(model, st, run_fn, run_args)
+    assert captured, "AWQ calibration captured no batches"
+    return _convert(model, st.block_paths, captured, configs_mapping)
+
+
+def _convert(model, block_paths, captured, configs_mapping):
+    cfg_by_name = {name: c for (name, _t), c in configs_mapping.items()}
+    n_done = 0
+    inputs = captured
+
+    for bi, bpath in enumerate(block_paths):
+        block = get_module(model, bpath)
+        # observe inputs of every target linear in the block
+        targets = {}
+        for sub_path, sub in named_modules(block):
+            if not sub_path:
+                continue
+            full = f"{bpath}.{sub_path}"
+            cfg = cfg_by_name.get(full)
+            if cfg is None or cfg.dtype in _FLOAT_SKIP:
+                continue
+            if extract_linear(sub) is None:
+                continue
+            targets[sub_path] = cfg
+        if targets:
+            for sub_path in targets:
+                sub = get_module(block, sub_path)
+                k, _ = extract_linear(sub)
+                replace_module(block, sub_path, ActStatObserver(sub, k.shape[0]))
+            for args, kwargs in inputs:
+                block(*args, **kwargs)
+            # strip observers, keep stats
+            stats = {}
+            for sub_path in targets:
+                obs = get_module(block, sub_path)
+                stats[sub_path] = (obs.amax[...], obs.sample())
+                replace_module(block, sub_path, obs.inner)
+
+            # pass A: search + fold every group's scale while all parents
+            # are still fp (reference order: apply_scale then quantize,
+            # awq.py:253-262)
+            any_cfg = next(iter(targets.values()))
+            scale_of: dict[str, tuple] = {}
+            for parent, children, kind in _absorb_groups_for_block(
+                    block, bpath, any_cfg):
+                members = [c for c in children if c in targets]
+                if not members:
+                    continue
+                cfg = targets[members[0]]
+                kernels = [extract_linear(get_module(block, c))[0].astype(jnp.float32)
+                           for c in members]
+                Ws = jnp.concatenate(kernels, axis=1)
+                amax, X = stats[members[0]]
+                if cfg.use_auto_scale:
+                    s, _loss = awq_search_scale(
+                        X, Ws, amax, bits=cfg.weight_bits,
+                        group_size=cfg.group_size, scheme=cfg.scheme,
+                        wdtype=cfg.weight_dtype, n_grid=cfg.n_grid)
+                else:
+                    s = jnp.ones((Ws.shape[0],), jnp.float32)
+
+                pre_scale = None
+                if kind == "norm" and _norm_foldable(block, parent, s):
+                    parent_mod = get_module(block, parent)
+                    parent_mod.weight[...] = (
+                        parent_mod.weight[...]
+                        / s.astype(parent_mod.weight[...].dtype))
+                elif kind == "prev_linear" and _prev_foldable(block, parent, s):
+                    pmod = get_module(block, parent)
+                    pk, pb = extract_linear(pmod)
+                    pmod.kernel[...] = (pk.astype(jnp.float32)
+                                        / s[None, :]).astype(pmod.kernel[...].dtype)
+                    if pb is not None:
+                        pmod.bias[...] = (pb.astype(jnp.float32) / s).astype(
+                            pmod.bias[...].dtype)
+                else:
+                    # shapes don't permit folding (e.g. GQA v->o with head
+                    # repetition): apply at runtime instead
+                    pre_scale = s
+                for c in members:
+                    scale_of[c] = (s, pre_scale, X)
+
+            # pass B: quantize every target with its (already scaled) kernel
+            for c, cfg in targets.items():
+                sub = get_module(block, c)
+                kernel, bias = extract_linear(sub)
+                s, pre_scale, X = scale_of.get(
+                    c, (jnp.ones((kernel.shape[0],), jnp.float32), None,
+                        stats[c][1]))
+                Wsc = kernel.astype(jnp.float32) * s[:, None]
+                if cfg.use_auto_clip:
+                    # the scaled weight W·s consumes x/s
+                    Wsc = awq_search_clip(
+                        X / s[None, :], Wsc,
+                        bits=cfg.weight_bits, group_size=cfg.group_size,
+                        scheme=cfg.scheme, wdtype=cfg.weight_dtype)
+                qt = quantize_tensor(
+                    Wsc, bits=cfg.weight_bits, group_size=cfg.group_size,
+                    scheme=cfg.scheme, dtype=cfg.weight_dtype)
+                replace_module(block, c, WOQLinear.from_qtensor(
+                    qt, bias=bias, pre_scale=pre_scale))
+                n_done += 1
+        if bi + 1 < len(block_paths):
+            from .gptq import _as_next_input
+            inputs = [(_as_next_input(block(*args, **kwargs), args), kwargs)
+                      for args, kwargs in inputs]
+
+    logger.info("AWQ quantized %d Linear ops over %d blocks",
+                n_done, len(block_paths))
+    dump_op_stats(model)
+    return model

@@ -1,0 +1,54 @@
+"""FP8 static quantization (e4m3 / e5m2) — the two-phase measure→quantize
+flow.
+
+Parity target: the reference's Gaudi FP8 stack (torch/algorithms/fp8_quant/:
+``FP8Quantizer`` quantizer.py:33, MaxAbs observers observer.py:106-154,
+scale methods scale_methods/, PatchedLinear helper_modules.py:249). TPU
+redesign: observers are NNX-state wrappers; convert computes maxabs-based
+scales (optionally pow2/HW-aligned) and swaps in ``FP8Linear`` whose dot
+runs on native XLA fp8 (f32 accumulation)."""
+
+from __future__ import annotations
+
+from ..common import logger
+from ..layers.module_utils import get_module, replace_module
+from ..layers.observers import MaxAbsObserver, ObservedLinear
+from ..layers.qlinear import FP8Linear
+from . import register_algo
+from .quantize_helpers import run_user_calibration
+from .utils import extract_linear, dump_op_stats
+
+
+@register_algo("fp8_quant")
+def fp8_entry(model, configs_mapping, mode="quantize", run_fn=None,
+              run_args=None, example_inputs=None, config=None):
+    if mode in ("prepare", "quantize"):
+        for (name, _t), cfg in configs_mapping.items():
+            mod = get_module(model, name)
+            if extract_linear(mod) is None:
+                continue
+            replace_module(model, name, ObservedLinear(mod, MaxAbsObserver()))
+        if mode == "prepare":
+            return model
+        run_user_calibration(model, run_fn, run_args)
+
+    n = 0
+    for (name, _t), cfg in configs_mapping.items():
+        try:
+            wrapped = get_module(model, name)
+        except (AttributeError, KeyError, IndexError):
+            continue  # inner path of an already-converted wrapper
+        if not isinstance(wrapped, ObservedLinear):
+            continue
+        kernel, bias = extract_linear(wrapped.inner)
+        amax = wrapped.act_observer.amax[...]
+        replace_module(
+            model, name,
+            FP8Linear(kernel, amax, bias=bias, dtype_name=cfg.dtype_name,
+                      pow2_scales=cfg.pow2_scales,
+                      per_channel_weight="per_channel" in cfg.scale_method))
+        n += 1
+    logger.info("FP8-quantized %d Linear ops (%s)", n,
+                config.dtype_name if config else "e4m3")
+    dump_op_stats(model)
+    return model

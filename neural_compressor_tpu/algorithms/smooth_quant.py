@@ -1,0 +1,182 @@
+"""SmoothQuant — activation-outlier migration then static W8A8.
+
+Parity target: reference SmoothQuantQuantizer / TorchSmoothQuant / AutoAlpha
+(torch/algorithms/smooth_quant/smooth_quant.py:52, utility.py:605,1232) and
+the TF "smoother" (tensorflow/algorithms/smoother/). s = amax_xᵅ/amax_w^(1-α)
+migrates outliers into weights; scales fold into parent norms/linears using
+the same declarative absorb maps as AWQ; the result is an int8×int8 MXU
+serving path (StaticQuantLinear). auto_alpha grid-searches α per absorb
+group by QDQ output MSE."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..common import logger
+from ..layers.module_utils import get_module, named_modules, replace_module
+from ..layers.qlinear import StaticQuantLinear
+from . import register_algo
+from .awq import (
+    ABSORB_PATTERNS,
+    ActStatObserver,
+    _absorb_groups_for_block,
+    _norm_foldable,
+    _prev_foldable,
+)
+from .calib_capture import CalibCaptureState, find_target_blocks, run_capture
+from .gptq import _as_next_input
+from .utils import extract_linear, dump_op_stats
+
+
+@functools.partial(jax.jit, static_argnames=("n_alpha",))
+def _auto_alpha(X, Ws, x_amax, alpha_min=0.3, alpha_max=0.7, n_alpha=5):
+    """Pick α minimizing W8A8 QDQ output MSE for one absorb group."""
+    w_amax = jnp.max(jnp.abs(Ws), axis=1)
+    w_amax = jnp.where(w_amax <= 0, 1e-8, w_amax)
+    xa = jnp.where(x_amax <= 0, 1e-8, x_amax)
+    Y = X @ Ws
+
+    def loss_for(alpha):
+        s = xa**alpha / w_amax ** (1.0 - alpha)
+        s = jnp.clip(s, 1e-4, 1e4)
+        Wsc = Ws * s[:, None]
+        Xs = X / s[None, :]
+        # per-channel sym int8 weight + per-tensor sym int8 act QDQ
+        ws = jnp.max(jnp.abs(Wsc), axis=0) / 127.0
+        ws = jnp.where(ws <= 0, 1.0, ws)
+        Wq = jnp.clip(jnp.round(Wsc / ws), -128, 127) * ws
+        xs = jnp.max(jnp.abs(Xs)) / 127.0
+        Xq = jnp.clip(jnp.round(Xs / xs), -128, 127) * xs
+        return jnp.sum((Xq @ Wq - Y) ** 2), s
+
+    alphas = alpha_min + (alpha_max - alpha_min) * jnp.arange(
+        n_alpha, dtype=jnp.float32) / jnp.maximum(n_alpha - 1, 1)
+    losses, scales = jax.lax.map(loss_for, alphas)
+    best = jnp.argmin(losses)
+    return scales[best]
+
+
+@register_algo("smooth_quant")
+def smooth_quant_entry(model, configs_mapping, mode="quantize", run_fn=None,
+                       run_args=None, example_inputs=None, config=None):
+    if mode == "prepare":
+        blocks = find_target_blocks(model)
+        assert blocks is not None, "SmoothQuant requires a block list"
+        st = CalibCaptureState(model, *blocks)
+        st.attach()
+        _sq_captures[id(model)] = st
+        return model
+    if mode == "convert":
+        st = _sq_captures.pop(id(model), None)
+        assert st is not None, "convert() before prepare() for SmoothQuant"
+        captured = st.detach()
+        return _convert(model, st.block_paths, captured, configs_mapping)
+
+    blocks = find_target_blocks(model)
+    assert blocks is not None, "SmoothQuant requires a block list"
+    st = CalibCaptureState(model, *blocks)
+    captured = run_capture(model, st, run_fn, run_args)
+    assert captured, "SmoothQuant calibration captured no batches"
+    return _convert(model, st.block_paths, captured, configs_mapping)
+
+
+_sq_captures: dict[int, CalibCaptureState] = {}
+
+
+def _convert(model, block_paths, captured, configs_mapping):
+    cfg_by_name = {name: c for (name, _t), c in configs_mapping.items()}
+    n_done = 0
+    inputs = captured
+
+    for bi, bpath in enumerate(block_paths):
+        block = get_module(model, bpath)
+        targets = {}
+        for sub_path, sub in named_modules(block):
+            if not sub_path:
+                continue
+            cfg = cfg_by_name.get(f"{bpath}.{sub_path}")
+            if cfg is None or extract_linear(sub) is None:
+                continue
+            targets[sub_path] = cfg
+        if targets:
+            for sub_path in targets:
+                sub = get_module(block, sub_path)
+                k, _ = extract_linear(sub)
+                replace_module(block, sub_path, ActStatObserver(sub, k.shape[0]))
+            for args, kwargs in inputs:
+                block(*args, **kwargs)
+            stats = {}
+            for sub_path in targets:
+                obs = get_module(block, sub_path)
+                stats[sub_path] = (obs.amax[...], obs.sample())
+                replace_module(block, sub_path, obs.inner)
+
+            any_cfg = next(iter(targets.values()))
+            scale_of = {}
+            for parent, children, kind in _absorb_groups_for_block(
+                    block, bpath, any_cfg):
+                members = [c for c in children if c in targets]
+                if not members:
+                    continue
+                cfg = targets[members[0]]
+                kernels = [extract_linear(get_module(block, c))[0]
+                           .astype(jnp.float32) for c in members]
+                Ws = jnp.concatenate(kernels, axis=1)
+                amax, X = stats[members[0]]
+                if cfg.auto_alpha:
+                    n_alpha = int(round(
+                        (cfg.alpha_max - cfg.alpha_min) / cfg.alpha_step)) + 1
+                    s = _auto_alpha(X, Ws, amax, cfg.alpha_min, cfg.alpha_max,
+                                    n_alpha=max(n_alpha, 2))
+                else:
+                    w_amax = jnp.max(jnp.abs(Ws), axis=1)
+                    w_amax = jnp.where(w_amax <= 0, 1e-8, w_amax)
+                    xa = jnp.where(amax <= 0, 1e-8, amax)
+                    s = xa**cfg.alpha / w_amax ** (1.0 - cfg.alpha)
+                    s = jnp.clip(s, 1e-4, 1e4)
+
+                foldable = (
+                    (kind == "norm" and _norm_foldable(block, parent, s))
+                    or (kind == "prev_linear"
+                        and _prev_foldable(block, parent, s)))
+                if not foldable:
+                    # W8A8 path has no runtime pre-scale; keep unsmoothed
+                    s = jnp.ones_like(s)
+                elif kind == "norm":
+                    pm = get_module(block, parent)
+                    pm.weight[...] = pm.weight[...] / s.astype(pm.weight[...].dtype)
+                else:
+                    pm = get_module(block, parent)
+                    pk, pb = extract_linear(pm)
+                    pm.kernel[...] = (pk.astype(jnp.float32)
+                                      / s[None, :]).astype(pm.kernel[...].dtype)
+                    if pb is not None:
+                        pm.bias[...] = (pb.astype(jnp.float32) / s).astype(
+                            pm.bias[...].dtype)
+                for c in members:
+                    scale_of[c] = s
+
+            for c, cfg in targets.items():
+                sub = get_module(block, c)
+                kernel, bias = extract_linear(sub)
+                amax, _X = stats[c]
+                s = scale_of.get(c)
+                if s is None:
+                    s = jnp.ones((kernel.shape[0],), jnp.float32)
+                Wsc = kernel.astype(jnp.float32) * s[:, None]
+                act_scale = jnp.max(amax / s) / 127.0
+                act_scale = jnp.where(act_scale <= 0, 1.0, act_scale)
+                replace_module(block, c,
+                               StaticQuantLinear(Wsc, act_scale, bias=bias))
+                n_done += 1
+
+        if bi + 1 < len(block_paths):
+            inputs = [(_as_next_input(block(*args, **kwargs), args), kwargs)
+                      for args, kwargs in inputs]
+
+    logger.info("SmoothQuant converted %d Linear ops to W8A8", n_done)
+    dump_op_stats(model)
+    return model

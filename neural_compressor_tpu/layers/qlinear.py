@@ -130,7 +130,8 @@ class FP8Linear(nnx.Module):
         w_scale = self._round_scale(w_amax / fp8_max, pow2_scales)
         a_scale = self._round_scale(
             jnp.asarray(act_amax, dtype=jnp.float32) / fp8_max, pow2_scales)
-        self.w_fp8 = nnx.Param((wf / w_scale).astype(fdt))
+        self.w_fp8 = nnx.Param(
+            jnp.clip(wf / w_scale, -fp8_max, fp8_max).astype(fdt))
         self.w_scale = nnx.Param(jnp.asarray(w_scale, dtype=jnp.float32))
         self.act_scale = nnx.Param(jnp.asarray(a_scale, dtype=jnp.float32))
         self.bias = nnx.Param(bias) if bias is not None else None
@@ -144,10 +145,12 @@ class FP8Linear(nnx.Module):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         fdt = fp8_dtype(self.dtype_name)
+        fp8_max = float(jnp.finfo(fdt).max)
         lead = x.shape[:-1]
         x2 = x.reshape(-1, self.in_features).astype(jnp.float32)
         s = self.act_scale[...]
-        xq = (x2 / s).astype(fdt)
+        # saturating cast: e4m3 has no inf — overflow would become NaN
+        xq = jnp.clip(x2 / s, -fp8_max, fp8_max).astype(fdt)
         acc = jax.lax.dot_general(
             xq, self.w_fp8[...],
             dimension_numbers=(((1,), (0,)), ((), ())),

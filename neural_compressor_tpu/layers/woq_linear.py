@@ -66,8 +66,10 @@ class WOQLinear(nnx.Module):
         return dequantize_packed(self.packed_weight(), out_dtype=dtype)
 
     @classmethod
-    def from_qtensor(cls, qt: QTensor, bias=None, impl: str = "auto") -> "WOQLinear":
-        return cls(pack_qtensor(qt), bias=bias, impl=impl)
+    def from_qtensor(cls, qt: QTensor, bias=None, impl: str = "auto",
+                     pre_scale=None) -> "WOQLinear":
+        return cls(pack_qtensor(qt), bias=bias, impl=impl,
+                   pre_scale=pre_scale)
 
     @classmethod
     def from_kernel(cls, kernel: jax.Array, bias=None, *, bits=4,

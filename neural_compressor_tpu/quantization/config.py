@@ -16,7 +16,9 @@ from ..common.config import BaseConfig, register_config, DEFAULT_WHITE_LIST
 LM_HEAD_NAMES = ("lm_head", "embed_out", "output_layer")
 
 # Op type names treated as Linear-like across the model zoo / user models.
-LINEAR_TYPES = ("Linear", "WOQLinear", "QDQLinear", "Einsum", "LoRALinear")
+# ObservedLinear included so convert() after prepare() still maps the ops.
+LINEAR_TYPES = ("Linear", "WOQLinear", "QDQLinear", "Einsum", "LoRALinear",
+                "ObservedLinear")
 
 
 def _lm_head_filter(mapping, quant_lm_head: bool):
@@ -227,7 +229,8 @@ class SmoothQuantConfig(BaseConfig):
 
     def __init__(self, alpha=0.5, folding=False, auto_alpha=False,
                  alpha_min=0.3, alpha_max=0.7, alpha_step=0.1,
-                 act_bits=8, weight_bits=8, white_list=DEFAULT_WHITE_LIST):
+                 act_bits=8, weight_bits=8, absorb_layer_dict=None,
+                 white_list=DEFAULT_WHITE_LIST):
         super().__init__(white_list=white_list)
         self.alpha = alpha
         self.folding = folding
@@ -237,6 +240,7 @@ class SmoothQuantConfig(BaseConfig):
         self.alpha_step = alpha_step
         self.act_bits = act_bits
         self.weight_bits = weight_bits
+        self.absorb_layer_dict = absorb_layer_dict or {}
 
     @classmethod
     def supported_op_types(cls):
@@ -386,7 +390,11 @@ class KVCacheQuantConfig(BaseConfig):
 
     @classmethod
     def supported_op_types(cls):
-        return ("Attention", "KVCache")
+        return None  # matched by type suffix below
+
+    def to_config_mapping(self, model_info):
+        return {(n, t): self for n, t in model_info
+                if t.endswith("Attention") or t.endswith("KVCache")}
 
 
 # Convenience: default tuning space over all registered algos, mirrors
