@@ -16,4 +16,5 @@ from .quantization import (
     MXQuantConfig, MixedPrecisionConfig, KVCacheQuantConfig,
     get_woq_tuning_config,
     prepare, convert, quantize, finalize_calibration,
+    autotune, get_all_config_set, save, load,
 )

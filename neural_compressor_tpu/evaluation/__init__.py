@@ -1,0 +1,4 @@
+from .lm_eval import perplexity, next_token_accuracy, evaluate_lm, lambada_style_accuracy
+
+__all__ = ["perplexity", "next_token_accuracy", "evaluate_lm",
+           "lambada_style_accuracy"]

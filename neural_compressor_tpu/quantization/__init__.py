@@ -20,3 +20,5 @@ from .quantize import (
     quantize,
     finalize_calibration,
 )
+from .autotune import autotune, get_all_config_set
+from .save_load import save, load

@@ -1,0 +1,232 @@
+"""Save/load of quantized models.
+
+Parity target: reference WOQ save/load (torch/algorithms/weight_only/
+save_load.py:56-146 — INC format + HF/optimum GPTQ interchange) and the
+save/load routing entry (torch/quantization/save_load_entry.py).
+
+Formats:
+  * ``default`` — one ``quant_model.safetensors`` holding every quantized
+    tensor (paths flattened with '/'), plus ``quant_config.json`` with
+    per-module reconstruction metadata. Loading takes the fp model skeleton
+    and swaps in quantized modules.
+  * ``gptq`` — optimum/AutoGPTQ-compatible tensors (qweight int32 packed,
+    qzeros −1 offset, fp16 scales, g_idx) for WOQLinear modules, consumable
+    by the HF ecosystem; plus import back.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from ..common import logger
+from ..layers.module_utils import named_modules, replace_module
+from ..layers.qlinear import (
+    DynamicQuantLinear,
+    FP8Linear,
+    HalfPrecisionLinear,
+    StaticQuantLinear,
+    fp8_dtype,
+)
+from ..layers.woq_linear import WOQLinear
+from ..ops.packing import PackedWeight, from_gptq_layout, to_gptq_layout
+
+WEIGHTS_NAME = "quant_model.safetensors"
+CONFIG_NAME = "quant_config.json"
+
+_QUANT_TYPES = ("WOQLinear", "DynamicQuantLinear", "StaticQuantLinear",
+                "FP8Linear", "HalfPrecisionLinear", "MXLinear")
+
+
+def _store(tensors: dict, path: str, name: str, arr) -> None:
+    a = np.asarray(jax.device_get(arr))
+    if a.dtype.name in ("bfloat16",):
+        tensors[f"{path}/{name}:bf16"] = a.view(np.uint16)
+    elif a.dtype.name.startswith("float8"):
+        tensors[f"{path}/{name}:{a.dtype.name}"] = a.view(np.uint8)
+    else:
+        tensors[f"{path}/{name}"] = a
+
+
+def _module_tensors(mod) -> dict:
+    out = {}
+    for attr, val in vars(mod).items():
+        if isinstance(val, nnx.Variable):
+            out[attr] = val[...]
+    return out
+
+
+def _module_meta(mod) -> dict:
+    t = type(mod).__name__
+    meta = {"type": t}
+    for attr in ("in_features", "out_features", "bits", "group_size",
+                 "wdtype", "layout", "impl", "dtype_name", "act_bits",
+                 "act_dtype", "blocksize", "weight_only"):
+        if hasattr(mod, attr):
+            v = getattr(mod, attr)
+            if isinstance(v, (int, float, str, bool)):
+                meta[attr] = v
+    if t == "HalfPrecisionLinear":
+        meta["dtype"] = jnp.dtype(mod.dtype).name
+    return meta
+
+
+def save(model, output_dir: str, format: str = "default") -> None:
+    """Serialize all quantized modules of ``model`` to ``output_dir``."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(output_dir, exist_ok=True)
+    if format in ("gptq", "huggingface"):
+        return _save_gptq(model, output_dir)
+
+    tensors: dict = {}
+    metas: dict = {}
+    for path, mod in named_modules(model):
+        if not path or type(mod).__name__ not in _QUANT_TYPES:
+            continue
+        metas[path] = _module_meta(mod)
+        for name, arr in _module_tensors(mod).items():
+            _store(tensors, path, name, arr)
+    save_file(tensors, os.path.join(output_dir, WEIGHTS_NAME))
+    with open(os.path.join(output_dir, CONFIG_NAME), "w") as f:
+        json.dump({"format": "default", "modules": metas}, f, indent=2)
+    logger.info("Saved %d quantized modules to %s", len(metas), output_dir)
+
+
+def _restore_array(key: str, arr: np.ndarray):
+    if ":" in key.rsplit("/", 1)[-1]:
+        _, tag = key.rsplit(":", 1)
+        if tag == "bf16":
+            return jnp.asarray(arr.view(np.uint16)).view(jnp.bfloat16)
+        if tag.startswith("float8"):
+            return jnp.asarray(arr).view(jnp.dtype(tag))
+    return jnp.asarray(arr)
+
+
+def _rebuild(meta: dict, tensors: dict):
+    t = meta["type"]
+    bias = tensors.get("bias")
+    if t == "WOQLinear":
+        pw = PackedWeight(
+            packed=tensors["packed"], scales=tensors["scales"],
+            zeros=tensors.get("zeros"), bits=meta["bits"],
+            group_size=meta["group_size"], dtype=meta["wdtype"],
+            orig_shape=(meta["in_features"], meta["out_features"]),
+            layout=meta["layout"])
+        return WOQLinear(pw, bias=bias, impl=meta.get("impl", "auto"),
+                         pre_scale=tensors.get("pre_scale"))
+    K, N = meta["in_features"], meta["out_features"]
+    zeros_k = jnp.zeros((K, N), jnp.float32)
+    if t == "DynamicQuantLinear":
+        obj = DynamicQuantLinear(zeros_k, bias=bias,
+                                 act_bits=meta.get("act_bits", 8))
+        obj.w_int8[...] = tensors["w_int8"]
+        obj.w_scale[...] = tensors["w_scale"]
+        return obj
+    if t == "StaticQuantLinear":
+        obj = StaticQuantLinear(
+            zeros_k, tensors["act_scale"], bias=bias,
+            act_zero_point=tensors.get("act_zp"))
+        obj.w_int8[...] = tensors["w_int8"]
+        obj.w_scale[...] = tensors["w_scale"]
+        return obj
+    if t == "FP8Linear":
+        obj = FP8Linear(zeros_k, tensors["act_scale"] * 0 + 1.0, bias=bias,
+                        dtype_name=meta["dtype_name"])
+        w = tensors["w_fp8"]
+        if w.dtype == jnp.uint8:
+            w = w.view(fp8_dtype(meta["dtype_name"]))
+        obj.w_fp8[...] = w
+        obj.w_scale[...] = tensors["w_scale"]
+        obj.act_scale[...] = tensors["act_scale"]
+        return obj
+    if t == "HalfPrecisionLinear":
+        return HalfPrecisionLinear(tensors["kernel"], bias=bias,
+                                   dtype=jnp.dtype(meta["dtype"]))
+    if t == "MXLinear":
+        from ..algorithms.mx import MXLinear
+
+        obj = MXLinear(zeros_k.astype(jnp.bfloat16), bias=bias,
+                       w_dtype=meta.get("w_dtype", "mxfp8_e4m3"),
+                       act_dtype=meta.get("act_dtype", "mxfp8_e4m3"),
+                       blocksize=meta.get("blocksize", 32),
+                       weight_only=meta.get("weight_only", False))
+        obj.kernel[...] = tensors["kernel"]
+        return obj
+    raise ValueError(f"unknown quantized module type {t!r}")
+
+
+def load(input_dir: str, model):
+    """Load quantized modules into a matching fp model skeleton (mutates
+    and returns ``model``)."""
+    from safetensors.numpy import load_file
+
+    with open(os.path.join(input_dir, CONFIG_NAME)) as f:
+        cfg = json.load(f)
+    if cfg.get("format") == "gptq":
+        return _load_gptq(input_dir, model, cfg)
+    raw = load_file(os.path.join(input_dir, WEIGHTS_NAME))
+    per_module: dict[str, dict] = {}
+    for key, arr in raw.items():
+        path, name = key.rsplit("/", 1)
+        name = name.split(":", 1)[0]
+        per_module.setdefault(path, {})[name] = _restore_array(key, arr)
+    n = 0
+    for path, meta in cfg["modules"].items():
+        new = _rebuild(meta, per_module.get(path, {}))
+        replace_module(model, path, new)
+        n += 1
+    logger.info("Loaded %d quantized modules from %s", n, input_dir)
+    return model
+
+
+# ---------------------------------------------------------------------------
+# GPTQ / optimum interchange
+# ---------------------------------------------------------------------------
+
+def _save_gptq(model, output_dir: str) -> None:
+    from safetensors.numpy import save_file
+
+    tensors: dict = {}
+    metas: dict = {}
+    for path, mod in named_modules(model):
+        if not isinstance(mod, WOQLinear):
+            continue
+        gl = to_gptq_layout(mod.packed_weight())
+        for name, arr in gl.items():
+            tensors[f"{path}.{name}"] = arr
+        if mod.bias is not None:
+            tensors[f"{path}.bias"] = np.asarray(
+                jax.device_get(mod.bias[...])).astype(np.float16)
+        metas[path] = {"bits": mod.bits, "group_size": mod.group_size,
+                       "sym": mod.zeros is None,
+                       "in_features": mod.in_features,
+                       "out_features": mod.out_features}
+    save_file(tensors, os.path.join(output_dir, "model.safetensors"))
+    with open(os.path.join(output_dir, CONFIG_NAME), "w") as f:
+        json.dump({"format": "gptq", "modules": metas}, f, indent=2)
+    logger.info("Saved %d modules in GPTQ/optimum layout to %s",
+                len(metas), output_dir)
+
+
+def _load_gptq(input_dir: str, model, cfg: dict):
+    from safetensors.numpy import load_file
+
+    raw = load_file(os.path.join(input_dir, "model.safetensors"))
+    n = 0
+    for path, meta in cfg["modules"].items():
+        pw = from_gptq_layout(
+            raw[f"{path}.qweight"], raw[f"{path}.qzeros"],
+            raw[f"{path}.scales"], raw.get(f"{path}.g_idx"),
+            bits=meta["bits"], sym=meta["sym"])
+        bias = raw.get(f"{path}.bias")
+        bias = jnp.asarray(bias.astype(np.float32)) if bias is not None else None
+        replace_module(model, path, WOQLinear(pw, bias=bias))
+        n += 1
+    logger.info("Loaded %d GPTQ-layout modules from %s", n, input_dir)
+    return model
