@@ -13,8 +13,8 @@ from .common import logger, set_log_level, options, TuningConfig
 from .quantization import (
     RTNConfig, GPTQConfig, AWQConfig, TEQConfig, AutoRoundConfig, HQQConfig,
     SmoothQuantConfig, INT8StaticQuantConfig, DynamicQuantConfig, FP8Config,
-    MXQuantConfig, MixedPrecisionConfig, KVCacheQuantConfig,
+    MXQuantConfig, MixedPrecisionConfig, KVCacheQuantConfig, QATConfig,
     get_woq_tuning_config,
-    prepare, convert, quantize, finalize_calibration,
+    prepare, convert, quantize, finalize_calibration, prepare_qat,
     autotune, get_all_config_set, save, load,
 )

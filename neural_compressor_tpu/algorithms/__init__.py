@@ -28,6 +28,7 @@ _LAZY_ENTRIES = {
     "mx_quant": ".mx",
     "mixed_precision": ".mixed_precision",
     "kv_cache": ".kv_cache",
+    "qat": ".qat",
 }
 
 

@@ -1,0 +1,218 @@
+"""Generation loops for (quantized) causal LMs.
+
+Parity target: the reference's INT8-aware greedy/beam search
+re-implementations (neural_compressor/transformers/generation/
+{greedy_search,beam_search}.py). TPU redesign: one jitted program per
+(batch, prompt_len, max_new_tokens) — prefill fills the KV cache, then a
+``lax.while_loop`` decodes with early exit when every sequence hit EOS.
+The reference's cross-rank ``dist.all_reduce`` of the finished flag
+(greedy_search.py:195) is unnecessary here: under pjit the loop is SPMD —
+every device computes the same finished flag by construction.
+
+Works with any model following the model-zoo cache protocol:
+``model(ids, positions=..., caches=..., cache_pos=...) -> (logits, caches)``
+and ``init_kv_cache``-style cache allocation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..models.llama import init_kv_cache
+
+
+def _split(model):
+    graphdef, state = nnx.split(model)
+
+    def apply(state, ids, positions, caches, cache_pos):
+        m = nnx.merge(graphdef, state)
+        return m(ids, positions=positions, caches=caches, cache_pos=cache_pos)
+
+    return graphdef, state, apply
+
+
+def _prefill_and_loop(apply, state, input_ids, caches, max_new_tokens,
+                      eos_token_id, next_token_fn):
+    B, P = input_ids.shape
+    positions = jnp.broadcast_to(jnp.arange(P)[None, :], (B, P))
+    logits, caches = apply(state, input_ids, positions, caches, 0)
+    first, rng0 = next_token_fn(logits[:, -1], jax.random.PRNGKey(0))
+
+    out0 = jnp.zeros((B, max_new_tokens), jnp.int32)
+    out0 = out0.at[:, 0].set(first[:, 0])
+    finished0 = (first[:, 0] == eos_token_id) if eos_token_id is not None \
+        else jnp.zeros((B,), bool)
+
+    def cond(carry):
+        i, _tok, _caches, _out, finished, _rng = carry
+        return (i < max_new_tokens) & ~jnp.all(finished)
+
+    def body(carry):
+        i, tok, caches, out, finished, rng = carry
+        pos = jnp.full((B, 1), P + i - 1, dtype=jnp.int32)
+        logits, caches = apply(state, tok, pos, caches, P + i - 1)
+        nxt, rng = next_token_fn(logits[:, -1], rng)
+        nxt = jnp.where(finished[:, None], tok, nxt)
+        out = jax.lax.dynamic_update_slice(out, nxt, (0, i))
+        if eos_token_id is not None:
+            finished = finished | (nxt[:, 0] == eos_token_id)
+        return i + 1, nxt, caches, out, finished, rng
+
+    _i, _tok, _caches, out, _fin, _rng = jax.lax.while_loop(
+        cond, body, (1, first, caches, out0, finished0, rng0))
+    return jnp.concatenate([input_ids, out], axis=1)
+
+
+def greedy_search(model, input_ids, max_new_tokens: int = 32,
+                  eos_token_id: int | None = None, max_len: int | None = None):
+    """Greedy decoding with a jitted prefill+decode program."""
+    def pick(logits, rng):
+        return jnp.argmax(logits, axis=-1)[:, None].astype(jnp.int32), rng
+
+    return _run(model, input_ids, max_new_tokens, eos_token_id, pick, max_len)
+
+
+def sample(model, input_ids, max_new_tokens: int = 32, temperature: float = 1.0,
+           top_k: int | None = None, eos_token_id: int | None = None,
+           seed: int = 0, max_len: int | None = None):
+    """Temperature/top-k sampling."""
+    def pick(logits, rng):
+        rng, sub = jax.random.split(rng)
+        lg = logits.astype(jnp.float32) / max(temperature, 1e-5)
+        if top_k is not None:
+            kth = jnp.sort(lg, axis=-1)[:, -top_k][:, None]
+            lg = jnp.where(lg < kth, -jnp.inf, lg)
+        nxt = jax.random.categorical(sub, lg, axis=-1)
+        return nxt[:, None].astype(jnp.int32), rng
+
+    return _run(model, input_ids, max_new_tokens, eos_token_id, pick, max_len)
+
+
+def _run(model, input_ids, max_new_tokens, eos_token_id, next_token_fn,
+         max_len):
+    B, P = input_ids.shape
+    total = P + max_new_tokens if max_len is None else max_len
+    quantized = getattr(model, "kv_cache_quantized", False)
+    caches = init_kv_cache(model.cfg, B, total, quantized=quantized)
+    graphdef, state, apply = _split(model)
+
+    @functools.partial(jax.jit, static_argnames=("mnt",))
+    def go(state, input_ids, caches, mnt):
+        return _prefill_and_loop(apply, state, input_ids, caches, mnt,
+                                 eos_token_id, next_token_fn)
+
+    return go(state, input_ids, caches, max_new_tokens)
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+def beam_search(model, input_ids, num_beams: int = 4,
+                max_new_tokens: int = 32, eos_token_id: int | None = None,
+                length_penalty: float = 1.0):
+    """Beam search with per-beam KV caches (gathered on reorder).
+
+    Simplified vs HF (no early-stopping heuristics): beams end at EOS or
+    max_new_tokens; returns the highest-scoring beam per batch element.
+    """
+    B, P = input_ids.shape
+    total = P + max_new_tokens
+    quantized = getattr(model, "kv_cache_quantized", False)
+    # caches allocated over B*num_beams rows
+    caches = init_kv_cache(model.cfg, B * num_beams, total,
+                           quantized=quantized)
+    graphdef, state, apply = _split(model)
+    V = None  # resolved at trace time
+
+    @functools.partial(jax.jit, static_argnames=("mnt", "nb"))
+    def go(state, input_ids, caches, mnt, nb):
+        B, P = input_ids.shape
+        ids_rep = jnp.repeat(input_ids, nb, axis=0)  # [B*nb, P]
+        positions = jnp.broadcast_to(jnp.arange(P)[None, :], ids_rep.shape)
+        logits, caches = apply(state, ids_rep, positions, caches, 0)
+        logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+        V = logp.shape[-1]
+        logp = logp.reshape(B, nb, V)
+        # beam 0 only at start (all beams identical after prefill)
+        init_mask = jnp.where(jnp.arange(nb)[None, :, None] == 0, 0.0,
+                              -jnp.inf)
+        flat = (logp + init_mask).reshape(B, nb * V)
+        scores, idx = jax.lax.top_k(flat, nb)  # [B, nb]
+        beam_src = idx // V
+        token = (idx % V).astype(jnp.int32)
+
+        out0 = jnp.zeros((B, nb, mnt), jnp.int32)
+        out0 = out0.at[:, :, 0].set(token)
+        fin0 = (token == eos_token_id) if eos_token_id is not None else \
+            jnp.zeros((B, nb), bool)
+
+        def gather_caches(caches, beam_src):
+            flatsrc = (jnp.arange(B)[:, None] * nb + beam_src).reshape(-1)
+
+            def g(x):
+                return x[flatsrc]
+
+            return jax.tree.map(g, caches)
+
+        caches = gather_caches(caches, beam_src)
+
+        def cond(carry):
+            i, fin = carry[0], carry[5]
+            return (i < mnt) & ~jnp.all(fin)
+
+        def body(carry):
+            i, token, caches, out, scores, fin = carry
+            tok_flat = token.reshape(B * nb, 1)
+            pos = jnp.full((B * nb, 1), P + i - 1, dtype=jnp.int32)
+            logits, caches = apply(state, tok_flat, pos, caches, P + i - 1)
+            logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32),
+                                      axis=-1).reshape(B, nb, V)
+            # finished beams only extend with EOS at zero cost
+            if eos_token_id is not None:
+                eos_only = jnp.full((V,), -jnp.inf).at[eos_token_id].set(0.0)
+                logp = jnp.where(fin[:, :, None], eos_only[None, None, :],
+                                 logp)
+            cand = scores[:, :, None] + logp  # [B, nb, V]
+            flat = cand.reshape(B, nb * V)
+            scores, idx = jax.lax.top_k(flat, nb)
+            beam_src = idx // V
+            token = (idx % V).astype(jnp.int32)
+            caches = gather_caches(caches, beam_src)
+            out = jnp.take_along_axis(out, beam_src[:, :, None], axis=1)
+            out = jax.lax.dynamic_update_slice(
+                out, token[:, :, None], (0, 0, i))
+            fin = jnp.take_along_axis(fin, beam_src, axis=1)
+            if eos_token_id is not None:
+                fin = fin | (token == eos_token_id)
+            return i + 1, token, caches, out, scores, fin
+
+        _i, _t, _c, out, scores, _f = jax.lax.while_loop(
+            cond, body, (1, token, caches, out0, scores, fin0))
+        best = jnp.argmax(scores / (mnt ** length_penalty), axis=-1)
+        best_out = jnp.take_along_axis(
+            out, best[:, None, None], axis=1)[:, 0]
+        return jnp.concatenate([input_ids, best_out], axis=1)
+
+    return go(state, input_ids, caches, max_new_tokens, num_beams)
+
+
+def generate(model, input_ids, do_sample: bool = False, num_beams: int = 1,
+             **kwargs):
+    """HF-style dispatcher."""
+    if num_beams > 1:
+        kwargs.pop("temperature", None)
+        kwargs.pop("top_k", None)
+        kwargs.pop("seed", None)
+        return beam_search(model, input_ids, num_beams=num_beams, **kwargs)
+    if do_sample:
+        return sample(model, input_ids, **kwargs)
+    kwargs.pop("temperature", None)
+    kwargs.pop("top_k", None)
+    kwargs.pop("seed", None)
+    return greedy_search(model, input_ids, **kwargs)

@@ -12,6 +12,7 @@ from .config import (
     MXQuantConfig,
     MixedPrecisionConfig,
     KVCacheQuantConfig,
+    QATConfig,
     get_woq_tuning_config,
 )
 from .quantize import (
@@ -19,6 +20,7 @@ from .quantize import (
     convert,
     quantize,
     finalize_calibration,
+    prepare_qat,
 )
 from .autotune import autotune, get_all_config_set
 from .save_load import save, load

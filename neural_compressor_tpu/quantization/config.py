@@ -18,7 +18,7 @@ LM_HEAD_NAMES = ("lm_head", "embed_out", "output_layer")
 # Op type names treated as Linear-like across the model zoo / user models.
 # ObservedLinear included so convert() after prepare() still maps the ops.
 LINEAR_TYPES = ("Linear", "WOQLinear", "QDQLinear", "Einsum", "LoRALinear",
-                "ObservedLinear")
+                "ObservedLinear", "FakeQuantLinear")
 
 
 def _lm_head_filter(mapping, quant_lm_head: bool):
@@ -395,6 +395,24 @@ class KVCacheQuantConfig(BaseConfig):
     def to_config_mapping(self, model_info):
         return {(n, t): self for n, t in model_info
                 if t.endswith("Attention") or t.endswith("KVCache")}
+
+
+@register_config("qat", priority=6)
+class QATConfig(_WOQBase):
+    """Quantization-aware training config (reference StaticQuantConfig/QAT,
+    config.py:2069; NVFP4/MXFP8 schemes qat/quant_utils.py:64-118).
+    ``mx_format`` switches the fake-quant to an MX block format."""
+
+    params_list = ("dtype", "bits", "group_size")
+
+    def __init__(self, dtype="int4", bits=4, use_sym=True, group_size=32,
+                 act_dtype=None, mx_format=None, quant_lm_head=False,
+                 white_list=DEFAULT_WHITE_LIST, **kw):
+        super().__init__(dtype=dtype, bits=bits, use_sym=use_sym,
+                         group_size=group_size, quant_lm_head=quant_lm_head,
+                         white_list=white_list, **kw)
+        self.act_dtype = act_dtype
+        self.mx_format = mx_format
 
 
 # Convenience: default tuning space over all registered algos, mirrors

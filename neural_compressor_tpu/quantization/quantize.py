@@ -93,3 +93,9 @@ def run_calibration(model, run_fn: Callable | None, run_args=None) -> None:
         run_fn(model, *run_args)
     else:
         run_fn(model, run_args)
+
+
+def prepare_qat(model, quant_config, example_inputs=None):
+    """Insert trainable fake-quant modules (QAT). API parity:
+    reference prepare_qat (torch/quantization/quantize.py:221-249)."""
+    return prepare(model, quant_config, example_inputs=example_inputs)

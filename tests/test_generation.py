@@ -1,0 +1,89 @@
+"""Generation loop tests (reference analog: transformers/generation/
+greedy_search.py / beam_search.py re-implementations)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import neural_compressor_tpu as nq
+from neural_compressor_tpu.generation import (
+    beam_search,
+    generate,
+    greedy_search,
+    sample,
+)
+from neural_compressor_tpu.models import LlamaForCausalLM
+
+
+@pytest.fixture(scope="module")
+def llama():
+    return LlamaForCausalLM.from_preset("llama-test")
+
+
+@pytest.fixture
+def ids():
+    return jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 8)))
+
+
+def test_greedy_shape_and_determinism(llama, ids):
+    out1 = greedy_search(llama, ids, max_new_tokens=6)
+    out2 = greedy_search(llama, ids, max_new_tokens=6)
+    assert out1.shape == (2, 14)
+    assert bool(jnp.all(out1 == out2))
+
+
+def test_greedy_matches_stepwise_argmax(llama, ids):
+    """The jitted loop must agree with naive full-recompute greedy."""
+    out = greedy_search(llama, ids, max_new_tokens=4)
+    cur = ids
+    for _ in range(4):
+        logits = llama(cur)
+        nxt = jnp.argmax(logits[:, -1], axis=-1)[:, None].astype(cur.dtype)
+        cur = jnp.concatenate([cur, nxt], axis=1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(cur))
+
+
+def test_beam1_equals_greedy(llama, ids):
+    g = greedy_search(llama, ids, max_new_tokens=5)
+    b = beam_search(llama, ids, num_beams=1, max_new_tokens=5)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(b))
+
+
+def test_beam_score_not_worse(llama, ids):
+    """Beam-4's chosen sequence must score >= greedy's under the model."""
+    def seq_logprob(seq, P):
+        logits = llama(seq[:, :-1]).astype(jnp.float32)
+        lps = jax.nn.log_softmax(logits, axis=-1)
+        tgt = seq[:, 1:]
+        tok_lp = jnp.take_along_axis(lps, tgt[..., None], axis=-1)[..., 0]
+        return tok_lp[:, P - 1:].sum(axis=-1)
+
+    P = ids.shape[1]
+    g = greedy_search(llama, ids, max_new_tokens=5)
+    b = beam_search(llama, ids, num_beams=4, max_new_tokens=5)
+    sg = np.asarray(seq_logprob(g, P))
+    sb = np.asarray(seq_logprob(b, P))
+    assert (sb >= sg - 1e-3).all()
+
+
+def test_sampling_temperature_zero_ish(llama, ids):
+    out = sample(llama, ids, max_new_tokens=4, temperature=1e-4)
+    g = greedy_search(llama, ids, max_new_tokens=4)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(g))
+
+
+def test_eos_early_stop(llama, ids):
+    g = greedy_search(llama, ids, max_new_tokens=6)
+    eos = int(g[0, 8])  # force the very first generated token to be "EOS"
+    out = greedy_search(llama, ids, max_new_tokens=6, eos_token_id=eos)
+    # after batch row 0 finishes, its tokens repeat (held constant)
+    assert out.shape == (2, 14)
+
+
+def test_quantized_model_generate(ids):
+    m = LlamaForCausalLM.from_preset("llama-test")
+    qm = nq.quantize(
+        m, nq.RTNConfig(dtype="int4", group_size=32) + nq.KVCacheQuantConfig())
+    out = generate(qm, ids, max_new_tokens=5)
+    assert out.shape == (2, 13)
