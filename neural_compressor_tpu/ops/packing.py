@@ -196,12 +196,15 @@ def from_gptq_layout(qweight: np.ndarray, qzeros: np.ndarray, scales: np.ndarray
     with per-row group indices; we materialize per-row scales via g_idx only
     when groups are non-contiguous.
     """
+    from . import native
+
     qweight = np.asarray(qweight)
     Kp8, N = qweight.shape
     K = Kp8 * (32 // bits)
     mask = (1 << bits) - 1
-    planes = [((qweight >> (bits * s)) & mask) for s in range(32 // bits)]
-    codes = np.stack(planes, axis=1).reshape(K, N).astype(np.int32)  # row 8i+s
+    # native multi-threaded unpack (checkpoint-import hot path)
+    codes = native.unpack_gptq_qweight(qweight.astype(np.int32),
+                                       bits).astype(np.int32)
 
     zp_planes = [((np.asarray(qzeros) >> (bits * s)) & mask) for s in range(32 // bits)]
     zeros = np.stack(zp_planes, axis=2).reshape(qzeros.shape[0], -1).astype(np.int32)
