@@ -13,7 +13,7 @@ from .common import logger, set_log_level, options, TuningConfig
 from .quantization import (
     RTNConfig, GPTQConfig, AWQConfig, TEQConfig, AutoRoundConfig, HQQConfig,
     SmoothQuantConfig, INT8StaticQuantConfig, DynamicQuantConfig, FP8Config,
-    MXQuantConfig, MixedPrecisionConfig, KVCacheQuantConfig, QATConfig,
+    MXQuantConfig, MixedPrecisionConfig, KVCacheQuantConfig, QATConfig, HybridGPTQConfig,
     get_woq_tuning_config,
     prepare, convert, quantize, finalize_calibration, prepare_qat,
     autotune, get_all_config_set, save, load,

@@ -29,6 +29,7 @@ _LAZY_ENTRIES = {
     "mixed_precision": ".mixed_precision",
     "kv_cache": ".kv_cache",
     "qat": ".qat",
+    "hybrid_gptq": ".hybrid_gptq",
 }
 
 

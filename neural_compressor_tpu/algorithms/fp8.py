@@ -45,8 +45,7 @@ def fp8_entry(model, configs_mapping, mode="quantize", run_fn=None,
         replace_module(
             model, name,
             FP8Linear(kernel, amax, bias=bias, dtype_name=cfg.dtype_name,
-                      pow2_scales=cfg.pow2_scales,
-                      per_channel_weight="per_channel" in cfg.scale_method))
+                      scale_method=cfg.scale_method))
         n += 1
     logger.info("FP8-quantized %d Linear ops (%s)", n,
                 config.dtype_name if config else "e4m3")

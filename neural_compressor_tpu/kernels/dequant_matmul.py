@@ -259,8 +259,13 @@ def _dequant_matmul_impl(x, packed, scales, zeros, *, bits, group_size,
 
 def _pick_tiles(M, K, N, G, bits, layout):
     """Tile sizes: K-tile must be a multiple of G and of the packing P·rows;
-    N-tile a multiple of 128; M-tile covers bf16 sublane (16)."""
-    tm = min(_round_up(M, 16), 256)
+    N-tile a multiple of 128. M-tile: a block whose sublane dim equals the
+    full array dim is always legal, so small-M (decode) runs unpadded —
+    padding/slicing around every call costs more than the kernel at M=1."""
+    if M <= 16:
+        tm = M  # full-dim block: no padding, no output slice
+    else:
+        tm = min(_round_up(M, 16), 256)
     tn = 128 if N % 256 else 256
     # K tile: as many groups as fit a VMEM budget (~4MB for the weight tile)
     tk = G
@@ -287,6 +292,7 @@ def dequant_matmul_pallas(x: jax.Array, pw: PackedWeight,
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
     if x2.dtype not in (jnp.bfloat16, jnp.float32):
         x2 = x2.astype(jnp.bfloat16)
+    slice_back = Mp != M
 
     if K % tk or N % tn or tk % G:
         # Shapes that don't tile cleanly: fall back to XLA path.
@@ -301,7 +307,9 @@ def dequant_matmul_pallas(x: jax.Array, pw: PackedWeight,
         K=K, N=N, has_zeros=pw.zeros is not None, out_dtype=out_dtype,
         interpret=interpret, tm=tm, tn=tn, tk=tk,
     )
-    return y[:M].reshape(*lead, N)
+    if slice_back:
+        y = y[:M]
+    return y.reshape(*lead, N)
 
 
 def woq_matmul(x: jax.Array, pw: PackedWeight, impl: str | None = None,

@@ -16,14 +16,14 @@ from .observers import (
     ObservedLinear,
     make_observer,
 )
-from .woq_linear import WOQLinear, QDQLinear
+from .woq_linear import WOQLinear, QDQLinear, W4A8Linear
 from .qlinear import DynamicQuantLinear, StaticQuantLinear, FP8Linear, HalfPrecisionLinear
 from .module_utils import named_modules, get_model_info, replace_module, module_type_name
 
 __all__ = [
     "ObserverStat", "MinMaxObserver", "MaxAbsObserver",
     "MaxAbsPerChannelObserver", "ObservedLinear", "make_observer",
-    "WOQLinear", "QDQLinear", "DynamicQuantLinear", "StaticQuantLinear",
+    "WOQLinear", "QDQLinear", "W4A8Linear", "DynamicQuantLinear", "StaticQuantLinear",
     "FP8Linear", "HalfPrecisionLinear",
     "named_modules", "get_model_info", "replace_module", "module_type_name",
 ]

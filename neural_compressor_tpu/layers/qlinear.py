@@ -116,39 +116,49 @@ class FP8Linear(nnx.Module):
 
     def __init__(self, kernel: jax.Array, act_amax: jax.Array,
                  bias: jax.Array | None = None, dtype_name: str = "fp8_e4m3",
-                 pow2_scales: bool = True, per_channel_weight: bool = False):
+                 pow2_scales: bool = True, per_channel_weight: bool = False,
+                 act_dynamic: bool = False, scale_method: str | None = None):
+        from ..algorithms.fp8_scales import ScaleMethod, resolve, round_scale
+
+        if scale_method is not None:
+            m = resolve(scale_method)
+        else:
+            m = ScaleMethod(
+                weight_granularity="pcs" if per_channel_weight else "pts",
+                rounding="hw" if pow2_scales else "arbitrary",
+                act_dynamic=act_dynamic)
         K, N = kernel.shape
         self.in_features, self.out_features = K, N
         self.dtype_name = dtype_name
+        self.act_dynamic = m.act_dynamic
         fdt = fp8_dtype(dtype_name)
         fp8_max = float(jnp.finfo(fdt).max)
         wf = kernel.astype(jnp.float32)
-        if per_channel_weight:
+        if m.weight_granularity == "pcs":
             w_amax = jnp.max(jnp.abs(wf), axis=0)  # [N]
         else:
             w_amax = jnp.max(jnp.abs(wf))
-        w_scale = self._round_scale(w_amax / fp8_max, pow2_scales)
-        a_scale = self._round_scale(
-            jnp.asarray(act_amax, dtype=jnp.float32) / fp8_max, pow2_scales)
+        w_scale = round_scale(w_amax / fp8_max, m)
+        a_scale = round_scale(
+            jnp.asarray(act_amax, dtype=jnp.float32) / fp8_max, m)
         self.w_fp8 = nnx.Param(
             jnp.clip(wf / w_scale, -fp8_max, fp8_max).astype(fdt))
         self.w_scale = nnx.Param(jnp.asarray(w_scale, dtype=jnp.float32))
         self.act_scale = nnx.Param(jnp.asarray(a_scale, dtype=jnp.float32))
         self.bias = nnx.Param(bias) if bias is not None else None
 
-    @staticmethod
-    def _round_scale(scale: jax.Array, pow2: bool) -> jax.Array:
-        scale = jnp.where(scale <= 0, 1.0, scale)
-        if pow2:
-            scale = jnp.exp2(jnp.ceil(jnp.log2(scale)))
-        return scale
-
     def __call__(self, x: jax.Array) -> jax.Array:
         fdt = fp8_dtype(self.dtype_name)
         fp8_max = float(jnp.finfo(fdt).max)
         lead = x.shape[:-1]
         x2 = x.reshape(-1, self.in_features).astype(jnp.float32)
-        s = self.act_scale[...]
+        if self.act_dynamic:
+            # per-call per-token scale (reference QuantDynamicInput,
+            # _core/quant_dequant.py:115)
+            s = jnp.max(jnp.abs(x2), axis=-1, keepdims=True) / fp8_max
+            s = jnp.where(s <= 0, 1.0, s)
+        else:
+            s = self.act_scale[...]
         # saturating cast: e4m3 has no inf — overflow would become NaN
         xq = jnp.clip(x2 / s, -fp8_max, fp8_max).astype(fdt)
         acc = jax.lax.dot_general(

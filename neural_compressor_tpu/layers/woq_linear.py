@@ -80,6 +80,33 @@ class WOQLinear(nnx.Module):
         return cls.from_qtensor(qt, bias=bias, impl=impl)
 
 
+class W4A8Linear(WOQLinear):
+    """INT4-weight x INT8-activation serving Linear (reference
+    ``HPUMixedPrecisionLinear``, mixed_low_precision/modules.py:31).
+
+    Prefill (large M, compute-bound): int8 MXU path via the fused W4A8
+    kernel. Decode (small M, weights-bound): the bf16 fused dequant kernel.
+    """
+
+    M_INT8_THRESHOLD = 64
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..kernels.w4a8_matmul import w4a8_matmul
+
+        if self.pre_scale is not None:
+            x = x / self.pre_scale[...].astype(x.dtype)
+        M = 1
+        for d in x.shape[:-1]:
+            M *= d
+        if M >= self.M_INT8_THRESHOLD:
+            y = w4a8_matmul(x, self.packed_weight())
+        else:
+            y = woq_matmul(x, self.packed_weight(), impl=self.impl)
+        if self.bias is not None:
+            y = y + self.bias[...].astype(y.dtype)
+        return y
+
+
 class QDQLinear(nnx.Module):
     """Fake-quantized Linear: kernel stored dequantized (bf16), matching the
     numeric result of quantization exactly but at full memory cost. The

@@ -65,7 +65,11 @@ LLAMA_PRESETS = {
 
 
 class KVCache(NamedTuple):
-    """Static-shape per-layer KV cache. k/v: [B, S_max, H_kv, D]."""
+    """Static-shape per-layer KV cache.
+
+    Layout: k/v are [B, H_kv, S_max, D] — head-major so the decode
+    attention einsums contract without relayout (a [B, S, H, D] cache costs
+    ~33 MB of transposes per layer per step at 7B scale)."""
 
     k: jax.Array
     v: jax.Array
@@ -77,14 +81,14 @@ class QuantKVCache(NamedTuple):
     (fp8_quant/_quant_common/helper_modules.py:1105-1240). Halves KV HBM
     traffic vs bf16; scales are [B, S, H] f32 (negligible overhead)."""
 
-    k_codes: jax.Array  # int8 [B, S, H, D]
-    k_scale: jax.Array  # f32  [B, S, H]
+    k_codes: jax.Array  # int8 [B, H, S, D]
+    k_scale: jax.Array  # f32  [B, H, S]
     v_codes: jax.Array
     v_scale: jax.Array
 
 
 def _kv_quant(x: jax.Array):
-    """[B, S, H, D] -> int8 codes + per-(token, head) scale."""
+    """[B, H, S, D] -> int8 codes + per-(token, head) scale."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)
     scale = jnp.where(amax <= 0, 1.0, amax / 127.0)
@@ -100,7 +104,7 @@ def _kv_dequant(codes: jax.Array, scale: jax.Array, dtype) -> jax.Array:
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
                   dtype=None, quantized: bool = False):
     dtype = dtype or cfg.dtype
-    shape = (batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+    shape = (batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
     sshape = shape[:-1]
     if quantized:
         return [QuantKVCache(jnp.zeros(shape, jnp.int8),
@@ -155,54 +159,78 @@ class LlamaAttention(nnx.Module):
         self.k_proj = lin(cfg.hidden_size, Hkv * D)
         self.v_proj = lin(cfg.hidden_size, Hkv * D)
         self.o_proj = lin(H * D, cfg.hidden_size)
+        self.qkv_proj = nnx.data(None)  # set by quantization.fuse.fuse_for_serving
 
     def __call__(self, x, cos, sin, mask, cache: KVCache | None = None,
                  cache_pos: jax.Array | None = None):
         cfg = self.cfg
         B, S, _ = x.shape
         H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-        q = self.q_proj(x).reshape(B, S, H, D)
-        k = self.k_proj(x).reshape(B, S, Hkv, D)
-        v = self.v_proj(x).reshape(B, S, Hkv, D)
+        if self.qkv_proj is not None:
+            qkv = self.qkv_proj(x)
+            q, k, v = jnp.split(qkv, [H * D, (H + Hkv) * D], axis=-1)
+            q = q.reshape(B, S, H, D)
+            k = k.reshape(B, S, Hkv, D)
+            v = v.reshape(B, S, Hkv, D)
+        else:
+            q = self.q_proj(x).reshape(B, S, H, D)
+            k = self.k_proj(x).reshape(B, S, Hkv, D)
+            v = self.v_proj(x).reshape(B, S, Hkv, D)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        # head-major [B, H, S, D]: matches the cache layout, no relayout in
+        # the attention einsums
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
 
         new_cache = None
         if isinstance(cache, QuantKVCache):
             kc, ks = _kv_quant(k)
             vc, vs = _kv_quant(v)
             k_codes = jax.lax.dynamic_update_slice(
-                cache.k_codes, kc, (0, cache_pos, 0, 0))
+                cache.k_codes, kc, (0, 0, cache_pos, 0))
             k_scale = jax.lax.dynamic_update_slice(
-                cache.k_scale, ks, (0, cache_pos, 0))
+                cache.k_scale, ks, (0, 0, cache_pos))
             v_codes = jax.lax.dynamic_update_slice(
-                cache.v_codes, vc, (0, cache_pos, 0, 0))
+                cache.v_codes, vc, (0, 0, cache_pos, 0))
             v_scale = jax.lax.dynamic_update_slice(
-                cache.v_scale, vs, (0, cache_pos, 0))
+                cache.v_scale, vs, (0, 0, cache_pos))
             new_cache = QuantKVCache(k_codes, k_scale, v_codes, v_scale)
             k = _kv_dequant(k_codes, k_scale, x.dtype)
             v = _kv_dequant(v_codes, v_scale, x.dtype)
         elif cache is not None:
+            if S == 1:
+                # fused decode kernel: in-place cache update + attention in
+                # one pallas call (per-op overhead dominates decode)
+                from ..kernels.decode_attention import decode_attention
+
+                out, k_all, v_all = decode_attention(
+                    q, k.astype(cache.k.dtype), v.astype(cache.v.dtype),
+                    cache.k, cache.v, cache_pos)
+                new_cache = KVCache(k_all, v_all)
+                out = out.astype(x.dtype).transpose(0, 2, 1, 3)
+                return self.o_proj(out.reshape(B, S, H * D)), new_cache
             k_all = jax.lax.dynamic_update_slice(
-                cache.k, k.astype(cache.k.dtype), (0, cache_pos, 0, 0))
+                cache.k, k.astype(cache.k.dtype), (0, 0, cache_pos, 0))
             v_all = jax.lax.dynamic_update_slice(
-                cache.v, v.astype(cache.v.dtype), (0, cache_pos, 0, 0))
+                cache.v, v.astype(cache.v.dtype), (0, 0, cache_pos, 0))
             new_cache = KVCache(k_all, v_all)
             k, v = k_all.astype(x.dtype), v_all.astype(x.dtype)
 
         rep = H // Hkv
         if rep > 1:
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
         # [B, H, S, D] x [B, H, T, D] -> [B, H, S, T]
-        scores = jnp.einsum("bshd,bthd->bhst", q, k,
+        scores = jnp.einsum("bhsd,bhtd->bhst", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(D).astype(jnp.float32)
         scores = jnp.where(mask, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhst,bthd->bshd", probs, v,
+        out = jnp.einsum("bhst,bhtd->bhsd", probs, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
-        out = out.reshape(B, S, H * D)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
         return self.o_proj(out), new_cache
 
 
@@ -213,8 +241,13 @@ class LlamaMLP(nnx.Module):
         self.gate_proj = lin(cfg.hidden_size, cfg.intermediate_size)
         self.up_proj = lin(cfg.hidden_size, cfg.intermediate_size)
         self.down_proj = lin(cfg.intermediate_size, cfg.hidden_size)
+        self.gate_up_proj = nnx.data(None)  # set by quantization.fuse.fuse_for_serving
 
     def __call__(self, x):
+        if self.gate_up_proj is not None:
+            gu = self.gate_up_proj(x)
+            g, u = jnp.split(gu, 2, axis=-1)
+            return self.down_proj(nnx.silu(g) * u)
         return self.down_proj(nnx.silu(self.gate_proj(x)) * self.up_proj(x))
 
 
@@ -256,7 +289,7 @@ class LlamaModel(nnx.Module):
             # causal mask [1, 1, S, S]
             mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
         else:
-            T = caches[0][0].shape[1]  # KVCache.k / QuantKVCache.k_codes
+            T = caches[0][0].shape[2]  # [B, H, T, D] head-major cache
             # positions of cached keys: valid if key_pos <= query_pos
             key_pos = jnp.arange(T)[None, None, None, :]
             mask = key_pos <= positions[:, None, :, None]

@@ -13,6 +13,7 @@ from .config import (
     MixedPrecisionConfig,
     KVCacheQuantConfig,
     QATConfig,
+    HybridGPTQConfig,
     get_woq_tuning_config,
 )
 from .quantize import (

@@ -397,6 +397,19 @@ class KVCacheQuantConfig(BaseConfig):
                 if t.endswith("Attention") or t.endswith("KVCache")}
 
 
+@register_config("hybrid_gptq", priority=7)
+class HybridGPTQConfig(GPTQConfig):
+    """W4A8 serving: GPTQ int4 weights + int8 activations on the MXU's
+    integer path (reference HybridGPTQConfig, config.py:1920-1944, and the
+    mixed_low_precision package)."""
+
+    def __init__(self, dtype="int4", bits=4, use_sym=True, group_size=128,
+                 act_dtype="int8", **kw):
+        super().__init__(dtype=dtype, bits=bits, use_sym=True,
+                         group_size=group_size, **kw)
+        self.act_dtype = act_dtype
+
+
 @register_config("qat", priority=6)
 class QATConfig(_WOQBase):
     """Quantization-aware training config (reference StaticQuantConfig/QAT,

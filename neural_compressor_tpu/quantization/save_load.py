@@ -66,7 +66,7 @@ def _module_meta(mod) -> dict:
     meta = {"type": t}
     for attr in ("in_features", "out_features", "bits", "group_size",
                  "wdtype", "layout", "impl", "dtype_name", "act_bits",
-                 "act_dtype", "blocksize", "weight_only"):
+                 "act_dtype", "blocksize", "weight_only", "act_dynamic"):
         if hasattr(mod, attr):
             v = getattr(mod, attr)
             if isinstance(v, (int, float, str, bool)):
@@ -137,7 +137,8 @@ def _rebuild(meta: dict, tensors: dict):
         return obj
     if t == "FP8Linear":
         obj = FP8Linear(zeros_k, tensors["act_scale"] * 0 + 1.0, bias=bias,
-                        dtype_name=meta["dtype_name"])
+                        dtype_name=meta["dtype_name"],
+                        act_dynamic=meta.get("act_dynamic", False))
         w = tensors["w_fp8"]
         if w.dtype == jnp.uint8:
             w = w.view(fp8_dtype(meta["dtype_name"]))
