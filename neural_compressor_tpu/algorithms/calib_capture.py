@@ -48,7 +48,7 @@ def find_target_blocks(model: nnx.Module) -> tuple[str, list[str]] | None:
     entries share a type and contain at least one Linear-like module, or
     None if the model has no block structure.
     """
-    best = None
+    candidates = []
     for path, mod in named_modules(model):
         if not isinstance(mod, nnx.List) or len(mod) < 2:
             continue
@@ -61,9 +61,19 @@ def find_target_blocks(model: nnx.Module) -> tuple[str, list[str]] | None:
         )
         if not has_linear:
             continue
-        if best is None or len(mod) > len(best[1]):
-            best = (path, [f"{path}.{i}" for i in range(len(mod))])
-    return best
+        candidates.append(path)
+    if not candidates:
+        return None
+    # the decoder-block list is the OUTERMOST one (an MoE expert list lives
+    # inside a block); prefer shallow paths, tie-break on length
+    def depth(p):
+        return p.count(".")
+
+    path = min(candidates, key=lambda p: (depth(p), p))
+    from ..layers.module_utils import get_module
+
+    mod = get_module(model, path)
+    return (path, [f"{path}.{i}" for i in range(len(mod))])
 
 
 class CalibCaptureState:

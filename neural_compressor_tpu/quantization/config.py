@@ -14,6 +14,8 @@ from typing import Sequence
 from ..common.config import BaseConfig, register_config, DEFAULT_WHITE_LIST
 
 LM_HEAD_NAMES = ("lm_head", "embed_out", "output_layer")
+# MoE router gates stay fp by default (tiny, accuracy-critical)
+ROUTER_SUFFIXES = (".gate",)
 
 # Op type names treated as Linear-like across the model zoo / user models.
 # ObservedLinear included so convert() after prepare() still maps the ops.
@@ -59,8 +61,10 @@ class _WOQBase(BaseConfig):
         return LINEAR_TYPES
 
     def to_config_mapping(self, model_info):
-        return _lm_head_filter(super().to_config_mapping(model_info),
-                               self.quant_lm_head)
+        mapping = _lm_head_filter(super().to_config_mapping(model_info),
+                                  self.quant_lm_head)
+        return {(n, t): c for (n, t), c in mapping.items()
+                if not n.endswith(ROUTER_SUFFIXES)}
 
     # normalized numeric view -------------------------------------------------
     @property

@@ -1,0 +1,67 @@
+"""Mixtral MoE model tests: routing correctness, quantization of experts
+(reference MoE parity: PatchedMixtralMoE, helper_modules.py:655-1103),
+router kept fp by default."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+import neural_compressor_tpu as nq
+from neural_compressor_tpu.layers import WOQLinear
+from neural_compressor_tpu.layers.module_utils import get_module
+from neural_compressor_tpu.models import MixtralForCausalLM
+
+
+@pytest.fixture(scope="module")
+def mixtral():
+    return MixtralForCausalLM.from_preset("mixtral-test")
+
+
+@pytest.fixture
+def ids():
+    return jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 12)))
+
+
+def test_forward(mixtral, ids):
+    y = mixtral(ids)
+    assert y.shape == (2, 12, 256)
+
+
+def test_topk_weights_sum_to_one(mixtral, ids):
+    moe = mixtral.layers[0].block_sparse_moe
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 4, 128)),
+                    dtype=jnp.bfloat16)
+    logits = moe.gate(x).astype(jnp.float32)
+    topv, _ = __import__("jax").lax.top_k(logits, moe.cfg.num_experts_per_tok)
+    w = __import__("jax").nn.softmax(topv, axis=-1)
+    np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_quantize_experts_router_kept_fp(ids):
+    m = MixtralForCausalLM.from_preset("mixtral-test")
+    y0 = m(ids).astype(jnp.float32)
+    qm = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+    assert isinstance(
+        get_module(qm, "layers.0.block_sparse_moe.experts.0.w1"), WOQLinear)
+    # router gate must stay a plain Linear
+    assert isinstance(
+        get_module(qm, "layers.0.block_sparse_moe.gate"), nnx.Linear)
+    y1 = qm(ids).astype(jnp.float32)
+    rel = float(jnp.linalg.norm(y0 - y1) / jnp.linalg.norm(y0))
+    assert rel < 0.4
+
+
+def test_gptq_on_mixtral(ids):
+    from neural_compressor_tpu.algorithms.calib_capture import (
+        calibration_forward,
+    )
+
+    rng = np.random.default_rng(2)
+    calib = [jnp.asarray(rng.integers(0, 256, (2, 16))) for _ in range(2)]
+    m = MixtralForCausalLM.from_preset("mixtral-test")
+    qm = nq.quantize(
+        m, nq.GPTQConfig(dtype="int4", group_size=32, block_size=64),
+        run_fn=lambda mm: calibration_forward(mm, calib))
+    assert isinstance(
+        get_module(qm, "layers.1.block_sparse_moe.experts.1.w2"), WOQLinear)
