@@ -34,7 +34,8 @@ def _on_tpu() -> bool:
 
 def _kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in, kc_ref, vc_ref,
             o_ref, *, T, D, rep, scale):
-    pos = pos_ref[0, 0]
+    b = pl.program_id(0)
+    pos = pos_ref[b, 0]  # per-slot position (continuous batching)
     # write the new row via a masked select — Mosaic cannot prove alignment
     # of a dynamic single-row store, but a full-tile select vectorizes
     row = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
@@ -59,6 +60,7 @@ def _kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in, kc_ref, vc_ref,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _decode_attn_impl(pos, q, k_new, v_new, k_cache, v_cache, interpret):
     B, Hkv, T, D = k_cache.shape
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
     rep = q.shape[1] // Hkv
     qr = q.reshape(B, Hkv, rep, D)
     scale = 1.0 / (D ** 0.5)
@@ -88,8 +90,7 @@ def _decode_attn_impl(pos, q, k_new, v_new, k_cache, v_cache, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(jnp.asarray(pos, jnp.int32).reshape(1, 1), qr, k_new, v_new,
-      k_cache, v_cache)
+    )(pos.reshape(B, 1), qr, k_new, v_new, k_cache, v_cache)
     return kc2, vc2, out.reshape(B, Hkv * rep, 1, D)
 
 
@@ -97,7 +98,9 @@ def decode_attention(q, k_new, v_new, k_cache, v_cache, pos):
     """Fused single-token attention with in-place cache update.
 
     q: [B, H, 1, D]; k_new/v_new: [B, Hkv, 1, D] (rope already applied);
-    caches: [B, Hkv, T, D]. Returns (out [B, H, 1, D], k_cache, v_cache).
+    caches: [B, Hkv, T, D]. ``pos`` is a scalar or a per-batch [B] array
+    (per-slot positions for continuous batching).
+    Returns (out [B, H, 1, D], k_cache, v_cache).
     """
     B, H, S, D = q.shape
     assert S == 1, "decode kernel is single-token"

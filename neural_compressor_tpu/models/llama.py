@@ -101,6 +101,20 @@ def _kv_dequant(codes: jax.Array, scale: jax.Array, dtype) -> jax.Array:
     return (codes.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
+def _update_rows(cache_arr, new, cache_pos):
+    """Write ``new`` [B, H, S, ...] into ``cache_arr`` [B, H, T, ...] at the
+    token axis. ``cache_pos`` scalar, or per-batch [B] (continuous
+    batching — vmapped per-row update)."""
+    new = new.astype(cache_arr.dtype)
+    if getattr(cache_pos, "ndim", 0) == 0 or isinstance(cache_pos, int):
+        start = (0, 0, cache_pos) + (0,) * (cache_arr.ndim - 3)
+        return jax.lax.dynamic_update_slice(cache_arr, new, start)
+    def row(c, n, p):
+        start = (0, p) + (0,) * (c.ndim - 2)
+        return jax.lax.dynamic_update_slice(c, n, start)
+    return jax.vmap(row)(cache_arr, new, cache_pos)
+
+
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
                   dtype=None, quantized: bool = False):
     dtype = dtype or cfg.dtype
@@ -188,14 +202,10 @@ class LlamaAttention(nnx.Module):
         if isinstance(cache, QuantKVCache):
             kc, ks = _kv_quant(k)
             vc, vs = _kv_quant(v)
-            k_codes = jax.lax.dynamic_update_slice(
-                cache.k_codes, kc, (0, 0, cache_pos, 0))
-            k_scale = jax.lax.dynamic_update_slice(
-                cache.k_scale, ks, (0, 0, cache_pos))
-            v_codes = jax.lax.dynamic_update_slice(
-                cache.v_codes, vc, (0, 0, cache_pos, 0))
-            v_scale = jax.lax.dynamic_update_slice(
-                cache.v_scale, vs, (0, 0, cache_pos))
+            k_codes = _update_rows(cache.k_codes, kc, cache_pos)
+            k_scale = _update_rows(cache.k_scale, ks, cache_pos)
+            v_codes = _update_rows(cache.v_codes, vc, cache_pos)
+            v_scale = _update_rows(cache.v_scale, vs, cache_pos)
             new_cache = QuantKVCache(k_codes, k_scale, v_codes, v_scale)
             k = _kv_dequant(k_codes, k_scale, x.dtype)
             v = _kv_dequant(v_codes, v_scale, x.dtype)
@@ -211,10 +221,8 @@ class LlamaAttention(nnx.Module):
                 new_cache = KVCache(k_all, v_all)
                 out = out.astype(x.dtype).transpose(0, 2, 1, 3)
                 return self.o_proj(out.reshape(B, S, H * D)), new_cache
-            k_all = jax.lax.dynamic_update_slice(
-                cache.k, k.astype(cache.k.dtype), (0, 0, cache_pos, 0))
-            v_all = jax.lax.dynamic_update_slice(
-                cache.v, v.astype(cache.v.dtype), (0, 0, cache_pos, 0))
+            k_all = _update_rows(cache.k, k, cache_pos)
+            v_all = _update_rows(cache.v, v, cache_pos)
             new_cache = KVCache(k_all, v_all)
             k, v = k_all.astype(x.dtype), v_all.astype(x.dtype)
 

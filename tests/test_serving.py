@@ -1,0 +1,52 @@
+"""Continuous-batching engine tests: per-slot decode must match the
+single-sequence greedy reference token-for-token, with interleaved
+arrivals and different prompt lengths."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import neural_compressor_tpu as nq
+from neural_compressor_tpu.generation import greedy_search
+from neural_compressor_tpu.models import LlamaForCausalLM
+from neural_compressor_tpu.serving import ContinuousBatchingEngine
+
+
+@pytest.fixture(scope="module")
+def qmodel():
+    m = LlamaForCausalLM.from_preset("llama-test")
+    return nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+
+
+def test_matches_greedy_per_request(qmodel):
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, 256, (n,)) for n in (5, 9, 7)]
+    eng = ContinuousBatchingEngine(qmodel, n_slots=2, max_len=64)
+    reqs = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    done = eng.run()
+    assert len(done) == 3
+    for p, r in zip(prompts, reqs):
+        ref = np.asarray(
+            greedy_search(qmodel, jnp.asarray(p)[None, :], max_new_tokens=6))
+        assert r.generated == ref[0, len(p):].tolist()
+
+
+def test_more_requests_than_slots(qmodel):
+    rng = np.random.default_rng(1)
+    eng = ContinuousBatchingEngine(qmodel, n_slots=2, max_len=64)
+    reqs = [eng.submit(rng.integers(0, 256, (4 + i,)), max_new_tokens=3)
+            for i in range(5)]
+    done = eng.run()
+    assert len(done) == 5
+    assert all(len(r.generated) == 3 for r in reqs)
+
+
+def test_quantized_kv_cache_engine():
+    rng = np.random.default_rng(2)
+    m = LlamaForCausalLM.from_preset("llama-test")
+    qm = nq.quantize(
+        m, nq.RTNConfig(dtype="int4", group_size=32) + nq.KVCacheQuantConfig())
+    eng = ContinuousBatchingEngine(qm, n_slots=2, max_len=64)
+    eng.submit(rng.integers(0, 256, (6,)), max_new_tokens=4)
+    done = eng.run()
+    assert len(done) == 1 and len(done[0].generated) == 4
