@@ -20,6 +20,7 @@ from flax import nnx
 from ..common import logger
 from .llama import LlamaConfig, LlamaForCausalLM
 from .gpt2 import GPT2Config, GPT2LMHeadModel
+from .mixtral import MixtralConfig, MixtralForCausalLM
 
 
 def _iter_checkpoint_tensors(model_dir: str):
@@ -118,6 +119,69 @@ def _assign_llama_param(model, name: str, arr: np.ndarray, dtype) -> int:
     return 0
 
 
+def mixtral_config_from_hf(model_dir: str, dtype=jnp.bfloat16) -> MixtralConfig:
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    return MixtralConfig(
+        vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        num_key_value_heads=hf.get("num_key_value_heads",
+                                   hf["num_attention_heads"]),
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        rope_theta=hf.get("rope_theta", 1e6),
+        num_local_experts=hf.get("num_local_experts", 8),
+        num_experts_per_tok=hf.get("num_experts_per_tok", 2),
+        dtype=dtype)
+
+
+def load_hf_mixtral(model_dir: str, dtype=jnp.bfloat16) -> MixtralForCausalLM:
+    """Build a MixtralForCausalLM from a local HF checkpoint."""
+    cfg = mixtral_config_from_hf(model_dir, dtype=dtype)
+    model = MixtralForCausalLM(cfg, nnx.Rngs(0))
+    n = 0
+    for name, arr in _iter_checkpoint_tensors(model_dir):
+        t = _to_jnp(arr, dtype)
+        name = name.removeprefix("model.")
+        if name == "embed_tokens.weight":
+            model.embed_tokens.embedding[...] = t
+        elif name == "norm.weight":
+            model.norm.weight[...] = t.astype(jnp.float32)
+        elif name == "lm_head.weight":
+            model.lm_head.kernel[...] = t.T
+        elif name.startswith("layers."):
+            parts = name.split(".")
+            li = int(parts[1])
+            layer = model.layers[li]
+            rest = ".".join(parts[2:])
+            attn = {
+                "self_attn.q_proj.weight": layer.self_attn.q_proj,
+                "self_attn.k_proj.weight": layer.self_attn.k_proj,
+                "self_attn.v_proj.weight": layer.self_attn.v_proj,
+                "self_attn.o_proj.weight": layer.self_attn.o_proj,
+                "block_sparse_moe.gate.weight": layer.block_sparse_moe.gate,
+            }
+            if rest in attn:
+                attn[rest].kernel[...] = t.T
+            elif rest == "input_layernorm.weight":
+                layer.input_layernorm.weight[...] = t.astype(jnp.float32)
+            elif rest == "post_attention_layernorm.weight":
+                layer.post_attention_layernorm.weight[...] = t.astype(jnp.float32)
+            elif rest.startswith("block_sparse_moe.experts."):
+                ep = rest.split(".")
+                expert = layer.block_sparse_moe.experts[int(ep[2])]
+                getattr(expert, ep[3]).kernel[...] = t.T
+            else:
+                n -= 1
+        else:
+            n -= 1
+        n += 1
+    logger.info("Loaded %d HF tensors from %s", n, model_dir)
+    return model
+
+
 def gpt2_config_from_hf(model_dir: str, dtype=jnp.bfloat16) -> GPT2Config:
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
@@ -186,6 +250,8 @@ def detect_architecture(model_dir: str) -> str:
         hf = json.load(f)
     archs = hf.get("architectures") or []
     mt = hf.get("model_type", "")
+    if any("Mixtral" in a for a in archs) or mt == "mixtral":
+        return "mixtral"
     if any("Llama" in a or "Mistral" in a for a in archs) or mt in (
             "llama", "mistral"):
         return "llama"
@@ -198,4 +264,6 @@ def load_hf_model(model_dir: str, dtype=jnp.bfloat16):
     arch = detect_architecture(model_dir)
     if arch == "llama":
         return load_hf_llama(model_dir, dtype=dtype)
+    if arch == "mixtral":
+        return load_hf_mixtral(model_dir, dtype=dtype)
     return load_hf_gpt2(model_dir, dtype=dtype)

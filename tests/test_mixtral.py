@@ -65,3 +65,27 @@ def test_gptq_on_mixtral(ids):
         run_fn=lambda mm: calibration_forward(mm, calib))
     assert isinstance(
         get_module(qm, "layers.1.block_sparse_moe.experts.1.w2"), WOQLinear)
+
+
+def test_hf_mixtral_import_exact(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers import (
+        MixtralConfig as HFCfg,
+        MixtralForCausalLM as HFMix,
+    )
+
+    from neural_compressor_tpu.models.hf_import import load_hf_mixtral
+
+    cfg = HFCfg(vocab_size=256, hidden_size=64, intermediate_size=128,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, num_local_experts=4,
+                num_experts_per_tok=2, max_position_embeddings=128)
+    hm = HFMix(cfg).eval().float()
+    d = str(tmp_path / "hf_mixtral")
+    hm.save_pretrained(d, safe_serialization=True)
+    ids = np.random.default_rng(0).integers(0, 256, (2, 10))
+    with torch.no_grad():
+        y_t = hm(torch.tensor(ids)).logits.numpy()
+    jm = load_hf_mixtral(d, dtype=jnp.float32)
+    y_j = np.asarray(jm(jnp.asarray(ids)), dtype=np.float32)
+    np.testing.assert_allclose(y_t, y_j, atol=1e-4)
