@@ -1,6 +1,8 @@
 """GPT-2 family causal LM (NNX) — second model family for coverage
 (reference recipe families: gpt-j/opt/gpt2, docs/source/llm_recipes.md).
-LayerNorm + learned positions + fused-qkv attention + GELU MLP."""
+LayerNorm + learned positions + fused-qkv attention + GELU MLP. Supports
+the same static-shape KV-cache decode protocol as the llama zoo
+(``model(ids, positions=..., caches=..., cache_pos=...)``)."""
 
 from __future__ import annotations
 
@@ -9,6 +11,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 from flax import nnx
+
+from .llama import KVCache, _update_rows
 
 
 @dataclasses.dataclass
@@ -21,6 +25,19 @@ class GPT2Config:
     layer_norm_epsilon: float = 1e-5
     dtype: object = jnp.bfloat16
 
+    # llama-protocol compat (generation / serving helpers)
+    @property
+    def num_hidden_layers(self):
+        return self.n_layer
+
+    @property
+    def num_key_value_heads(self):
+        return self.n_head
+
+    @property
+    def head_dim(self):
+        return self.n_embd // self.n_head
+
 
 class GPT2Attention(nnx.Module):
     def __init__(self, cfg: GPT2Config, rngs: nnx.Rngs):
@@ -30,23 +47,34 @@ class GPT2Attention(nnx.Module):
         self.c_proj = nnx.Linear(cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
                                  param_dtype=cfg.dtype, rngs=rngs)
 
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, cache: KVCache | None = None,
+                 cache_pos=None):
         cfg = self.cfg
         B, S, E = x.shape
         H = cfg.n_head
         D = E // H
         qkv = self.c_attn(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, S, H, D)
-        k = k.reshape(B, S, H, D)
-        v = v.reshape(B, S, H, D)
-        scores = jnp.einsum("bshd,bthd->bhst", q, k,
+        # head-major [B, H, S, D]
+        q = q.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+
+        new_cache = None
+        if cache is not None:
+            k_all = _update_rows(cache.k, k, cache_pos)
+            v_all = _update_rows(cache.v, v, cache_pos)
+            new_cache = KVCache(k_all, v_all)
+            k, v = k_all.astype(x.dtype), v_all.astype(x.dtype)
+
+        scores = jnp.einsum("bhsd,bhtd->bhst", q, k,
                             preferred_element_type=jnp.float32) / jnp.sqrt(D)
         scores = jnp.where(mask, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhst,bthd->bshd", probs, v,
+        out = jnp.einsum("bhst,bhtd->bhsd", probs, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
-        return self.c_proj(out.reshape(B, S, E))
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, E)
+        return self.c_proj(out), new_cache
 
 
 class GPT2MLP(nnx.Module):
@@ -71,10 +99,11 @@ class GPT2Block(nnx.Module):
                                   rngs=rngs)
         self.mlp = GPT2MLP(cfg, rngs)
 
-    def __call__(self, x, mask):
-        x = x + self.attn(self.ln_1(x), mask)
+    def __call__(self, x, mask, cache=None, cache_pos=None):
+        h, new_cache = self.attn(self.ln_1(x), mask, cache, cache_pos)
+        x = x + h
         x = x + self.mlp(self.ln_2(x))
-        return x
+        return x, new_cache
 
 
 class GPT2LMHeadModel(nnx.Module):
@@ -89,12 +118,26 @@ class GPT2LMHeadModel(nnx.Module):
                                   dtype=cfg.dtype, param_dtype=jnp.float32,
                                   rngs=rngs)
 
-    def __call__(self, input_ids):
+    def __call__(self, input_ids, positions=None, caches=None,
+                 cache_pos=None):
         B, S = input_ids.shape
-        pos = jnp.arange(S)[None, :]
-        x = self.wte(input_ids) + self.wpe(pos)
-        mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
-        for block in self.h:
-            x = block(x, mask)
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
+        x = self.wte(input_ids) + self.wpe(positions)
+        if caches is None:
+            mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
+        else:
+            T = caches[0][0].shape[2]
+            key_pos = jnp.arange(T)[None, None, None, :]
+            mask = key_pos <= positions[:, None, :, None]
+        new_caches = [] if caches is not None else None
+        for i, block in enumerate(self.h):
+            cache = caches[i] if caches is not None else None
+            x, nc = block(x, mask, cache, cache_pos)
+            if new_caches is not None:
+                new_caches.append(nc)
         x = self.ln_f(x)
-        return self.wte.attend(x)  # tied lm head
+        logits = self.wte.attend(x)  # tied lm head
+        if caches is None:
+            return logits
+        return logits, new_caches

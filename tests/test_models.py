@@ -98,3 +98,35 @@ class TestSharding:
     def test_mesh_helper(self):
         mesh = make_mesh((2, 4))
         assert mesh.shape == {"data": 2, "model": 4}
+
+
+class TestGPT2Cache:
+    def test_cache_matches_prefill(self):
+        from neural_compressor_tpu.models.llama import init_kv_cache
+
+        g = GPT2LMHeadModel(
+            GPT2Config(vocab_size=128, n_embd=64, n_layer=2, n_head=4,
+                       n_positions=64), nnx.Rngs(0))
+        ids = jnp.asarray(np.random.default_rng(3).integers(0, 128, (2, 8)))
+        caches = init_kv_cache(g.cfg, 2, 32)
+        _, caches = g(ids, caches=caches, cache_pos=0)
+        pos = jnp.full((2, 1), 8)
+        lg2, _ = g(ids[:, :1], positions=pos, caches=caches, cache_pos=8)
+        full = g(jnp.concatenate([ids, ids[:, :1]], axis=1))
+        np.testing.assert_allclose(
+            np.asarray(full[:, -1], dtype=np.float32),
+            np.asarray(lg2[:, 0], dtype=np.float32), atol=1e-2)
+
+    def test_greedy_matches_stepwise_f32(self):
+        from neural_compressor_tpu.generation import greedy_search
+
+        g = GPT2LMHeadModel(
+            GPT2Config(vocab_size=128, n_embd=64, n_layer=2, n_head=4,
+                       n_positions=64, dtype=jnp.float32), nnx.Rngs(0))
+        ids = jnp.asarray(np.random.default_rng(4).integers(0, 128, (2, 8)))
+        out = greedy_search(g, ids, max_new_tokens=4)
+        cur = ids
+        for _ in range(4):
+            nxt = jnp.argmax(g(cur)[:, -1], axis=-1)[:, None].astype(cur.dtype)
+            cur = jnp.concatenate([cur, nxt], axis=1)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(cur))
