@@ -31,16 +31,34 @@ def set_linear_kernel(mod, new_kernel) -> None:
         mod.kernel = new_kernel
 
 
+def _mod_dtype(mod) -> str:
+    t = module_type_name(mod)
+    if hasattr(mod, "wdtype") and hasattr(mod, "bits"):
+        d = mod.wdtype
+        return f"int{mod.bits}" if d == "int" else d
+    if t == "FP8Linear":
+        return mod.dtype_name
+    if t in ("DynamicQuantLinear", "StaticQuantLinear"):
+        return "int8 (W8A8)"
+    if t == "MXLinear":
+        return getattr(mod, "act_dtype", "mx")
+    if t == "HalfPrecisionLinear":
+        import jax.numpy as jnp
+
+        return jnp.dtype(mod.dtype).name
+    return "fp"
+
+
 def dump_op_stats(model) -> None:
     """Op-type/dtype summary table after quantization — parity with the
     reference's ``dump_model_op_stats`` (torch/utils/utility.py:204-257)."""
-    counts: dict[str, int] = {}
+    counts: dict[tuple[str, str], int] = {}
     for name, mod in named_modules(model):
         if not name:
             continue
-        t = module_type_name(mod)
-        counts[t] = counts.get(t, 0) + 1
-    rows = sorted(counts.items())
+        key = (module_type_name(mod), _mod_dtype(mod))
+        counts[key] = counts.get(key, 0) + 1
+    rows = [(t, d, n) for (t, d), n in sorted(counts.items())]
     if rows:
         Statistics(rows, header="Mixed Precision Statistics",
-                   field_names=["Op Type", "Count"]).print_stat()
+                   field_names=["Op Type", "DType", "Count"]).print_stat()

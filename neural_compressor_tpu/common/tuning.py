@@ -163,6 +163,47 @@ class TuningMonitor:
         self.tuning_config = tuning_config
         self.trial_records: list[_TrialRecord] = []
         self.baseline: float | None = None
+        self._history_path: str | None = None
+        self._resumed: dict[str, float] = {}
+
+    # ------------------------------------------------ workspace persistence
+    def attach_workspace(self, workspace: str, resume: bool = False) -> None:
+        """Persist per-trial history to ``workspace/tuning_history.json``;
+        with ``resume`` pre-load previous results so already-evaluated
+        configs are skipped (reference options.resume_from semantics,
+        common/base_config.py:916-972)."""
+        import json as _json
+        import os as _os
+
+        _os.makedirs(workspace, exist_ok=True)
+        self._history_path = _os.path.join(workspace, "tuning_history.json")
+        if resume and _os.path.exists(self._history_path):
+            with open(self._history_path) as f:
+                data = _json.load(f)
+            self.baseline = data.get("baseline")
+            self._resumed = {e["config"]: e["result"]
+                             for e in data.get("trials", [])}
+            logger.info("Resumed %d prior trial results from %s",
+                        len(self._resumed), self._history_path)
+
+    def lookup_resumed(self, quant_config) -> float | None:
+        return self._resumed.get(quant_config.to_json_string())
+
+    def _persist(self) -> None:
+        if self._history_path is None:
+            return
+        import json as _json
+
+        data = {
+            "baseline": self.baseline,
+            "trials": [
+                {"trial": r.trial_index, "result": r.trial_result,
+                 "config": r.quant_config.to_json_string()}
+                for r in self.trial_records
+            ],
+        }
+        with open(self._history_path, "w") as f:
+            _json.dump(data, f, indent=2)
 
     def set_baseline(self, baseline: float) -> None:
         self.baseline = baseline
@@ -171,6 +212,7 @@ class TuningMonitor:
     def add_trial_result(self, trial_index: int, trial_result: float,
                          quant_config: BaseConfig) -> None:
         self.trial_records.append(_TrialRecord(trial_index, trial_result, quant_config))
+        self._persist()
         self.print_config_diff(quant_config)
         rows = [[r.trial_index, f"{r.trial_result:.6f}"] for r in self.trial_records]
         Statistics(rows, header="Tuning trials",

@@ -210,3 +210,29 @@ class Timer:
     def __exit__(self, *exc):
         self.elapsed = time.perf_counter() - self._start
         return False
+
+
+class profile_trace:
+    """Context manager around ``jax.profiler`` traces (the reference only
+    has wall-time stage logs; SURVEY §5 asks for real traces).
+
+    >>> with profile_trace("/tmp/trace"):
+    ...     run_model()
+    View with tensorboard or parse plugins/profile/*/\*.trace.json.gz.
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s", self.log_dir)
+        return False

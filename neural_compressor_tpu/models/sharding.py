@@ -97,3 +97,29 @@ def shard_model(model: nnx.Module, mesh: Mesh) -> nnx.Module:
         new_flat.append((path, var))
     nnx.update(model, nnx.State.from_flat_path(new_flat))
     return model
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (replaces the reference's torch.distributed rank/world/barrier
+# plumbing — environ.py:27-32, fp8_quant/save_load.py:324-410)
+# ---------------------------------------------------------------------------
+
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> tuple[int, int]:
+    """Initialize JAX multi-host (ICI within a slice, DCN across). Returns
+    (process_index, process_count). No-op on a single host."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_index(), jax.process_count()
+
+
+def barrier(name: str = "nq_barrier") -> None:
+    """Global host barrier (the reference's dist.barrier counterpart)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)

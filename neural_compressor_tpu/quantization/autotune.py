@@ -42,20 +42,40 @@ def get_all_config_set():
 
 def autotune(model, tune_config: TuningConfig, eval_fn: Callable,
              run_fn: Callable | None = None, run_args=None,
-             example_inputs=None):
+             example_inputs=None, workspace: str | None = None,
+             resume: bool = False):
     """Search the expanded config set for the best quantized model.
 
     ``eval_fn(model) -> float`` (higher is better). Returns the best
     quantized model, or None if no trial met the goal and no trials ran.
+    ``workspace`` persists per-trial history; ``resume=True`` skips
+    configs already evaluated in a previous session.
     """
+    from ..common.utility import options
+
     best_model = None
     config_loader, tuning_logger, tuning_monitor = init_tuning(tune_config)
-    baseline = eval_fn(_clone_model(model))
-    tuning_monitor.set_baseline(baseline)
+    tuning_monitor.attach_workspace(workspace or options.workspace,
+                                    resume=resume)
+    if tuning_monitor.baseline is None:
+        tuning_monitor.set_baseline(eval_fn(_clone_model(model)))
     tuning_logger.tuning_start()
 
     for trial_index, quant_config in enumerate(config_loader, 1):
         tuning_logger.trial_start(trial_index=trial_index)
+        prior = tuning_monitor.lookup_resumed(quant_config)
+        if prior is not None:
+            logger.info("Trial %d: resumed result %.6f (skipping re-run)",
+                        trial_index, prior)
+            tuning_monitor.add_trial_result(trial_index, prior, quant_config)
+            if tuning_monitor.need_stop():
+                best_record = tuning_monitor.get_best_trial_record()
+                best_model = quantize(_clone_model(model),
+                                      best_record.quant_config,
+                                      run_fn=run_fn, run_args=run_args,
+                                      example_inputs=example_inputs)
+                break
+            continue
         tuning_logger.execution_start()
         logger.info("quant config: %r", quant_config)
         q_model = quantize(_clone_model(model), quant_config, run_fn=run_fn,

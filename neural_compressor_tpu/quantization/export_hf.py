@@ -1,0 +1,91 @@
+"""HF compressed-tensors export.
+
+Parity target: reference ``export_hf2compressored_model``
+(torch/export/export_hf.py:89) — emit a checkpoint in the HF
+``compressed-tensors`` scheme (the format vLLM and HF transformers consume
+for int4/int8 "pack-quantized" weights): per-module ``weight_packed`` int32
+(values packed along the input dim, torch [out, in] orientation),
+``weight_scale``, optional ``weight_zero_point``, ``weight_shape``, plus a
+``quantization_config`` block for config.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from ..common import logger
+from ..layers.module_utils import named_modules
+from ..layers.woq_linear import WOQLinear
+from ..ops.packing import unpack_to_codes
+
+
+def _pack_rows(codes_unsigned: np.ndarray, bits: int) -> np.ndarray:
+    """[N, K] unsigned codes -> int32 [N, K*bits/32] packed along K."""
+    P = 32 // bits
+    N, K = codes_unsigned.shape
+    mask = (1 << bits) - 1
+    out = np.zeros((N, K // P), dtype=np.int64)
+    for s in range(P):
+        out |= (codes_unsigned[:, s::P].astype(np.int64) & mask) << (bits * s)
+    return out.astype(np.int32)
+
+
+def export_compressed_tensors(model, output_dir: str,
+                              ignore: tuple = ("lm_head",)) -> None:
+    """Write the quantized Linears of ``model`` as a compressed-tensors
+    checkpoint fragment (model.safetensors + quantization_config.json)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(output_dir, exist_ok=True)
+    tensors: dict = {}
+    modules = []
+    bits = group_size = None
+    sym = True
+    for path, mod in named_modules(model):
+        if not isinstance(mod, WOQLinear) or mod.wdtype != "int":
+            continue
+        bits, group_size = mod.bits, mod.group_size
+        sym = mod.zeros is None
+        codes = np.asarray(jax.device_get(unpack_to_codes(mod.packed_weight())))
+        half = 1 << (bits - 1)
+        unsigned = (codes.astype(np.int32) + half).astype(np.uint8)
+        # torch orientation [out, in]
+        tensors[f"{path}.weight_packed"] = _pack_rows(unsigned.T, bits)
+        tensors[f"{path}.weight_scale"] = np.asarray(
+            jax.device_get(mod.scales[...])).T.astype(np.float16)
+        if not sym:
+            zp = np.asarray(jax.device_get(mod.zeros[...])).T + half
+            tensors[f"{path}.weight_zero_point"] = zp.astype(np.int8)
+        tensors[f"{path}.weight_shape"] = np.asarray(
+            [mod.out_features, mod.in_features], dtype=np.int64)
+        if mod.bias is not None:
+            tensors[f"{path}.bias"] = np.asarray(
+                jax.device_get(mod.bias[...])).astype(np.float16)
+        modules.append(path)
+    save_file(tensors, os.path.join(output_dir, "model.safetensors"))
+
+    qcfg = {
+        "quant_method": "compressed-tensors",
+        "format": "pack-quantized",
+        "config_groups": {
+            "group_0": {
+                "targets": ["Linear"],
+                "weights": {
+                    "num_bits": bits,
+                    "type": "int",
+                    "symmetric": sym,
+                    "strategy": "group",
+                    "group_size": group_size,
+                },
+            }
+        },
+        "ignore": list(ignore),
+    }
+    with open(os.path.join(output_dir, "quantization_config.json"), "w") as f:
+        json.dump(qcfg, f, indent=2)
+    logger.info("Exported %d modules as compressed-tensors to %s",
+                len(modules), output_dir)
