@@ -1,0 +1,39 @@
+"""TP-sharded quantized serving over a device mesh.
+
+On a real multi-chip slice the same code shards over ICI; here it runs on
+whatever jax.devices() provides (use XLA_FLAGS=--xla_force_host_platform_device_count=8
+JAX_PLATFORMS=cpu for a virtual 8-device mesh).
+"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import neural_compressor_tpu as nq
+from neural_compressor_tpu.models import (
+    LlamaForCausalLM,
+    make_mesh,
+    shard_model,
+)
+
+
+def main():
+    n = len(jax.devices())
+    mesh = make_mesh((1, n))
+    model = LlamaForCausalLM.from_preset("llama-test")
+    qmodel = nq.quantize(model, nq.RTNConfig(dtype="int4", group_size=32))
+    qmodel = shard_model(qmodel, mesh)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 16)))
+    with mesh:
+        logits = qmodel(ids)
+    print("TP forward over", n, "devices:", logits.shape)
+
+
+if __name__ == "__main__":
+    main()
