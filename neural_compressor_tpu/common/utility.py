@@ -218,7 +218,7 @@ class profile_trace:
 
     >>> with profile_trace("/tmp/trace"):
     ...     run_model()
-    View with tensorboard or parse plugins/profile/*/\*.trace.json.gz.
+    View with tensorboard or parse the trace.json.gz files under plugins/profile/.
     """
 
     def __init__(self, log_dir: str):
