@@ -101,25 +101,27 @@ def main():
 
     int4_tok_s = measure_decode(qmodel, args.batch, args.max_len, args.steps,
                                 label="int4")
-    del qmodel
+    del qmodel, model  # quantize() mutates in place — drop both refs
 
     # Baseline is best-effort: the tunnel compile of the bf16 7B program is
-    # slow/flaky; fall back to the last recorded measurement on this chip.
+    # slow/flaky (and an 8B bf16 model barely fits one chip); fall back to
+    # the last recorded measurement on this chip.
     _RECORDED_BF16 = {"llama2-7b": 53.7}
     try:
         model_bf16 = LlamaForCausalLM.from_preset(preset, **overrides)
         bf16_tok_s = measure_decode(model_bf16, args.batch, args.max_len,
                                     args.steps, label="bf16")
     except Exception as e:  # pragma: no cover
-        bf16_tok_s = _RECORDED_BF16.get(preset, float("nan"))
-        print(f"  bf16 baseline failed ({e}); using recorded "
+        bf16_tok_s = _RECORDED_BF16.get(preset)
+        print(f"  bf16 baseline failed ({type(e).__name__}); using recorded "
               f"{bf16_tok_s}", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"{preset}_int4_decode_b{args.batch}",
         "value": round(int4_tok_s, 2),
         "unit": "tokens/s",
-        "vs_baseline": round(int4_tok_s / bf16_tok_s, 3),
+        "vs_baseline": (round(int4_tok_s / bf16_tok_s, 3)
+                        if bf16_tok_s else None),
     }))
 
 

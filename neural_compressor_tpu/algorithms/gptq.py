@@ -307,22 +307,38 @@ def _convert(model, block_paths, captured, configs_mapping):
             targets.append((sub_path, full, sub))
 
         if targets:
-            # 1) attach Hessian observers, replay batches
-            for sub_path, _full, sub in targets:
-                k, _b = extract_linear(sub)
-                replace_module(block, sub_path,
-                               HessianObserver(sub, k.shape[0]))
-            for args, kwargs in inputs:
-                block(*args, **kwargs)
-            # 2) quantize each target, swap in WOQLinear
-            for sub_path, full, sub in targets:
-                obs = get_module(block, sub_path)
-                H = obs.hessian()
-                kernel, bias = extract_linear(sub)
-                cfg = cfg_by_name[full]
-                new = gptq_layer_to_woq(kernel, H, cfg, bias=bias)
-                replace_module(block, sub_path, new)
-                n_done += 1
+            # true_sequential (reference gptq.py:527-566): quantize the
+            # block's sub-groups in forward order, refreshing Hessians
+            # through the already-quantized earlier groups. Otherwise one
+            # pass over all targets from the same block inputs.
+            if any(cfg_by_name[f].true_sequential for _s, f, _m in targets):
+                seen = []
+                groups: list[list] = []
+                for t in targets:
+                    prefix = t[0].split(".")[0]
+                    if prefix not in seen:
+                        seen.append(prefix)
+                        groups.append([])
+                    groups[seen.index(prefix)].append(t)
+            else:
+                groups = [targets]
+            for group in groups:
+                # 1) attach Hessian observers, replay batches
+                for sub_path, _full, sub in group:
+                    k, _b = extract_linear(sub)
+                    replace_module(block, sub_path,
+                                   HessianObserver(sub, k.shape[0]))
+                for args, kwargs in inputs:
+                    block(*args, **kwargs)
+                # 2) quantize each target, swap in WOQLinear
+                for sub_path, full, sub in group:
+                    obs = get_module(block, sub_path)
+                    H = obs.hessian()
+                    kernel, bias = extract_linear(sub)
+                    cfg = cfg_by_name[full]
+                    new = gptq_layer_to_woq(kernel, H, cfg, bias=bias)
+                    replace_module(block, sub_path, new)
+                    n_done += 1
         # 3) replay through the (now quantized) block to build next inputs
         if bi + 1 < len(block_paths):
             inputs = [

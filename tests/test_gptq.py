@@ -84,3 +84,20 @@ def test_gptq_prepare_convert_flow():
     converted = nq.convert(prepared)
     assert isinstance(
         get_module(converted, "model.layers.1.mlp.down_proj"), WOQLinear)
+
+
+def test_gptq_true_sequential():
+    rng = np.random.default_rng(5)
+    m = LlamaForCausalLM.from_preset("llama-test")
+    ids = jnp.asarray(rng.integers(0, 256, (2, 16)))
+    y0 = m(ids).astype(jnp.float32)
+    calib = [jnp.asarray(rng.integers(0, 256, (4, 32))) for _ in range(4)]
+    qm = nq.quantize(
+        m, nq.GPTQConfig(dtype="int4", group_size=32, block_size=64,
+                         true_sequential=True),
+        run_fn=lambda mm: calibration_forward(mm, calib))
+    assert isinstance(
+        get_module(qm, "model.layers.1.mlp.down_proj"), WOQLinear)
+    y1 = qm(ids).astype(jnp.float32)
+    rel = float(jnp.linalg.norm(y0 - y1) / jnp.linalg.norm(y0))
+    assert rel < 0.5
