@@ -76,7 +76,7 @@ def state_shardings(model: nnx.Module, mesh: Mesh):
     flat = nnx.state(model).flat_state()
     out = []
     for path, var in flat:
-        spec = _spec_for(path, var.value)
+        spec = _spec_for(path, var[...])
         out.append((path, NamedSharding(mesh, spec)))
     return out
 
@@ -87,13 +87,13 @@ def shard_model(model: nnx.Module, mesh: Mesh) -> nnx.Module:
     flat = nnx.state(model).flat_state()
     new_flat = []
     for path, var in flat:
-        spec = _spec_for(path, var.value)
+        spec = _spec_for(path, var[...])
         try:
-            arr = jax.device_put(var.value, NamedSharding(mesh, spec))
+            arr = jax.device_put(var[...], NamedSharding(mesh, spec))
         except ValueError:
             # dim not divisible by mesh axis: replicate rather than fail
-            arr = jax.device_put(var.value, NamedSharding(mesh, P()))
-        var.value = arr
+            arr = jax.device_put(var[...], NamedSharding(mesh, P()))
+        var[...] = arr
         new_flat.append((path, var))
     nnx.update(model, nnx.State.from_flat_path(new_flat))
     return model

@@ -49,7 +49,7 @@ def load_sharded(path: str, model, mesh=None):
     if mesh is not None:
         flat = state.flat_state()
         sharding_by_path = {
-            tuple(str(p) for p in pth): NamedSharding(mesh, _spec_for(pth, v.value))
+            tuple(str(p) for p in pth): NamedSharding(mesh, _spec_for(pth, v[...]))
             for pth, v in flat
         }
 

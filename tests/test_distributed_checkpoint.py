@@ -43,7 +43,7 @@ def test_save_and_cross_mesh_restore(tmp_path, eight_device_mesh):
 
     flat = nnx.state(m2).flat_state()
     packed = [v for p, v in flat if str(p[-1]) == "packed"]
-    assert packed and any("model" in str(v.value.sharding.spec)
+    assert packed and any("model" in str(v[...].sharding.spec)
                           for v in packed)
 
 

@@ -89,7 +89,7 @@ class TestSharding:
         # packed weights of column-parallel layers must shard on 'model'
         col = [v for p, v in pk
                if "q_proj" in map(str, p) and str(p[-1]) == "packed"]
-        assert col and all("model" in str(v.value.sharding.spec) for v in col)
+        assert col and all("model" in str(v[...].sharding.spec) for v in col)
         with eight_device_mesh:
             y1 = qm(ids).astype(jnp.float32)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y_unsharded),
