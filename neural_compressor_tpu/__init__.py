@@ -18,3 +18,12 @@ from .quantization import (
     prepare, convert, quantize, finalize_calibration, prepare_qat,
     autotune, get_all_config_set, save, load,
 )
+from .quantization.fuse import fuse_for_serving
+from .quantization.layer_wise import (
+    quantize_hf_checkpoint_streaming,
+    load_quantized_checkpoint,
+)
+from .quantization.export_hf import export_compressed_tensors
+from .quantization.distributed_checkpoint import save_sharded, load_sharded
+from .generation import generate, greedy_search, beam_search, sample
+from .evaluation import evaluate_lm, perplexity

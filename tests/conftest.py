@@ -7,6 +7,7 @@ eagerly, so we must update jax.config (env vars are read at jax import).
 
 import os
 
+os.environ.setdefault("KERAS_BACKEND", "jax")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
