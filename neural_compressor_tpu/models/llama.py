@@ -210,9 +210,7 @@ class LlamaAttention(nnx.Module):
             k = _kv_dequant(k_codes, k_scale, x.dtype)
             v = _kv_dequant(v_codes, v_scale, x.dtype)
         elif cache is not None:
-            # NOTE: the fused kernel currently hangs the Mosaic compile for
-            # GQA (rep > 1) — guard until the padded-rep variant lands.
-            if S == 1 and H == Hkv:
+            if S == 1:
                 # fused decode kernel: in-place cache update + attention in
                 # one pallas call (per-op overhead dominates decode)
                 from ..kernels.decode_attention import decode_attention

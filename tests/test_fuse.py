@@ -1,0 +1,36 @@
+"""Projection fusion must be bit-exact (group scales are per out-channel,
+so concat along N changes nothing numerically)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import neural_compressor_tpu as nq
+from neural_compressor_tpu.generation import greedy_search
+from neural_compressor_tpu.models import LlamaForCausalLM
+
+
+def test_fuse_exact_and_generate_identical():
+    rng = np.random.default_rng(0)
+    m = LlamaForCausalLM.from_preset("llama-test")
+    ids = jnp.asarray(rng.integers(0, 256, (2, 16)))
+    qm = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+    y0 = np.asarray(qm(ids), dtype=np.float32)
+    g0 = np.asarray(greedy_search(qm, ids[:, :8], max_new_tokens=4))
+    n = nq.fuse_for_serving(qm)
+    assert n == 4  # 2 layers x (qkv + gate_up)
+    y1 = np.asarray(qm(ids), dtype=np.float32)
+    np.testing.assert_array_equal(y0, y1)
+    g1 = np.asarray(greedy_search(qm, ids[:, :8], max_new_tokens=4))
+    np.testing.assert_array_equal(g0, g1)
+
+
+def test_fuse_skips_mismatched():
+    m = LlamaForCausalLM.from_preset("llama-test")
+    cfg = nq.RTNConfig(dtype="int4", group_size=32)
+    cfg.set_local("model.layers.0.self_attn.k_proj",
+                  nq.RTNConfig(dtype="int8", group_size=32))
+    qm = nq.quantize(m, cfg)
+    n = nq.fuse_for_serving(qm)
+    # layer 0 qkv not fusible (mixed bits); layer 1 qkv + both gate_ups fuse
+    assert n == 3
