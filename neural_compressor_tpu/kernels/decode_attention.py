@@ -63,24 +63,29 @@ def _decode_attn_impl(pos, q, k_new, v_new, k_cache, v_cache, interpret):
     pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
     rep = q.shape[1] // Hkv
     qr = q.reshape(B, Hkv, rep, D)
+    # Mosaic compiles sublane-unaligned (1 < rep < 8) q blocks pathologically
+    # slowly (~40 s/call site); pad the query group to 8 rows.
+    rep_p = rep if rep == 1 else max(rep, 8)
+    if rep_p != rep:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
     scale = 1.0 / (D ** 0.5)
 
     spec_bh = lambda shape: pl.BlockSpec(
         (None, None) + shape, lambda b, h: (b, h) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
-    kernel = functools.partial(_kernel, T=T, D=D, rep=rep, scale=scale)
+    kernel = functools.partial(_kernel, T=T, D=D, rep=rep_p, scale=scale)
     kc2, vc2, out = pl.pallas_call(
         kernel,
         grid=(B, Hkv),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # pos (1,1)
-            spec_bh((rep, D)),   # q
+            spec_bh((rep_p, D)),  # q (padded to >=8 sublanes when grouped)
             spec_bh((1, D)),     # k_new (length-1 token axis kept so the
             spec_bh((1, D)),     # v_new  sublane dim equals the array dim)
             spec_bh((T, D)),     # k_cache
             spec_bh((T, D)),     # v_cache
         ],
-        out_specs=[spec_bh((T, D)), spec_bh((T, D)), spec_bh((rep, D))],
+        out_specs=[spec_bh((T, D)), spec_bh((T, D)), spec_bh((rep_p, D))],
         out_shape=[
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
@@ -91,6 +96,8 @@ def _decode_attn_impl(pos, q, k_new, v_new, k_cache, v_cache, interpret):
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(pos.reshape(B, 1), qr, k_new, v_new, k_cache, v_cache)
+    if rep_p != rep:
+        out = out[:, :, :rep]
     return kc2, vc2, out.reshape(B, Hkv * rep, 1, D)
 
 
