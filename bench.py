@@ -93,15 +93,23 @@ def main():
     print(f"building {preset} {overrides} on {jax.default_backend()}",
           file=sys.stderr)
 
-    model = LlamaForCausalLM.from_preset(preset, **overrides)
+    from neural_compressor_tpu.models.llama import (
+        LLAMA_PRESETS,
+        LlamaConfig,
+        build_quantized,
+    )
 
     t0 = time.time()
-    qmodel = nq.quantize(model, nq.RTNConfig(dtype="int4", group_size=128))
-    print(f"  quantize took {time.time()-t0:.1f}s", file=sys.stderr)
+    # layer-by-layer build+quantize: an 8B fp model alone fills a 16 GB chip
+    params = dict(LLAMA_PRESETS[preset])
+    params.update(overrides)
+    qmodel = build_quantized(LlamaConfig(**params),
+                             nq.RTNConfig(dtype="int4", group_size=128))
+    print(f"  build+quantize took {time.time()-t0:.1f}s", file=sys.stderr)
 
     int4_tok_s = measure_decode(qmodel, args.batch, args.max_len, args.steps,
                                 label="int4")
-    del qmodel, model  # quantize() mutates in place — drop both refs
+    del qmodel
 
     # Baseline is best-effort: the tunnel compile of the bf16 7B program is
     # slow/flaky (and an 8B bf16 model barely fits one chip); fall back to

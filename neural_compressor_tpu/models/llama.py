@@ -337,3 +337,36 @@ class LlamaForCausalLM(nnx.Module):
         params = dict(LLAMA_PRESETS[name])
         params.update(overrides)
         return cls(LlamaConfig(**params), nnx.Rngs(seed))
+
+
+def build_quantized(preset_or_cfg, quant_config, seed: int = 0,
+                    presets=None):
+    """Construct a llama and quantize it **layer by layer** so the full fp
+    model never resides in HBM (an 8B bf16 model alone fills a 16 GB chip).
+    Only calibration-free configs (RTN/HQQ-style) apply here."""
+    from ..quantization.quantize import quantize as _quantize
+
+    if isinstance(preset_or_cfg, LlamaConfig):
+        cfg = preset_or_cfg
+    else:
+        params = dict((presets or LLAMA_PRESETS)[preset_or_cfg])
+        cfg = LlamaConfig(**params)
+    n_layers = cfg.num_hidden_layers
+    cfg_one = dataclasses.replace(cfg, num_hidden_layers=0)
+    model = LlamaForCausalLM(cfg_one, nnx.Rngs(seed))
+    model.cfg = cfg
+    model.model.cfg = cfg
+    rngs = nnx.Rngs(seed + 1)
+    for _ in range(n_layers):
+        layer = LlamaDecoderLayer(cfg, rngs)
+        holder = _LayerHolder(layer)
+        _quantize(holder, quant_config)
+        model.model.layers.append(holder.layer)
+    return model
+
+
+class _LayerHolder(nnx.Module):
+    """Wraps one decoder layer so the quantize pass sees a walkable root."""
+
+    def __init__(self, layer):
+        self.layer = layer
