@@ -101,6 +101,113 @@ def _decode_attn_impl(pos, q, k_new, v_new, k_cache, v_cache, interpret):
     return kc2, vc2, out.reshape(B, Hkv * rep, 1, D)
 
 
+def _kernel_q(pos_ref, q_ref, kn_ref, vn_ref, kc_in, ks_in, vc_in, vs_in,
+              kc_ref, ks_ref, vc_ref, vs_ref, o_ref, *, T, D, rep, scale):
+    b = pl.program_id(0)
+    pos = pos_ref[b, 0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    # quantize the new row in-kernel: per-(token, head) sym int8
+    kn = kn_ref[:].astype(jnp.float32)  # [1, D]
+    vn = vn_ref[:].astype(jnp.float32)
+    ks_new = jnp.maximum(jnp.max(jnp.abs(kn)), 1e-6) / 127.0
+    vs_new = jnp.maximum(jnp.max(jnp.abs(vn)), 1e-6) / 127.0
+    kn_q = jnp.clip(jnp.round(kn / ks_new), -127, 127).astype(jnp.int8)
+    vn_q = jnp.clip(jnp.round(vn / vs_new), -127, 127).astype(jnp.int8)
+    k_codes = jnp.where(row == pos, kn_q, kc_in[:])
+    v_codes = jnp.where(row == pos, vn_q, vc_in[:])
+    k_scale = jnp.where(row == pos, ks_new, ks_in[:])  # [T, 1]
+    v_scale = jnp.where(row == pos, vs_new, vs_in[:])
+    kc_ref[:] = k_codes
+    vc_ref[:] = v_codes
+    ks_ref[:] = k_scale
+    vs_ref[:] = v_scale
+
+    # fold the per-token scales into the scores/probs instead of
+    # dequantizing every cache element: per-element work is a bare cast
+    kb = k_codes.astype(jnp.bfloat16)   # [T, D]
+    vb = v_codes.astype(jnp.bfloat16)
+    q = q_ref[:]
+    s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [rep, T]
+    s = s * (k_scale[:, 0] * scale)[None, :]
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (rep, T), 1)
+    s = jnp.where(t_idx <= pos, s, -1e30)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    p = p * v_scale[:, 0][None, :]      # fold v scales into the probs
+    o = jax.lax.dot_general(p.astype(jnp.bfloat16), vb,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _decode_attn_quant_impl(pos, q, k_new, v_new, k_codes, k_scale, v_codes,
+                            v_scale, interpret):
+    B, Hkv, T, D = k_codes.shape
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    rep = q.shape[1] // Hkv
+    qr = q.reshape(B, Hkv, rep, D)
+    rep_p = rep if rep == 1 else max(rep, 8)
+    if rep_p != rep:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
+    scale = 1.0 / (D ** 0.5)
+    ks4 = k_scale[..., None].astype(jnp.float32)  # [B, Hkv, T, 1]
+    vs4 = v_scale[..., None].astype(jnp.float32)
+
+    spec_bh = lambda shape: pl.BlockSpec(
+        (None, None) + shape, lambda b, h: (b, h) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_q, T=T, D=D, rep=rep_p, scale=scale)
+    kc2, ks2, vc2, vs2, out = pl.pallas_call(
+        kernel,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            spec_bh((rep_p, D)),
+            spec_bh((1, D)),
+            spec_bh((1, D)),
+            spec_bh((T, D)),   # k codes
+            spec_bh((T, 1)),   # k scales
+            spec_bh((T, D)),   # v codes
+            spec_bh((T, 1)),   # v scales
+        ],
+        out_specs=[spec_bh((T, D)), spec_bh((T, 1)), spec_bh((T, D)),
+                   spec_bh((T, 1)), spec_bh((rep_p, D))],
+        out_shape=[
+            jax.ShapeDtypeStruct(k_codes.shape, jnp.int8),
+            jax.ShapeDtypeStruct(ks4.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v_codes.shape, jnp.int8),
+            jax.ShapeDtypeStruct(vs4.shape, jnp.float32),
+            jax.ShapeDtypeStruct(qr.shape, q.dtype),
+        ],
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(pos.reshape(B, 1), qr, k_new, v_new, k_codes, ks4, v_codes, vs4)
+    if rep_p != rep:
+        out = out[:, :, :rep]
+    return (kc2, ks2[..., 0], vc2, vs2[..., 0],
+            out.reshape(B, Hkv * rep, 1, D))
+
+
+def decode_attention_quant(q, k_new, v_new, cache, pos):
+    """Fused single-token attention over an INT8 ``QuantKVCache``: the new
+    row is quantized in-kernel (per-token-per-head sym scales), written in
+    place, and attention runs on VMEM-dequantized codes. Returns
+    (out [B, H, 1, D], new_cache)."""
+    from ..models.llama import QuantKVCache
+
+    B, H, S, D = q.shape
+    assert S == 1, "decode kernel is single-token"
+    kc, ks, vc, vs, out = _decode_attn_quant_impl(
+        pos, q[:, :, 0], k_new, v_new, cache.k_codes, cache.k_scale,
+        cache.v_codes, cache.v_scale, interpret=not _on_tpu())
+    return out, QuantKVCache(kc, ks, vc, vs)
+
+
 def decode_attention(q, k_new, v_new, k_cache, v_cache, pos):
     """Fused single-token attention with in-place cache update.
 

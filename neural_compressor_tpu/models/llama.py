@@ -200,6 +200,13 @@ class LlamaAttention(nnx.Module):
 
         new_cache = None
         if isinstance(cache, QuantKVCache):
+            if S == 1:
+                from ..kernels.decode_attention import decode_attention_quant
+
+                out, new_cache = decode_attention_quant(q, k, v, cache,
+                                                        cache_pos)
+                out = out.astype(x.dtype).transpose(0, 2, 1, 3)
+                return self.o_proj(out.reshape(B, S, H * D)), new_cache
             kc, ks = _kv_quant(k)
             vc, vs = _kv_quant(v)
             k_codes = _update_rows(cache.k_codes, kc, cache_pos)
