@@ -1,4 +1,12 @@
-from .lm_eval import perplexity, next_token_accuracy, evaluate_lm, lambada_style_accuracy
+from .lm_eval import (
+    perplexity,
+    next_token_accuracy,
+    evaluate_lm,
+    lambada_style_accuracy,
+    loglikelihood_from_ids,
+    LMEvalAdapter,
+)
 
 __all__ = ["perplexity", "next_token_accuracy", "evaluate_lm",
-           "lambada_style_accuracy"]
+           "lambada_style_accuracy", "loglikelihood_from_ids",
+           "LMEvalAdapter"]

@@ -93,3 +93,85 @@ def lambada_style_accuracy(model, contexts: np.ndarray,
         pred = np.asarray(jnp.argmax(logits[:, -1], axis=-1))
         hits += int((pred == tgt).sum())
     return hits / len(contexts)
+
+
+def loglikelihood_from_ids(model, pairs, batch_size: int = 8,
+                           max_len: int | None = None):
+    """lm-eval-harness-style loglikelihood scoring on token ids.
+
+    ``pairs``: list of (context_ids, continuation_ids) int sequences.
+    Returns ``[(ll, is_greedy), ...]`` — summed log-prob of the
+    continuation given the context, and whether the continuation equals the
+    greedy decode (the two quantities lm-eval's accuracy/perplexity tasks
+    consume; reference adapter: evaluation/lm_eval/models/huggingface.py).
+    """
+    lens = [len(c) + len(t) for c, t in pairs]
+    L = max_len or max(lens)
+    results = []
+    for i in range(0, len(pairs), batch_size):
+        chunk = pairs[i:i + batch_size]
+        B = len(chunk)
+        ids = np.zeros((B, L), np.int64)
+        cont_mask = np.zeros((B, L), np.float32)
+        for r, (ctx, cont) in enumerate(chunk):
+            seq = list(ctx) + list(cont)
+            seq = seq[-L:]
+            ids[r, :len(seq)] = seq
+            start = len(seq) - len(cont)
+            cont_mask[r, start:len(seq)] = 1.0
+        state, logits_fn = _split_fn(model)
+        logits = logits_fn(state, jnp.asarray(ids))[:, :-1]
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tgt = jnp.asarray(ids[:, 1:])
+        tok_lp = jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+        m = jnp.asarray(cont_mask[:, 1:])
+        lls = np.asarray((tok_lp * m).sum(axis=-1))
+        greedy = np.asarray(
+            ((jnp.argmax(logits, axis=-1) == tgt) | (m == 0)).all(axis=-1))
+        results.extend(zip(lls.tolist(), greedy.tolist()))
+    return results
+
+
+class LMEvalAdapter:
+    """Adapter for EleutherAI lm-eval-harness (when installed): implements
+    the ``LM`` interface over this framework's models + a HF tokenizer.
+
+    >>> import lm_eval
+    >>> lm = LMEvalAdapter(qmodel, tokenizer)
+    >>> lm_eval.simple_evaluate(model=lm, tasks=["lambada_openai"])
+    """
+
+    def __init__(self, model, tokenizer, batch_size: int = 8,
+                 max_length: int = 2048):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.max_length = max_length
+
+    def _encode_pair(self, context: str, continuation: str):
+        whole = self.tokenizer(context + continuation,
+                               add_special_tokens=False)["input_ids"]
+        ctx = self.tokenizer(context, add_special_tokens=False)["input_ids"]
+        return ctx, whole[len(ctx):]
+
+    def loglikelihood(self, requests):
+        pairs = []
+        for req in requests:
+            ctx, cont = (req.args if hasattr(req, "args") else req)
+            pairs.append(self._encode_pair(ctx, cont))
+        return loglikelihood_from_ids(self.model, pairs,
+                                      batch_size=self.batch_size,
+                                      max_len=self.max_length)
+
+    def generate_until(self, requests):
+        from ..generation import greedy_search
+
+        outs = []
+        for req in requests:
+            ctx, kwargs = (req.args if hasattr(req, "args") else req)
+            ids = self.tokenizer(ctx, return_tensors="np")["input_ids"]
+            out = greedy_search(self.model, jnp.asarray(ids),
+                                max_new_tokens=kwargs.get("max_gen_toks", 64))
+            outs.append(self.tokenizer.decode(
+                np.asarray(out)[0, ids.shape[1]:]))
+        return outs

@@ -78,14 +78,24 @@ def greedy_search(model, input_ids, max_new_tokens: int = 32,
 
 
 def sample(model, input_ids, max_new_tokens: int = 32, temperature: float = 1.0,
-           top_k: int | None = None, eos_token_id: int | None = None,
+           top_k: int | None = None, top_p: float | None = None,
+           eos_token_id: int | None = None,
            seed: int = 0, max_len: int | None = None):
-    """Temperature/top-k sampling."""
+    """Temperature / top-k / nucleus (top-p) sampling."""
     def pick(logits, rng):
         rng, sub = jax.random.split(rng)
         lg = logits.astype(jnp.float32) / max(temperature, 1e-5)
         if top_k is not None:
             kth = jnp.sort(lg, axis=-1)[:, -top_k][:, None]
+            lg = jnp.where(lg < kth, -jnp.inf, lg)
+        if top_p is not None:
+            srt = jnp.sort(lg, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(srt, axis=-1)
+            csum = jnp.cumsum(probs, axis=-1)
+            # smallest logit still inside the nucleus
+            keep = csum - probs < top_p
+            kth = jnp.max(jnp.where(keep, srt, -jnp.inf), axis=-1,
+                          keepdims=True)
             lg = jnp.where(lg < kth, -jnp.inf, lg)
         nxt = jax.random.categorical(sub, lg, axis=-1)
         return nxt[:, None].astype(jnp.int32), rng
@@ -208,11 +218,13 @@ def generate(model, input_ids, do_sample: bool = False, num_beams: int = 1,
     if num_beams > 1:
         kwargs.pop("temperature", None)
         kwargs.pop("top_k", None)
+        kwargs.pop("top_p", None)
         kwargs.pop("seed", None)
         return beam_search(model, input_ids, num_beams=num_beams, **kwargs)
     if do_sample:
         return sample(model, input_ids, **kwargs)
     kwargs.pop("temperature", None)
     kwargs.pop("top_k", None)
+    kwargs.pop("top_p", None)
     kwargs.pop("seed", None)
     return greedy_search(model, input_ids, **kwargs)

@@ -78,12 +78,22 @@ def autotune(model, tune_config: TuningConfig, eval_fn: Callable,
             continue
         tuning_logger.execution_start()
         logger.info("quant config: %r", quant_config)
-        q_model = quantize(_clone_model(model), quant_config, run_fn=run_fn,
-                           run_args=run_args, example_inputs=example_inputs)
-        tuning_logger.execution_end()
-        tuning_logger.evaluation_start()
-        eval_result = eval_fn(q_model)
-        tuning_logger.evaluation_end()
+        try:
+            q_model = quantize(_clone_model(model), quant_config,
+                               run_fn=run_fn, run_args=run_args,
+                               example_inputs=example_inputs)
+            tuning_logger.execution_end()
+            tuning_logger.evaluation_start()
+            eval_result = eval_fn(q_model)
+            tuning_logger.evaluation_end()
+        except Exception as e:
+            # trial-failure recovery (the reference's loop aborts here —
+            # SURVEY §5): record the failure and keep searching
+            logger.warning("Trial %d failed (%s: %s); continuing.",
+                           trial_index, type(e).__name__, e)
+            tuning_monitor.add_trial_result(trial_index, float("-inf"),
+                                            quant_config)
+            continue
         logger.info("Trial %d evaluation result: %.6f", trial_index,
                     eval_result)
         tuning_monitor.add_trial_result(trial_index, eval_result, quant_config)

@@ -127,3 +127,30 @@ class TestEvaluation:
         data[:, 10:] = 255  # will be treated as pad below
         r = evaluate_lm(m, data, batch_size=4, pad_id=255)
         assert r["n_tokens"] < 4 * 15
+
+
+class TestLoglikelihood:
+    def test_loglikelihood_scoring(self, hf_llama_dir):
+        from neural_compressor_tpu.evaluation import loglikelihood_from_ids
+        from neural_compressor_tpu.models.hf_import import load_hf_llama
+
+        m = load_hf_llama(hf_llama_dir, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        pairs = [(rng.integers(0, 256, (n,)).tolist(),
+                  rng.integers(0, 256, (3,)).tolist()) for n in (4, 7, 5)]
+        res = loglikelihood_from_ids(m, pairs, batch_size=2)
+        assert len(res) == 3
+        for ll, greedy in res:
+            assert ll < 0 and isinstance(greedy, bool)
+
+    def test_greedy_continuation_flag(self, hf_llama_dir):
+        from neural_compressor_tpu.evaluation import loglikelihood_from_ids
+        from neural_compressor_tpu.generation import greedy_search
+        from neural_compressor_tpu.models.hf_import import load_hf_llama
+
+        m = load_hf_llama(hf_llama_dir, dtype=jnp.float32)
+        ctx = np.random.default_rng(1).integers(0, 256, (6,))
+        out = greedy_search(m, jnp.asarray(ctx)[None, :], max_new_tokens=3)
+        cont = np.asarray(out)[0, 6:].tolist()
+        res = loglikelihood_from_ids(m, [(ctx.tolist(), cont)])
+        assert res[0][1] is True  # the greedy continuation must be flagged
