@@ -25,3 +25,4 @@ from .quantize import (
 )
 from .autotune import autotune, get_all_config_set
 from .save_load import save, load
+from .layer_fallback import autotune_layer_fallback, rank_layer_sensitivity

@@ -106,3 +106,29 @@ class TestAutotune:
         # best (int4) should have been re-selected over int2
         q = get_module(best, "model.layers.0.self_attn.q_proj")
         assert q.bits == 4
+
+
+class TestLayerFallback:
+    def test_escalates_until_goal(self, ids):
+        from neural_compressor_tpu.quantization.layer_fallback import (
+            autotune_layer_fallback,
+            rank_layer_sensitivity,
+        )
+
+        m = LlamaForCausalLM.from_preset("llama-test")
+        y_ref = m(ids).astype(jnp.float32)
+
+        def eval_fn(mm):
+            y = mm(ids).astype(jnp.float32)
+            return 1.0 - _rel(y_ref, y)
+
+        cfg = nq.RTNConfig(dtype="int2", group_size=32)  # aggressively bad
+        ranking = rank_layer_sensitivity(m, cfg)
+        assert len(ranking) == 14 and ranking[0][1] >= ranking[-1][1]
+        best, fallbacks = autotune_layer_fallback(
+            m, cfg, eval_fn,
+            fallback_config=nq.RTNConfig(dtype="int8", group_size=32),
+            tolerable_loss=0.10, step=4, max_fallback_ops=14)
+        assert best is not None
+        # int2-everything cannot meet a 10% goal; fallbacks must engage
+        assert len(fallbacks) > 0
