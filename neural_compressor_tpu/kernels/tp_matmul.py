@@ -1,0 +1,87 @@
+"""Tensor-parallel quantized matmuls via shard_map.
+
+pjit cannot partition a ``pallas_call``, so multi-chip serving either falls
+back to the XLA dequant+dot path (which pjit partitions fine) or — this
+module — runs the fused kernel **per shard** under ``shard_map``:
+
+  * column-parallel: packed/scales sharded on N; x replicated;
+    y sharded on N (no collective — the next row-parallel op consumes it)
+  * row-parallel: packed rows + their groups sharded on K; x sharded on K;
+    per-shard partial products summed with ``lax.psum`` over ICI
+
+Group alignment: each K-shard must hold whole quantization groups
+(K/tp % G == 0) so scales shard cleanly with their rows — asserted below.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.packing import PackedWeight
+from .dequant_matmul import woq_matmul
+
+
+def _local_pw(pw: PackedWeight, K: int, N: int) -> "type(pw)":
+    return pw._replace(orig_shape=(K, N))
+
+
+def tp_woq_matmul_column(x: jax.Array, pw: PackedWeight, mesh: Mesh,
+                         axis: str = "model", impl: str | None = None):
+    """y = x @ dequant(Wq) with W sharded on the output dim.
+
+    Returns y sharded on its last dim over ``axis``."""
+    K, N = pw.orig_shape
+    tp = mesh.shape[axis]
+    assert N % tp == 0, f"N={N} not divisible by tp={tp}"
+    Nl = N // tp
+    has_zeros = pw.zeros is not None
+
+    def local(x, packed, scales, zeros):
+        lp = PackedWeight(packed, scales, zeros if has_zeros else None,
+                          pw.bits, pw.group_size, pw.dtype, (K, Nl),
+                          pw.layout)
+        return woq_matmul(x, lp, impl=impl)
+
+    zeros = pw.zeros if has_zeros else jnp.zeros_like(pw.scales)
+    spec_w = P(None, axis)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), spec_w, spec_w, spec_w),
+        out_specs=P(None, axis),
+        check_rep=False,
+    )(x, pw.packed, pw.scales, zeros)
+
+
+def tp_woq_matmul_row(x: jax.Array, pw: PackedWeight, mesh: Mesh,
+                      axis: str = "model", impl: str | None = None):
+    """y = x @ dequant(Wq) with W sharded on the reduction dim.
+
+    ``x`` must be sharded on its last dim over ``axis`` (e.g. the output of
+    a column-parallel matmul); partials are psum'ed over ICI. Returns y
+    replicated."""
+    K, N = pw.orig_shape
+    tp = mesh.shape[axis]
+    G = pw.group_size if pw.group_size > 0 else K
+    assert K % tp == 0 and (K // tp) % G == 0, (
+        f"K={K} must shard into whole groups (G={G}, tp={tp})")
+    Kl = K // tp
+    has_zeros = pw.zeros is not None
+
+    def local(x, packed, scales, zeros):
+        lp = PackedWeight(packed, scales, zeros if has_zeros else None,
+                          pw.bits, pw.group_size, pw.dtype, (Kl, N),
+                          pw.layout)
+        y = woq_matmul(x, lp, impl=impl)
+        return jax.lax.psum(y, axis)
+
+    zeros = pw.zeros if has_zeros else jnp.zeros_like(pw.scales)
+    spec_w = P(axis, None)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis), spec_w, spec_w, spec_w),
+        out_specs=P(),
+        check_rep=False,
+    )(x, pw.packed, pw.scales, zeros)
