@@ -39,8 +39,9 @@ from ..ops.packing import PackedWeight, from_gptq_layout, to_gptq_layout
 WEIGHTS_NAME = "quant_model.safetensors"
 CONFIG_NAME = "quant_config.json"
 
-_QUANT_TYPES = ("WOQLinear", "DynamicQuantLinear", "StaticQuantLinear",
-                "FP8Linear", "HalfPrecisionLinear", "MXLinear")
+_QUANT_TYPES = ("WOQLinear", "W4A8Linear", "DynamicQuantLinear",
+                "StaticQuantLinear", "FP8Linear", "HalfPrecisionLinear",
+                "MXLinear")
 
 
 def _store(tensors: dict, path: str, name: str, arr) -> None:
@@ -111,15 +112,18 @@ def _restore_array(key: str, arr: np.ndarray):
 def _rebuild(meta: dict, tensors: dict):
     t = meta["type"]
     bias = tensors.get("bias")
-    if t == "WOQLinear":
+    if t in ("WOQLinear", "W4A8Linear"):
+        from ..layers.woq_linear import W4A8Linear
+
         pw = PackedWeight(
             packed=tensors["packed"], scales=tensors["scales"],
             zeros=tensors.get("zeros"), bits=meta["bits"],
             group_size=meta["group_size"], dtype=meta["wdtype"],
             orig_shape=(meta["in_features"], meta["out_features"]),
             layout=meta["layout"])
-        return WOQLinear(pw, bias=bias, impl=meta.get("impl", "auto"),
-                         pre_scale=tensors.get("pre_scale"))
+        cls = W4A8Linear if t == "W4A8Linear" else WOQLinear
+        return cls(pw, bias=bias, impl=meta.get("impl", "auto"),
+                   pre_scale=tensors.get("pre_scale"))
     K, N = meta["in_features"], meta["out_features"]
     zeros_k = jnp.zeros((K, N), jnp.float32)
     if t == "DynamicQuantLinear":

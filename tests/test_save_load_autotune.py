@@ -132,3 +132,29 @@ class TestLayerFallback:
         assert best is not None
         # int2-everything cannot meet a 10% goal; fallbacks must engage
         assert len(fallbacks) > 0
+
+
+class TestW4A8SaveLoad:
+    def test_w4a8_roundtrip(self, tmp_path, ids):
+        from neural_compressor_tpu.algorithms.calib_capture import (
+            calibration_forward,
+        )
+        from neural_compressor_tpu.layers import W4A8Linear
+
+        rng = np.random.default_rng(6)
+        calib = [jnp.asarray(rng.integers(0, 256, (2, 16)))
+                 for _ in range(2)]
+        m = LlamaForCausalLM.from_preset("llama-test")
+        qm = nq.quantize(
+            m, nq.HybridGPTQConfig(dtype="int4", group_size=32,
+                                   block_size=64),
+            run_fn=lambda mm: calibration_forward(mm, calib))
+        y0 = np.asarray(qm(ids), dtype=np.float32)
+        nq.save(qm, str(tmp_path / "w4a8"))
+        loaded = nq.load(str(tmp_path / "w4a8"),
+                         LlamaForCausalLM.from_preset("llama-test"))
+        assert isinstance(
+            get_module(loaded, "model.layers.0.self_attn.q_proj"),
+            W4A8Linear)
+        np.testing.assert_allclose(
+            np.asarray(loaded(ids), dtype=np.float32), y0, atol=1e-2)
