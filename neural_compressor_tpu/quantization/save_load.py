@@ -185,6 +185,15 @@ def load(input_dir: str, model):
     for path, meta in cfg["modules"].items():
         new = _rebuild(meta, per_module.get(path, {}))
         replace_module(model, path, new)
+        # fused checkpoints: drop the skeleton's now-dead split projections
+        if path.endswith(".qkv_proj"):
+            parent = path.rsplit(".", 1)[0]
+            for dead in ("q_proj", "k_proj", "v_proj"):
+                replace_module(model, f"{parent}.{dead}", None)
+        elif path.endswith(".gate_up_proj"):
+            parent = path.rsplit(".", 1)[0]
+            for dead in ("gate_proj", "up_proj"):
+                replace_module(model, f"{parent}.{dead}", None)
         n += 1
     logger.info("Loaded %d quantized modules from %s", n, input_dir)
     return model

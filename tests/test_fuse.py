@@ -34,3 +34,20 @@ def test_fuse_skips_mismatched():
     n = nq.fuse_for_serving(qm)
     # layer 0 qkv not fusible (mixed bits); layer 1 qkv + both gate_ups fuse
     assert n == 3
+
+
+def test_fused_model_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, 256, (2, 12)))
+    m = LlamaForCausalLM.from_preset("llama-test")
+    qm = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+    nq.fuse_for_serving(qm)
+    y0 = np.asarray(qm(ids), dtype=np.float32)
+    nq.save(qm, str(tmp_path / "fused"))
+    loaded = nq.load(str(tmp_path / "fused"),
+                     LlamaForCausalLM.from_preset("llama-test"))
+    # skeleton's split projections must be gone; fused module in place
+    att = loaded.model.layers[0].self_attn
+    assert att.q_proj is None and att.qkv_proj is not None
+    np.testing.assert_array_equal(
+        np.asarray(loaded(ids), dtype=np.float32), y0)
