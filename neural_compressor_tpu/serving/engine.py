@@ -45,7 +45,8 @@ def _buckets(n, sizes=(32, 64, 128, 256, 512, 1024, 2048)):
     for s in sizes:
         if n <= s:
             return s
-    return sizes[-1]
+    raise ValueError(f"prompt length {n} exceeds the largest prefill "
+                     f"bucket ({sizes[-1]})")
 
 
 class ContinuousBatchingEngine:
@@ -70,8 +71,12 @@ class ContinuousBatchingEngine:
 
     # ------------------------------------------------------------------ api
     def submit(self, prompt_ids, max_new_tokens: int = 64) -> Request:
-        req = Request(next(self._uid), np.asarray(prompt_ids, np.int32),
-                      max_new_tokens)
+        prompt = np.asarray(prompt_ids, np.int32)
+        assert prompt.ndim == 1, "submit() takes a single unbatched prompt"
+        assert len(prompt) + max_new_tokens <= self.max_len, (
+            f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
+            f"exceeds max_len ({self.max_len})")
+        req = Request(next(self._uid), prompt, max_new_tokens)
         self.queue.append(req)
         return req
 
