@@ -80,14 +80,18 @@ class ContinuousBatchingEngine:
         self.queue.append(req)
         return req
 
-    def run(self, max_steps: int = 10_000) -> list[Request]:
-        """Serve until queue and slots drain. Returns finished requests."""
+    def run(self, max_steps: int = 10_000,
+            chunk: int = 8) -> list[Request]:
+        """Serve until queue and slots drain. ``chunk`` decode steps run
+        per device dispatch (amortizes host/link round-trips; slots that
+        hit EOS mid-chunk are truncated on the host). Returns finished
+        requests."""
         finished = []
         for _ in range(max_steps):
             self._fill_slots()
             if all(r is None for r in self.slot_req) and not self.queue:
                 break
-            self.step()
+            self.step_many(chunk)
             finished.extend(self._collect())
         return finished
 
@@ -131,6 +135,33 @@ class ContinuousBatchingEngine:
             self._jit_cache[key] = decode
         return self._jit_cache[key]
 
+    def _decode_many_fn(self, k: int):
+        key = ("decode_many", k)
+        if key not in self._jit_cache:
+            graphdef = self._graphdef
+
+            @jax.jit
+            def decode_many(state, caches, toks, pos):
+                m = nnx.merge(graphdef, state)
+
+                def body(i, carry):
+                    toks, pos, caches, out = carry
+                    logits, caches = m(toks[:, None],
+                                       positions=pos[:, None],
+                                       caches=caches, cache_pos=pos)
+                    nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+                    out = jax.lax.dynamic_update_slice(
+                        out, nxt[:, None], (0, i))
+                    return nxt, pos + 1, caches, out
+
+                out0 = jnp.zeros((toks.shape[0], k), jnp.int32)
+                _t, _p, caches, out = jax.lax.fori_loop(
+                    0, k, body, (toks, pos, caches, out0))
+                return caches, out
+
+            self._jit_cache[key] = decode_many
+        return self._jit_cache[key]
+
     def _fill_slots(self):
         for slot in range(self.n_slots):
             if self.slot_req[slot] is not None or not self.queue:
@@ -167,6 +198,31 @@ class ContinuousBatchingEngine:
                     or len(req.generated) >= req.max_new_tokens
                     or self.slot_pos[slot] >= self.max_len - 1):
                 req.done = True
+
+    def step_many(self, k: int = 8):
+        """Decode ``k`` tokens for every active slot in one dispatch."""
+        if k <= 1:
+            return self.step()
+        decode_many = self._decode_many_fn(k)
+        toks = jnp.asarray(self.slot_tok)
+        pos = jnp.asarray(self.slot_pos)
+        self.caches, out = decode_many(self._state, self.caches, toks, pos)
+        out = np.asarray(out)  # [n_slots, k]
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            for j in range(k):
+                if req.done:
+                    break
+                self.slot_pos[slot] += 1
+                tok = int(out[slot, j])
+                req.generated.append(tok)
+                self.slot_tok[slot] = tok
+                if ((self.eos_token_id is not None
+                     and tok == self.eos_token_id)
+                        or len(req.generated) >= req.max_new_tokens
+                        or self.slot_pos[slot] >= self.max_len - 1):
+                    req.done = True
 
     def _collect(self):
         done = []
