@@ -103,25 +103,57 @@ def _qdq_col(w: jax.Array, scale: jax.Array, zero: jax.Array, bits: int,
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "group_size", "sym", "act_order", "percdamp",
-                     "block_size", "static_groups"),
+                     "block_size", "static_groups", "hybrid_order",
+                     "fp8_aware"),
 )
 def gptq_quantize_matrix(W: jax.Array, H: jax.Array, *, bits=4,
                          group_size=128, sym=True, act_order=False,
-                         percdamp=0.01, block_size=128, static_groups=False):
+                         percdamp=0.01, block_size=128, static_groups=False,
+                         hybrid_order=False, fp8_aware=False):
     """Run the GPTQ sweep on one weight.
 
     W: [K, N] (in × out). H: [K, K]. Returns (Wq [K, N] QDQ values,
     scales [K/G, N], zeros [K/G, N], perm [K] or None).
+
+    ``hybrid_order`` (GAR, reference gptq.py:1203-1209 + 1389-1460): reorder
+    columns by Hessian diagonal locally within each group and reorder whole
+    groups globally — groups stay intact so inference needs only one input
+    permutation (returned as ``perm``; Wq/scales stay in PERMUTED order).
+
+    ``fp8_aware`` (reference gptq.py:1237-1248): snap QDQ values onto the
+    fp8 e4m3 grid inside a protective range so a downstream W4A8/fp8 serving
+    matmul cannot overflow when dequantizing int4 -> fp8. Returns values
+    already multiplied back by the pow2 bf16->fp8 scale.
     """
     K, N = W.shape
     G = group_size if group_size > 0 else K
     B = min(block_size, K)
     assert K % B == 0, f"K={K} must be a multiple of block_size={B}"
+    assert not (act_order and hybrid_order), \
+        "hybrid_order (GAR) is not allowed with act_order"
     n_groups = K // G
     # groups must align with panels for the dynamic-group path
     dynamic_groups = (not static_groups) and (not act_order) and G <= B and B % G == 0
 
     Wt = W.astype(jnp.float32).T  # [N, K]
+
+    fp8_scale = jnp.float32(1.0)
+    if fp8_aware:
+        # pow2 per-tensor scale into the protective e4m3 range
+        fullscale = 448.0  # e4m3 max
+        maxq = 2 ** (bits - 1) - 1
+        _FP8_PROTECTIVE = fullscale - fullscale / maxq
+        absmax = jnp.max(jnp.abs(Wt))
+        fp8_scale = 2.0 ** jnp.ceil(
+            jnp.log2(jnp.maximum(absmax / _FP8_PROTECTIVE, 1e-30)))
+        Wt = Wt / fp8_scale
+
+        def _fp8_snap(q):
+            q = jnp.clip(q, -_FP8_PROTECTIVE, _FP8_PROTECTIVE)
+            return q.astype(jnp.float8_e4m3fn).astype(jnp.float32)
+    else:
+        def _fp8_snap(q):
+            return q
 
     # dead input dims
     diag = jnp.diagonal(H)
@@ -130,6 +162,15 @@ def gptq_quantize_matrix(W: jax.Array, H: jax.Array, *, bits=4,
     Wt = jnp.where(dead[None, :], 0.0, Wt)
 
     perm = None
+    gar_perm = None
+    if hybrid_order:
+        d = jnp.diagonal(H).reshape(n_groups, G)
+        local = jnp.argsort(-d, axis=1)                    # within-group order
+        gperm = jnp.argsort(-jnp.max(d, axis=1))           # group order
+        gar_perm = (local + (jnp.arange(n_groups) * G)[:, None]
+                    )[gperm].reshape(K)
+        Wt = Wt[:, gar_perm]
+        H = H[gar_perm][:, gar_perm]
     if act_order:
         perm = jnp.argsort(-jnp.diagonal(H))
         Wt = Wt[:, perm]
@@ -138,12 +179,15 @@ def gptq_quantize_matrix(W: jax.Array, H: jax.Array, *, bits=4,
     # static group parameters from the (permuted) original weights, defined
     # on ORIGINAL column positions (reference static_groups, gptq.py:1193)
     if act_order or not dynamic_groups:
-        W0 = Wt if perm is None else Wt[:, jnp.argsort(perm)]  # original order
+        if hybrid_order or perm is None:
+            W0 = Wt  # hybrid: groups live on the PERMUTED grid
+        else:
+            W0 = Wt[:, jnp.argsort(perm)]  # original order
         w_groups = W0.reshape(N, n_groups, G)
         s_all, z_all = jax.vmap(
             lambda wg: _group_scale(wg, bits, sym), in_axes=1, out_axes=0
         )(w_groups)  # [n_groups, N]
-        if perm is not None:
+        if act_order:
             g_of_col = perm // G  # group id of each (permuted) column
         else:
             g_of_col = jnp.arange(K) // G
@@ -199,7 +243,7 @@ def gptq_quantize_matrix(W: jax.Array, H: jax.Array, *, bits=4,
                 z = z_all[gid]
 
             w = jax.lax.dynamic_slice(Wblk, (0, i), (N, 1))[:, 0]
-            q = _qdq_col(w, s, z, bits, sym)
+            q = _fp8_snap(_qdq_col(w, s, z, bits, sym))
             d = jax.lax.dynamic_slice(Ublk, (i, i), (1, 1))[0, 0]
             err = (w - q) / d
             # update remaining columns in panel
@@ -230,8 +274,14 @@ def gptq_quantize_matrix(W: jax.Array, H: jax.Array, *, bits=4,
     if perm is not None:
         inv = jnp.argsort(perm)
         Q = Q[:, inv]
+    if fp8_aware:
+        Q = Q * fp8_scale
+        s_all = s_all * fp8_scale
 
-    return Q.T, s_all, z_all  # [K, N], [n_groups, N], [n_groups, N]
+    # Q/s_all/z_all: [K, N], [n_groups, N], [n_groups, N]. With hybrid_order
+    # they are in gar_perm order (groups contiguous); the caller stores
+    # gar_perm on the packed weight. fp8_scale is the bf16->fp8 pow2 scale.
+    return Q.T, s_all, z_all, gar_perm, fp8_scale
 
 
 def gptq_layer_to_woq(kernel, H, cfg, bias=None) -> WOQLinear:
@@ -241,15 +291,23 @@ def gptq_layer_to_woq(kernel, H, cfg, bias=None) -> WOQLinear:
     B = min(cfg.block_size, K)
     if K % B:  # fall back to a divisor panel size
         B = G if K % G == 0 else K
-    Wq, s_all, z_all = gptq_quantize_matrix(
+    hybrid = bool(getattr(cfg, "hybrid_order", False))
+    fp8_aware = bool(getattr(cfg, "fp8_aware", False))
+    Wq, s_all, z_all, gar_perm, fp8_scale = gptq_quantize_matrix(
         kernel, H, bits=cfg.weight_bits, group_size=cfg.group_size,
         sym=cfg.use_sym, act_order=cfg.act_order, percdamp=cfg.percdamp,
-        block_size=B, static_groups=cfg.static_groups)
+        block_size=B, static_groups=cfg.static_groups, hybrid_order=hybrid,
+        fp8_aware=fp8_aware)
     zeros = None if cfg.use_sym else z_all
     codes = quantize_with_scale(Wq, s_all, zeros, cfg.weight_bits, G,
                                 scheme=cfg.scheme)
     qt = QTensor(codes, s_all, zeros, "int", cfg.weight_bits, G, (K, N))
-    return WOQLinear.from_qtensor(qt, bias=bias)
+    lin = WOQLinear.from_qtensor(qt, bias=bias, perm=gar_perm)
+    if fp8_aware:
+        # recorded for the fp8/W4A8 serving flow (values already on the
+        # protective e4m3 grid; the matmul itself needs no change)
+        lin.scale_bf16_to_fp8 = nnx.Param(fp8_scale)
+    return lin
 
 
 # ---------------------------------------------------------------------------
@@ -346,10 +404,67 @@ def _convert(model, block_paths, captured, configs_mapping):
                 for args, kwargs in inputs
             ]
 
+    n_done += _maybe_quantize_lm_head(model, block_paths, inputs,
+                                      cfg_by_name)
     logger.info("GPTQ quantized %d Linear ops over %d blocks",
                 n_done, len(block_paths))
     dump_op_stats(model)
     return model
+
+
+_TAIL_NORM_NAMES = ("norm", "ln_f", "final_layer_norm", "final_layernorm")
+
+
+def _maybe_quantize_lm_head(model, block_paths, last_inputs, cfg_by_name):
+    """GPTQ the lm_head (reference gptq.py lm_head support via
+    ``quant_lm_head``). The head's Hessian is built from the last block's
+    outputs passed through the model's tail norm (discovered on the block
+    list's parent module by conventional attribute name)."""
+    from ..quantization.config import LM_HEAD_NAMES
+
+    target = None
+    for path, mod in named_modules(model):
+        leaf = path.rsplit(".", 1)[-1]
+        if leaf in LM_HEAD_NAMES and extract_linear(mod) is not None:
+            cfg = cfg_by_name.get(path)
+            if cfg is not None and cfg.dtype not in _FLOAT_SKIP:
+                target = (path, mod, cfg)
+            break
+    if target is None:
+        return 0
+    path, head, cfg = target
+
+    list_path = block_paths[0].rsplit(".", 1)[0]
+    parent_path = list_path.rsplit(".", 1)[0] if "." in list_path else ""
+    parent = get_module(model, parent_path) if parent_path else model
+    tail_norm = None
+    for name in _TAIL_NORM_NAMES:
+        cand = getattr(parent, name, None)
+        if cand is not None and callable(cand):
+            tail_norm = cand
+            break
+    if tail_norm is None:
+        logger.warning("GPTQ lm_head: no tail norm found on %r — using the "
+                       "last block's raw outputs for the Hessian",
+                       parent_path or "<root>")
+        tail_norm = lambda x: x  # noqa: E731
+
+    last_block = get_module(model, block_paths[-1])
+    kernel, bias = extract_linear(head)
+    K = kernel.shape[0]
+    xtx = jnp.zeros((K, K), jnp.float32)
+    count = 0.0
+    for args, kwargs in last_inputs:
+        out = last_block(*args, **kwargs)
+        x = out[0] if isinstance(out, tuple) else out
+        x2 = tail_norm(x).reshape(-1, K).astype(jnp.float32)
+        xtx = xtx + x2.T @ x2
+        count += x2.shape[0]
+    H = 2.0 * xtx / max(count, 1.0)
+    new = gptq_layer_to_woq(kernel, H, cfg, bias=bias)
+    replace_module(model, path, new)
+    logger.info("GPTQ quantized lm_head (%s)", path)
+    return 1
 
 
 def _as_next_input(block_out, prev_args):

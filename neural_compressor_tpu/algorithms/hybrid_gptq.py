@@ -26,8 +26,14 @@ def hybrid_gptq_entry(model, configs_mapping, mode="quantize", run_fn=None,
     n = 0
     for path, mod in list(named_modules(model)):
         if type(mod) is WOQLinear:
-            w4a8 = W4A8Linear.__new__(W4A8Linear)
-            w4a8.__dict__.update(mod.__dict__)
+            w4a8 = W4A8Linear(
+                mod.packed_weight(),
+                bias=None if mod.bias is None else mod.bias[...],
+                impl=mod.impl,
+                pre_scale=(None if mod.pre_scale is None
+                           else mod.pre_scale[...]))
+            if hasattr(mod, "scale_bf16_to_fp8"):
+                w4a8.scale_bf16_to_fp8 = mod.scale_bf16_to_fp8
             replace_module(model, path, w4a8)
             n += 1
     logger.info("Hybrid GPTQ: %d modules serving W4A8", n)

@@ -14,17 +14,32 @@ from ..layers.module_utils import named_modules
 from . import register_algo
 
 
+_KV_FORMATS = ("int8", "fp8_e4m3")
+
+
 @register_algo("kv_cache")
 def kv_cache_entry(model, configs_mapping, mode="quantize", run_fn=None,
                    run_args=None, example_inputs=None, config=None):
     if mode == "prepare":
         return model
+    # the mapping's config decides the cache code format (int8 | fp8_e4m3)
+    fmt = "int8"
+    for (_name, _t), cfg in configs_mapping.items():
+        dt = getattr(cfg, "dtype", "int8")
+        if dt in ("fp8", "fp8_e4m3", "float8_e4m3"):
+            fmt = "fp8_e4m3"
+        elif dt not in _KV_FORMATS:
+            raise ValueError(
+                f"KVCacheQuantConfig.dtype={dt!r} unsupported; "
+                f"expected one of {_KV_FORMATS}")
+        break
     n = 0
     for _name, mod in named_modules(model):
         if type(mod).__name__.endswith("Attention"):
             n += 1
-    # static bool attr; init_kv_cache(..., quantized=model.kv_cache_quantized)
+    # static attrs; init_kv_cache(..., quantized=model.kv_cache_format)
     model.kv_cache_quantized = True
-    logger.info("KV-cache quantization enabled (int8 per-token-per-head "
-                "scales) for %d attention modules", n)
+    model.kv_cache_format = fmt
+    logger.info("KV-cache quantization enabled (%s, per-token-per-head "
+                "scales) for %d attention modules", fmt, n)
     return model

@@ -107,7 +107,8 @@ def _run(model, input_ids, max_new_tokens, eos_token_id, next_token_fn,
          max_len):
     B, P = input_ids.shape
     total = P + max_new_tokens if max_len is None else max_len
-    quantized = getattr(model, "kv_cache_quantized", False)
+    quantized = (getattr(model, "kv_cache_format", "int8")
+                 if getattr(model, "kv_cache_quantized", False) else False)
     caches = init_kv_cache(model.cfg, B, total, quantized=quantized)
     graphdef, state, apply = _split(model)
 
@@ -133,7 +134,8 @@ def beam_search(model, input_ids, num_beams: int = 4,
     """
     B, P = input_ids.shape
     total = P + max_new_tokens
-    quantized = getattr(model, "kv_cache_quantized", False)
+    quantized = (getattr(model, "kv_cache_format", "int8")
+                 if getattr(model, "kv_cache_quantized", False) else False)
     # caches allocated over B*num_beams rows
     caches = init_kv_cache(model.cfg, B * num_beams, total,
                            quantized=quantized)

@@ -193,19 +193,195 @@ def _decode_attn_quant_impl(pos, q, k_new, v_new, k_codes, k_scale, v_codes,
             out.reshape(B, Hkv * rep, 1, D))
 
 
+# ---------------------------------------------------------------------------
+# Read-only attention kernels: the cache row update happens OUTSIDE the
+# kernel (XLA dynamic_update_slice writes one row in place under buffer
+# donation). The aliased in-kernel write-back variants above re-DMA the full
+# [T, D] cache block to HBM every step — measured as a ~20% regression for
+# the int8 cache at B=1/T=1024 (PERF_NOTES round 1). Here the kernel only
+# READS the cache; the new K/V row is folded into the scores via selects.
+# ---------------------------------------------------------------------------
+
+_WRITE_MODE = "outside"  # "kernel" (aliased write-back) | "outside" (DUS)
+
+
+def set_cache_write_mode(mode: str) -> None:
+    global _WRITE_MODE
+    assert mode in ("kernel", "outside")
+    _WRITE_MODE = mode
+
+
+def _kernel_ro(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in, o_ref,
+               *, T, D, rep, scale):
+    b = pl.program_id(0)
+    pos = pos_ref[b, 0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    k = jnp.where(row == pos, kn_ref[:].astype(kc_in.dtype), kc_in[:])
+    v = jnp.where(row == pos, vn_ref[:].astype(vc_in.dtype), vc_in[:])
+    q = q_ref[:]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (rep, T), 1)
+    s = jnp.where(t_idx <= pos, s, -1e30)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _decode_attn_ro_impl(pos, q, k_new, v_new, k_cache, v_cache, interpret):
+    B, Hkv, T, D = k_cache.shape
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    rep = q.shape[1] // Hkv
+    qr = q.reshape(B, Hkv, rep, D)
+    rep_p = rep if rep == 1 else max(rep, 8)
+    if rep_p != rep:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
+    scale = 1.0 / (D ** 0.5)
+
+    spec_bh = lambda shape: pl.BlockSpec(
+        (None, None) + shape, lambda b, h: (b, h) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_ro, T=T, D=D, rep=rep_p, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            spec_bh((rep_p, D)),
+            spec_bh((1, D)),
+            spec_bh((1, D)),
+            spec_bh((T, D)),
+            spec_bh((T, D)),
+        ],
+        out_specs=spec_bh((rep_p, D)),
+        out_shape=jax.ShapeDtypeStruct(qr.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(pos.reshape(B, 1), qr, k_new, v_new, k_cache, v_cache)
+    if rep_p != rep:
+        out = out[:, :, :rep]
+    return out.reshape(B, Hkv * rep, 1, D)
+
+
+def _kernel_q_ro(pos_ref, q_ref, kn_ref, vn_ref, kc_in, ks_in, vc_in, vs_in,
+                 o_ref, *, T, D, rep, scale):
+    b = pl.program_id(0)
+    pos = pos_ref[b, 0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    # fold the raw (unquantized) new row into the attention: effective
+    # per-token scale at ``pos`` is 1
+    kb = jnp.where(row == pos, kn_ref[:].astype(jnp.bfloat16),
+                   kc_in[:].astype(jnp.bfloat16))
+    vb = jnp.where(row == pos, vn_ref[:].astype(jnp.bfloat16),
+                   vc_in[:].astype(jnp.bfloat16))
+    k_scale = jnp.where(row == pos, 1.0, ks_in[:])  # [T, 1]
+    v_scale = jnp.where(row == pos, 1.0, vs_in[:])
+    q = q_ref[:]
+    s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * (k_scale[:, 0] * scale)[None, :]
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (rep, T), 1)
+    s = jnp.where(t_idx <= pos, s, -1e30)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    p = p * v_scale[:, 0][None, :]
+    o = jax.lax.dot_general(p.astype(jnp.bfloat16), vb,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _decode_attn_quant_ro_impl(pos, q, k_new, v_new, k_codes, k_scale,
+                               v_codes, v_scale, interpret):
+    B, Hkv, T, D = k_codes.shape
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    rep = q.shape[1] // Hkv
+    qr = q.reshape(B, Hkv, rep, D)
+    rep_p = rep if rep == 1 else max(rep, 8)
+    if rep_p != rep:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
+    scale = 1.0 / (D ** 0.5)
+    ks4 = k_scale[..., None].astype(jnp.float32)
+    vs4 = v_scale[..., None].astype(jnp.float32)
+
+    spec_bh = lambda shape: pl.BlockSpec(
+        (None, None) + shape, lambda b, h: (b, h) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_q_ro, T=T, D=D, rep=rep_p, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            spec_bh((rep_p, D)),
+            spec_bh((1, D)),
+            spec_bh((1, D)),
+            spec_bh((T, D)),
+            spec_bh((T, 1)),
+            spec_bh((T, D)),
+            spec_bh((T, 1)),
+        ],
+        out_specs=spec_bh((rep_p, D)),
+        out_shape=jax.ShapeDtypeStruct(qr.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(pos.reshape(B, 1), qr, k_new, v_new, k_codes, ks4, v_codes, vs4)
+    if rep_p != rep:
+        out = out[:, :, :rep]
+    return out.reshape(B, Hkv * rep, 1, D)
+
+
 def decode_attention_quant(q, k_new, v_new, cache, pos):
-    """Fused single-token attention over an INT8 ``QuantKVCache``: the new
-    row is quantized in-kernel (per-token-per-head sym scales), written in
-    place, and attention runs on VMEM-dequantized codes. Returns
-    (out [B, H, 1, D], new_cache)."""
-    from ..models.llama import QuantKVCache
+    """Fused single-token attention over a quantized ``QuantKVCache``
+    (int8 or fp8-e4m3 codes, per-(token, head) scales). Returns
+    (out [B, H, 1, D], new_cache).
+
+    Write modes (``set_cache_write_mode``): "outside" (default) keeps the
+    kernel read-only and updates the cache row with an XLA
+    dynamic_update_slice (in-place under donation — no full-block rewrite);
+    "kernel" is the round-1 aliased write-back variant (int8 only).
+    """
+    from ..models.llama import QuantKVCache, _kv_quant, _update_rows
 
     B, H, S, D = q.shape
     assert S == 1, "decode kernel is single-token"
-    kc, ks, vc, vs, out = _decode_attn_quant_impl(
-        pos, q[:, :, 0], k_new, v_new, cache.k_codes, cache.k_scale,
-        cache.v_codes, cache.v_scale, interpret=not _on_tpu())
-    return out, QuantKVCache(kc, ks, vc, vs)
+    fp8 = cache.k_codes.dtype != jnp.int8
+    if _WRITE_MODE == "kernel" and not fp8:
+        kc, ks, vc, vs, out = _decode_attn_quant_impl(
+            pos, q[:, :, 0], k_new, v_new, cache.k_codes, cache.k_scale,
+            cache.v_codes, cache.v_scale, interpret=not _on_tpu())
+        return out, QuantKVCache(kc, ks, vc, vs)
+
+    interpret = not _on_tpu()
+    if fp8 and interpret:
+        # interpreter has no fp8 dot support: dequantize via XLA instead
+        kd = (cache.k_codes.astype(jnp.float32)
+              * cache.k_scale[..., None]).astype(q.dtype)
+        vd = (cache.v_codes.astype(jnp.float32)
+              * cache.v_scale[..., None]).astype(q.dtype)
+        out = _decode_attn_ro_impl(pos, q[:, :, 0], k_new, v_new, kd, vd,
+                                   interpret=True)
+    else:
+        out = _decode_attn_quant_ro_impl(
+            pos, q[:, :, 0], k_new, v_new, cache.k_codes, cache.k_scale,
+            cache.v_codes, cache.v_scale, interpret=interpret)
+    kc, ks = _kv_quant(k_new, fmt="fp8_e4m3" if fp8 else "int8")
+    vc, vs = _kv_quant(v_new, fmt="fp8_e4m3" if fp8 else "int8")
+    new_cache = QuantKVCache(
+        _update_rows(cache.k_codes, kc, pos),
+        _update_rows(cache.k_scale, ks, pos),
+        _update_rows(cache.v_codes, vc, pos),
+        _update_rows(cache.v_scale, vs, pos))
+    return out, new_cache
 
 
 def decode_attention(q, k_new, v_new, k_cache, v_cache, pos):

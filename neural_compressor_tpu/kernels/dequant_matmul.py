@@ -283,6 +283,10 @@ def dequant_matmul_pallas(x: jax.Array, pw: PackedWeight,
     G = pw.group_size if pw.group_size > 0 else K
     lead = x.shape[:-1]
     x2 = x.reshape(-1, K)
+    if pw.perm is not None:
+        # packed rows are stored permuted: contract x in the same order
+        x2 = jnp.take(x2, pw.perm, axis=1)
+        pw = pw._replace(perm=None)
     M = x2.shape[0]
 
     interpret = not _on_tpu()
@@ -326,6 +330,9 @@ def woq_matmul(x: jax.Array, pw: PackedWeight, impl: str | None = None,
         return dequant_matmul_pallas(x, pw, out_dtype=out_dtype)
     # Serving runs bf16; keep f32 activations in f32 for accuracy evals.
     cdt = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    if pw.perm is not None:
+        x = jnp.take(x, pw.perm, axis=-1)
+        pw = pw._replace(perm=None)
     w = dequantize_packed(pw, out_dtype=cdt)
     return jnp.dot(x.astype(cdt), w,
                    preferred_element_type=jnp.float32).astype(out_dtype)

@@ -119,6 +119,10 @@ def w4a8_matmul(x: jax.Array, pw: PackedWeight, out_dtype=None) -> jax.Array:
     K, N = pw.orig_shape
     lead = x.shape[:-1]
     x2 = x.reshape(-1, K)
+    if pw.perm is not None:
+        # rows stored permuted (act-order/GAR): contract x in stored order
+        x2 = jnp.take(x2, pw.perm, axis=1)
+        pw = pw._replace(perm=None)
     M = x2.shape[0]
 
     usable = (pw.layout == "tpu_strided" and pw.bits == 4

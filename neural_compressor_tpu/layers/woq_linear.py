@@ -36,6 +36,8 @@ class WOQLinear(nnx.Module):
         self.packed = nnx.Param(pw.packed)
         self.scales = nnx.Param(pw.scales)
         self.zeros = nnx.Param(pw.zeros) if pw.zeros is not None else None
+        # act-order / GAR input-row permutation (rows stored permuted)
+        self.perm = nnx.Param(pw.perm) if pw.perm is not None else None
         self.bias = nnx.Param(bias) if bias is not None else None
         # AWQ/SmoothQuant per-input-channel scale that could not be folded
         # into a parent op: forward computes (x / pre_scale) @ dequant(Wq·s)
@@ -52,6 +54,7 @@ class WOQLinear(nnx.Module):
             dtype=self.wdtype,
             orig_shape=(self.in_features, self.out_features),
             layout=self.layout,
+            perm=None if self.perm is None else self.perm[...],
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -67,8 +70,8 @@ class WOQLinear(nnx.Module):
 
     @classmethod
     def from_qtensor(cls, qt: QTensor, bias=None, impl: str = "auto",
-                     pre_scale=None) -> "WOQLinear":
-        return cls(pack_qtensor(qt), bias=bias, impl=impl,
+                     pre_scale=None, perm=None) -> "WOQLinear":
+        return cls(pack_qtensor(qt, perm=perm), bias=bias, impl=impl,
                    pre_scale=pre_scale)
 
     @classmethod

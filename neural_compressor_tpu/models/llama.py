@@ -76,24 +76,37 @@ class KVCache(NamedTuple):
 
 
 class QuantKVCache(NamedTuple):
-    """INT8 KV cache with per-(token, head) scales — the TPU-native analog
-    of the reference's ``PatchedKVCache``/``PatchedVLLMKVCache``
-    (fp8_quant/_quant_common/helper_modules.py:1105-1240). Halves KV HBM
-    traffic vs bf16; scales are [B, S, H] f32 (negligible overhead)."""
+    """Quantized KV cache with per-(token, head) scales — the TPU-native
+    analog of the reference's ``PatchedKVCache``/``PatchedVLLMKVCache``
+    (fp8_quant/_quant_common/helper_modules.py:1105-1240). Codes are int8
+    or fp8-e4m3 (the format is carried by the codes' dtype); both halve KV
+    HBM traffic vs bf16. Scales are [B, H, S] f32 (negligible overhead)."""
 
-    k_codes: jax.Array  # int8 [B, H, S, D]
+    k_codes: jax.Array  # int8 | float8_e4m3fn [B, H, S, D]
     k_scale: jax.Array  # f32  [B, H, S]
     v_codes: jax.Array
     v_scale: jax.Array
 
+    @property
+    def fmt(self) -> str:
+        return "int8" if self.k_codes.dtype == jnp.int8 else "fp8_e4m3"
 
-def _kv_quant(x: jax.Array):
-    """[B, H, S, D] -> int8 codes + per-(token, head) scale."""
+
+_KV_CODE_DTYPES = {"int8": jnp.int8, "fp8_e4m3": jnp.float8_e4m3fn}
+
+
+def _kv_quant(x: jax.Array, fmt: str = "int8"):
+    """[B, H, S, D] -> codes (int8 or fp8-e4m3) + per-(token, head) scale."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)
-    scale = jnp.where(amax <= 0, 1.0, amax / 127.0)
-    codes = jnp.clip(jnp.round(xf / scale[..., None]), -128, 127
-                     ).astype(jnp.int8)
+    if fmt == "fp8_e4m3":
+        scale = jnp.where(amax <= 0, 1.0, amax / 448.0)
+        codes = jnp.clip(xf / scale[..., None], -448.0, 448.0
+                         ).astype(jnp.float8_e4m3fn)
+    else:
+        scale = jnp.where(amax <= 0, 1.0, amax / 127.0)
+        codes = jnp.clip(jnp.round(xf / scale[..., None]), -128, 127
+                         ).astype(jnp.int8)
     return codes, scale
 
 
@@ -116,14 +129,17 @@ def _update_rows(cache_arr, new, cache_pos):
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
-                  dtype=None, quantized: bool = False):
+                  dtype=None, quantized: bool | str = False):
+    """``quantized``: False (bf16), True / "int8", or "fp8_e4m3"."""
     dtype = dtype or cfg.dtype
     shape = (batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
     sshape = shape[:-1]
     if quantized:
-        return [QuantKVCache(jnp.zeros(shape, jnp.int8),
+        fmt = "int8" if quantized is True else str(quantized)
+        cdt = _KV_CODE_DTYPES[fmt]
+        return [QuantKVCache(jnp.zeros(shape, cdt),
                              jnp.ones(sshape, jnp.float32),
-                             jnp.zeros(shape, jnp.int8),
+                             jnp.zeros(shape, cdt),
                              jnp.ones(sshape, jnp.float32))
                 for _ in range(cfg.num_hidden_layers)]
     return [KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
@@ -207,8 +223,8 @@ class LlamaAttention(nnx.Module):
                                                         cache_pos)
                 out = out.astype(x.dtype).transpose(0, 2, 1, 3)
                 return self.o_proj(out.reshape(B, S, H * D)), new_cache
-            kc, ks = _kv_quant(k)
-            vc, vs = _kv_quant(v)
+            kc, ks = _kv_quant(k, fmt=cache.fmt)
+            vc, vs = _kv_quant(v, fmt=cache.fmt)
             k_codes = _update_rows(cache.k_codes, kc, cache_pos)
             k_scale = _update_rows(cache.k_scale, ks, cache_pos)
             v_codes = _update_rows(cache.v_codes, vc, cache_pos)

@@ -24,6 +24,8 @@ import numpy as np
 from flax import nnx
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..common import logger
+
 # (regex over dotted param path) -> (spec for 2D kernels, handled below)
 COLUMN_PAR = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "lm_head",
               "c_attn", "c_fc", "fc1")
@@ -86,16 +88,30 @@ def shard_model(model: nnx.Module, mesh: Mesh) -> nnx.Module:
     (in place). Works for both fp and quantized (packed) models."""
     flat = nnx.state(model).flat_state()
     new_flat = []
+    replicated: list[str] = []
+    rep_bytes = 0
     for path, var in flat:
         spec = _spec_for(path, var[...])
         try:
             arr = jax.device_put(var[...], NamedSharding(mesh, spec))
         except ValueError:
-            # dim not divisible by mesh axis: replicate rather than fail
+            # dim not divisible by mesh axis: replicate rather than fail —
+            # but surface it, replication costs mesh-size x memory
             arr = jax.device_put(var[...], NamedSharding(mesh, P()))
+            if spec != P():
+                replicated.append(".".join(str(p) for p in path))
+                rep_bytes += arr.nbytes
         var[...] = arr
         new_flat.append((path, var))
     nnx.update(model, nnx.State.from_flat_path(new_flat))
+    if replicated:
+        logger.warning(
+            "shard_model: %d tensor(s) (%.1f MB) could not be sharded on "
+            "mesh %s (dim not divisible by axis) and were REPLICATED on "
+            "every device: %s%s",
+            len(replicated), rep_bytes / 1e6, dict(mesh.shape),
+            ", ".join(replicated[:8]),
+            " …" if len(replicated) > 8 else "")
     return model
 
 

@@ -42,6 +42,12 @@ class PackedWeight(NamedTuple):
     ``zeros``: optional [K/G, N] (asym int zero points), float32.
     ``bits`` / ``group_size`` / ``dtype`` / ``orig_shape``: as in QTensor.
     ``layout``: "tpu_strided" | "int8" | "raw".
+    ``perm``: optional int32 [K] input-row permutation. When set, the packed
+        rows are stored in PERMUTED order (groups contiguous): stored row i
+        corresponds to original input row ``perm[i]``. The matmul applies
+        ``x[..., perm]`` before contracting; dequantization scatters rows
+        back. Produced by act-order (g_idx) GPTQ checkpoint import and by
+        GAR/hybrid_order GPTQ.
     """
 
     packed: jax.Array
@@ -52,6 +58,7 @@ class PackedWeight(NamedTuple):
     dtype: str
     orig_shape: tuple[int, int]
     layout: str
+    perm: jax.Array | None = None
 
 
 def _values_per_lane(bits: int) -> int:
@@ -102,8 +109,13 @@ def unpack_codes(packed: jax.Array, bits: int, group_size: int, K: int,
     return codes.astype(jnp.int8)
 
 
-def pack_qtensor(qt: QTensor, force_int8: bool = False) -> PackedWeight:
-    """QTensor -> PackedWeight in the best available layout."""
+def pack_qtensor(qt: QTensor, force_int8: bool = False,
+                 perm: jax.Array | None = None) -> PackedWeight:
+    """QTensor -> PackedWeight in the best available layout.
+
+    ``perm``: optional [K] row permutation — the QTensor's codes/scales are
+    already in permuted (group-contiguous) order; record it for the matmul.
+    """
     K, N = qt.orig_shape
     G = qt.group_size
     P = _values_per_lane(qt.bits) if qt.bits in (2, 4) else 0
@@ -128,6 +140,7 @@ def pack_qtensor(qt: QTensor, force_int8: bool = False) -> PackedWeight:
         dtype=qt.dtype,
         orig_shape=(K, N),
         layout=layout,
+        perm=None if perm is None else jnp.asarray(perm, dtype=jnp.int32),
     )
 
 
@@ -167,12 +180,20 @@ def _dequantize_packed_arrays(packed, scales, zeros, bits, group_size, dtype,
 
 
 def dequantize_packed(pw: PackedWeight, out_dtype=jnp.bfloat16) -> jax.Array:
-    """Full dequantization via XLA (reference path for the Pallas kernels)."""
+    """Full dequantization via XLA (reference path for the Pallas kernels).
+
+    Returns the weight in ORIGINAL row order (scatters permuted rows back
+    when ``pw.perm`` is set).
+    """
     K, N = pw.orig_shape
     G = pw.group_size if pw.group_size > 0 else K
-    return _dequantize_packed_arrays(
+    w = _dequantize_packed_arrays(
         pw.packed, pw.scales, pw.zeros, pw.bits, G, pw.dtype, pw.layout, K,
         jnp.dtype(out_dtype))
+    if pw.perm is not None:
+        # stored row i == original row perm[i]
+        w = jnp.zeros_like(w).at[pw.perm].set(w)
+    return w
 
 
 # ---------------------------------------------------------------------------
@@ -217,20 +238,26 @@ def from_gptq_layout(qweight: np.ndarray, qzeros: np.ndarray, scales: np.ndarray
     codes = codes - half
     zeros = zeros - half
 
+    perm = None
     if g_idx is not None and not np.array_equal(
         np.asarray(g_idx), np.arange(K) // G
     ):
-        # Non-contiguous groups (act-order): fall back to per-row regrouping by
-        # sorting rows by group index; record the permutation for the matmul.
-        raise NotImplementedError(
-            "act-order g_idx import requires the act_order permutation path; "
-            "use load_gptq_checkpoint(...) which handles it."
-        )
+        # Non-contiguous groups (act-order): regroup by stable-sorting rows
+        # by group index; record the permutation for the matmul. GPTQ groups
+        # always have exactly G members, so sorted groups are contiguous.
+        gi = np.asarray(g_idx).astype(np.int64)
+        counts = np.bincount(gi, minlength=ng)
+        if not np.all(counts == G):
+            raise ValueError(
+                f"g_idx groups are not uniformly sized (G={G}): "
+                f"{counts.min()}..{counts.max()}")
+        perm = np.argsort(gi, kind="stable").astype(np.int32)
+        codes = codes[perm]
 
     codes_j = jnp.asarray(codes.astype(np.int8))
     qt = QTensor(codes_j, jnp.asarray(scales), jnp.asarray(zeros, dtype=jnp.float32)
                  if not sym else None, "int", bits, G, (K, N))
-    return pack_qtensor(qt)
+    return pack_qtensor(qt, perm=perm)
 
 
 def to_gptq_layout(pw: PackedWeight) -> dict[str, np.ndarray]:
@@ -239,6 +266,17 @@ def to_gptq_layout(pw: PackedWeight) -> dict[str, np.ndarray]:
     bits = pw.bits
     pf = 32 // bits
     codes = np.asarray(unpack_to_codes(pw)).astype(np.int64)
+    G_eff = pw.group_size if pw.group_size > 0 else K
+    if pw.perm is not None:
+        # stored row i == original row perm[i]: scatter back, emit g_idx
+        perm = np.asarray(pw.perm)
+        orig = np.empty_like(codes)
+        orig[perm] = codes
+        codes = orig
+        g_idx_out = np.empty((K,), dtype=np.int32)
+        g_idx_out[perm] = (np.arange(K) // G_eff).astype(np.int32)
+    else:
+        g_idx_out = (np.arange(K) // G_eff).astype(np.int32)
     half = 1 << (bits - 1)
     codes = codes + half  # centered -> unsigned
     if pw.zeros is None:
@@ -255,10 +293,9 @@ def to_gptq_layout(pw: PackedWeight) -> dict[str, np.ndarray]:
     qzeros = np.zeros((zeros.shape[0], N // pf), dtype=np.int64)
     for s in range(pf):
         qzeros |= zeros_m1[:, s::pf] << (bits * s)
-    g_idx = (np.arange(K) // (pw.group_size if pw.group_size > 0 else K)).astype(np.int32)
     return {
         "qweight": qweight.astype(np.int32),
         "qzeros": qzeros.astype(np.int32),
         "scales": np.asarray(pw.scales).astype(np.float16),
-        "g_idx": g_idx,
+        "g_idx": g_idx_out,
     }

@@ -113,7 +113,7 @@ class GPTQConfig(_WOQBase):
                  act_order=False, hybrid_order=False, static_groups=False,
                  true_sequential=False, percdamp=0.01, block_size=128,
                  nsamples=128, use_mse_search=False, quant_lm_head=False,
-                 white_list=DEFAULT_WHITE_LIST, **kw):
+                 fp8_aware=False, white_list=DEFAULT_WHITE_LIST, **kw):
         super().__init__(dtype=dtype, bits=bits, use_sym=use_sym,
                          group_size=group_size, use_mse_search=use_mse_search,
                          quant_lm_head=quant_lm_head, white_list=white_list, **kw)
@@ -124,6 +124,8 @@ class GPTQConfig(_WOQBase):
         self.percdamp = percdamp
         self.block_size = block_size
         self.nsamples = nsamples
+        # W4A8/fp8 protective-range quantization (reference gptq.py:1237-1248)
+        self.fp8_aware = fp8_aware
 
     @classmethod
     def get_config_set_for_tuning(cls):

@@ -120,7 +120,7 @@ def _rebuild(meta: dict, tensors: dict):
             zeros=tensors.get("zeros"), bits=meta["bits"],
             group_size=meta["group_size"], dtype=meta["wdtype"],
             orig_shape=(meta["in_features"], meta["out_features"]),
-            layout=meta["layout"])
+            layout=meta["layout"], perm=tensors.get("perm"))
         cls = W4A8Linear if t == "W4A8Linear" else WOQLinear
         return cls(pw, bias=bias, impl=meta.get("impl", "auto"),
                    pre_scale=tensors.get("pre_scale"))
@@ -244,3 +244,13 @@ def _load_gptq(input_dir: str, model, cfg: dict):
         n += 1
     logger.info("Loaded %d GPTQ-layout modules from %s", n, input_dir)
     return model
+
+
+def load_gptq_checkpoint(input_dir: str, model):
+    """Load an optimum/AutoGPTQ-layout checkpoint (as written by
+    ``save(..., format="gptq")`` or by the HF ecosystem) into a fp model
+    skeleton. Handles act-order (non-contiguous ``g_idx``) checkpoints by
+    storing the row permutation on the imported ``WOQLinear`` modules."""
+    with open(os.path.join(input_dir, CONFIG_NAME)) as f:
+        cfg = json.load(f)
+    return _load_gptq(input_dir, model, cfg)

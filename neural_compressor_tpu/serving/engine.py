@@ -57,7 +57,8 @@ class ContinuousBatchingEngine:
         self.n_slots = n_slots
         self.max_len = max_len
         self.eos_token_id = eos_token_id
-        quantized = getattr(model, "kv_cache_quantized", False)
+        quantized = (getattr(model, "kv_cache_format", "int8")
+                 if getattr(model, "kv_cache_quantized", False) else False)
         self.caches = init_kv_cache(self.cfg, n_slots, max_len,
                                     quantized=quantized)
         self._graphdef, self._state = nnx.split(model)

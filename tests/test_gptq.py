@@ -32,8 +32,9 @@ def _correlated_problem(K=128, N=128, seed=0):
 @pytest.mark.parametrize("act_order", [False, True])
 def test_gptq_beats_rtn_on_weighted_loss(sym, act_order):
     X, W, H = _correlated_problem()
-    Wq, s, z = gptq_quantize_matrix(W, H, bits=4, group_size=32, sym=sym,
-                                    act_order=act_order, block_size=64)
+    Wq, s, z, _perm, _f8 = gptq_quantize_matrix(
+        W, H, bits=4, group_size=32, sym=sym, act_order=act_order,
+        block_size=64)
     err_gptq = float(jnp.linalg.norm(X @ (W - Wq)) / jnp.linalg.norm(X @ W))
     Wr = qdq_tensor(W, bits=4, group_size=32,
                     scheme="sym" if sym else "asym")
@@ -43,8 +44,8 @@ def test_gptq_beats_rtn_on_weighted_loss(sym, act_order):
 
 def test_gptq_scales_shapes():
     _, W, H = _correlated_problem()
-    Wq, s, z = gptq_quantize_matrix(W, H, bits=4, group_size=32, sym=True,
-                                    block_size=64)
+    Wq, s, z, _perm, _f8 = gptq_quantize_matrix(W, H, bits=4, group_size=32,
+                                                sym=True, block_size=64)
     assert Wq.shape == W.shape
     assert s.shape == (128 // 32, 128)
 
@@ -84,6 +85,122 @@ def test_gptq_prepare_convert_flow():
     converted = nq.convert(prepared)
     assert isinstance(
         get_module(converted, "model.layers.1.mlp.down_proj"), WOQLinear)
+
+
+def test_gptq_hybrid_order_gar():
+    """GAR (hybrid_order) must return a group-preserving permutation and
+    beat RTN on the weighted loss; dequantization must honor the perm."""
+    X, W, H = _correlated_problem()
+    Wq, s, z, perm, _f8 = gptq_quantize_matrix(
+        W, H, bits=4, group_size=32, sym=True, block_size=64,
+        hybrid_order=True)
+    assert perm is not None
+    p = np.asarray(perm)
+    assert sorted(p.tolist()) == list(range(128))
+    # groups stay intact: each contiguous 32-chunk of perm maps one group
+    assert all(len({v // 32 for v in p[i:i + 32]}) == 1
+               for i in range(0, 128, 32))
+    # Wq is in permuted order; un-permute and check weighted loss vs RTN
+    Wq_orig = np.zeros_like(np.asarray(Wq))
+    Wq_orig[p] = np.asarray(Wq)
+    err_gar = float(jnp.linalg.norm(X @ (W - Wq_orig)) /
+                    jnp.linalg.norm(X @ W))
+    Wr = qdq_tensor(W, bits=4, group_size=32, scheme="sym")
+    err_rtn = float(jnp.linalg.norm(X @ (W - Wr)) / jnp.linalg.norm(X @ W))
+    assert err_gar < err_rtn
+
+
+def test_gptq_hybrid_order_module_forward():
+    """A WOQLinear built with a perm must match the un-permuted dequant."""
+    from neural_compressor_tpu.algorithms.gptq import gptq_layer_to_woq
+
+    X, W, H = _correlated_problem()
+
+    class Cfg:
+        weight_bits = 4
+        group_size = 32
+        use_sym = True
+        scheme = "sym"
+        act_order = False
+        percdamp = 0.01
+        block_size = 64
+        static_groups = False
+        hybrid_order = True
+        fp8_aware = False
+
+    lin = gptq_layer_to_woq(W, H, Cfg())
+    assert lin.perm is not None
+    y = lin(X[:4])
+    wk = lin.dequantized_kernel()  # original row order
+    ref = X[:4] @ wk
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_gptq_fp8_aware_protective_range():
+    """fp8_aware QDQ values must lie on the e4m3 grid within the protective
+    range after dividing by the bf16->fp8 scale, and differ from plain."""
+    _X, W, H = _correlated_problem()
+    Wq, s, z, _p, f8 = gptq_quantize_matrix(
+        W, H, bits=4, group_size=32, sym=True, block_size=64, fp8_aware=True)
+    Wq_plain, *_ = gptq_quantize_matrix(
+        W, H, bits=4, group_size=32, sym=True, block_size=64)
+    assert float(f8) > 0 and np.log2(float(f8)) == int(np.log2(float(f8)))
+    w8 = np.asarray(Wq, np.float32) / float(f8)
+    snapped = np.asarray(
+        jnp.asarray(w8).astype(jnp.float8_e4m3fn).astype(jnp.float32))
+    np.testing.assert_allclose(w8, snapped, rtol=0, atol=0)
+    protective = 448.0 - 448.0 / 7
+    assert np.max(np.abs(w8)) <= protective
+    assert not np.allclose(np.asarray(Wq), np.asarray(Wq_plain))
+
+
+def test_gptq_quant_lm_head():
+    rng = np.random.default_rng(7)
+    m = LlamaForCausalLM.from_preset("llama-test")
+    calib = [jnp.asarray(rng.integers(0, 256, (2, 16))) for _ in range(2)]
+    qm = nq.quantize(
+        m, nq.GPTQConfig(dtype="int4", group_size=32, block_size=64,
+                         quant_lm_head=True),
+        run_fn=lambda mm: calibration_forward(mm, calib))
+    assert isinstance(get_module(qm, "lm_head"), WOQLinear)
+    ids = jnp.asarray(rng.integers(0, 256, (2, 8)))
+    assert np.isfinite(np.asarray(qm(ids), dtype=np.float32)).all()
+
+
+def test_gptq_act_order_checkpoint_roundtrip(tmp_path):
+    """Export with a perm (act-order layout) -> optimum tensors -> import
+    must reproduce the dequantized weight exactly."""
+    from neural_compressor_tpu.ops.packing import (
+        dequantize_packed, from_gptq_layout, pack_qtensor, to_gptq_layout)
+    from neural_compressor_tpu.ops.qtensor import quantize_tensor
+
+    rng = np.random.default_rng(3)
+    W = jnp.asarray(rng.standard_normal((128, 64)), dtype=jnp.float32)
+    qt = quantize_tensor(W, bits=4, group_size=32, scheme="asym")
+    # fabricate a group-preserving row permutation (like GAR/act-order)
+    perm = np.concatenate([rng.permutation(np.arange(g * 32, (g + 1) * 32))
+                           for g in rng.permutation(4)]).astype(np.int32)
+    # store codes permuted so that stored row i = original row perm[i]
+    codes_perm = np.asarray(qt.codes)[perm]
+    # regroup scales to match the permuted group order
+    gorder = perm[::32] // 32
+    qt2 = qt._replace(codes=jnp.asarray(codes_perm),
+                      scales=qt.scales[gorder], zeros=qt.zeros[gorder])
+    pw = pack_qtensor(qt2, perm=perm)
+    w_ref = np.asarray(dequantize_packed(pw, out_dtype=jnp.float32))
+    gl = to_gptq_layout(pw)
+    assert not np.array_equal(gl["g_idx"], np.arange(128) // 32)
+    pw2 = from_gptq_layout(gl["qweight"], gl["qzeros"], gl["scales"],
+                           gl["g_idx"], bits=4, sym=False)
+    assert pw2.perm is not None
+    w_back = np.asarray(dequantize_packed(pw2, out_dtype=jnp.float32))
+    np.testing.assert_allclose(w_back, w_ref, rtol=1e-2, atol=1e-3)
+    # and the matmul honors the permutation (vs dequantized original order)
+    x = jnp.asarray(rng.standard_normal((4, 128)), dtype=jnp.float32)
+    from neural_compressor_tpu.kernels import woq_matmul
+    y = np.asarray(woq_matmul(x, pw2, impl="xla"))
+    np.testing.assert_allclose(y, x @ w_ref, rtol=1e-2, atol=1e-2)
 
 
 def test_gptq_true_sequential():

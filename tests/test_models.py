@@ -47,6 +47,28 @@ class TestLlama:
             atol=1e-2,
         )
 
+    @pytest.mark.parametrize("fmt", ["int8", "fp8_e4m3"])
+    def test_quant_kv_cache_decode(self, llama, ids, fmt):
+        """Quantized-cache decode (int8 / fp8-e4m3) must track the bf16-cache
+        decode closely at every step."""
+        caches = init_kv_cache(llama.cfg, 2, 32)
+        qcaches = init_kv_cache(llama.cfg, 2, 32, quantized=fmt)
+        _, caches = llama(ids, caches=caches, cache_pos=0)
+        _, qcaches = llama(ids, caches=qcaches, cache_pos=0)
+        assert qcaches[0].fmt == fmt
+        tok = ids[:, :1]
+        for step in range(3):
+            pos = jnp.full((2, 1), 16 + step)
+            lg, caches = llama(tok, positions=pos, caches=caches,
+                               cache_pos=16 + step)
+            qlg, qcaches = llama(tok, positions=pos, caches=qcaches,
+                                 cache_pos=16 + step)
+            ref = np.asarray(lg[:, 0], dtype=np.float32)
+            got = np.asarray(qlg[:, 0], dtype=np.float32)
+            err = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-9)
+            assert err < 0.12, f"{fmt} step {step}: rel err {err}"
+            tok = jnp.argmax(lg[:, -1:], axis=-1).astype(ids.dtype)
+
     def test_quantize_llama_int4(self, ids):
         m = LlamaForCausalLM.from_preset("llama-test")
         y0 = m(ids).astype(jnp.float32)
