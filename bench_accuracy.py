@@ -1,0 +1,86 @@
+"""Accuracy-parity benchmark: quantization ppl delta on the in-repo model.
+
+Prints ONE JSON line (sibling of bench.py's throughput line):
+  {"metric": "ppl_delta_int4_gptq", "value": <ppl_q - ppl_fp>,
+   "unit": "ppl", "vs_baseline": <ppl_fp>}
+
+plus a per-algorithm table on stderr. The reference's value claim is its
+accuracy tables (docs/source/llm_recipes.md:42-260 — quantized/fp ratios
+≈ 1.0); this is the offline TPU-build analog: a real (trained, non-random)
+byte-level LM, held-out split, Δppl per algorithm at int8/int4.
+
+Run ``python -m neural_compressor_tpu.evaluation.train_tiny`` first to
+(re)train the checkpoint; without one this script trains it (~minutes on
+the TPU chip, longer on CPU).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+import neural_compressor_tpu as nq
+from neural_compressor_tpu.algorithms.calib_capture import calibration_forward
+from neural_compressor_tpu.evaluation.corpus import corpus_tokens
+from neural_compressor_tpu.evaluation.lm_eval import perplexity
+from neural_compressor_tpu.evaluation.train_tiny import (
+    SEQ_LEN, load_tiny_lm, train_tiny_lm)
+
+
+def fresh_model():
+    m = load_tiny_lm()
+    assert m is not None
+    return m
+
+
+def main():
+    model = load_tiny_lm()
+    if model is None:
+        print("no checkpoint found - training", file=sys.stderr)
+        model, _ = train_tiny_lm()
+
+    train, val = corpus_tokens(SEQ_LEN)
+    val = val[:96]
+    calib = [jnp.asarray(train[i * 8:(i + 1) * 8]) for i in range(4)]
+    run_fn = lambda mm: calibration_forward(mm, calib)  # noqa: E731
+
+    ppl_fp = perplexity(model, val, batch_size=16)
+
+    algos = {
+        "rtn_int8": (nq.RTNConfig(dtype="int8", bits=8, group_size=128),
+                     None),
+        "rtn_int4": (nq.RTNConfig(dtype="int4", group_size=128), None),
+        "gptq_int4": (nq.GPTQConfig(dtype="int4", group_size=128,
+                                    block_size=128), run_fn),
+        "awq_int4": (nq.AWQConfig(dtype="int4", group_size=128), run_fn),
+        "sq_w8a8": (nq.SmoothQuantConfig(), run_fn),
+    }
+    results = {}
+    for name, (cfg, rf) in algos.items():
+        try:
+            qm = nq.quantize(fresh_model(), cfg, run_fn=rf)
+            results[name] = perplexity(qm, val, batch_size=16)
+        except Exception as e:  # pragma: no cover
+            print(f"  {name} FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            results[name] = float("nan")
+
+    print(f"fp ppl: {ppl_fp:.4f}", file=sys.stderr)
+    for name, p in results.items():
+        print(f"  {name:10s} ppl {p:8.4f}  delta {p - ppl_fp:+.4f}  "
+              f"ratio {ppl_fp / p if p else 0:.4f}", file=sys.stderr)
+
+    delta = results["gptq_int4"] - ppl_fp
+    print(json.dumps({
+        "metric": "ppl_delta_int4_gptq",
+        "value": round(float(delta), 4),
+        "unit": "ppl",
+        "vs_baseline": round(float(ppl_fp), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

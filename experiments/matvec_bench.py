@@ -34,7 +34,7 @@ from neural_compressor_tpu.kernels.dequant_matmul import (
 K = N = 4096
 G = 128
 P = 8  # int4 values per uint32
-ITERS = 100
+ITERS = 2000
 
 BYTES_INT4 = K * N // 2 + (K // G) * N * 4  # packed + f32 scales
 BYTES_BF16 = K * N * 2
@@ -209,12 +209,12 @@ def main():
 
     # HBM probes
     timeit(make_hbm_probe(pw.packed, 32), s0, "hbm_probe_int4(8MB)",
-           BYTES_INT4)
+           BYTES_INT4, iters=500)
     timeit(make_hbm_probe(w_bf16, 256), s0, "hbm_probe_bf16(33MB)",
-           BYTES_BF16, iters=50)
+           BYTES_BF16, iters=300)
     for rows in (64, 128):
         timeit(make_hbm_probe(pw.packed, rows), s0,
-               f"hbm_probe_int4 r{rows}", BYTES_INT4)
+               f"hbm_probe_int4 r{rows}", BYTES_INT4, iters=500)
 
     # XLA bf16 matvec
     def xla_step(x):

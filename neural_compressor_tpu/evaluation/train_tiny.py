@@ -1,0 +1,133 @@
+"""Train the in-repo accuracy-parity model (byte-level tiny Llama).
+
+Produces the trained checkpoint the Δppl harness (bench_accuracy.py,
+tests/test_accuracy_parity.py) quantizes and evaluates. The model is a real
+(non-random) LM: after ~2k steps on the repo corpus it reaches a byte ppl
+far below uniform (256), so quantization error shows up as a measurable
+ppl delta — the reference's entire value claim is this delta staying ~0
+(docs/source/llm_recipes.md accuracy ratios ≈ 1.0).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from ..common import logger
+from ..models.llama import LLAMA_PRESETS, LlamaConfig, LlamaForCausalLM
+from .corpus import REPO_ROOT, corpus_tokens
+
+ARTIFACT_DIR = os.path.join(REPO_ROOT, "artifacts", "tiny_lm")
+SEQ_LEN = 256
+
+# byte-level accuracy-parity preset (registered here, used via from_preset)
+LLAMA_PRESETS.setdefault("llama-acc", dict(
+    vocab_size=256, hidden_size=256, intermediate_size=1024,
+    num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=4,
+    max_position_embeddings=512))
+
+
+def _flat_state(model):
+    flat = nnx.state(model).flat_state()
+    return {".".join(str(p) for p in path): np.asarray(var[...])
+            for path, var in flat}
+
+
+def save_model_state(model, out_dir: str) -> None:
+    from safetensors.numpy import save_file
+
+    os.makedirs(out_dir, exist_ok=True)
+    tensors = {}
+    for k, v in _flat_state(model).items():
+        if str(v.dtype) == "bfloat16":
+            tensors[k + ":bf16"] = np.asarray(v).view(np.uint16)
+        else:
+            tensors[k] = v
+    save_file(tensors, os.path.join(out_dir, "model_state.safetensors"))
+
+
+def load_model_state(model, in_dir: str):
+    from safetensors.numpy import load_file
+
+    raw = load_file(os.path.join(in_dir, "model_state.safetensors"))
+    flat = nnx.state(model).flat_state()
+    by_name = {".".join(str(p) for p in path): var for path, var in flat}
+    for key, arr in raw.items():
+        name = key.split(":", 1)[0]
+        if key.endswith(":bf16"):
+            arr = jnp.asarray(arr.view(np.uint16)).view(jnp.bfloat16)
+        var = by_name[name]
+        var[...] = jnp.asarray(arr).astype(var[...].dtype)
+    return model
+
+
+def train_tiny_lm(steps: int = 2000, batch_size: int = 32, lr: float = 3e-3,
+                  seed: int = 0, out_dir: str = ARTIFACT_DIR,
+                  log_every: int = 200):
+    """Train llama-acc on the repo corpus; save the checkpoint; return
+    (model, final_val_ppl)."""
+    from .lm_eval import perplexity
+
+    train, val = corpus_tokens(SEQ_LEN)
+    model = LlamaForCausalLM.from_preset("llama-acc")
+    graphdef, state = nnx.split(model)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=max(steps // 20, 10), decay_steps=steps)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched))
+    opt_state = tx.init(state)
+
+    @jax.jit
+    def step_fn(state, opt_state, batch):
+        def loss_fn(state):
+            m = nnx.merge(graphdef, state)
+            logits = m(batch).astype(jnp.float32)
+            tgt = batch[:, 1:]
+            lp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+            nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+            return nll.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state)
+        updates, opt_state = tx.update(grads, opt_state, state)
+        state = optax.apply_updates(state, updates)
+        return state, opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    for i in range(steps):
+        rows = rng.integers(0, len(train), batch_size)
+        batch = jnp.asarray(train[rows])
+        state, opt_state, loss = step_fn(state, opt_state, batch)
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            logger.info("train_tiny_lm step %d/%d loss %.4f", i, steps,
+                        float(loss))
+    nnx.update(model, state)
+    val_ppl = perplexity(model, val[:64], batch_size=16)
+    logger.info("train_tiny_lm: final val ppl %.3f (uniform would be 256)",
+                val_ppl)
+    save_model_state(model, out_dir)
+    with open(os.path.join(out_dir, "meta.txt"), "w") as f:
+        f.write(f"preset=llama-acc steps={steps} batch={batch_size} "
+                f"lr={lr} seed={seed} val_ppl={val_ppl:.4f}\n")
+    return model, val_ppl
+
+
+def load_tiny_lm(in_dir: str = ARTIFACT_DIR):
+    """Load the committed accuracy-parity checkpoint (None if absent)."""
+    if not os.path.exists(os.path.join(in_dir, "model_state.safetensors")):
+        return None
+    model = LlamaForCausalLM.from_preset("llama-acc")
+    return load_model_state(model, in_dir)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch-size", type=int, default=32)
+    args = ap.parse_args()
+    train_tiny_lm(steps=args.steps, batch_size=args.batch_size)

@@ -1,11 +1,15 @@
 """Model zoo: TPU-native NNX implementations of the LLM families the
-reference's recipes cover (llama/gpt2/opt/mistral — docs/source/llm_recipes.md),
-with tensor-parallel sharding rules and HF checkpoint import."""
+reference's recipes cover (llama/mistral, gpt2, opt, mixtral, gpt-j, bloom,
+falcon — docs/source/llm_recipes.md), with tensor-parallel sharding rules
+and HF checkpoint import."""
 
 from .llama import LlamaConfig, LlamaForCausalLM, LLAMA_PRESETS
 from .gpt2 import GPT2Config, GPT2LMHeadModel
 from .mixtral import MixtralConfig, MixtralForCausalLM, MIXTRAL_PRESETS
 from .opt import OPTConfig, OPTForCausalLM, OPT_PRESETS
+from .gptj import GPTJConfig, GPTJForCausalLM, GPTJ_PRESETS
+from .bloom import BloomConfig, BloomForCausalLM, BLOOM_PRESETS
+from .falcon import FalconConfig, FalconForCausalLM, FALCON_PRESETS
 from .sharding import make_mesh, shard_model, llama_partition_rules
 
 __all__ = [
@@ -13,5 +17,8 @@ __all__ = [
     "GPT2Config", "GPT2LMHeadModel",
     "MixtralConfig", "MixtralForCausalLM", "MIXTRAL_PRESETS",
     "OPTConfig", "OPTForCausalLM", "OPT_PRESETS",
+    "GPTJConfig", "GPTJForCausalLM", "GPTJ_PRESETS",
+    "BloomConfig", "BloomForCausalLM", "BLOOM_PRESETS",
+    "FalconConfig", "FalconForCausalLM", "FALCON_PRESETS",
     "make_mesh", "shard_model", "llama_partition_rules",
 ]

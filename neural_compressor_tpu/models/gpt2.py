@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from .llama import KVCache, _update_rows
+from .llama import KVCache, _update_rows, update_cache
 
 
 @dataclasses.dataclass
@@ -62,10 +62,7 @@ class GPT2Attention(nnx.Module):
 
         new_cache = None
         if cache is not None:
-            k_all = _update_rows(cache.k, k, cache_pos)
-            v_all = _update_rows(cache.v, v, cache_pos)
-            new_cache = KVCache(k_all, v_all)
-            k, v = k_all.astype(x.dtype), v_all.astype(x.dtype)
+            k, v, new_cache = update_cache(cache, k, v, cache_pos, x.dtype)
 
         scores = jnp.einsum("bhsd,bhtd->bhst", q, k,
                             preferred_element_type=jnp.float32) / jnp.sqrt(D)

@@ -245,25 +245,255 @@ def load_hf_gpt2(model_dir: str, dtype=jnp.bfloat16) -> GPT2LMHeadModel:
     return model
 
 
+def load_hf_opt(model_dir: str, dtype=jnp.bfloat16):
+    from .opt import OPTConfig, OPTForCausalLM
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    cfg = OPTConfig(
+        vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+        ffn_dim=hf["ffn_dim"], num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        max_position_embeddings=hf.get("max_position_embeddings", 2048),
+        dtype=dtype)
+    model = OPTForCausalLM(cfg, nnx.Rngs(0))
+    n = 0
+    for name, arr in _iter_checkpoint_tensors(model_dir):
+        name = name.removeprefix("model.").removeprefix("decoder.")
+        t = _to_jnp(arr, dtype)
+        n += 1
+        if name == "embed_tokens.weight":
+            model.embed_tokens.embedding[...] = t
+        elif name == "embed_positions.weight":
+            model.embed_positions.embedding[...] = t
+        elif name in ("final_layer_norm.weight", "final_layer_norm.bias"):
+            attr = "scale" if name.endswith("weight") else "bias"
+            getattr(model.final_layer_norm, attr)[...] = t.astype(jnp.float32)
+        elif name == "lm_head.weight":
+            pass  # tied to embed_tokens
+        elif name.startswith("layers."):
+            parts = name.split(".")
+            layer = model.layers[int(parts[1])]
+            rest = ".".join(parts[2:])
+            if not _assign_generic(layer, rest, t, {
+                "self_attn.q_proj": layer.self_attn.q_proj,
+                "self_attn.k_proj": layer.self_attn.k_proj,
+                "self_attn.v_proj": layer.self_attn.v_proj,
+                "self_attn.out_proj": layer.self_attn.out_proj,
+                "fc1": layer.fc1,
+                "fc2": layer.fc2,
+            }, {
+                "self_attn_layer_norm": layer.self_attn_layer_norm,
+                "final_layer_norm": layer.final_layer_norm,
+            }):
+                n -= 1
+        else:
+            n -= 1
+    logger.info("Loaded %d HF tensors from %s", n, model_dir)
+    return model
+
+
+def _assign_generic(layer, rest: str, t, linears: dict, norms: dict) -> bool:
+    """Assign ``<mod>.weight|bias`` to Linear (transposed) / LayerNorm."""
+    for prefix, lin in linears.items():
+        if rest == f"{prefix}.weight":
+            lin.kernel[...] = t.T
+            return True
+        if rest == f"{prefix}.bias" and lin.bias is not None:
+            lin.bias[...] = t
+            return True
+    for prefix, ln in norms.items():
+        if rest == f"{prefix}.weight":
+            (ln.scale if hasattr(ln, "scale") else ln.weight)[...] = \
+                t.astype(jnp.float32)
+            return True
+        if rest == f"{prefix}.bias" and getattr(ln, "bias", None) is not None:
+            ln.bias[...] = t.astype(jnp.float32)
+            return True
+    return False
+
+
+def load_hf_gptj(model_dir: str, dtype=jnp.bfloat16):
+    from .gptj import GPTJConfig, GPTJForCausalLM
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    cfg = GPTJConfig(
+        vocab_size=hf["vocab_size"], n_positions=hf.get("n_positions", 2048),
+        n_embd=hf["n_embd"], n_layer=hf["n_layer"], n_head=hf["n_head"],
+        rotary_dim=hf.get("rotary_dim") or hf["n_embd"] // hf["n_head"],
+        n_inner=hf.get("n_inner"), dtype=dtype)
+    model = GPTJForCausalLM(cfg, nnx.Rngs(0))
+    n = 0
+    for name, arr in _iter_checkpoint_tensors(model_dir):
+        name = name.removeprefix("transformer.")
+        t = _to_jnp(arr, dtype)
+        n += 1
+        if name == "wte.weight":
+            model.wte.embedding[...] = t
+        elif name in ("ln_f.weight", "ln_f.bias"):
+            attr = "scale" if name.endswith("weight") else "bias"
+            getattr(model.ln_f, attr)[...] = t.astype(jnp.float32)
+        elif name == "lm_head.weight":
+            model.lm_head.kernel[...] = t.T
+        elif name == "lm_head.bias":
+            model.lm_head.bias[...] = t
+        elif name.startswith("h."):
+            parts = name.split(".")
+            blk = model.h[int(parts[1])]
+            rest = ".".join(parts[2:])
+            if not _assign_generic(blk, rest, t, {
+                "attn.q_proj": blk.attn.q_proj,
+                "attn.k_proj": blk.attn.k_proj,
+                "attn.v_proj": blk.attn.v_proj,
+                "attn.out_proj": blk.attn.out_proj,
+                "mlp.fc_in": blk.mlp.fc_in,
+                "mlp.fc_out": blk.mlp.fc_out,
+            }, {"ln_1": blk.ln_1}):
+                n -= 1
+        else:
+            n -= 1
+    logger.info("Loaded %d HF tensors from %s", n, model_dir)
+    return model
+
+
+def load_hf_bloom(model_dir: str, dtype=jnp.bfloat16):
+    from .bloom import BloomConfig, BloomForCausalLM
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    cfg = BloomConfig(
+        vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+        n_layer=hf["n_layer"], n_head=hf["n_head"], dtype=dtype)
+    model = BloomForCausalLM(cfg, nnx.Rngs(0))
+    n = 0
+    for name, arr in _iter_checkpoint_tensors(model_dir):
+        name = name.removeprefix("transformer.")
+        t = _to_jnp(arr, dtype)
+        n += 1
+        if name == "word_embeddings.weight":
+            model.word_embeddings.embedding[...] = t
+        elif name.startswith("word_embeddings_layernorm."):
+            attr = "scale" if name.endswith("weight") else "bias"
+            getattr(model.word_embeddings_layernorm, attr)[...] = \
+                t.astype(jnp.float32)
+        elif name in ("ln_f.weight", "ln_f.bias"):
+            attr = "scale" if name.endswith("weight") else "bias"
+            getattr(model.ln_f, attr)[...] = t.astype(jnp.float32)
+        elif name == "lm_head.weight":
+            pass  # tied
+        elif name.startswith("h."):
+            parts = name.split(".")
+            blk = model.h[int(parts[1])]
+            rest = ".".join(parts[2:])
+            # HF bloom qkv weights are [(H*3*D), E]: already the per-head
+            # [H, 3, D] fused layout our attention reshapes to — transpose
+            # only (our convention is [in, out])
+            if not _assign_generic(blk, rest, t, {
+                "self_attention.query_key_value":
+                    blk.self_attention.query_key_value,
+                "self_attention.dense": blk.self_attention.dense,
+                "mlp.dense_h_to_4h": blk.mlp.dense_h_to_4h,
+                "mlp.dense_4h_to_h": blk.mlp.dense_4h_to_h,
+            }, {
+                "input_layernorm": blk.input_layernorm,
+                "post_attention_layernorm": blk.post_attention_layernorm,
+            }):
+                n -= 1
+        else:
+            n -= 1
+    logger.info("Loaded %d HF tensors from %s", n, model_dir)
+    return model
+
+
+def load_hf_falcon(model_dir: str, dtype=jnp.bfloat16):
+    from .falcon import FalconConfig, FalconForCausalLM
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    cfg = FalconConfig(
+        vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+        num_hidden_layers=hf.get("num_hidden_layers", hf.get("n_layer")),
+        num_attention_heads=hf.get("num_attention_heads", hf.get("n_head")),
+        num_kv_heads=(hf.get("num_kv_heads", 1)
+                      if not hf.get("multi_query", True) else 1),
+        parallel_attn=hf.get("parallel_attn", True), dtype=dtype)
+    model = FalconForCausalLM(cfg, nnx.Rngs(0))
+    n = 0
+    saw_lm_head = False
+    for name, arr in _iter_checkpoint_tensors(model_dir):
+        name = name.removeprefix("transformer.")
+        t = _to_jnp(arr, dtype)
+        n += 1
+        if name == "word_embeddings.weight":
+            model.word_embeddings.embedding[...] = t
+        elif name in ("ln_f.weight", "ln_f.bias"):
+            attr = "scale" if name.endswith("weight") else "bias"
+            getattr(model.ln_f, attr)[...] = t.astype(jnp.float32)
+        elif name == "lm_head.weight":
+            model.lm_head.kernel[...] = t.T
+            saw_lm_head = True
+        elif name.startswith("h."):
+            parts = name.split(".")
+            blk = model.h[int(parts[1])]
+            rest = ".".join(parts[2:])
+            norms = {"input_layernorm": blk.input_layernorm}
+            if not cfg.parallel_attn:
+                norms["post_attention_layernorm"] = \
+                    blk.post_attention_layernorm
+            if not _assign_generic(blk, rest, t, {
+                "self_attention.query_key_value":
+                    blk.self_attention.query_key_value,
+                "self_attention.dense": blk.self_attention.dense,
+                "mlp.dense_h_to_4h": blk.mlp.dense_h_to_4h,
+                "mlp.dense_4h_to_h": blk.mlp.dense_4h_to_h,
+            }, norms):
+                n -= 1
+        else:
+            n -= 1
+    if not saw_lm_head:  # tied embeddings (falcon default)
+        model.lm_head.kernel[...] = model.word_embeddings.embedding[...].T
+    logger.info("Loaded %d HF tensors from %s", n, model_dir)
+    return model
+
+
 def detect_architecture(model_dir: str) -> str:
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
     archs = hf.get("architectures") or []
     mt = hf.get("model_type", "")
-    if any("Mixtral" in a for a in archs) or mt == "mixtral":
+
+    def has(s):
+        return any(s in a for a in archs)
+
+    if has("Mixtral") or mt == "mixtral":
         return "mixtral"
-    if any("Llama" in a or "Mistral" in a for a in archs) or mt in (
-            "llama", "mistral"):
+    if has("Llama") or has("Mistral") or mt in ("llama", "mistral"):
         return "llama"
-    if any("GPT2" in a for a in archs) or mt == "gpt2":
+    if has("GPTJ") or mt == "gptj":
+        return "gptj"
+    if has("GPT2") or mt == "gpt2":
         return "gpt2"
+    if has("Bloom") or mt == "bloom":
+        return "bloom"
+    if has("Falcon") or has("RWForCausalLM") or mt in ("falcon", "RefinedWeb",
+                                                       "RefinedWebModel"):
+        return "falcon"
+    if has("OPT") or mt == "opt":
+        return "opt"
     raise ValueError(f"unsupported architecture {archs or mt!r}")
 
 
+_LOADERS = {
+    "llama": load_hf_llama,
+    "mixtral": load_hf_mixtral,
+    "gpt2": load_hf_gpt2,
+    "gptj": load_hf_gptj,
+    "bloom": load_hf_bloom,
+    "falcon": load_hf_falcon,
+    "opt": load_hf_opt,
+}
+
+
 def load_hf_model(model_dir: str, dtype=jnp.bfloat16):
-    arch = detect_architecture(model_dir)
-    if arch == "llama":
-        return load_hf_llama(model_dir, dtype=dtype)
-    if arch == "mixtral":
-        return load_hf_mixtral(model_dir, dtype=dtype)
-    return load_hf_gpt2(model_dir, dtype=dtype)
+    return _LOADERS[detect_architecture(model_dir)](model_dir, dtype=dtype)

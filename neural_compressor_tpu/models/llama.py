@@ -128,6 +128,26 @@ def _update_rows(cache_arr, new, cache_pos):
     return jax.vmap(row)(cache_arr, new, cache_pos)
 
 
+def update_cache(cache, k, v, cache_pos, dtype):
+    """Write new K/V rows [B, H, S, D] into a ``KVCache`` or ``QuantKVCache``
+    (quantizing per token-head) and return ``(k_all, v_all, new_cache)``
+    with k_all/v_all dequantized to ``dtype``. Shared by every model family
+    in the zoo; the llama attention additionally has fused decode kernels."""
+    if isinstance(cache, QuantKVCache):
+        kc, ks = _kv_quant(k, fmt=cache.fmt)
+        vc, vs = _kv_quant(v, fmt=cache.fmt)
+        new = QuantKVCache(
+            _update_rows(cache.k_codes, kc, cache_pos),
+            _update_rows(cache.k_scale, ks, cache_pos),
+            _update_rows(cache.v_codes, vc, cache_pos),
+            _update_rows(cache.v_scale, vs, cache_pos))
+        return (_kv_dequant(new.k_codes, new.k_scale, dtype),
+                _kv_dequant(new.v_codes, new.v_scale, dtype), new)
+    k_all = _update_rows(cache.k, k, cache_pos)
+    v_all = _update_rows(cache.v, v, cache_pos)
+    return k_all.astype(dtype), v_all.astype(dtype), KVCache(k_all, v_all)
+
+
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
                   dtype=None, quantized: bool | str = False):
     """``quantized``: False (bf16), True / "int8", or "fp8_e4m3"."""

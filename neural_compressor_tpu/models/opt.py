@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from .llama import KVCache, _update_rows
+from .llama import KVCache, _update_rows, update_cache
 
 
 @dataclasses.dataclass
@@ -66,10 +66,7 @@ class OPTAttention(nnx.Module):
         v = self.v_proj(x).reshape(B, S, H, D).transpose(0, 2, 1, 3)
         new_cache = None
         if cache is not None:
-            k_all = _update_rows(cache.k, k, cache_pos)
-            v_all = _update_rows(cache.v, v, cache_pos)
-            new_cache = KVCache(k_all, v_all)
-            k, v = k_all.astype(x.dtype), v_all.astype(x.dtype)
+            k, v, new_cache = update_cache(cache, k, v, cache_pos, x.dtype)
         scores = jnp.einsum("bhsd,bhtd->bhst", q, k,
                             preferred_element_type=jnp.float32) / jnp.sqrt(D)
         scores = jnp.where(mask, scores, -1e30)

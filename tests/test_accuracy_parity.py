@@ -1,0 +1,69 @@
+"""Accuracy-parity regression: quantization Δppl on the trained in-repo LM.
+
+The committed checkpoint (artifacts/tiny_lm, trained by
+evaluation/train_tiny.py on the repo corpus) is a real language model —
+quantization damage shows up as a held-out ppl delta. Asserts the
+reference-table orderings (GPTQ ≤ RTN at int4; int8 ≈ lossless) and
+absolute budgets. Reference: docs/source/llm_recipes.md ratio tables;
+BASELINE.md north-star Δppl ≤ 0.1 at equal bit-width.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import neural_compressor_tpu as nq
+from neural_compressor_tpu.algorithms.calib_capture import calibration_forward
+from neural_compressor_tpu.evaluation.corpus import corpus_tokens
+from neural_compressor_tpu.evaluation.lm_eval import perplexity
+from neural_compressor_tpu.evaluation.train_tiny import (
+    ARTIFACT_DIR, SEQ_LEN, load_tiny_lm)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(ARTIFACT_DIR, "model_state.safetensors")),
+    reason="tiny_lm checkpoint not trained yet",
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    train, val = corpus_tokens(SEQ_LEN)
+    val = val[:48]
+    calib = [jnp.asarray(train[i * 8:(i + 1) * 8]) for i in range(2)]
+    model = load_tiny_lm()
+    ppl_fp = perplexity(model, val, batch_size=16)
+    return val, calib, ppl_fp
+
+
+def _quantized_ppl(cfg, val, calib=None):
+    model = load_tiny_lm()
+    run_fn = (None if calib is None
+              else (lambda mm: calibration_forward(mm, calib)))
+    qm = nq.quantize(model, cfg, run_fn=run_fn)
+    return perplexity(qm, val, batch_size=16)
+
+
+def test_model_is_trained(setup):
+    _val, _calib, ppl_fp = setup
+    assert ppl_fp < 20.0  # far below uniform (256): a real LM
+
+
+def test_int8_near_lossless(setup):
+    val, _calib, ppl_fp = setup
+    ppl = _quantized_ppl(nq.RTNConfig(dtype="int8", bits=8, group_size=128),
+                         val)
+    assert ppl - ppl_fp < 0.05 * ppl_fp, (ppl, ppl_fp)
+
+
+def test_gptq_int4_beats_rtn_int4(setup):
+    val, calib, ppl_fp = setup
+    ppl_rtn = _quantized_ppl(nq.RTNConfig(dtype="int4", group_size=64), val)
+    ppl_gptq = _quantized_ppl(
+        nq.GPTQConfig(dtype="int4", group_size=64, block_size=64), val,
+        calib)
+    assert np.isfinite(ppl_gptq) and np.isfinite(ppl_rtn)
+    assert ppl_gptq <= ppl_rtn * 1.02, (ppl_gptq, ppl_rtn)
+    # absolute budget: int4 GPTQ within 10% relative ppl of fp
+    assert ppl_gptq - ppl_fp < 0.10 * ppl_fp, (ppl_gptq, ppl_fp)
