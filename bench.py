@@ -80,9 +80,9 @@ def main():
                          "llama-test elsewhere)")
     ap.add_argument("--layers", type=int, default=None,
                     help="override layer count")
-    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--max-len", type=int, default=256)
+    ap.add_argument("--max-len", type=int, default=1024)
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
@@ -105,7 +105,11 @@ def main():
     params.update(overrides)
     qmodel = build_quantized(LlamaConfig(**params),
                              nq.RTNConfig(dtype="int4", group_size=128))
-    print(f"  build+quantize took {time.time()-t0:.1f}s", file=sys.stderr)
+    from neural_compressor_tpu.quantization.fuse import fuse_for_serving
+
+    nf = fuse_for_serving(qmodel)
+    print(f"  build+quantize took {time.time()-t0:.1f}s "
+          f"({nf} fused groups)", file=sys.stderr)
 
     int4_tok_s = measure_decode(qmodel, args.batch, args.max_len, args.steps,
                                 label="int4")

@@ -11,7 +11,7 @@ runs on native XLA fp8 (f32 accumulation)."""
 from __future__ import annotations
 
 from ..common import logger
-from ..layers.module_utils import get_module, replace_module
+from ..layers.module_utils import get_module, named_modules, replace_module
 from ..layers.observers import MaxAbsObserver, ObservedLinear
 from ..layers.qlinear import FP8Linear
 from . import register_algo
@@ -19,9 +19,52 @@ from .quantize_helpers import run_user_calibration
 from .utils import extract_linear, dump_op_stats
 
 
+def save_measurements(model, path: str) -> int:
+    """Persist calibration stats (per-op activation amax) so a later
+    quantize can skip calibration (reference measurement dump/load,
+    fp8_quant/_core/measure.py:196-226). Returns the op count."""
+    import json
+    import os
+
+    stats = {}
+    for name, mod in named_modules(model):
+        if isinstance(mod, ObservedLinear):
+            stats[name] = float(mod.act_observer.amax[...])
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"version": 1, "observer": "maxabs", "amax": stats}, f,
+                  indent=2)
+    logger.info("Saved %d FP8 measurement(s) to %s", len(stats), path)
+    return len(stats)
+
+
+def load_measurements(model, path: str) -> int:
+    """Fill attached observers from a measurement file (skips calibration)."""
+    import json
+
+    import jax.numpy as jnp
+
+    with open(path) as f:
+        stats = json.load(f)["amax"]
+    n = 0
+    for name, mod in named_modules(model):
+        if isinstance(mod, ObservedLinear) and name in stats:
+            mod.act_observer.amax[...] = jnp.float32(stats[name])
+            n += 1
+    logger.info("Loaded %d FP8 measurement(s) from %s", n, path)
+    return n
+
+
+def _stats_file(config) -> str | None:
+    base = getattr(config, "dump_stats_path", None) if config else None
+    return f"{base}_maxabs.json" if base else None
+
+
 @register_algo("fp8_quant")
 def fp8_entry(model, configs_mapping, mode="quantize", run_fn=None,
               run_args=None, example_inputs=None, config=None):
+    import os
+
     if mode in ("prepare", "quantize"):
         for (name, _t), cfg in configs_mapping.items():
             mod = get_module(model, name)
@@ -30,7 +73,19 @@ def fp8_entry(model, configs_mapping, mode="quantize", run_fn=None,
             replace_module(model, name, ObservedLinear(mod, MaxAbsObserver()))
         if mode == "prepare":
             return model
-        run_user_calibration(model, run_fn, run_args)
+        stats_path = _stats_file(config)
+        if run_fn is None and stats_path and os.path.exists(stats_path):
+            # measurement reuse: quantize without re-calibrating
+            load_measurements(model, stats_path)
+        else:
+            run_user_calibration(model, run_fn, run_args)
+            if stats_path:
+                save_measurements(model, stats_path)
+
+    if mode == "convert":
+        stats_path = _stats_file(config)
+        if stats_path:
+            save_measurements(model, stats_path)
 
     n = 0
     for (name, _t), cfg in configs_mapping.items():

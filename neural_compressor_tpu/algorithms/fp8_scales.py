@@ -29,21 +29,30 @@ class ScaleMethod:
     act_granularity: str = "pts"
     rounding: str = "hw"              # hw | pow2 | arbitrary | unit
     act_dynamic: bool = False
+    # MMSE search over a pow2 candidate list instead of plain maxabs
+    # (reference OptScalesPts/Pcs, scales_method.py:239-268)
+    opt_weight: bool = False
 
 
+# Note on "pcs" + dynamic activations: the reference's input-channel scale
+# in PCS mode is fixed to ones (scales_method.py:217-228) and the dynamic
+# input quantizer computes one scale per row of the flattened [tokens, K]
+# input — i.e. per token. Our dynamic path does exactly that.
 METHODS: dict[str, ScaleMethod] = {
     "unit_scale": ScaleMethod(rounding="unit"),
     "maxabs_hw": ScaleMethod(rounding="hw"),
     "maxabs_pow2": ScaleMethod(rounding="pow2"),
     "maxabs_arbitrary": ScaleMethod(rounding="arbitrary"),
-    "maxabs_hw_opt_weight": ScaleMethod(rounding="hw"),
-    "maxabs_pow2_opt_weight": ScaleMethod(rounding="pow2"),
+    "maxabs_hw_opt_weight": ScaleMethod(rounding="hw", opt_weight=True),
+    "maxabs_pow2_opt_weight": ScaleMethod(rounding="pow2", opt_weight=True),
     "act_maxabs_pts_weight_maxabs_pts_pow2_hw": ScaleMethod(rounding="hw"),
     "act_maxabs_pts_weight_maxabs_pts_pow2": ScaleMethod(rounding="pow2"),
     "act_maxabs_pts_pow2_weight_maxabs_pcs_pow2": ScaleMethod(
         weight_granularity="pcs", rounding="pow2"),
     "act_maxabs_pts_pow2_hw_weight_maxabs_pcs_pow2": ScaleMethod(
         weight_granularity="pcs", rounding="hw"),
+    "act_maxabs_pts_pow2_weight_opt_pcs_pow2": ScaleMethod(
+        weight_granularity="pcs", rounding="pow2", opt_weight=True),
     "act_maxabs_pcs_dyn": ScaleMethod(act_granularity="pcs",
                                       act_dynamic=True,
                                       rounding="arbitrary"),
@@ -64,7 +73,31 @@ def resolve(name: str) -> ScaleMethod:
                   "hw" if "hw" in name else
                   "pow2" if "pow2" in name else "arbitrary"),
         act_dynamic="dyn" in name,
+        opt_weight="opt" in name,
     )
+
+
+def opt_weight_scale(wf, method: ScaleMethod, lp_dtype, fp8_max: float):
+    """MMSE weight-scale search (reference mmse_scale/mmse_scale_multi,
+    fp_utils.py:187-220): evaluate the pow2 candidate grid, keep the scale
+    minimizing ||W − dequant(fp8(W/s))·s||² — per tensor (pts) or per
+    output channel (pcs). Returns the UNROUNDED winning scale (the caller
+    applies ``round_scale``)."""
+    candidates = [2.0 ** e for e in range(-10, 10)]
+    per_channel = method.weight_granularity == "pcs"
+    axis = (0,) if per_channel else None
+    best_err = None
+    best_s = None
+    for s in candidates:
+        q = jnp.clip(wf / s, -fp8_max, fp8_max).astype(lp_dtype)
+        err = jnp.sum(jnp.square(wf - q.astype(jnp.float32) * s), axis=axis)
+        if best_err is None:
+            best_err, best_s = err, jnp.full_like(err, s)
+        else:
+            better = err < best_err
+            best_err = jnp.where(better, err, best_err)
+            best_s = jnp.where(better, s, best_s)
+    return best_s  # [N] for pcs, scalar for pts
 
 
 def round_scale(scale, method: ScaleMethod):

@@ -9,11 +9,47 @@ from __future__ import annotations
 
 from ..common import logger
 from ..layers.module_utils import get_module, replace_module
-from ..layers.observers import MinMaxObserver, MaxAbsObserver, ObservedLinear
+from ..layers.observers import (
+    HistogramObserver,
+    MaxAbsObserver,
+    MaxAbsPerChannelObserver,
+    MinMaxObserver,
+    ObservedLinear,
+)
 from ..layers.qlinear import StaticQuantLinear
 from . import register_algo
 from .quantize_helpers import run_user_calibration
 from .utils import extract_linear, dump_op_stats
+
+
+def _make_observer(cfg, in_features: int):
+    """Observer per the config's activation calibration algorithm
+    (reference act_algo: minmax | kl/percentile-style; fp8_quant observers
+    observer.py:106-154)."""
+    algo = getattr(cfg, "act_algo", "minmax")
+    if getattr(cfg, "act_granularity", "per_tensor") == "per_channel":
+        return MaxAbsPerChannelObserver(in_features)
+    if algo in ("percentile", "mse", "histogram"):
+        return HistogramObserver()
+    if getattr(cfg, "act_sym", True):
+        return MaxAbsObserver()
+    return MinMaxObserver()
+
+
+def _act_scale_from(obs, cfg):
+    if isinstance(obs, MaxAbsPerChannelObserver):
+        import jax.numpy as jnp
+
+        s = obs.amax[...] / 127.0
+        return jnp.where(s <= 0, 1.0, s), None
+    if isinstance(obs, HistogramObserver):
+        algo = getattr(cfg, "act_algo", "percentile")
+        method = "mse" if algo == "mse" else "percentile"
+        return obs.get_scale(bits=8, method=method,
+                             percentile=getattr(cfg, "percentile", 99.99)), None
+    if isinstance(obs, MaxAbsObserver):
+        return obs.amax[...] / 127.0, None
+    return obs.get_scale_zp(bits=8, sym=False)
 
 
 @register_algo("static_quant")
@@ -22,10 +58,10 @@ def static_quant_entry(model, configs_mapping, mode="quantize", run_fn=None,
     if mode in ("prepare", "quantize"):
         for (name, _t), cfg in configs_mapping.items():
             mod = get_module(model, name)
-            if extract_linear(mod) is None:
+            lin = extract_linear(mod)
+            if lin is None:
                 continue
-            obs = (MaxAbsObserver() if getattr(cfg, "act_sym", True)
-                   else MinMaxObserver())
+            obs = _make_observer(cfg, lin[0].shape[0])
             replace_module(model, name, ObservedLinear(mod, obs))
         if mode == "prepare":
             return model
@@ -40,12 +76,7 @@ def static_quant_entry(model, configs_mapping, mode="quantize", run_fn=None,
         if not isinstance(wrapped, ObservedLinear):
             continue
         kernel, bias = extract_linear(wrapped.inner)
-        obs = wrapped.act_observer
-        if isinstance(obs, MaxAbsObserver):
-            act_scale = obs.amax[...] / 127.0
-            act_zp = None
-        else:
-            act_scale, act_zp = obs.get_scale_zp(bits=8, sym=False)
+        act_scale, act_zp = _act_scale_from(wrapped.act_observer, cfg)
         replace_module(model, name,
                        StaticQuantLinear(kernel, act_scale, bias=bias,
                                          act_zero_point=act_zp))

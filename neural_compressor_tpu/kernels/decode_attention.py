@@ -384,6 +384,30 @@ def decode_attention_quant(q, k_new, v_new, cache, pos):
     return out, new_cache
 
 
+def decode_attention_tp(q, k_new, v_new, k_cache, v_cache, pos, mesh,
+                        axis: str = "model", data_axis: str | None = "data"):
+    """Head-sharded fused decode attention under shard_map (pjit cannot
+    partition a pallas_call): each shard runs the kernel on its local
+    heads; no collective is needed — the output stays head-sharded and the
+    row-parallel o_proj consumes it. Set up by
+    ``models.sharding.enable_tp_serving``."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    B = q.shape[0]
+    pos_arr = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    spec4 = P(data_axis, axis, None, None)
+
+    out, k2, v2 = shard_map(
+        lambda q, kn, vn, kc, vc, p: decode_attention(q, kn, vn, kc, vc, p),
+        mesh=mesh,
+        in_specs=(spec4, spec4, spec4, spec4, spec4, P(data_axis)),
+        out_specs=(spec4, spec4, spec4),
+        check_rep=False,
+    )(q, k_new, v_new, k_cache, v_cache, pos_arr)
+    return out, k2, v2
+
+
 def decode_attention(q, k_new, v_new, k_cache, v_cache, pos):
     """Fused single-token attention with in-place cache update.
 

@@ -39,7 +39,7 @@ _DECODE_M_THRESHOLD = 256
 
 def set_default_impl(impl: str) -> None:
     global _DEFAULT_IMPL
-    assert impl in ("auto", "pallas", "xla")
+    assert impl in ("auto", "pallas", "xla", "vpu")
     _DEFAULT_IMPL = impl
 
 
@@ -195,6 +195,153 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# VPU matvec (M == 1). The dequant-into-MXU kernel is MXU-element-rate bound
+# at M=1 (~3.6e11 el/s measured); a matvec is only 2·K·N flops, well within
+# VPU reach, so this kernel never touches the MXU: codes are unpacked and
+# multiply-accumulated on the VPU with scales factored per group:
+#   y_n = Σ_g s_gn·(A_gn − (8+z_gn)·b_g),  A_gn = Σ_{k∈g} x_k·(u_kn ^ 8)
+# (u = raw nibble; u^8 = signed+8 for two's-complement int4 codes).
+# Measured (experiments/matvec_bench*.py, v5e): ~41 µs for a 4096² int4
+# layer vs ~46 µs MXU-fused and ~107 µs bf16 XLA dot.
+# ---------------------------------------------------------------------------
+
+
+def _make_vpu_kernel(bits, ngk, rpg, tn, nk, has_zeros):
+    P = 32 // bits
+    mask = (1 << bits) - 1
+    half = float(1 << (bits - 1))
+
+    def kernel(x_ref, pk_ref, sc_ref, *rest):
+        if has_zeros:
+            zr_ref, o_ref, acc_ref = rest
+        else:
+            o_ref, acc_ref = rest
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        c = pk_ref[:].reshape(ngk, rpg, tn)
+        planes = [
+            (((c >> (bits * s)) & mask) ^ (1 << (bits - 1)))
+            .astype(jnp.int32).astype(jnp.float32)
+            for s in range(P)
+        ]
+        codes8 = jnp.stack(planes, axis=1).reshape(ngk, P * rpg, tn)
+        xb = x_ref[0]                      # [ngk, G, 1] f32
+        sc = sc_ref[0]                     # [ngk, tn]
+        a = jnp.sum(codes8 * xb, axis=1)   # [ngk, tn]
+        b = jnp.sum(xb, axis=1)            # [ngk, 1]
+        if has_zeros:
+            off = half + zr_ref[0]         # [ngk, tn]
+        else:
+            off = half
+        part = jnp.sum(sc * (a - off * b), axis=0)[None, :]
+        acc_ref[0:1, :] += part
+
+        @pl.when(k == nk - 1)
+        def _():
+            o_ref[:] = acc_ref[0:1, :]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "K", "N", "has_zeros",
+                     "out_dtype", "interpret", "tn", "tk"),
+)
+def _vpu_matvec_impl(x, packed, scales, zeros, *, bits, group_size, K, N,
+                     has_zeros, out_dtype, interpret, tn, tk):
+    G = group_size
+    nk, nn = K // tk, N // tn
+    ngk = tk // G
+    P = 32 // bits
+    rpg = G // P
+    scales = scales.reshape(nk, ngk, N)
+    if has_zeros:
+        zeros = zeros.reshape(nk, ngk, N)
+    x4 = x.astype(jnp.float32).reshape(nk, ngk, G, 1)
+
+    in_specs = [
+        pl.BlockSpec((1, ngk, G, 1), lambda j, k: (k, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tk // P, tn), lambda j, k: (k, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ngk, tn), lambda j, k: (k, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x4, packed, scales]
+    if has_zeros:
+        in_specs.append(in_specs[-1])
+        args.append(zeros)
+
+    y = pl.pallas_call(
+        _make_vpu_kernel(bits, ngk, rpg, tn, nk, has_zeros),
+        grid=(nn, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tn), lambda j, k: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * N,
+            bytes_accessed=packed.size * 4 + scales.size * 4 + (K + N) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+    return y.astype(out_dtype)
+
+
+def _vpu_tiles(K, N, G):
+    """(tk, tn) for the VPU matvec, or None if the shape doesn't tile."""
+    tk = G
+    while tk * 2 <= min(K, 1024) and K % (tk * 2) == 0:
+        tk *= 2
+    tn = 512 if N % 512 == 0 else (256 if N % 256 == 0 else
+                                   (128 if N % 128 == 0 else None))
+    if tn is None or K % tk or tk % G:
+        return None
+    return tk, tn
+
+
+def vpu_matvec(x: jax.Array, pw: PackedWeight, out_dtype=None):
+    """y[..., N] = x[..., K] @ dequant(pw) for a SINGLE row of x, VPU-only.
+
+    Returns None when not applicable (M>1, codebook dtypes, unpacked
+    layouts, or non-tiling shapes) — callers fall back to the MXU path.
+    """
+    K, N = pw.orig_shape
+    out_dtype = out_dtype or x.dtype
+    M = 1
+    for d in x.shape[:-1]:
+        M *= d
+    G = pw.group_size if pw.group_size > 0 else K
+    if (M != 1 or pw.layout != "tpu_strided"
+            or pw.dtype in FLOAT_CODE_DTYPES or pw.bits not in (2, 4)
+            or G % (32 // pw.bits)):
+        return None
+    tiles = _vpu_tiles(K, N, G)
+    if tiles is None:
+        return None
+    tk, tn = tiles
+    lead = x.shape[:-1]
+    x2 = x.reshape(1, K)
+    if pw.perm is not None:
+        x2 = jnp.take(x2, pw.perm, axis=1)
+    y = _vpu_matvec_impl(
+        x2, pw.packed, pw.scales.astype(jnp.float32),
+        None if pw.zeros is None else pw.zeros.astype(jnp.float32),
+        bits=pw.bits, group_size=G, K=K, N=N,
+        has_zeros=pw.zeros is not None, out_dtype=jnp.dtype(out_dtype),
+        interpret=not _on_tpu(), tn=tn, tk=tk)
+    return y.reshape(*lead, N)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "group_size", "dtype_name", "layout", "K", "N",
@@ -325,7 +472,17 @@ def woq_matmul(x: jax.Array, pw: PackedWeight, impl: str | None = None,
         M = 1
         for d in x.shape[:-1]:
             M *= d
-        impl = "pallas" if (M <= _DECODE_M_THRESHOLD and _on_tpu()) else "xla"
+        if M == 1 and _on_tpu():
+            impl = "vpu"  # single-row decode: VPU matvec beats the MXU path
+        elif M <= _DECODE_M_THRESHOLD and _on_tpu():
+            impl = "pallas"
+        else:
+            impl = "xla"
+    if impl == "vpu":
+        y = vpu_matvec(x, pw, out_dtype=out_dtype)
+        if y is not None:
+            return y
+        impl = "pallas" if _on_tpu() else "xla"
     if impl == "pallas":
         return dequant_matmul_pallas(x, pw, out_dtype=out_dtype)
     # Serving runs bf16; keep f32 activations in f32 for accuracy evals.

@@ -28,11 +28,21 @@ def _local_pw(pw: PackedWeight, K: int, N: int) -> "type(pw)":
     return pw._replace(orig_shape=(K, N))
 
 
+def _x_spec(ndim: int, data_axis: str | None, last):
+    """PartitionSpec for an [..., K] activation: leading batch dim on the
+    data axis (if any), trailing contraction/output dim per ``last``."""
+    lead = (data_axis,) + (None,) * (ndim - 2) if ndim > 1 else ()
+    return P(*lead, last)
+
+
 def tp_woq_matmul_column(x: jax.Array, pw: PackedWeight, mesh: Mesh,
-                         axis: str = "model", impl: str | None = None):
+                         axis: str = "model", impl: str | None = None,
+                         data_axis: str | None = None):
     """y = x @ dequant(Wq) with W sharded on the output dim.
 
-    Returns y sharded on its last dim over ``axis``."""
+    ``x``: [..., K], replicated over ``axis`` (optionally sharded over
+    ``data_axis`` on its leading dim). Returns y sharded on its last dim
+    over ``axis`` (no collective — a row-parallel op consumes it)."""
     K, N = pw.orig_shape
     tp = mesh.shape[axis]
     assert N % tp == 0, f"N={N} not divisible by tp={tp}"
@@ -49,19 +59,20 @@ def tp_woq_matmul_column(x: jax.Array, pw: PackedWeight, mesh: Mesh,
     spec_w = P(None, axis)
     return shard_map(
         local, mesh=mesh,
-        in_specs=(P(), spec_w, spec_w, spec_w),
-        out_specs=P(None, axis),
+        in_specs=(_x_spec(x.ndim, data_axis, None), spec_w, spec_w, spec_w),
+        out_specs=_x_spec(x.ndim, data_axis, axis),
         check_rep=False,
     )(x, pw.packed, pw.scales, zeros)
 
 
 def tp_woq_matmul_row(x: jax.Array, pw: PackedWeight, mesh: Mesh,
-                      axis: str = "model", impl: str | None = None):
+                      axis: str = "model", impl: str | None = None,
+                      data_axis: str | None = None):
     """y = x @ dequant(Wq) with W sharded on the reduction dim.
 
     ``x`` must be sharded on its last dim over ``axis`` (e.g. the output of
     a column-parallel matmul); partials are psum'ed over ICI. Returns y
-    replicated."""
+    replicated over ``axis``."""
     K, N = pw.orig_shape
     tp = mesh.shape[axis]
     G = pw.group_size if pw.group_size > 0 else K
@@ -81,7 +92,7 @@ def tp_woq_matmul_row(x: jax.Array, pw: PackedWeight, mesh: Mesh,
     spec_w = P(axis, None)
     return shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, axis), spec_w, spec_w, spec_w),
-        out_specs=P(),
+        in_specs=(_x_spec(x.ndim, data_axis, axis), spec_w, spec_w, spec_w),
+        out_specs=_x_spec(x.ndim, data_axis, None),
         check_rep=False,
     )(x, pw.packed, pw.scales, zeros)

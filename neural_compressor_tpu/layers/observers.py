@@ -88,10 +88,97 @@ class MaxAbsPerChannelObserver(_BaseObserver):
         return x
 
 
+class HistogramObserver(_BaseObserver):
+    """Running |x| histogram over fixed log2-magnitude bins.
+
+    The reference's static-quant stacks offer histogram/percentile/MSE
+    ("kl"-style) activation calibration (fp8_quant/observer.py:106-154 and
+    the IPEX static recipes); this is the jit-friendly TPU version: bins are
+    STATIC (log2|x| in [-24, 24), ``n_bins`` buckets) so the accumulation
+    is a pure scatter-add under jit, with no data-dependent re-binning.
+
+    ``get_scale(bits, method=...)``:
+      * "percentile" — smallest clip covering ``percentile``% of mass
+      * "mse"        — clip minimizing the expected squared quant error
+                       (evaluated over the histogram, candidates = the
+                       top-40 bin edges)
+      * "max"        — plain maxabs
+    """
+
+    kind = "histogram"
+    LOG2_MIN, LOG2_MAX = -24.0, 24.0
+
+    def __init__(self, n_bins: int = 512):
+        self.n_bins = n_bins
+        self.counts = ObserverStat(jnp.zeros((n_bins,), dtype=jnp.float32))
+        self.amax = ObserverStat(jnp.array(0.0, dtype=jnp.float32))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        xf = jnp.abs(x.astype(jnp.float32)).reshape(-1)
+        self.amax[...] = jnp.maximum(self.amax[...], jnp.max(xf))
+        lg = jnp.log2(jnp.maximum(xf, 2.0 ** self.LOG2_MIN))
+        width = (self.LOG2_MAX - self.LOG2_MIN) / self.n_bins
+        idx = jnp.clip(((lg - self.LOG2_MIN) / width).astype(jnp.int32),
+                       0, self.n_bins - 1)
+        self.counts[...] = self.counts[...].at[idx].add(1.0)
+        return x
+
+    def _bin_uppers(self):
+        width = (self.LOG2_MAX - self.LOG2_MIN) / self.n_bins
+        edges = self.LOG2_MIN + width * (jnp.arange(self.n_bins) + 1.0)
+        return jnp.exp2(edges)  # upper |x| of each bin
+
+    def percentile_amax(self, percentile: float = 99.99):
+        counts = self.counts[...]
+        total = jnp.maximum(jnp.sum(counts), 1.0)
+        cdf = jnp.cumsum(counts) / total
+        covered = cdf >= (percentile / 100.0)
+        uppers = self._bin_uppers()
+        big = jnp.max(uppers)
+        clip = jnp.min(jnp.where(covered, uppers, big))
+        return jnp.minimum(clip, self.amax[...])
+
+    def mse_amax(self, bits: int = 8):
+        """Clip minimizing E[(x − qdq(x; clip))²] under sym int-``bits``
+        uniform quantization, with x represented by bin upper edges."""
+        counts = self.counts[...]
+        uppers = self._bin_uppers()
+        qmax = 2.0 ** (bits - 1) - 1
+        # candidates: highest 40 non-empty bins' uppers (and the true amax)
+        nz = counts > 0
+        order = jnp.argsort(jnp.where(nz, uppers, -jnp.inf))
+        cand = jnp.concatenate(
+            [uppers[order[-40:]], self.amax[...][None]])
+        cand = jnp.maximum(cand, 1e-12)
+
+        def err_for(c):
+            step = c / qmax
+            inside = jnp.minimum(uppers, c)
+            round_err = (step * step / 12.0)
+            clip_err = jnp.square(uppers - inside)
+            return jnp.sum(counts * (round_err + clip_err))
+
+        errs = jax.vmap(err_for)(cand)
+        return cand[jnp.argmin(errs)]
+
+    def get_scale(self, bits: int = 8, method: str = "percentile",
+                  percentile: float = 99.99):
+        if method == "mse":
+            amax = self.mse_amax(bits)
+        elif method == "percentile":
+            amax = self.percentile_amax(percentile)
+        else:
+            amax = self.amax[...]
+        qmax = 2.0 ** (bits - 1) - 1
+        scale = amax / qmax
+        return jnp.where(scale <= 0, 1.0, scale)
+
+
 _OBSERVERS = {
     "minmax": MinMaxObserver,
     "maxabs": MaxAbsObserver,
     "maxabs_per_channel": MaxAbsPerChannelObserver,
+    "histogram": HistogramObserver,
 }
 
 

@@ -63,7 +63,12 @@ class DynamicQuantLinear(nnx.Module):
 
 
 class StaticQuantLinear(nnx.Module):
-    """W8A8 with static (calibrated) per-tensor activation scale."""
+    """W8A8 with static (calibrated) activation scale.
+
+    ``act_scale`` may be a scalar (per-tensor) or a [K] vector
+    (per-channel): per-channel scales fold into the weight rows before
+    weight quantization, so the int8 dot itself is unchanged
+    (y = Σ (x_k/s_k)·(w_kn·s_k))."""
 
     def __init__(self, kernel: jax.Array, act_scale: jax.Array,
                  bias: jax.Array | None = None,
@@ -71,12 +76,18 @@ class StaticQuantLinear(nnx.Module):
         K, N = kernel.shape
         self.in_features, self.out_features = K, N
         wf = kernel.astype(jnp.float32)
+        act_scale = jnp.asarray(act_scale, dtype=jnp.float32)
+        self.act_per_channel = act_scale.ndim == 1
+        if self.act_per_channel:
+            assert act_zero_point is None, \
+                "per-channel static act scales are symmetric-only"
+            wf = wf * act_scale[:, None]
         w_scale = jnp.max(jnp.abs(wf), axis=0) / 127.0
         w_scale = jnp.where(w_scale <= 0, 1.0, w_scale)
         self.w_int8 = nnx.Param(
             jnp.clip(jnp.round(wf / w_scale[None, :]), -128, 127).astype(jnp.int8))
         self.w_scale = nnx.Param(w_scale)
-        self.act_scale = nnx.Param(jnp.asarray(act_scale, dtype=jnp.float32))
+        self.act_scale = nnx.Param(act_scale)
         self.act_zp = (nnx.Param(jnp.asarray(act_zero_point, dtype=jnp.float32))
                        if act_zero_point is not None else None)
         self.bias = nnx.Param(bias) if bias is not None else None
@@ -85,7 +96,7 @@ class StaticQuantLinear(nnx.Module):
         lead = x.shape[:-1]
         x2 = x.reshape(-1, self.in_features).astype(jnp.float32)
         s = self.act_scale[...]
-        xq = x2 / s
+        xq = x2 / (s[None, :] if self.act_per_channel else s)
         if self.act_zp is not None:
             xq = xq + self.act_zp[...]
         xq = jnp.clip(jnp.round(xq), -128, 127).astype(jnp.int8)
@@ -98,7 +109,10 @@ class StaticQuantLinear(nnx.Module):
             zp_corr = self.act_zp[...] * jnp.sum(
                 self.w_int8[...].astype(jnp.int32), axis=0).astype(jnp.float32)
             acc = acc - zp_corr[None, :]
-        y = acc * s * self.w_scale[...][None, :]
+        if self.act_per_channel:
+            y = acc * self.w_scale[...][None, :]  # act scales live in W
+        else:
+            y = acc * s * self.w_scale[...][None, :]
         if self.bias is not None:
             y = y + self.bias[...].astype(jnp.float32)
         return y.astype(x.dtype).reshape(*lead, self.out_features)
@@ -134,11 +148,16 @@ class FP8Linear(nnx.Module):
         fdt = fp8_dtype(dtype_name)
         fp8_max = float(jnp.finfo(fdt).max)
         wf = kernel.astype(jnp.float32)
-        if m.weight_granularity == "pcs":
-            w_amax = jnp.max(jnp.abs(wf), axis=0)  # [N]
+        if m.opt_weight:
+            from ..algorithms.fp8_scales import opt_weight_scale
+
+            w_scale = round_scale(opt_weight_scale(wf, m, fdt, fp8_max), m)
         else:
-            w_amax = jnp.max(jnp.abs(wf))
-        w_scale = round_scale(w_amax / fp8_max, m)
+            if m.weight_granularity == "pcs":
+                w_amax = jnp.max(jnp.abs(wf), axis=0)  # [N]
+            else:
+                w_amax = jnp.max(jnp.abs(wf))
+            w_scale = round_scale(w_amax / fp8_max, m)
         a_scale = round_scale(
             jnp.asarray(act_amax, dtype=jnp.float32) / fp8_max, m)
         self.w_fp8 = nnx.Param(

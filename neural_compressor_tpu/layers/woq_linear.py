@@ -33,6 +33,10 @@ class WOQLinear(nnx.Module):
         self.wdtype = pw.dtype
         self.layout = pw.layout
         self.impl = impl
+        # multi-chip serving: set by models.sharding.enable_tp_serving —
+        # ("column"|"row", mesh_axis, data_axis) + the mesh (static attrs)
+        self.tp_role = None
+        self.tp_mesh = None
         self.packed = nnx.Param(pw.packed)
         self.scales = nnx.Param(pw.scales)
         self.zeros = nnx.Param(pw.zeros) if pw.zeros is not None else None
@@ -60,7 +64,17 @@ class WOQLinear(nnx.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.pre_scale is not None:
             x = x / self.pre_scale[...].astype(x.dtype)
-        y = woq_matmul(x, self.packed_weight(), impl=self.impl)
+        if self.tp_role is not None:
+            from ..kernels.tp_matmul import (tp_woq_matmul_column,
+                                             tp_woq_matmul_row)
+
+            kind, axis, data_axis = self.tp_role
+            fn = (tp_woq_matmul_column if kind == "column"
+                  else tp_woq_matmul_row)
+            y = fn(x, self.packed_weight(), self.tp_mesh, axis=axis,
+                   data_axis=data_axis)
+        else:
+            y = woq_matmul(x, self.packed_weight(), impl=self.impl)
         if self.bias is not None:
             y = y + self.bias[...].astype(y.dtype)
         return y

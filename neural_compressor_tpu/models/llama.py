@@ -234,9 +234,10 @@ class LlamaAttention(nnx.Module):
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
+        tp_mesh = getattr(self, "tp_mesh_attn", None)
         new_cache = None
         if isinstance(cache, QuantKVCache):
-            if S == 1:
+            if S == 1 and tp_mesh is None:
                 from ..kernels.decode_attention import decode_attention_quant
 
                 out, new_cache = decode_attention_quant(q, k, v, cache,
@@ -255,12 +256,20 @@ class LlamaAttention(nnx.Module):
         elif cache is not None:
             if S == 1:
                 # fused decode kernel: in-place cache update + attention in
-                # one pallas call (per-op overhead dominates decode)
-                from ..kernels.decode_attention import decode_attention
+                # one pallas call (per-op overhead dominates decode);
+                # under a TP mesh it runs per head-shard via shard_map
+                from ..kernels.decode_attention import (
+                    decode_attention, decode_attention_tp)
 
-                out, k_all, v_all = decode_attention(
-                    q, k.astype(cache.k.dtype), v.astype(cache.v.dtype),
-                    cache.k, cache.v, cache_pos)
+                if tp_mesh is not None:
+                    out, k_all, v_all = decode_attention_tp(
+                        q, k.astype(cache.k.dtype), v.astype(cache.v.dtype),
+                        cache.k, cache.v, cache_pos, tp_mesh,
+                        *self.tp_attn_axes)
+                else:
+                    out, k_all, v_all = decode_attention(
+                        q, k.astype(cache.k.dtype), v.astype(cache.v.dtype),
+                        cache.k, cache.v, cache_pos)
                 new_cache = KVCache(k_all, v_all)
                 out = out.astype(x.dtype).transpose(0, 2, 1, 3)
                 return self.o_proj(out.reshape(B, S, H * D)), new_cache

@@ -39,6 +39,53 @@ def llama_partition_rules():  # kept as a named export for docs/tests
     return {"column": COLUMN_PAR, "row": ROW_PAR}
 
 
+def enable_tp_serving(model: nnx.Module, mesh: Mesh, axis: str = "model",
+                      data_axis: str | None = "data") -> int:
+    """Mark every WOQLinear with its TP role so its forward runs the FUSED
+    per-shard Pallas kernels under shard_map (kernels/tp_matmul.py) instead
+    of falling back to the XLA dequant+dot path (pjit cannot partition a
+    pallas_call). Call after ``shard_model``. Returns the op count.
+
+    qkv_proj / gate_up_proj fused projections are column-parallel (their
+    N-concat segments each shard cleanly when heads divide the axis)."""
+    from ..layers.module_utils import named_modules
+    from ..layers.woq_linear import WOQLinear
+
+    tp = mesh.shape[axis]
+    n = 0
+    for path, mod in named_modules(model):
+        if type(mod) is not WOQLinear:  # exact: W4A8's int8 path is not TP'd
+            continue
+        leaf = path.rsplit(".", 1)[-1]
+        K, N = mod.in_features, mod.out_features
+        G = mod.group_size if mod.group_size > 0 else K
+        if (leaf in COLUMN_PAR or leaf in ("qkv_proj", "gate_up_proj")) \
+                and N % tp == 0:
+            mod.tp_role = ("column", axis, data_axis)
+            mod.tp_mesh = mesh
+            n += 1
+        elif leaf in ROW_PAR and K % tp == 0 and (K // tp) % G == 0:
+            mod.tp_role = ("row", axis, data_axis)
+            mod.tp_mesh = mesh
+            n += 1
+    # fused decode attention runs per head-shard (shard_map) when heads
+    # divide the TP axis
+    n_attn = 0
+    for path, mod in named_modules(model):
+        cfg = getattr(mod, "cfg", None)
+        if not type(mod).__name__.endswith("Attention") or cfg is None:
+            continue
+        heads = getattr(cfg, "num_attention_heads", 0)
+        kv_heads = getattr(cfg, "num_key_value_heads", 0)
+        if heads and kv_heads and heads % tp == 0 and kv_heads % tp == 0:
+            mod.tp_mesh_attn = mesh
+            mod.tp_attn_axes = (axis, data_axis)
+            n_attn += 1
+    logger.info("TP serving enabled on %d WOQLinear op(s), %d attention "
+                "module(s) over %s", n, n_attn, dict(mesh.shape))
+    return n
+
+
 def make_mesh(shape: Sequence[int] | None = None,
               axis_names=("data", "model")) -> Mesh:
     """Build a mesh over all available devices. ``shape=None`` puts every

@@ -262,11 +262,12 @@ class INT8StaticQuantConfig(BaseConfig):
     """Static W8A8 with calibrated activation scales (reference
     INT8StaticQuantConfig, config.py:1337-1482)."""
 
-    params_list = ("act_sym", "act_granularity")
+    params_list = ("act_sym", "act_granularity", "act_algo")
 
     def __init__(self, act_dtype="int8", act_sym=True,
                  act_granularity="per_tensor", w_dtype="int8", w_sym=True,
-                 w_granularity="per_channel", white_list=DEFAULT_WHITE_LIST):
+                 w_granularity="per_channel", act_algo="minmax",
+                 percentile=99.99, white_list=DEFAULT_WHITE_LIST):
         super().__init__(white_list=white_list)
         self.act_dtype = act_dtype
         self.act_sym = act_sym
@@ -274,6 +275,10 @@ class INT8StaticQuantConfig(BaseConfig):
         self.w_dtype = w_dtype
         self.w_sym = w_sym
         self.w_granularity = w_granularity
+        # activation calibration algorithm (reference act_algo choices):
+        # "minmax"/"maxabs" | "percentile" | "mse" (histogram-backed)
+        self.act_algo = act_algo
+        self.percentile = percentile
 
     @classmethod
     def supported_op_types(cls):

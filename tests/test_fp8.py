@@ -1,0 +1,98 @@
+"""FP8 stack depth: opt-weight MMSE scale search, measurement persistence
+(calibrate once, quantize many), and the fp8 KV-cache decode path.
+
+Reference: fp8_quant/_core/scale_methods/scales_method.py:239-268
+(OptScales), _core/measure.py:196-226 (measurement dump/load),
+helper_modules.py:1105-1240 (PatchedKVCache)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from flax import nnx
+
+import neural_compressor_tpu as nq
+from neural_compressor_tpu.layers.module_utils import get_module
+from neural_compressor_tpu.layers.qlinear import FP8Linear
+from neural_compressor_tpu.models import LlamaForCausalLM
+
+
+@pytest.fixture()
+def calib():
+    rng = np.random.default_rng(0)
+    batches = [jnp.asarray(rng.integers(0, 256, (2, 16))) for _ in range(2)]
+
+    def run_fn(m):
+        for b in batches:
+            m(b)
+
+    return run_fn
+
+
+def test_opt_weight_is_grid_optimal_mmse():
+    """opt_weight must run a real MMSE search: its scale equals the
+    brute-force argmin over the candidate grid, and its weight error is
+    never worse than plain maxabs. (For a FLOAT target format MMSE is
+    nearly scale-invariant, so on typical weights the winner often
+    coincides with maxabs — the reference's search behaves the same.)"""
+    rng = np.random.default_rng(1)
+    # small-magnitude weights: maxabs lands below the candidate grid, the
+    # search picks a different (grid) scale
+    w = jnp.asarray(np.abs(rng.standard_normal((128, 64))).astype(np.float32)
+                    * 0.01)
+    amax = jnp.float32(1.0)
+    lin_max = FP8Linear(w, amax, scale_method="maxabs_hw")
+    lin_opt = FP8Linear(w, amax, scale_method="maxabs_hw_opt_weight")
+    s_max = float(lin_max.w_scale[...])
+    s_opt = float(lin_opt.w_scale[...])
+    assert s_max != s_opt, "opt_weight must not alias plain maxabs"
+
+    def werr(lin):
+        wq = lin.w_fp8[...].astype(jnp.float32) * lin.w_scale[...]
+        return float(jnp.sum(jnp.square(w - wq)))
+
+    assert werr(lin_opt) <= werr(lin_max) * (1 + 1e-4)
+
+    # brute-force argmin over the same grid (pre-rounding scale)
+    fp8_max = 448.0
+
+    def err_at(s):
+        q = jnp.clip(w / s, -fp8_max, fp8_max).astype(jnp.float8_e4m3fn)
+        return float(jnp.sum(jnp.square(w - q.astype(jnp.float32) * s)))
+
+    cands = [2.0 ** e for e in range(-10, 10)]
+    best = min(cands, key=err_at)
+    assert abs(err_at(s_opt) - err_at(best)) <= 1e-6 * max(err_at(best), 1e-9)
+
+
+def test_opt_weight_per_channel():
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.standard_normal((128, 64)).astype(np.float32))
+    lin = FP8Linear(w, jnp.float32(1.0),
+                    scale_method="act_maxabs_pts_pow2_weight_opt_pcs_pow2")
+    assert lin.w_scale[...].shape == (64,)
+
+
+def test_measurement_save_reload(tmp_path, calib):
+    stats = str(tmp_path / "stats")
+    m1 = LlamaForCausalLM.from_preset("llama-test")
+    q1 = nq.quantize(m1, nq.FP8Config(dump_stats_path=stats), run_fn=calib)
+    assert (tmp_path / "stats_maxabs.json").exists()
+    v1 = q1.model.layers[0].self_attn.v_proj
+    # fresh model, NO run_fn: scales must come from the measurement file
+    m2 = LlamaForCausalLM.from_preset("llama-test")
+    q2 = nq.quantize(m2, nq.FP8Config(dump_stats_path=stats), run_fn=None)
+    v2 = q2.model.layers[0].self_attn.v_proj
+    assert isinstance(v2, FP8Linear)
+    np.testing.assert_allclose(np.asarray(v1.act_scale[...]),
+                               np.asarray(v2.act_scale[...]))
+
+
+def test_fp8_kv_cache_generation():
+    from neural_compressor_tpu.generation import greedy_search
+
+    m = LlamaForCausalLM.from_preset("llama-test")
+    qm = nq.quantize(m, nq.KVCacheQuantConfig(dtype="fp8_e4m3"))
+    assert qm.kv_cache_format == "fp8_e4m3"
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 256, (2, 8)))
+    out = greedy_search(qm, ids, max_new_tokens=4)
+    assert out.shape == (2, 12)

@@ -65,6 +65,50 @@ def test_woq_matmul_impl_dispatch():
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_xla), atol=0.3)
 
 
+@pytest.mark.parametrize("scheme,bits", [("sym", 4), ("asym", 4),
+                                         ("sym", 2)])
+def test_vpu_matvec_matches_xla(scheme, bits):
+    from neural_compressor_tpu.kernels.dequant_matmul import vpu_matvec
+
+    w, _ = _mk(K=256, N=512)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 256)), dtype=jnp.float32)
+    qt = quantize_tensor(w, bits=bits, group_size=128, scheme=scheme)
+    pw = pack_qtensor(qt)
+    ref = x @ dequantize_packed(pw, out_dtype=jnp.float32)
+    got = vpu_matvec(x, pw, out_dtype=jnp.float32)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2,
+                               rtol=1e-2)
+    # M>1 and codebook dtypes decline (caller falls back)
+    x2 = jnp.asarray(rng.standard_normal((2, 256)), dtype=jnp.float32)
+    assert vpu_matvec(x2, pw) is None
+    qt_nf = quantize_tensor(w, bits=4, group_size=128, dtype="nf4")
+    assert vpu_matvec(x, pack_qtensor(qt_nf)) is None
+    # 3-D single-row input works through woq_matmul impl="vpu"
+    x3 = x.reshape(1, 1, 256)
+    got3 = woq_matmul(x3, pw, impl="vpu", out_dtype=jnp.float32)
+    assert got3.shape == (1, 1, 512)
+    np.testing.assert_allclose(np.asarray(got3[0]), np.asarray(ref),
+                               atol=2e-2, rtol=1e-2)
+
+
+def test_vpu_matvec_with_perm():
+    from neural_compressor_tpu.kernels.dequant_matmul import vpu_matvec
+
+    w, _ = _mk(K=256, N=512)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 256)), dtype=jnp.float32)
+    qt = quantize_tensor(w, bits=4, group_size=128, scheme="sym")
+    perm = np.concatenate([np.arange(128, 256), np.arange(0, 128)]
+                          ).astype(np.int32)
+    pw = pack_qtensor(qt, perm=perm)
+    ref = x @ dequantize_packed(pw, out_dtype=jnp.float32)
+    got = vpu_matvec(x, pw, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2,
+                               rtol=1e-2)
+
+
 def test_fallback_on_odd_shapes():
     # K=96 with G=32 divides, but N=96 is not a multiple of 128 -> XLA fallback
     w, _ = _mk(K=96, N=96)

@@ -58,3 +58,45 @@ def test_row_parallel_asym(problem, eight_device_mesh):
         y = np.asarray(tp_woq_matmul_row(x, pw, mesh, impl="xla"),
                        dtype=np.float32)
     np.testing.assert_allclose(y, ref, atol=1e-2)
+
+
+def test_enable_tp_serving_end_to_end(eight_device_mesh):
+    """TP-served decode (fused per-shard kernels under shard_map) must match
+    single-chip numerics — the dryrun_multichip assertion as a unit test."""
+    import jax
+    from flax import nnx
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.layers.woq_linear import WOQLinear
+    from neural_compressor_tpu.layers.module_utils import get_module
+    from neural_compressor_tpu.models import LlamaForCausalLM, shard_model
+    from neural_compressor_tpu.models.llama import init_kv_cache
+    from neural_compressor_tpu.models.sharding import enable_tp_serving
+
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(0, 256, (2, 8)))
+    qm = nq.quantize(LlamaForCausalLM.from_preset("llama-test"),
+                     nq.RTNConfig(dtype="int4", group_size=32))
+    caches = init_kv_cache(qm.cfg, 2, 16)
+    _, caches = qm(ids, caches=caches, cache_pos=0)
+    ref, _ = qm(ids[:, :1], positions=jnp.full((2, 1), 8), caches=caches,
+                cache_pos=8)
+    ref = np.asarray(ref, dtype=np.float32)
+
+    mesh = make_mesh((1, 8))
+    qm = shard_model(qm, mesh)
+    n = enable_tp_serving(qm, mesh, data_axis=None)
+    assert n >= 8  # every projection in both blocks
+    assert get_module(qm, "model.layers.0.self_attn.q_proj").tp_role[0] == \
+        "column"
+    caches2 = init_kv_cache(qm.cfg, 2, 16)
+    spec = NamedSharding(mesh, P(None, None, None, None))
+    caches2 = jax.tree.map(lambda c: jax.device_put(c, spec), caches2)
+    with mesh:
+        _, caches2 = qm(ids, caches=caches2, cache_pos=0)
+        got, _ = qm(ids[:, :1], positions=jnp.full((2, 1), 8),
+                    caches=caches2, cache_pos=8)
+    got = np.asarray(jax.device_get(got), dtype=np.float32)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 5e-2, err
