@@ -14,8 +14,8 @@ import jax.numpy as jnp
 from ..common import logger
 from ..layers.module_utils import get_module, replace_module, named_modules
 from ..layers.woq_linear import WOQLinear
-from ..ops.qtensor import quantize_tensor, search_clip, double_quant_scales, QTensor
-from ..ops.packing import pack_qtensor
+from ..ops.qtensor import quantize_tensor, search_clip, QTensor
+from ..ops.packing import apply_double_quant, pack_qtensor
 from . import register_algo
 from .utils import extract_linear, dump_op_stats
 
@@ -41,12 +41,6 @@ def rtn_quantize_kernel(kernel, cfg) -> QTensor:
     qt = quantize_tensor(w, bits=cfg.weight_bits, group_size=cfg.group_size,
                          scheme=cfg.scheme, dtype=cfg.weight_dtype,
                          full_range=getattr(cfg, "use_full_range", False))
-    if getattr(cfg, "use_double_quant", False):
-        dq_scales, _ = double_quant_scales(
-            qt.scales, bits=cfg.double_quant_bits,
-            group_size=cfg.double_quant_group_size,
-            scheme="sym" if cfg.double_quant_use_sym else "asym")
-        qt = qt._replace(scales=dq_scales)
     return qt
 
 
@@ -65,7 +59,15 @@ def rtn_entry(model, configs_mapping, mode="quantize", run_fn=None,
             continue
         kernel, bias = lin
         qt = rtn_quantize_kernel(kernel, cfg)
-        replace_module(model, name, WOQLinear.from_qtensor(qt, bias=bias))
+        pw = pack_qtensor(qt)
+        if getattr(cfg, "use_double_quant", False):
+            # REAL double quant: int8 scale codes in storage (reference
+            # weight_only/utility.py:273-436), dequantized at kernel entry
+            pw = apply_double_quant(
+                pw, bits=cfg.double_quant_bits,
+                group_size=cfg.double_quant_group_size,
+                sym=cfg.double_quant_use_sym)
+        replace_module(model, name, WOQLinear(pw, bias=bias))
         n_done += 1
     logger.info("RTN quantized %d Linear ops", n_done)
     dump_op_stats(model)

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.packing import PackedWeight, dequantize_packed
+from ..ops.packing import (PackedWeight, dequantize_packed,
+                           resolve_double_quant)
 from ..ops.qtensor import CODEBOOKS, FLOAT_CODE_DTYPES
 
 _DEFAULT_IMPL = "auto"
@@ -76,15 +77,20 @@ def _unpack_tile(pk, bits: int, n_groups: int, rows_per_group_packed: int):
 
 
 def _dequant_group_codes(codes, scales, zeros, bits, dtype_name, cb_vals):
-    """codes [ng, G, TN] int32 (+scales/zeros [ng, TN]) -> bf16 [ng*G, TN]."""
+    """codes [ng, G, TN] int32 (+scales/zeros [ng, TN]) -> bf16 [ng*G, TN].
+
+    Sign handling: two's-complement nibble u satisfies signed == (u^h) − h
+    (h = 2^(bits−1)); the −h constant and the zero point merge into one
+    broadcast subtract — 2 VPU ops instead of the compare/shift/sub chain.
+    """
     if dtype_name in FLOAT_CODE_DTYPES:
         vals = _codebook_select(codes.astype(jnp.float32), cb_vals)
     else:
         half = 1 << (bits - 1)
-        signed = codes - ((codes >= half).astype(jnp.int32) << bits)
-        vals = signed.astype(jnp.float32)
-        if zeros is not None:
-            vals = vals - zeros[:, None, :]
+        off = codes ^ half  # signed + half, still int32 in [0, 2^bits)
+        zoff = (float(half) + (zeros[:, None, :] if zeros is not None
+                               else 0.0))
+        vals = off.astype(jnp.float32) - zoff
     w = vals * scales[:, None, :]
     ng, G, TN = w.shape
     return w.reshape(ng * G, TN)
@@ -329,6 +335,7 @@ def vpu_matvec(x: jax.Array, pw: PackedWeight, out_dtype=None):
     if tiles is None:
         return None
     tk, tn = tiles
+    pw = resolve_double_quant(pw)
     lead = x.shape[:-1]
     x2 = x.reshape(1, K)
     if pw.perm is not None:
@@ -424,6 +431,7 @@ def _pick_tiles(M, K, N, G, bits, layout):
 def dequant_matmul_pallas(x: jax.Array, pw: PackedWeight,
                           out_dtype=None) -> jax.Array:
     """y[M,N] = x[M,K] @ dequant(pw). Pads M to the tile size as needed."""
+    pw = resolve_double_quant(pw)
     K, N = pw.orig_shape
     assert x.shape[-1] == K, f"x K={x.shape[-1]} vs weight K={K}"
     out_dtype = out_dtype or x.dtype
@@ -460,6 +468,131 @@ def dequant_matmul_pallas(x: jax.Array, pw: PackedWeight,
     )
     if slice_back:
         y = y[:M]
+    return y.reshape(*lead, N)
+
+
+def _make_vpu_int_kernel(bits, ngk, rpg, tn, nk, has_zeros):
+    """All-integer inner loop (W4A8 decode): per-token-int8 x times raw
+    nibbles, 4-5 VPU ops/element (shift, and, xor, int-mul, int-add); the
+    float work (scales, offset correction) is per GROUP, not per element."""
+    P = 32 // bits
+    mask = (1 << bits) - 1
+    half = float(1 << (bits - 1))
+
+    def kernel(x_ref, xs_ref, pk_ref, sc_ref, *rest):
+        if has_zeros:
+            zr_ref, o_ref, acc_ref = rest
+        else:
+            o_ref, acc_ref = rest
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        c = pk_ref[:].reshape(ngk, rpg, tn)
+        planes = [(((c >> (bits * s)) & mask) ^ (1 << (bits - 1)))
+                  .astype(jnp.int32) for s in range(P)]
+        u = jnp.stack(planes, axis=1).reshape(ngk, P * rpg, tn)
+        xq = x_ref[0]                       # [ngk, G, 1] int32
+        a = jnp.sum(u * xq, axis=1)         # [ngk, tn] int32
+        b = jnp.sum(xq, axis=1)             # [ngk, 1] int32
+        sc = sc_ref[0]
+        off = half + (zr_ref[0] if has_zeros else 0.0)
+        af = a.astype(jnp.float32) - off * b.astype(jnp.float32)
+        acc_ref[0:1, :] += jnp.sum(sc * af, axis=0)[None, :] * xs_ref[0]
+
+        @pl.when(k == nk - 1)
+        def _():
+            o_ref[:] = acc_ref[0:1, :]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "K", "N", "has_zeros",
+                     "out_dtype", "interpret", "tn", "tk"),
+)
+def _vpu_matvec_int_impl(x, packed, scales, zeros, *, bits, group_size, K, N,
+                         has_zeros, out_dtype, interpret, tn, tk):
+    G = group_size
+    nk, nn = K // tk, N // tn
+    ngk = tk // G
+    P = 32 // bits
+    rpg = G // P
+    scales = scales.reshape(nk, ngk, N)
+    if has_zeros:
+        zeros = zeros.reshape(nk, ngk, N)
+    xf = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6)
+    xs = (amax / 127.0).reshape(1)
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int32)
+    x4 = xq.reshape(nk, ngk, G, 1)
+
+    in_specs = [
+        pl.BlockSpec((1, ngk, G, 1), lambda j, k: (k, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # xs [1]
+        pl.BlockSpec((tk // P, tn), lambda j, k: (k, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ngk, tn), lambda j, k: (k, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x4, xs, packed, scales]
+    if has_zeros:
+        in_specs.append(in_specs[-1])
+        args.append(zeros)
+
+    y = pl.pallas_call(
+        _make_vpu_int_kernel(bits, ngk, rpg, tn, nk, has_zeros),
+        grid=(nn, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tn), lambda j, k: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * N,
+            bytes_accessed=packed.size * 4 + scales.size * 4 + (K + N) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+    return y.astype(out_dtype)
+
+
+def vpu_matvec_int8act(x: jax.Array, pw: PackedWeight, out_dtype=None):
+    """W4A8 single-row decode: x is quantized to per-token int8 and the
+    multiply-accumulate runs in int32 on the VPU (cheapest ops/element).
+    Same applicability rules as ``vpu_matvec``; returns None when not
+    applicable."""
+    K, N = pw.orig_shape
+    out_dtype = out_dtype or x.dtype
+    M = 1
+    for d in x.shape[:-1]:
+        M *= d
+    G = pw.group_size if pw.group_size > 0 else K
+    if (M != 1 or pw.layout != "tpu_strided"
+            or pw.dtype in FLOAT_CODE_DTYPES or pw.bits not in (2, 4)
+            or G % (32 // pw.bits)):
+        return None
+    tiles = _vpu_tiles(K, N, G)
+    if tiles is None:
+        return None
+    tk, tn = tiles
+    pw = resolve_double_quant(pw)
+    lead = x.shape[:-1]
+    x2 = x.reshape(1, K)
+    if pw.perm is not None:
+        x2 = jnp.take(x2, pw.perm, axis=1)
+    y = _vpu_matvec_int_impl(
+        x2, pw.packed, pw.scales.astype(jnp.float32),
+        None if pw.zeros is None else pw.zeros.astype(jnp.float32),
+        bits=pw.bits, group_size=G, K=K, N=N,
+        has_zeros=pw.zeros is not None, out_dtype=jnp.dtype(out_dtype),
+        interpret=not _on_tpu(), tn=tn, tk=tk)
     return y.reshape(*lead, N)
 
 

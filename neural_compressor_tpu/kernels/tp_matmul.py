@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.packing import PackedWeight
+from ..ops.packing import PackedWeight, resolve_double_quant
 from .dequant_matmul import woq_matmul
 
 
@@ -43,6 +43,7 @@ def tp_woq_matmul_column(x: jax.Array, pw: PackedWeight, mesh: Mesh,
     ``x``: [..., K], replicated over ``axis`` (optionally sharded over
     ``data_axis`` on its leading dim). Returns y sharded on its last dim
     over ``axis`` (no collective — a row-parallel op consumes it)."""
+    pw = resolve_double_quant(pw)
     K, N = pw.orig_shape
     tp = mesh.shape[axis]
     assert N % tp == 0, f"N={N} not divisible by tp={tp}"
@@ -73,6 +74,7 @@ def tp_woq_matmul_row(x: jax.Array, pw: PackedWeight, mesh: Mesh,
     ``x`` must be sharded on its last dim over ``axis`` (e.g. the output of
     a column-parallel matmul); partials are psum'ed over ICI. Returns y
     replicated over ``axis``."""
+    pw = resolve_double_quant(pw)
     K, N = pw.orig_shape
     tp = mesh.shape[axis]
     G = pw.group_size if pw.group_size > 0 else K

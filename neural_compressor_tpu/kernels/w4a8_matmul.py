@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.packing import PackedWeight, dequantize_packed
+from ..ops.packing import (PackedWeight, dequantize_packed,
+                           resolve_double_quant)
 from ..ops.qtensor import quantize_act_per_token
 
 
@@ -116,6 +117,7 @@ def w4a8_matmul(x: jax.Array, pw: PackedWeight, out_dtype=None) -> jax.Array:
     integer MXU path. Requires sym int4 tpu_strided weights; falls back to
     the bf16 dequant path otherwise."""
     out_dtype = out_dtype or x.dtype
+    pw = resolve_double_quant(pw)
     K, N = pw.orig_shape
     lead = x.shape[:-1]
     x2 = x.reshape(-1, K)

@@ -42,6 +42,11 @@ class WOQLinear(nnx.Module):
         self.zeros = nnx.Param(pw.zeros) if pw.zeros is not None else None
         # act-order / GAR input-row permutation (rows stored permuted)
         self.perm = nnx.Param(pw.perm) if pw.perm is not None else None
+        # double-quant: scales are int8 codes, these are their meta
+        self.sq_scales = (nnx.Param(pw.sq_scales)
+                          if pw.sq_scales is not None else None)
+        self.sq_zeros = (nnx.Param(pw.sq_zeros)
+                         if pw.sq_zeros is not None else None)
         self.bias = nnx.Param(bias) if bias is not None else None
         # AWQ/SmoothQuant per-input-channel scale that could not be folded
         # into a parent op: forward computes (x / pre_scale) @ dequant(Wq·s)
@@ -59,6 +64,9 @@ class WOQLinear(nnx.Module):
             orig_shape=(self.in_features, self.out_features),
             layout=self.layout,
             perm=None if self.perm is None else self.perm[...],
+            sq_scales=(None if self.sq_scales is None
+                       else self.sq_scales[...]),
+            sq_zeros=None if self.sq_zeros is None else self.sq_zeros[...],
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -108,6 +116,7 @@ class W4A8Linear(WOQLinear):
     M_INT8_THRESHOLD = 64
 
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..kernels.dequant_matmul import vpu_matvec_int8act
         from ..kernels.w4a8_matmul import w4a8_matmul
 
         if self.pre_scale is not None:
@@ -115,7 +124,12 @@ class W4A8Linear(WOQLinear):
         M = 1
         for d in x.shape[:-1]:
             M *= d
-        if M >= self.M_INT8_THRESHOLD:
+        if M == 1:
+            # decode: all-integer VPU matvec (int8 act x int4 codes)
+            y = vpu_matvec_int8act(x, self.packed_weight())
+            if y is None:
+                y = woq_matmul(x, self.packed_weight(), impl=self.impl)
+        elif M >= self.M_INT8_THRESHOLD:
             y = w4a8_matmul(x, self.packed_weight())
         else:
             y = woq_matmul(x, self.packed_weight(), impl=self.impl)

@@ -59,6 +59,11 @@ class PackedWeight(NamedTuple):
     orig_shape: tuple[int, int]
     layout: str
     perm: jax.Array | None = None
+    # double quantization (reference weight_only/utility.py:273-436): when
+    # active, ``scales`` holds int8 CODES and these carry their scale/zero
+    # per [G2 x N] super-group — a real 4x memory cut on the scale tensors
+    sq_scales: jax.Array | None = None  # f32 [ng2, N]
+    sq_zeros: jax.Array | None = None   # f32 [ng2, N] (asym) | None
 
 
 def _values_per_lane(bits: int) -> int:
@@ -144,6 +149,63 @@ def pack_qtensor(qt: QTensor, force_int8: bool = False,
     )
 
 
+def effective_scales(pw: PackedWeight) -> jax.Array:
+    """f32 group scales, dequantizing double-quantized (int8-coded) ones."""
+    if pw.sq_scales is None:
+        return pw.scales.astype(jnp.float32)
+    ng, N = pw.scales.shape
+    ng2 = pw.sq_scales.shape[0]
+    G2 = ng // ng2
+    c = pw.scales.astype(jnp.float32).reshape(ng2, G2, N)
+    if pw.sq_zeros is not None:
+        c = c - pw.sq_zeros[:, None, :]
+    return (c * pw.sq_scales[:, None, :]).reshape(ng, N)
+
+
+def resolve_double_quant(pw: PackedWeight) -> PackedWeight:
+    """Materialize f32 scales from a double-quantized PackedWeight (no-op
+    otherwise) — kernels call this at entry; the compact form only exists
+    in storage (Params / checkpoints)."""
+    if pw.sq_scales is None:
+        return pw
+    return pw._replace(scales=effective_scales(pw), sq_scales=None,
+                       sq_zeros=None)
+
+
+def apply_double_quant(pw: PackedWeight, bits: int = 8, group_size: int = 256,
+                       sym: bool = False) -> PackedWeight:
+    """Quantize the scale tensor itself (reference double-quant,
+    weight_only/utility.py:273-436): scales [ng, N] are grouped along the
+    group axis in super-groups of ``group_size`` and stored as int8 codes
+    plus per-super-group f32 scale/zero. Memory: 4 bytes -> 1 byte per
+    group scale."""
+    assert 2 <= bits <= 8, "double-quant codes are stored int8"
+    half = float(1 << (bits - 1))
+    scales = pw.scales.astype(jnp.float32)
+    ng, N = scales.shape
+    G2 = min(group_size, ng)
+    while ng % G2:
+        G2 -= 1  # largest divisor <= requested super-group
+    ng2 = ng // G2
+    s = scales.reshape(ng2, G2, N)
+    if sym:
+        qmax = half - 1
+        s2 = jnp.max(jnp.abs(s), axis=1) / qmax
+        s2 = jnp.where(s2 <= 0, 1.0, s2)
+        codes = jnp.clip(jnp.round(s / s2[:, None, :]), -half, qmax)
+        z2 = None
+    else:
+        mx = jnp.max(s, axis=1)
+        mn = jnp.min(s, axis=1)
+        s2 = (mx - mn) / (2.0 * half - 1.0)
+        s2 = jnp.where(s2 <= 0, 1.0, s2)
+        z2 = jnp.round(-mn / s2) - half  # centered zero point
+        codes = jnp.clip(jnp.round(s / s2[:, None, :]) + (z2[:, None, :] + half),
+                         0, 2.0 * half - 1.0) - half
+    return pw._replace(scales=codes.reshape(ng, N).astype(jnp.int8),
+                       sq_scales=s2, sq_zeros=z2)
+
+
 def unpack_to_codes(pw: PackedWeight) -> jax.Array:
     """PackedWeight -> int8 codes [K, N]."""
     K, N = pw.orig_shape
@@ -185,6 +247,7 @@ def dequantize_packed(pw: PackedWeight, out_dtype=jnp.bfloat16) -> jax.Array:
     Returns the weight in ORIGINAL row order (scatters permuted rows back
     when ``pw.perm`` is set).
     """
+    pw = resolve_double_quant(pw)
     K, N = pw.orig_shape
     G = pw.group_size if pw.group_size > 0 else K
     w = _dequantize_packed_arrays(
@@ -262,6 +325,7 @@ def from_gptq_layout(qweight: np.ndarray, qzeros: np.ndarray, scales: np.ndarray
 
 def to_gptq_layout(pw: PackedWeight) -> dict[str, np.ndarray]:
     """Export PackedWeight to the optimum/AutoGPTQ tensor layout."""
+    pw = resolve_double_quant(pw)
     K, N = pw.orig_shape
     bits = pw.bits
     pf = 32 // bits

@@ -55,8 +55,10 @@ def export_compressed_tensors(model, output_dir: str,
         unsigned = (codes.astype(np.int32) + half).astype(np.uint8)
         # torch orientation [out, in]
         tensors[f"{path}.weight_packed"] = _pack_rows(unsigned.T, bits)
+        from ..ops.packing import effective_scales
         tensors[f"{path}.weight_scale"] = np.asarray(
-            jax.device_get(mod.scales[...])).T.astype(np.float16)
+            jax.device_get(effective_scales(mod.packed_weight()))
+        ).T.astype(np.float16)
         if not sym:
             zp = np.asarray(jax.device_get(mod.zeros[...])).T + half
             tensors[f"{path}.weight_zero_point"] = zp.astype(np.int8)

@@ -120,7 +120,9 @@ def _rebuild(meta: dict, tensors: dict):
             zeros=tensors.get("zeros"), bits=meta["bits"],
             group_size=meta["group_size"], dtype=meta["wdtype"],
             orig_shape=(meta["in_features"], meta["out_features"]),
-            layout=meta["layout"], perm=tensors.get("perm"))
+            layout=meta["layout"], perm=tensors.get("perm"),
+            sq_scales=tensors.get("sq_scales"),
+            sq_zeros=tensors.get("sq_zeros"))
         cls = W4A8Linear if t == "W4A8Linear" else WOQLinear
         return cls(pw, bias=bias, impl=meta.get("impl", "auto"),
                    pre_scale=tensors.get("pre_scale"))

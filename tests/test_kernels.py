@@ -93,6 +93,24 @@ def test_vpu_matvec_matches_xla(scheme, bits):
                                atol=2e-2, rtol=1e-2)
 
 
+@pytest.mark.parametrize("scheme", ["sym", "asym"])
+def test_vpu_matvec_int8act(scheme):
+    from neural_compressor_tpu.kernels.dequant_matmul import (
+        vpu_matvec_int8act)
+
+    w, _ = _mk(K=256, N=512)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 256)), dtype=jnp.float32)
+    qt = quantize_tensor(w, bits=4, group_size=128, scheme=scheme)
+    pw = pack_qtensor(qt)
+    ref = x @ dequantize_packed(pw, out_dtype=jnp.float32)
+    got = vpu_matvec_int8act(x, pw, out_dtype=jnp.float32)
+    assert got is not None
+    # int8 activation quantization bounds the error (~1%)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel
+
+
 def test_vpu_matvec_with_perm():
     from neural_compressor_tpu.kernels.dequant_matmul import vpu_matvec
 
