@@ -11,9 +11,13 @@ Design (TPU):
     the fused decode-attention kernel (pos is a [B] array)
   * the decode step is ONE jit call for all slots, every iteration —
     finished/empty slots decode garbage that is simply ignored (masked on
-    the host), keeping shapes static
-  * prefill runs per request at a handful of bucketed lengths (pad to
-    bucket) and writes that slot's cache rows
+    the host), keeping shapes static; non-decoding slots park their
+    garbage cache writes on the last (never-attended) row
+  * prefill is CHUNKED: every prompt runs through one fixed-size jitted
+    chunk program (a single compile regardless of prompt length, any
+    length up to max_len), one chunk per engine iteration — decode of the
+    other slots interleaves between chunks, so a long prompt no longer
+    stalls the pool
 """
 
 from __future__ import annotations
@@ -39,24 +43,19 @@ class Request:
     # filled during serving
     generated: list = dataclasses.field(default_factory=list)
     done: bool = False
-
-
-def _buckets(n, sizes=(32, 64, 128, 256, 512, 1024, 2048)):
-    for s in sizes:
-        if n <= s:
-            return s
-    raise ValueError(f"prompt length {n} exceeds the largest prefill "
-                     f"bucket ({sizes[-1]})")
+    prefill_pos: int = 0          # tokens already written to the cache
 
 
 class ContinuousBatchingEngine:
     def __init__(self, model, n_slots: int = 8, max_len: int = 1024,
-                 eos_token_id: int | None = None):
+                 eos_token_id: int | None = None,
+                 prefill_chunk: int = 256):
         self.model = model
         self.cfg = model.cfg
         self.n_slots = n_slots
         self.max_len = max_len
         self.eos_token_id = eos_token_id
+        self.prefill_chunk = min(prefill_chunk, max_len)
         quantized = (getattr(model, "kv_cache_format", "int8")
                  if getattr(model, "kv_cache_quantized", False) else False)
         self.caches = init_kv_cache(self.cfg, n_slots, max_len,
@@ -65,6 +64,7 @@ class ContinuousBatchingEngine:
         self._uid = itertools.count()
         # slot bookkeeping (host side)
         self.slot_req: list[Request | None] = [None] * n_slots
+        self.slot_state = ["idle"] * n_slots  # idle | prefill | decode
         self.slot_pos = np.zeros((n_slots,), np.int32)   # next write index
         self.slot_tok = np.zeros((n_slots,), np.int32)   # last token
         self.queue: list[Request] = []
@@ -90,35 +90,65 @@ class ContinuousBatchingEngine:
         finished = []
         for _ in range(max_steps):
             self._fill_slots()
-            if all(r is None for r in self.slot_req) and not self.queue:
+            if all(s == "idle" for s in self.slot_state) and not self.queue:
                 break
-            self.step_many(chunk)
+            self._advance_prefill()
+            if any(s == "decode" for s in self.slot_state):
+                self.step_many(chunk)
             finished.extend(self._collect())
         return finished
 
     # ------------------------------------------------------------- internals
-    def _prefill_fn(self, P):
-        key = ("prefill", P)
+    def _prefill_chunk_fn(self):
+        key = "prefill_chunk"
         if key not in self._jit_cache:
             graphdef = self._graphdef
+            C = self.prefill_chunk
 
             @jax.jit
-            def prefill(state, caches, ids, slot, true_len):
+            def prefill(state, caches, ids, slot, start, last_idx):
                 m = nnx.merge(graphdef, state)
-                positions = jnp.arange(P)[None, :]
+                positions = start + jnp.arange(C)[None, :]
                 # slice this slot's cache rows, run, write back
                 sub = jax.tree.map(lambda c: jax.lax.dynamic_slice_in_dim(
                     c, slot, 1, axis=0), caches)
                 logits, sub = m(ids[None, :], positions=positions,
-                                caches=sub, cache_pos=0)
+                                caches=sub, cache_pos=start)
                 caches = jax.tree.map(
                     lambda c, s: jax.lax.dynamic_update_slice_in_dim(
                         c, s, slot, axis=0), caches, sub)
-                nxt = jnp.argmax(logits[0, true_len - 1], axis=-1)
+                nxt = jnp.argmax(logits[0, last_idx], axis=-1)
                 return caches, nxt
 
             self._jit_cache[key] = prefill
         return self._jit_cache[key]
+
+    def _advance_prefill(self):
+        """Run ONE prefill chunk (first prefilling slot) — decode of the
+        other slots interleaves between chunks."""
+        for slot, req in enumerate(self.slot_req):
+            if self.slot_state[slot] != "prefill":
+                continue
+            P = len(req.prompt)
+            C = self.prefill_chunk
+            start = req.prefill_pos
+            end = min(start + C, P)
+            ids = np.zeros((C,), np.int32)
+            ids[: end - start] = req.prompt[start:end]
+            prefill = self._prefill_chunk_fn()
+            self.caches, nxt = prefill(self._state, self.caches,
+                                       jnp.asarray(ids), slot, start,
+                                       end - start - 1)
+            req.prefill_pos = end
+            if end >= P:
+                tok = int(nxt)
+                req.generated.append(tok)
+                self.slot_state[slot] = "decode"
+                self.slot_pos[slot] = P
+                self.slot_tok[slot] = tok
+                logger.debug("slot %d prefilled request %d (P=%d)",
+                             slot, req.uid, P)
+            return
 
     def _decode_fn(self):
         key = "decode"
@@ -168,28 +198,29 @@ class ContinuousBatchingEngine:
             if self.slot_req[slot] is not None or not self.queue:
                 continue
             req = self.queue.pop(0)
-            P = len(req.prompt)
-            bucket = _buckets(P)
-            ids = np.zeros((bucket,), np.int32)
-            ids[:P] = req.prompt
-            prefill = self._prefill_fn(bucket)
-            self.caches, nxt = prefill(self._state, self.caches,
-                                       jnp.asarray(ids), slot, P)
-            tok = int(nxt)
-            req.generated.append(tok)
             self.slot_req[slot] = req
-            self.slot_pos[slot] = P
-            self.slot_tok[slot] = tok
-            logger.debug("slot %d <- request %d (P=%d)", slot, req.uid, P)
+            self.slot_state[slot] = "prefill"
+            req.prefill_pos = 0
+            logger.debug("slot %d <- request %d (P=%d)", slot, req.uid,
+                         len(req.prompt))
+
+    def _decode_positions(self):
+        """Per-slot decode positions; non-decoding slots park their garbage
+        cache write on the last row (never attended: causal mask excludes
+        it and requests terminate before reaching it)."""
+        park = self.max_len - 1
+        return np.where(
+            np.asarray([s == "decode" for s in self.slot_state]),
+            self.slot_pos, park).astype(np.int32)
 
     def step(self):
         decode = self._decode_fn()
         toks = jnp.asarray(self.slot_tok)
-        pos = jnp.asarray(self.slot_pos)
+        pos = jnp.asarray(self._decode_positions())
         self.caches, nxt = decode(self._state, self.caches, toks, pos)
         nxt = np.asarray(nxt)
         for slot, req in enumerate(self.slot_req):
-            if req is None:
+            if req is None or self.slot_state[slot] != "decode":
                 continue
             self.slot_pos[slot] += 1
             tok = int(nxt[slot])
@@ -206,11 +237,11 @@ class ContinuousBatchingEngine:
             return self.step()
         decode_many = self._decode_many_fn(k)
         toks = jnp.asarray(self.slot_tok)
-        pos = jnp.asarray(self.slot_pos)
+        pos = jnp.asarray(self._decode_positions())
         self.caches, out = decode_many(self._state, self.caches, toks, pos)
         out = np.asarray(out)  # [n_slots, k]
         for slot, req in enumerate(self.slot_req):
-            if req is None:
+            if req is None or self.slot_state[slot] != "decode":
                 continue
             for j in range(k):
                 if req.done:
@@ -231,4 +262,5 @@ class ContinuousBatchingEngine:
             if req is not None and req.done:
                 done.append(req)
                 self.slot_req[slot] = None
+                self.slot_state[slot] = "idle"
         return done

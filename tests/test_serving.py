@@ -50,3 +50,34 @@ def test_quantized_kv_cache_engine():
     eng.submit(rng.integers(0, 256, (6,)), max_new_tokens=4)
     done = eng.run()
     assert len(done) == 1 and len(done[0].generated) == 4
+
+
+def test_chunked_prefill_long_prompt_matches_greedy():
+    """A prompt longer than the prefill chunk must stream through multiple
+    chunks (interleaved with decode) and still match greedy_search
+    token-for-token."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.generation import greedy_search
+    from neural_compressor_tpu.models import LlamaForCausalLM
+    from neural_compressor_tpu.serving.engine import ContinuousBatchingEngine
+
+    rng = np.random.default_rng(11)
+    m = nq.quantize(LlamaForCausalLM.from_preset("llama-test"),
+                    nq.RTNConfig(dtype="int4", group_size=32))
+    eng = ContinuousBatchingEngine(m, n_slots=2, max_len=96,
+                                   prefill_chunk=16)
+    long_prompt = rng.integers(0, 256, (40,))   # 3 chunks (16+16+8)
+    short_prompt = rng.integers(0, 256, (5,))
+    r1 = eng.submit(long_prompt, max_new_tokens=6)
+    r2 = eng.submit(short_prompt, max_new_tokens=6)
+    done = eng.run(chunk=2)
+    assert len(done) == 2 and r1.done and r2.done
+    for prompt, req in ((long_prompt, r1), (short_prompt, r2)):
+        ref = greedy_search(m, jnp.asarray(prompt)[None, :],
+                            max_new_tokens=6)
+        np.testing.assert_array_equal(
+            np.asarray(req.generated),
+            np.asarray(ref)[0, len(prompt):])
