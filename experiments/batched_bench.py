@@ -27,32 +27,31 @@ def main():
     fuse_for_serving(qmodel)
     print(f"int4 build {time.time()-t0:.0f}s", flush=True)
 
-    for b in (8, 32, 64):
+    import gc
+
+    # bf16 KV costs 536 MB/slot at T=1024 (7B): big batches need int8-KV
+    for b, qkv in ((8, False), (16, True), (32, True)):
         try:
-            measure(qmodel, f"int4 B={b} bf16-kv", batch=b, steps=128)
+            measure(qmodel, f"int4 B={b} {'int8' if qkv else 'bf16'}-kv",
+                    batch=b, steps=128, quant_kv=qkv)
         except Exception as e:
-            print(f"int4 B={b} FAILED: {type(e).__name__}", flush=True)
-    for b in (64, 128):
-        try:
-            measure(qmodel, f"int4 B={b} int8-kv", batch=b, steps=128,
-                    quant_kv=True)
-        except Exception as e:
-            print(f"int4 B={b} int8-kv FAILED: {type(e).__name__}", flush=True)
+            print(f"int4 B={b} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:120]}", flush=True)
+        gc.collect()
     del qmodel
+    gc.collect()
 
     # bf16 baseline at its max feasible batch (T=1024, 16 GB chip)
-    for b in (4, 2, 1):
+    import gc
+    model = LlamaForCausalLM.from_preset("llama2-7b")
+    for b in (2, 4):
         try:
-            model = LlamaForCausalLM.from_preset("llama2-7b")
             measure(model, f"bf16 B={b}", batch=b, steps=64)
-            del model
-            break
         except Exception as e:
-            print(f"bf16 B={b} FAILED: {type(e).__name__}", flush=True)
-            try:
-                del model
-            except NameError:
-                pass
+            print(f"bf16 B={b} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:120]}", flush=True)
+        gc.collect()
+    del model
 
 
 if __name__ == "__main__":

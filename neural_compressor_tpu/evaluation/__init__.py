@@ -6,7 +6,14 @@ from .lm_eval import (
     loglikelihood_from_ids,
     LMEvalAdapter,
 )
+from .tasks import (
+    code_pass_at_k,
+    exact_match_generation,
+    rouge_l,
+    summarization_rouge,
+)
 
 __all__ = ["perplexity", "next_token_accuracy", "evaluate_lm",
            "lambada_style_accuracy", "loglikelihood_from_ids",
-           "LMEvalAdapter"]
+           "LMEvalAdapter", "code_pass_at_k", "exact_match_generation",
+           "rouge_l", "summarization_rouge"]

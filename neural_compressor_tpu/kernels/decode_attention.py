@@ -211,6 +211,22 @@ def set_cache_write_mode(mode: str) -> None:
     _WRITE_MODE = mode
 
 
+# decode attention dispatch: the fused pallas kernel wins at small batch;
+# "xla" falls back to the generic update+einsum path (model code checks
+# this when choosing the S==1 fast path)
+_ATTN_IMPL = "kernel"  # "kernel" | "xla"
+
+
+def set_decode_attn_impl(impl: str) -> None:
+    global _ATTN_IMPL
+    assert impl in ("kernel", "xla")
+    _ATTN_IMPL = impl
+
+
+def use_fused_decode_attention() -> bool:
+    return _ATTN_IMPL == "kernel"
+
+
 def _kernel_ro(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in, o_ref,
                *, T, D, rep, scale):
     b = pl.program_id(0)

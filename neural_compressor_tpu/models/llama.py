@@ -234,10 +234,13 @@ class LlamaAttention(nnx.Module):
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
+        from ..kernels.decode_attention import use_fused_decode_attention
+
         tp_mesh = getattr(self, "tp_mesh_attn", None)
+        fused_ok = use_fused_decode_attention()
         new_cache = None
         if isinstance(cache, QuantKVCache):
-            if S == 1 and tp_mesh is None:
+            if S == 1 and tp_mesh is None and fused_ok:
                 from ..kernels.decode_attention import decode_attention_quant
 
                 out, new_cache = decode_attention_quant(q, k, v, cache,
@@ -254,7 +257,7 @@ class LlamaAttention(nnx.Module):
             k = _kv_dequant(k_codes, k_scale, x.dtype)
             v = _kv_dequant(v_codes, v_scale, x.dtype)
         elif cache is not None:
-            if S == 1:
+            if S == 1 and fused_ok:
                 # fused decode kernel: in-place cache update + attention in
                 # one pallas call (per-op overhead dominates decode);
                 # under a TP mesh it runs per head-shard via shard_map

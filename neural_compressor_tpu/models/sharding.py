@@ -28,8 +28,10 @@ from ..common import logger
 
 # (regex over dotted param path) -> (spec for 2D kernels, handled below)
 COLUMN_PAR = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "lm_head",
-              "c_attn", "c_fc", "fc1")
-ROW_PAR = ("o_proj", "down_proj", "c_proj", "fc2")
+              "c_attn", "c_fc", "fc1", "w1", "w3", "query_key_value",
+              "fc_in", "dense_h_to_4h")
+ROW_PAR = ("o_proj", "down_proj", "c_proj", "fc2", "w2", "out_proj",
+           "fc_out", "dense_4h_to_h", "dense")
 
 # leaves of a WOQLinear / quantized linear that follow the kernel's sharding
 _WEIGHT_LEAVES = ("kernel", "packed", "scales", "zeros", "w_int8", "w_fp8")
