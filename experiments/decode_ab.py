@@ -6,6 +6,7 @@ write-back vs read-only kernel + outside DUS) at T=1024.
 """
 from __future__ import annotations
 
+import functools
 import sys
 import time
 
@@ -29,11 +30,13 @@ MAX_LEN = 1024
 
 
 def build_decode(model, batch, max_len, quant_kv=False):
-    caches = init_kv_cache(model.cfg, batch, max_len,
-                           quantized="int8" if quant_kv else False)
+    def make_caches():
+        return init_kv_cache(model.cfg, batch, max_len,
+                             quantized="int8" if quant_kv else False)
+
     graphdef, state = nnx.split(model)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def decode(state, caches, token, steps):
         m = nnx.merge(graphdef, state)
 
@@ -48,18 +51,18 @@ def build_decode(model, batch, max_len, quant_kv=False):
         return jax.lax.fori_loop(0, steps, body,
                                  (token, caches, jnp.float32(0)))
 
-    return state, caches, decode
+    return state, make_caches, decode
 
 
 def measure(model, label, batch=1, quant_kv=False, steps=STEPS):
-    state, caches, decode = build_decode(model, batch, MAX_LEN, quant_kv)
+    state, make_caches, decode = build_decode(model, batch, MAX_LEN, quant_kv)
     tok = jnp.zeros((batch, 1), dtype=jnp.int32)
     t0 = time.time()
-    _, _, acc = decode(state, caches, tok, 4)
+    _, _, acc = decode(state, make_caches(), tok, 4)
     _ = np.asarray(acc)
     compile_s = time.time() - t0
     t0 = time.time()
-    _, _, acc = decode(state, caches, tok, steps)
+    _, _, acc = decode(state, make_caches(), tok, steps)
     _ = np.asarray(acc)
     dt = time.time() - t0
     ms = dt / steps * 1e3

@@ -102,6 +102,13 @@ def fp8_entry(model, configs_mapping, mode="quantize", run_fn=None,
             FP8Linear(kernel, amax, bias=bias, dtype_name=cfg.dtype_name,
                       scale_method=cfg.scale_method))
         n += 1
+    if config is not None and getattr(config, "quantize_attention", False):
+        n_attn = 0
+        for _name, mod in named_modules(model):
+            if type(mod).__name__.endswith("Attention"):
+                mod.fp8_sdpa = True  # models run QK^T/PV through _fp8_dot
+                n_attn += 1
+        logger.info("FP8 SDPA enabled on %d attention module(s)", n_attn)
     logger.info("FP8-quantized %d Linear ops (%s)", n,
                 config.dtype_name if config else "e4m3")
     dump_op_stats(model)

@@ -128,6 +128,23 @@ def _update_rows(cache_arr, new, cache_pos):
     return jax.vmap(row)(cache_arr, new, cache_pos)
 
 
+_FP8_MAX = 448.0  # e4m3
+
+
+def _fp8_dot(a, b, spec: str) -> jax.Array:
+    """einsum on e4m3-cast operands with dynamic per-tensor scales and f32
+    accumulation (XLA-native fp8 dot on TPU v5+; numerically-equivalent
+    emulation elsewhere)."""
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    sa = jnp.maximum(jnp.max(jnp.abs(af)), 1e-6) / _FP8_MAX
+    sb = jnp.maximum(jnp.max(jnp.abs(bf)), 1e-6) / _FP8_MAX
+    a8 = jnp.clip(af / sa, -_FP8_MAX, _FP8_MAX).astype(jnp.float8_e4m3fn)
+    b8 = jnp.clip(bf / sb, -_FP8_MAX, _FP8_MAX).astype(jnp.float8_e4m3fn)
+    return jnp.einsum(spec, a8, b8,
+                      preferred_element_type=jnp.float32) * (sa * sb)
+
+
 def update_cache(cache, k, v, cache_pos, dtype):
     """Write new K/V rows [B, H, S, D] into a ``KVCache`` or ``QuantKVCache``
     (quantizing per token-head) and return ``(k_all, v_all, new_cache)``
@@ -285,14 +302,27 @@ class LlamaAttention(nnx.Module):
         if rep > 1:
             k = jnp.repeat(k, rep, axis=1)
             v = jnp.repeat(v, rep, axis=1)
-        # [B, H, S, D] x [B, H, T, D] -> [B, H, S, T]
-        scores = jnp.einsum("bhsd,bhtd->bhst", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(D).astype(jnp.float32)
-        scores = jnp.where(mask, scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhst,bhtd->bhsd", probs, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+        if getattr(self, "fp8_sdpa", False):
+            # fp8 SDPA (reference PatchedModuleFusedSDPA / fp8 matmul +
+            # softmax patches, helper_modules.py:1450,1579): QK^T and PV
+            # run on e4m3 operands with dynamic per-tensor scales, f32
+            # accumulation; probs are cast through e4m3 like the patched
+            # softmax.
+            scores = _fp8_dot(q, k, "bhsd,bhtd->bhst")
+            scores = scores / jnp.sqrt(D).astype(jnp.float32)
+            scores = jnp.where(mask, scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1)
+            out = _fp8_dot(probs, v, "bhst,bhtd->bhsd").astype(x.dtype)
+        else:
+            # [B, H, S, D] x [B, H, T, D] -> [B, H, S, T]
+            scores = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(D).astype(jnp.float32)
+            scores = jnp.where(mask, scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhst,bhtd->bhsd", probs, v,
+                             preferred_element_type=jnp.float32
+                             ).astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
         return self.o_proj(out), new_cache
 

@@ -317,7 +317,8 @@ class FP8Config(BaseConfig):
     def __init__(self, fp8_config="E4M3", scale_method="maxabs_hw",
                  observer="maxabs", mode="AUTO", allowlist=None,
                  blocklist=None, dump_stats_path="./fp8_stats",
-                 measure_on_hpu=None, white_list=DEFAULT_WHITE_LIST):
+                 quantize_attention=False, measure_on_hpu=None,
+                 white_list=DEFAULT_WHITE_LIST):
         super().__init__(white_list=white_list)
         self.fp8_config = fp8_config
         self.scale_method = scale_method
@@ -326,6 +327,9 @@ class FP8Config(BaseConfig):
         self.allowlist = allowlist or {"types": [], "names": []}
         self.blocklist = blocklist or {"types": [], "names": []}
         self.dump_stats_path = dump_stats_path
+        # fp8 SDPA: run attention QK^T/PV on e4m3 operands (reference
+        # PatchedModuleFusedSDPA / fp8 matmul+softmax patches)
+        self.quantize_attention = quantize_attention
 
     @classmethod
     def supported_op_types(cls):

@@ -87,6 +87,23 @@ def test_measurement_save_reload(tmp_path, calib):
                                np.asarray(v2.act_scale[...]))
 
 
+def test_fp8_sdpa(calib):
+    """quantize_attention=True must flag attention modules and keep the
+    forward close to the plain fp8 model (e4m3 QK/PV + softmax cast)."""
+    m1 = nnx_clone = LlamaForCausalLM.from_preset("llama-test")
+    q_plain = nq.quantize(m1, nq.FP8Config(), run_fn=calib)
+    ids = jnp.asarray(np.random.default_rng(5).integers(0, 256, (2, 16)))
+    y_plain = np.asarray(q_plain(ids), dtype=np.float32)
+
+    m2 = LlamaForCausalLM.from_preset("llama-test")
+    q_sdpa = nq.quantize(m2, nq.FP8Config(quantize_attention=True),
+                         run_fn=calib)
+    assert getattr(q_sdpa.model.layers[0].self_attn, "fp8_sdpa", False)
+    y_sdpa = np.asarray(q_sdpa(ids), dtype=np.float32)
+    rel = np.linalg.norm(y_sdpa - y_plain) / np.linalg.norm(y_plain)
+    assert 0 < rel < 0.2, rel  # differs (it quantizes more) but stays close
+
+
 def test_fp8_kv_cache_generation():
     from neural_compressor_tpu.generation import greedy_search
 
