@@ -1,0 +1,257 @@
+"""Paged decode attention: KV pages + block tables (vLLM-style), TPU-native.
+
+The reference's long-context story is KV-cache quantization inside vLLM's
+paged allocator (PatchedVLLMKVCache, helper_modules.py:1178-1240) — the
+paging itself lives in vLLM. Here both halves are native: a page pool
+[n_pages, Hkv, page_size, D] (bf16 or int8 codes + per-row scales), per-
+slot block tables, and a Pallas kernel that walks a slot's pages with
+scalar-prefetch-driven index maps (the block table entry SELECTS the page
+block DMA'd for each grid step) and an online-softmax accumulator.
+
+Grid: (B, Hkv, PMAX). The page axis is sequential ("arbitrary"); running
+max / normalizer / weighted-V accumulators live in VMEM scratch. Pages at
+or beyond a slot's length are masked whole (their block-table entries may
+point anywhere valid).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _paged_kernel(bt_ref, len_ref, q_ref, kp_ref, vp_ref, o_ref,
+                  acc_ref, m_ref, l_ref, *, page, rep, pmax, scale, quant):
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+
+    @pl.when(p == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    length = len_ref[b]
+    base = p * page
+    q = q_ref[0, 0]                      # [rep, D]
+    if quant:
+        k = kp_ref[0].astype(jnp.bfloat16)   # codes [page, D]
+        v = vp_ref[0].astype(jnp.bfloat16)
+    else:
+        k = kp_ref[0]
+        v = vp_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [rep, page]
+    s = s * scale
+    t_idx = base + jax.lax.broadcasted_iota(jnp.int32, (rep, page), 1)
+    s = jnp.where(t_idx < length, s, -1e30)
+
+    # online softmax across pages
+    m_prev = m_ref[:, 0:1]                          # [rep, 1]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_cur)
+    pexp = jnp.exp(s - m_cur)                       # [rep, page]
+    l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + jnp.sum(pexp, axis=1,
+                                                    keepdims=True)
+    m_ref[:, 0:1] = m_cur
+    pv = jax.lax.dot_general(pexp.astype(v.dtype), v,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [rep, D]
+    acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(p == pmax - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[:] /
+                       jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+
+
+def _paged_quant_kernel(bt_ref, len_ref, q_ref, kp_ref, ks_ref, vp_ref,
+                        vs_ref, o_ref, acc_ref, m_ref, l_ref,
+                        *, page, rep, pmax, scale):
+    """int8/fp8 page pool variant: per-row scales fold into scores/probs."""
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+
+    @pl.when(p == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    length = len_ref[b]
+    base = p * page
+    q = q_ref[0, 0]
+    k = kp_ref[0].astype(jnp.bfloat16)
+    v = vp_ref[0].astype(jnp.bfloat16)
+    ksc = ks_ref[0][:, 0]                # [page]
+    vsc = vs_ref[0][:, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * (ksc * scale)[None, :]
+    t_idx = base + jax.lax.broadcasted_iota(jnp.int32, (rep, page), 1)
+    s = jnp.where(t_idx < length, s, -1e30)
+
+    m_prev = m_ref[:, 0:1]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_cur)
+    pexp = jnp.exp(s - m_cur)
+    l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + jnp.sum(pexp, axis=1,
+                                                    keepdims=True)
+    m_ref[:, 0:1] = m_cur
+    pw = pexp * vsc[None, :]
+    pv = jax.lax.dot_general(pw.astype(jnp.bfloat16), v,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(p == pmax - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[:] /
+                       jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret",))
+def _paged_attn_impl(q, k_pages, v_pages, block_tables, lengths, interpret):
+    B, H, S, D = q.shape
+    P, Hkv, page, _ = k_pages.shape
+    pmax = block_tables.shape[1]
+    rep = H // Hkv
+    qr = q[:, :, 0].reshape(B, Hkv, rep, D)
+    rep_p = rep if rep == 1 else max(rep, 8)
+    if rep_p != rep:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
+    qr = qr.reshape(B, Hkv, 1, rep_p, D)  # extra axis: full-dim sublane blk
+    scale = 1.0 / (D ** 0.5)
+    bt = block_tables.reshape(-1).astype(jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+
+    def page_map(b, h, p, bt_ref, len_ref):
+        return (bt_ref[b * pmax + p], h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv, pmax),
+        in_specs=[
+            pl.BlockSpec((1, None, 1, rep_p, D),
+                         lambda b, h, p, bt, ln: (b, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, None, page, D), page_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, None, page, D), page_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, None, 1, rep_p, D),
+                               lambda b, h, p, bt, ln: (b, h, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rep_p, D), jnp.float32),
+            pltpu.VMEM((rep_p, 128), jnp.float32),
+            pltpu.VMEM((rep_p, 128), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_paged_kernel, page=page, rep=rep_p,
+                               pmax=pmax, scale=scale,
+                               quant=k_pages.dtype != q.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, 1, rep_p, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(bt, lengths, qr, k_pages, v_pages)
+    out = out[:, :, 0]
+    if rep_p != rep:
+        out = out[:, :, :rep]
+    return out.reshape(B, Hkv * rep, 1, D)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret",))
+def _paged_attn_quant_impl(q, k_pages, k_scales, v_pages, v_scales,
+                           block_tables, lengths, interpret):
+    B, H, S, D = q.shape
+    P, Hkv, page, _ = k_pages.shape
+    pmax = block_tables.shape[1]
+    rep = H // Hkv
+    qr = q[:, :, 0].reshape(B, Hkv, rep, D)
+    rep_p = rep if rep == 1 else max(rep, 8)
+    if rep_p != rep:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
+    qr = qr.reshape(B, Hkv, 1, rep_p, D)
+    scale = 1.0 / (D ** 0.5)
+    bt = block_tables.reshape(-1).astype(jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+    ks4 = k_scales[..., None].astype(jnp.float32)  # [P, Hkv, page, 1]
+    vs4 = v_scales[..., None].astype(jnp.float32)
+
+    def page_map(b, h, p, bt_ref, ln_ref):
+        return (bt_ref[b * pmax + p], h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv, pmax),
+        in_specs=[
+            pl.BlockSpec((1, None, 1, rep_p, D),
+                         lambda b, h, p, bt, ln: (b, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, None, page, D), page_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, None, page, 1), page_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, None, page, D), page_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, None, page, 1), page_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, None, 1, rep_p, D),
+                               lambda b, h, p, bt, ln: (b, h, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rep_p, D), jnp.float32),
+            pltpu.VMEM((rep_p, 128), jnp.float32),
+            pltpu.VMEM((rep_p, 128), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_paged_quant_kernel, page=page, rep=rep_p,
+                               pmax=pmax, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, 1, rep_p, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(bt, lengths, qr, k_pages, ks4, v_pages, vs4)
+    out = out[:, :, 0]
+    if rep_p != rep:
+        out = out[:, :, :rep]
+    return out.reshape(B, Hkv * rep, 1, D)
+
+
+def paged_decode_attention(q, cache, lengths):
+    """Single-token attention over a ``PagedKVCache`` (models.llama).
+
+    q: [B, H, 1, D]; ``lengths`` [B] = tokens already in the cache
+    INCLUDING the current one (the new row must be written before the
+    call). Returns out [B, H, 1, D].
+    """
+    interpret = not _on_tpu()
+    if cache.k_scales is None:
+        return _paged_attn_impl(q, cache.k_pages, cache.v_pages,
+                                cache.block_tables, lengths, interpret)
+    return _paged_attn_quant_impl(q, cache.k_pages, cache.k_scales,
+                                  cache.v_pages, cache.v_scales,
+                                  cache.block_tables, lengths, interpret)

@@ -92,6 +92,73 @@ class QuantKVCache(NamedTuple):
         return "int8" if self.k_codes.dtype == jnp.int8 else "fp8_e4m3"
 
 
+class PagedKVCache(NamedTuple):
+    """Paged KV cache (vLLM-style block allocator, TPU-native): a shared
+    page pool + per-slot block tables. Pages are [page_size, D] rows per
+    KV head; the pool may hold bf16 rows or int8/fp8 codes with per-row
+    scales (reference PatchedVLLMKVCache, helper_modules.py:1178-1240 —
+    there the paging lives in vLLM; here it is native, consumed by
+    ``kernels.paged_attention``)."""
+
+    k_pages: jax.Array             # [P, Hkv, page, D] bf16 | int8 | fp8
+    k_scales: jax.Array | None     # [P, Hkv, page] f32 (quantized pools)
+    v_pages: jax.Array
+    v_scales: jax.Array | None
+    block_tables: jax.Array        # [B, PMAX] int32 page ids per slot
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[2]
+
+
+def init_paged_pool(cfg: "LlamaConfig", n_pages: int, batch: int,
+                    max_len: int, page_size: int = 128, dtype=None,
+                    quantized: bool | str = False):
+    """Per-layer ``PagedKVCache`` pools with empty block tables."""
+    dtype = dtype or cfg.dtype
+    pmax = (max_len + page_size - 1) // page_size
+    shape = (n_pages, cfg.num_key_value_heads, page_size, cfg.head_dim)
+    sshape = shape[:-1]
+    bt = jnp.zeros((batch, pmax), jnp.int32)
+    out = []
+    for _ in range(cfg.num_hidden_layers):
+        if quantized:
+            fmt = "int8" if quantized is True else str(quantized)
+            cdt = _KV_CODE_DTYPES[fmt]
+            out.append(PagedKVCache(jnp.zeros(shape, cdt),
+                                    jnp.ones(sshape, jnp.float32),
+                                    jnp.zeros(shape, cdt),
+                                    jnp.ones(sshape, jnp.float32), bt))
+        else:
+            out.append(PagedKVCache(jnp.zeros(shape, dtype), None,
+                                    jnp.zeros(shape, dtype), None, bt))
+    return out
+
+
+def _paged_write_row(cache: PagedKVCache, k_new, v_new, pos):
+    """Scatter the new K/V rows [B, Hkv, 1, D] into their pages at
+    per-slot ``pos`` [B] (page id from the block table)."""
+    page = cache.page_size
+    pos = jnp.asarray(pos, jnp.int32).reshape(-1)
+    pids = jnp.take_along_axis(cache.block_tables,
+                               (pos // page)[:, None], axis=1)[:, 0]  # [B]
+    off = pos % page
+    if cache.k_scales is not None:
+        fmt = "int8" if cache.k_pages.dtype == jnp.int8 else "fp8_e4m3"
+        kc, ks = _kv_quant(k_new, fmt=fmt)
+        vc, vs = _kv_quant(v_new, fmt=fmt)
+        return cache._replace(
+            k_pages=cache.k_pages.at[pids, :, off].set(kc[:, :, 0]),
+            k_scales=cache.k_scales.at[pids, :, off].set(ks[:, :, 0]),
+            v_pages=cache.v_pages.at[pids, :, off].set(vc[:, :, 0]),
+            v_scales=cache.v_scales.at[pids, :, off].set(vs[:, :, 0]))
+    return cache._replace(
+        k_pages=cache.k_pages.at[pids, :, off].set(
+            k_new[:, :, 0].astype(cache.k_pages.dtype)),
+        v_pages=cache.v_pages.at[pids, :, off].set(
+            v_new[:, :, 0].astype(cache.v_pages.dtype)))
+
+
 _KV_CODE_DTYPES = {"int8": jnp.int8, "fp8_e4m3": jnp.float8_e4m3fn}
 
 
@@ -256,6 +323,18 @@ class LlamaAttention(nnx.Module):
         tp_mesh = getattr(self, "tp_mesh_attn", None)
         fused_ok = use_fused_decode_attention()
         new_cache = None
+        if isinstance(cache, PagedKVCache):
+            from ..kernels.paged_attention import paged_decode_attention
+
+            assert S == 1, "paged cache is decode-only (engine prefills " \
+                           "through the staging cache)"
+            pos_b = jnp.broadcast_to(
+                jnp.asarray(cache_pos, jnp.int32).reshape(-1), (B,))
+            new_cache = _paged_write_row(cache, k, v, pos_b)
+            lengths = pos_b + 1
+            out = paged_decode_attention(q, new_cache, lengths)
+            out = out.astype(x.dtype).transpose(0, 2, 1, 3)
+            return self.o_proj(out.reshape(B, S, H * D)), new_cache
         if isinstance(cache, QuantKVCache):
             if S == 1 and tp_mesh is None and fused_ok:
                 from ..kernels.decode_attention import decode_attention_quant

@@ -47,9 +47,18 @@ class Request:
 
 
 class ContinuousBatchingEngine:
+    """``paged=True`` swaps the per-slot contiguous caches for a shared
+    page pool + block tables (kernels/paged_attention): slots only own the
+    pages their actual length needs, so ``n_pages`` can be sized well
+    below ``n_slots * max_len / page_size`` when typical lengths are
+    shorter than the cap (vLLM's memory win, TPU-native). Prefill still
+    streams through a single contiguous staging cache (one slot's worth)
+    whose rows are copied into pages on completion."""
+
     def __init__(self, model, n_slots: int = 8, max_len: int = 1024,
                  eos_token_id: int | None = None,
-                 prefill_chunk: int = 256):
+                 prefill_chunk: int = 256, paged: bool = False,
+                 n_pages: int | None = None, page_size: int = 128):
         self.model = model
         self.cfg = model.cfg
         self.n_slots = n_slots
@@ -58,8 +67,27 @@ class ContinuousBatchingEngine:
         self.prefill_chunk = min(prefill_chunk, max_len)
         quantized = (getattr(model, "kv_cache_format", "int8")
                  if getattr(model, "kv_cache_quantized", False) else False)
-        self.caches = init_kv_cache(self.cfg, n_slots, max_len,
-                                    quantized=quantized)
+        self.paged = paged
+        if paged:
+            from ..models.llama import init_paged_pool
+
+            assert max_len % page_size == 0
+            self.page_size = page_size
+            self.pmax = max_len // page_size
+            # page 0 is the trash page (idle slots park their writes there)
+            self.n_pages = n_pages or (n_slots * self.pmax // 2 + 1)
+            self.pools = init_paged_pool(
+                self.cfg, self.n_pages, n_slots, max_len,
+                page_size=page_size, quantized=quantized)
+            self.block_tables = np.zeros((n_slots, self.pmax), np.int32)
+            self.free_pages = list(range(self.n_pages - 1, 0, -1))
+            self.slot_pages: list[list[int]] = [[] for _ in range(n_slots)]
+            # prefill staging: one slot's contiguous cache
+            self.staging = init_kv_cache(self.cfg, 1, max_len,
+                                         quantized=False)
+        else:
+            self.caches = init_kv_cache(self.cfg, n_slots, max_len,
+                                        quantized=quantized)
         self._graphdef, self._state = nnx.split(model)
         self._uid = itertools.count()
         # slot bookkeeping (host side)
@@ -69,6 +97,8 @@ class ContinuousBatchingEngine:
         self.slot_tok = np.zeros((n_slots,), np.int32)   # last token
         self.queue: list[Request] = []
         self._jit_cache: dict = {}
+        # paged mode shares ONE staging cache: lock it to a single slot
+        self._prefilling_slot: int | None = None
 
     # ------------------------------------------------------------------ api
     def submit(self, prompt_ids, max_new_tokens: int = 64) -> Request:
@@ -124,11 +154,17 @@ class ContinuousBatchingEngine:
         return self._jit_cache[key]
 
     def _advance_prefill(self):
-        """Run ONE prefill chunk (first prefilling slot) — decode of the
-        other slots interleaves between chunks."""
-        for slot, req in enumerate(self.slot_req):
-            if self.slot_state[slot] != "prefill":
+        """Run ONE prefill chunk — decode of the other slots interleaves
+        between chunks. The staging cache (paged mode) is locked to one
+        slot until its prompt completes."""
+        order = range(self.n_slots)
+        if self._prefilling_slot is not None:
+            order = [self._prefilling_slot]
+        for slot in order:
+            req = self.slot_req[slot]
+            if req is None or self.slot_state[slot] != "prefill":
                 continue
+            self._prefilling_slot = slot
             P = len(req.prompt)
             C = self.prefill_chunk
             start = req.prefill_pos
@@ -136,11 +172,21 @@ class ContinuousBatchingEngine:
             ids = np.zeros((C,), np.int32)
             ids[: end - start] = req.prompt[start:end]
             prefill = self._prefill_chunk_fn()
-            self.caches, nxt = prefill(self._state, self.caches,
-                                       jnp.asarray(ids), slot, start,
-                                       end - start - 1)
+            if self.paged:
+                # stream through the shared staging cache (slot 0 of it);
+                # only the FIRST prefilling slot runs, so no interleaving
+                self.staging, nxt = prefill(self._state, self.staging,
+                                            jnp.asarray(ids), 0, start,
+                                            end - start - 1)
+            else:
+                self.caches, nxt = prefill(self._state, self.caches,
+                                           jnp.asarray(ids), slot, start,
+                                           end - start - 1)
             req.prefill_pos = end
             if end >= P:
+                self._prefilling_slot = None
+                if self.paged:
+                    self._commit_staging(slot, P)
                 tok = int(nxt)
                 req.generated.append(tok)
                 self.slot_state[slot] = "decode"
@@ -149,6 +195,97 @@ class ContinuousBatchingEngine:
                 logger.debug("slot %d prefilled request %d (P=%d)",
                              slot, req.uid, P)
             return
+
+    # -------------------------------------------------------- paged helpers
+    def _alloc_page(self, slot: int, page_idx: int) -> None:
+        pid = self.free_pages.pop()
+        self.slot_pages[slot].append(pid)
+        self.block_tables[slot, page_idx] = pid
+
+    def _ensure_pages(self, slot: int, upto_pos: int) -> None:
+        need = min(upto_pos // self.page_size + 1, self.pmax)
+        while len(self.slot_pages[slot]) < need:
+            self._alloc_page(slot, len(self.slot_pages[slot]))
+
+    def _free_slot_pages(self, slot: int) -> None:
+        self.free_pages.extend(reversed(self.slot_pages[slot]))
+        self.slot_pages[slot] = []
+        self.block_tables[slot] = 0
+
+    def _stage_copy_fn(self):
+        key = "stage_copy"
+        if key not in self._jit_cache:
+            page = self.page_size
+            quantized = self.pools[0].k_scales is not None
+
+            @jax.jit
+            def copy(pools, staging, pid, start):
+                from ..models.llama import _kv_quant
+
+                out = []
+                for pool, cache in zip(pools, staging):
+                    kr = jax.lax.dynamic_slice_in_dim(cache.k, start, page,
+                                                      axis=2)  # [1,H,page,D]
+                    vr = jax.lax.dynamic_slice_in_dim(cache.v, start, page,
+                                                      axis=2)
+                    if quantized:
+                        fmt = ("int8" if pool.k_pages.dtype == jnp.int8
+                               else "fp8_e4m3")
+                        kc, ks = _kv_quant(kr, fmt=fmt)
+                        vc, vs = _kv_quant(vr, fmt=fmt)
+                        pool = pool._replace(
+                            k_pages=pool.k_pages.at[pid].set(kc[0]),
+                            k_scales=pool.k_scales.at[pid].set(ks[0]),
+                            v_pages=pool.v_pages.at[pid].set(vc[0]),
+                            v_scales=pool.v_scales.at[pid].set(vs[0]))
+                    else:
+                        pool = pool._replace(
+                            k_pages=pool.k_pages.at[pid].set(
+                                kr[0].astype(pool.k_pages.dtype)),
+                            v_pages=pool.v_pages.at[pid].set(
+                                vr[0].astype(pool.v_pages.dtype)))
+                    out.append(pool)
+                return out
+
+            self._jit_cache[key] = copy
+        return self._jit_cache[key]
+
+    def _commit_staging(self, slot: int, length: int) -> None:
+        """Allocate pages for a freshly-prefilled slot and copy the staged
+        rows into them."""
+        copy = self._stage_copy_fn()
+        n_pages = (length + self.page_size - 1) // self.page_size
+        for p in range(n_pages):
+            self._alloc_page(slot, p)
+            self.pools = copy(self.pools, self.staging,
+                              self.slot_pages[slot][-1], p * self.page_size)
+
+    def _paged_decode_fn(self, k: int):
+        key = ("paged_decode", k)
+        if key not in self._jit_cache:
+            graphdef = self._graphdef
+
+            @jax.jit
+            def decode_many(state, pools, bt, toks, pos):
+                m = nnx.merge(graphdef, state)
+                pools = [p._replace(block_tables=bt) for p in pools]
+
+                def body(i, carry):
+                    toks, pos, pools, out = carry
+                    logits, pools = m(toks[:, None], positions=pos[:, None],
+                                      caches=pools, cache_pos=pos)
+                    nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+                    out = jax.lax.dynamic_update_slice(
+                        out, nxt[:, None], (0, i))
+                    return nxt, pos + 1, pools, out
+
+                out0 = jnp.zeros((toks.shape[0], k), jnp.int32)
+                _t, _p, pools, out = jax.lax.fori_loop(
+                    0, k, body, (toks, pos, pools, out0))
+                return pools, out
+
+            self._jit_cache[key] = decode_many
+        return self._jit_cache[key]
 
     def _decode_fn(self):
         key = "decode"
@@ -235,10 +372,22 @@ class ContinuousBatchingEngine:
         """Decode ``k`` tokens for every active slot in one dispatch."""
         if k <= 1:
             return self.step()
-        decode_many = self._decode_many_fn(k)
         toks = jnp.asarray(self.slot_tok)
         pos = jnp.asarray(self._decode_positions())
-        self.caches, out = decode_many(self._state, self.caches, toks, pos)
+        if self.paged:
+            for slot in range(self.n_slots):
+                if self.slot_state[slot] == "decode":
+                    self._ensure_pages(
+                        slot, min(int(self.slot_pos[slot]) + k,
+                                  self.max_len - 1))
+            decode_many = self._paged_decode_fn(k)
+            self.pools, out = decode_many(
+                self._state, self.pools, jnp.asarray(self.block_tables),
+                toks, pos)
+        else:
+            decode_many = self._decode_many_fn(k)
+            self.caches, out = decode_many(self._state, self.caches, toks,
+                                           pos)
         out = np.asarray(out)  # [n_slots, k]
         for slot, req in enumerate(self.slot_req):
             if req is None or self.slot_state[slot] != "decode":
@@ -263,4 +412,6 @@ class ContinuousBatchingEngine:
                 done.append(req)
                 self.slot_req[slot] = None
                 self.slot_state[slot] = "idle"
+                if self.paged:
+                    self._free_slot_pages(slot)
         return done

@@ -1,0 +1,113 @@
+"""Paged KV cache: decode over a page pool + block tables must match the
+contiguous-cache decode (bf16 pool exactly; int8 pool closely)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from neural_compressor_tpu.models import LlamaForCausalLM
+from neural_compressor_tpu.models.llama import (
+    PagedKVCache, init_kv_cache, init_paged_pool)
+
+PAGE = 16
+
+
+def _pages_from_contiguous(pools, caches, block_tables, lengths):
+    """Copy contiguous per-layer KVCache rows into the pools at the pages
+    named by ``block_tables`` (test scaffolding — the engine does this
+    after prefill)."""
+    out = []
+    for pool, cache in zip(pools, caches):
+        kp, vp = pool.k_pages, pool.v_pages
+        B = cache.k.shape[0]
+        pmax = block_tables.shape[1]
+        for b in range(B):
+            n_pages = int(np.ceil(lengths[b] / PAGE))
+            for p in range(n_pages):
+                pid = int(block_tables[b, p])
+                rows = cache.k[b, :, p * PAGE:(p + 1) * PAGE]
+                kp = kp.at[pid].set(rows.astype(kp.dtype))
+                rows = cache.v[b, :, p * PAGE:(p + 1) * PAGE]
+                vp = vp.at[pid].set(rows.astype(vp.dtype))
+        out.append(pool._replace(k_pages=kp, v_pages=vp,
+                                 block_tables=jnp.asarray(block_tables)))
+    return out
+
+
+def test_paged_decode_matches_contiguous():
+    m = LlamaForCausalLM.from_preset("llama-test")
+    rng = np.random.default_rng(0)
+    B, P_len = 2, 24  # crosses a page boundary (page=16)
+    ids = jnp.asarray(rng.integers(0, 256, (B, P_len)))
+
+    caches = init_kv_cache(m.cfg, B, 64)
+    _, caches = m(ids, caches=caches, cache_pos=0)
+    pos = jnp.full((B, 1), P_len)
+    ref, _ = m(ids[:, :1], positions=pos, caches=caches, cache_pos=P_len)
+    ref = np.asarray(ref, dtype=np.float32)
+
+    # scattered, non-contiguous page assignment
+    pools = init_paged_pool(m.cfg, n_pages=16, batch=B, max_len=64,
+                            page_size=PAGE)
+    block_tables = np.zeros((B, 4), np.int32)
+    block_tables[0, :3] = [7, 2, 11]
+    block_tables[1, :3] = [5, 9, 1]
+    lengths = np.full((B,), P_len, np.int32)
+    pools = _pages_from_contiguous(pools, caches, block_tables, lengths)
+
+    got, new_pools = m(ids[:, :1], positions=pos, caches=pools,
+                       cache_pos=jnp.full((B,), P_len))
+    got = np.asarray(got, dtype=np.float32)
+    # online-softmax vs single-softmax accumulation order in a bf16 model
+    np.testing.assert_allclose(got, ref, atol=5e-2, rtol=5e-2)
+    # the new row landed in the second page (pos 24 -> page 1, offset 8)
+    pid0 = int(block_tables[0, 24 // PAGE])
+    row = np.asarray(new_pools[0].k_pages[pid0, :, 24 % PAGE],
+                     dtype=np.float32)
+    assert np.abs(row).max() > 0
+
+
+def test_paged_decode_int8_pool_close():
+    m = LlamaForCausalLM.from_preset("llama-test")
+    rng = np.random.default_rng(1)
+    B, P_len = 2, 20
+    ids = jnp.asarray(rng.integers(0, 256, (B, P_len)))
+
+    caches = init_kv_cache(m.cfg, B, 64)
+    _, caches = m(ids, caches=caches, cache_pos=0)
+    pos = jnp.full((B, 1), P_len)
+    ref, _ = m(ids[:, :1], positions=pos, caches=caches, cache_pos=P_len)
+    ref = np.asarray(ref, dtype=np.float32)
+
+    pools = init_paged_pool(m.cfg, n_pages=12, batch=B, max_len=64,
+                            page_size=PAGE, quantized="int8")
+    block_tables = np.zeros((B, 4), np.int32)
+    block_tables[0, :2] = [3, 8]
+    block_tables[1, :2] = [6, 0]
+    # quantize contiguous rows into the pools (per-row scales)
+    from neural_compressor_tpu.models.llama import _kv_quant
+
+    new_pools = []
+    for pool, cache in zip(pools, caches):
+        kp, ks, vp, vs = (pool.k_pages, pool.k_scales, pool.v_pages,
+                          pool.v_scales)
+        for b in range(B):
+            for p in range(2):
+                pid = int(block_tables[b, p])
+                kr = cache.k[b:b + 1, :, p * PAGE:(p + 1) * PAGE]
+                kc, ksc = _kv_quant(kr)
+                kp = kp.at[pid].set(kc[0])
+                ks = ks.at[pid].set(ksc[0])
+                vr = cache.v[b:b + 1, :, p * PAGE:(p + 1) * PAGE]
+                vc, vsc = _kv_quant(vr)
+                vp = vp.at[pid].set(vc[0])
+                vs = vs.at[pid].set(vsc[0])
+        new_pools.append(pool._replace(
+            k_pages=kp, k_scales=ks, v_pages=vp, v_scales=vs,
+            block_tables=jnp.asarray(block_tables)))
+
+    got, _ = m(ids[:, :1], positions=pos, caches=new_pools,
+               cache_pos=jnp.full((B,), P_len))
+    got = np.asarray(got, dtype=np.float32)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.12, err

@@ -81,3 +81,53 @@ def test_chunked_prefill_long_prompt_matches_greedy():
         np.testing.assert_array_equal(
             np.asarray(req.generated),
             np.asarray(ref)[0, len(prompt):])
+
+
+def test_paged_engine_matches_greedy():
+    """Paged mode (shared page pool + block tables) must match greedy
+    token-for-token, reuse freed pages across requests, and never hand out
+    the trash page (page 0)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.generation import greedy_search
+    from neural_compressor_tpu.models import LlamaForCausalLM
+    from neural_compressor_tpu.serving.engine import ContinuousBatchingEngine
+
+    rng = np.random.default_rng(13)
+    m = nq.quantize(LlamaForCausalLM.from_preset("llama-test"),
+                    nq.RTNConfig(dtype="int4", group_size=32))
+    eng = ContinuousBatchingEngine(m, n_slots=2, max_len=64, paged=True,
+                                   page_size=16, n_pages=7,
+                                   prefill_chunk=16)
+    prompts = [rng.integers(0, 256, (n,)) for n in (20, 9, 33, 5)]
+    reqs = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    done = eng.run(chunk=2)
+    assert len(done) == 4
+    for p, r in zip(prompts, reqs):
+        ref = greedy_search(m, jnp.asarray(p)[None, :], max_new_tokens=6)
+        np.testing.assert_array_equal(
+            np.asarray(r.generated), np.asarray(ref)[0, len(p):],
+            err_msg=f"prompt len {len(p)}")
+    # all pages returned to the free list; page 0 never allocated
+    assert sorted(eng.free_pages) == list(range(1, 7))
+
+
+def test_paged_engine_int8_pool():
+    import numpy as np
+
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.models import LlamaForCausalLM
+    from neural_compressor_tpu.serving.engine import ContinuousBatchingEngine
+
+    rng = np.random.default_rng(14)
+    m = nq.quantize(LlamaForCausalLM.from_preset("llama-test"),
+                    nq.RTNConfig(dtype="int4", group_size=32))
+    m = nq.quantize(m, nq.KVCacheQuantConfig(dtype="int8"))
+    eng = ContinuousBatchingEngine(m, n_slots=2, max_len=64, paged=True,
+                                   page_size=16, prefill_chunk=16)
+    assert eng.pools[0].k_pages.dtype.name == "int8"
+    r = eng.submit(rng.integers(0, 256, (12,)), max_new_tokens=5)
+    done = eng.run(chunk=2)
+    assert len(done) == 1 and len(r.generated) == 5
