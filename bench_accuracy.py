@@ -24,10 +24,9 @@ import numpy as np
 
 import neural_compressor_tpu as nq
 from neural_compressor_tpu.algorithms.calib_capture import calibration_forward
-from neural_compressor_tpu.evaluation.corpus import corpus_tokens
 from neural_compressor_tpu.evaluation.lm_eval import perplexity
 from neural_compressor_tpu.evaluation.train_tiny import (
-    SEQ_LEN, load_tiny_lm, train_tiny_lm)
+    SEQ_LEN, frozen_corpus, load_tiny_lm, train_tiny_lm)
 
 
 def fresh_model():
@@ -42,7 +41,7 @@ def main():
         print("no checkpoint found - training", file=sys.stderr)
         model, _ = train_tiny_lm()
 
-    train, val = corpus_tokens(SEQ_LEN)
+    train, val = frozen_corpus()
     val = val[:96]
     calib = [jnp.asarray(train[i * 8:(i + 1) * 8]) for i in range(4)]
     run_fn = lambda mm: calibration_forward(mm, calib)  # noqa: E731
@@ -56,7 +55,9 @@ def main():
         "gptq_int4": (nq.GPTQConfig(dtype="int4", group_size=128,
                                     block_size=128), run_fn),
         "awq_int4": (nq.AWQConfig(dtype="int4", group_size=128), run_fn),
+        "hqq_int4": (nq.HQQConfig(dtype="int4", group_size=128), None),
         "sq_w8a8": (nq.SmoothQuantConfig(), run_fn),
+        "fp8_e4m3": (nq.FP8Config(dump_stats_path=None), run_fn),
     }
     results = {}
     for name, (cfg, rf) in algos.items():

@@ -18,9 +18,8 @@ import jax.numpy as jnp
 import neural_compressor_tpu as nq
 from neural_compressor_tpu.algorithms.calib_capture import calibration_forward
 from neural_compressor_tpu.evaluation import perplexity
-from neural_compressor_tpu.evaluation.corpus import corpus_tokens
 from neural_compressor_tpu.evaluation.train_tiny import (
-    SEQ_LEN, load_tiny_lm, train_tiny_lm)
+    SEQ_LEN, frozen_corpus, load_tiny_lm, train_tiny_lm)
 
 
 def main():
@@ -29,7 +28,7 @@ def main():
         print("training the tiny LM first (one-time)...")
         model, _ = train_tiny_lm(steps=1200, batch_size=16)
 
-    train, val = corpus_tokens(SEQ_LEN)
+    train, val = frozen_corpus()
     val = val[:48]
     calib = [jnp.asarray(train[i * 8:(i + 1) * 8]) for i in range(2)]
     run_fn = lambda m: calibration_forward(m, calib)  # noqa: E731

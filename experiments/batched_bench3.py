@@ -19,10 +19,8 @@ def main():
     fuse_for_serving(qmodel)
     print(f"int4 build {time.time()-t0:.0f}s", flush=True)
 
-    for impl in ("kernel", "xla"):
-        da.set_decode_attn_impl(impl)
-        measure(qmodel, f"int4 B=1 attn={impl}", batch=1, steps=192)
     da.set_decode_attn_impl("xla")
+    measure(qmodel, "int4 B=1 attn=xla", batch=1, steps=192)
     for b, qkv in ((24, True), (32, True)):
         try:
             measure(qmodel, f"int4 B={b} int8-kv attn=xla", batch=b,

@@ -109,6 +109,10 @@ def train_tiny_lm(steps: int = 2000, batch_size: int = 32, lr: float = 3e-3,
     logger.info("train_tiny_lm: final val ppl %.3f (uniform would be 256)",
                 val_ppl)
     save_model_state(model, out_dir)
+    # freeze the tokenized corpus: the live corpus tracks the repo's text,
+    # which changes — evals must use the split the model was trained on
+    np.savez_compressed(os.path.join(out_dir, "corpus.npz"),
+                        train=train, val=val)
     with open(os.path.join(out_dir, "meta.txt"), "w") as f:
         f.write(f"preset=llama-acc steps={steps} batch={batch_size} "
                 f"lr={lr} seed={seed} val_ppl={val_ppl:.4f}\n")
@@ -121,6 +125,16 @@ def load_tiny_lm(in_dir: str = ARTIFACT_DIR):
         return None
     model = LlamaForCausalLM.from_preset("llama-acc")
     return load_model_state(model, in_dir)
+
+
+def frozen_corpus(in_dir: str = ARTIFACT_DIR):
+    """(train, val) tokens the checkpoint was trained on (falls back to
+    the live repo corpus when no frozen copy exists)."""
+    path = os.path.join(in_dir, "corpus.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return z["train"], z["val"]
+    return corpus_tokens(SEQ_LEN)
 
 
 if __name__ == "__main__":

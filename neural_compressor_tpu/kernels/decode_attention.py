@@ -211,19 +211,24 @@ def set_cache_write_mode(mode: str) -> None:
     _WRITE_MODE = mode
 
 
-# decode attention dispatch: the fused pallas kernel wins at small batch;
-# "xla" falls back to the generic update+einsum path (model code checks
-# this when choosing the S==1 fast path)
-_ATTN_IMPL = "kernel"  # "kernel" | "xla"
+# decode attention dispatch. Measured (v5e, llama2-7b, T=1024): the fused
+# kernel and the XLA einsum path tie at B=1 (12.3 ms/step), but the
+# kernel's per-(batch, head) grid does NOT scale with batch — at B=8 the
+# XLA path is 1.4x faster (20.3 vs 28.9 ms) and at B=16 int8-KV 2.4x
+# (31.4 vs 76.8). "auto" uses the kernel only for single-row decode.
+_ATTN_IMPL = "auto"  # "auto" | "kernel" | "xla"
+_FUSED_ATTN_MAX_BATCH = 1
 
 
 def set_decode_attn_impl(impl: str) -> None:
     global _ATTN_IMPL
-    assert impl in ("kernel", "xla")
+    assert impl in ("auto", "kernel", "xla")
     _ATTN_IMPL = impl
 
 
-def use_fused_decode_attention() -> bool:
+def use_fused_decode_attention(batch: int = 1) -> bool:
+    if _ATTN_IMPL == "auto":
+        return batch <= _FUSED_ATTN_MAX_BATCH
     return _ATTN_IMPL == "kernel"
 
 

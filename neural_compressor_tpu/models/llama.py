@@ -321,7 +321,7 @@ class LlamaAttention(nnx.Module):
         from ..kernels.decode_attention import use_fused_decode_attention
 
         tp_mesh = getattr(self, "tp_mesh_attn", None)
-        fused_ok = use_fused_decode_attention()
+        fused_ok = use_fused_decode_attention(B)
         new_cache = None
         if isinstance(cache, PagedKVCache):
             from ..kernels.paged_attention import paged_decode_attention

@@ -16,10 +16,9 @@ import pytest
 
 import neural_compressor_tpu as nq
 from neural_compressor_tpu.algorithms.calib_capture import calibration_forward
-from neural_compressor_tpu.evaluation.corpus import corpus_tokens
 from neural_compressor_tpu.evaluation.lm_eval import perplexity
 from neural_compressor_tpu.evaluation.train_tiny import (
-    ARTIFACT_DIR, SEQ_LEN, load_tiny_lm)
+    ARTIFACT_DIR, SEQ_LEN, frozen_corpus, load_tiny_lm)
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(os.path.join(ARTIFACT_DIR, "model_state.safetensors")),
@@ -29,7 +28,7 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def setup():
-    train, val = corpus_tokens(SEQ_LEN)
+    train, val = frozen_corpus()
     val = val[:48]
     calib = [jnp.asarray(train[i * 8:(i + 1) * 8]) for i in range(2)]
     model = load_tiny_lm()
