@@ -19,7 +19,6 @@ from __future__ import annotations
 import math
 import subprocess
 import sys
-import tempfile
 
 import jax.numpy as jnp
 import numpy as np
