@@ -65,6 +65,8 @@ def llama_config_from_hf(model_dir: str, dtype=jnp.bfloat16) -> LlamaConfig:
         rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
         rope_theta=hf.get("rope_theta", 10000.0),
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        attention_bias=(hf.get("attention_bias", False)
+                        or hf.get("model_type") == "qwen2"),
         dtype=dtype,
     )
 
@@ -108,6 +110,14 @@ def _assign_llama_param(model, name: str, arr: np.ndarray, dtype) -> int:
         }
         if rest in mapping:
             mapping[rest].kernel[...] = t.T  # torch [out,in] -> [in,out]
+            return 1
+        bias_map = {
+            "self_attn.q_proj.bias": layer.self_attn.q_proj,
+            "self_attn.k_proj.bias": layer.self_attn.k_proj,
+            "self_attn.v_proj.bias": layer.self_attn.v_proj,
+        }
+        if rest in bias_map and bias_map[rest].bias is not None:
+            bias_map[rest].bias[...] = t
             return 1
         if rest == "input_layernorm.weight":
             layer.input_layernorm.weight[...] = t.astype(jnp.float32)
@@ -468,7 +478,8 @@ def detect_architecture(model_dir: str) -> str:
 
     if has("Mixtral") or mt == "mixtral":
         return "mixtral"
-    if has("Llama") or has("Mistral") or mt in ("llama", "mistral"):
+    if (has("Llama") or has("Mistral") or has("Qwen2")
+            or mt in ("llama", "mistral", "qwen2")):
         return "llama"
     if has("GPTJ") or mt == "gptj":
         return "gptj"

@@ -36,6 +36,8 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
     tie_word_embeddings: bool = False
+    # qwen2-style attention: biases on q/k/v projections only
+    attention_bias: bool = False
     dtype: object = jnp.bfloat16
 
     def __post_init__(self):
@@ -61,6 +63,14 @@ LLAMA_PRESETS = {
     "mistral-7b": dict(hidden_size=4096, intermediate_size=14336,
                        num_hidden_layers=32, num_attention_heads=32,
                        num_key_value_heads=8, rope_theta=10000.0),
+    "qwen2-7b": dict(vocab_size=152064, hidden_size=3584,
+                     intermediate_size=18944, num_hidden_layers=28,
+                     num_attention_heads=28, num_key_value_heads=4,
+                     rope_theta=1e6, attention_bias=True),
+    "qwen2-test": dict(vocab_size=256, hidden_size=128,
+                       intermediate_size=256, num_hidden_layers=2,
+                       num_attention_heads=4, num_key_value_heads=2,
+                       max_position_embeddings=128, attention_bias=True),
 }
 
 
@@ -287,11 +297,13 @@ class LlamaAttention(nnx.Module):
     def __init__(self, cfg: LlamaConfig, rngs: nnx.Rngs):
         H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
         self.cfg = cfg
-        lin = lambda i, o: nnx.Linear(i, o, use_bias=False, dtype=cfg.dtype,
-                                      param_dtype=cfg.dtype, rngs=rngs)
-        self.q_proj = lin(cfg.hidden_size, H * D)
-        self.k_proj = lin(cfg.hidden_size, Hkv * D)
-        self.v_proj = lin(cfg.hidden_size, Hkv * D)
+        lin = lambda i, o, b=False: nnx.Linear(
+            i, o, use_bias=b, dtype=cfg.dtype, param_dtype=cfg.dtype,
+            rngs=rngs)
+        qb = cfg.attention_bias
+        self.q_proj = lin(cfg.hidden_size, H * D, qb)
+        self.k_proj = lin(cfg.hidden_size, Hkv * D, qb)
+        self.v_proj = lin(cfg.hidden_size, Hkv * D, qb)
         self.o_proj = lin(H * D, cfg.hidden_size)
         self.qkv_proj = nnx.data(None)  # set by quantization.fuse.fuse_for_serving
 

@@ -29,7 +29,10 @@ def _fusible(mods) -> bool:
                 or m.wdtype != ref.wdtype or m.layout != ref.layout
                 or m.in_features != ref.in_features
                 or (m.zeros is None) != (ref.zeros is None)
-                or m.pre_scale is not None or m.bias is not None):
+                or (m.bias is None) != (ref.bias is None)
+                or m.pre_scale is not None
+                or m.perm is not None          # act-order/GAR rows differ
+                or m.sq_scales is not None):   # double-quant meta differs
             return False
     return True
 
@@ -45,7 +48,9 @@ def _concat_woq(mods) -> WOQLinear:
         orig_shape=(ref.in_features,
                     sum(m.out_features for m in mods)),
         layout=ref.layout)
-    return WOQLinear(pw, impl=ref.impl)
+    bias = (jnp.concatenate([m.bias[...] for m in mods])
+            if ref.bias is not None else None)
+    return WOQLinear(pw, bias=bias, impl=ref.impl)
 
 
 def fuse_for_serving(model) -> int:

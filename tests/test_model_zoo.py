@@ -57,6 +57,38 @@ def _hf_tiny(family, tmp_path):
     return m, str(d)
 
 
+def test_qwen2_hf_parity(tmp_path):
+    """Qwen2 (llama-family + QKV biases) loads through the llama loader
+    with exact numerics."""
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False)
+    hf_model = transformers.Qwen2ForCausalLM(cfg).eval().float()
+    d = tmp_path / "qwen2"
+    hf_model.save_pretrained(d, safe_serialization=True)
+    assert detect_architecture(str(d)) == "llama"
+    model = load_hf_model(str(d), dtype=jnp.float32)
+    assert model.model.layers[0].self_attn.q_proj.bias is not None
+    ids = np.random.default_rng(0).integers(0, 128, (2, 10))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(model(jnp.asarray(ids)), dtype=np.float32)
+    err = np.abs(ref - got).max()
+    assert err < 5e-3, err
+    # quantize + generate still works with biased projections
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.generation import greedy_search
+
+    qm = nq.quantize(model, nq.RTNConfig(dtype="int4", group_size=32))
+    out = greedy_search(qm, jnp.asarray(ids[:1]), max_new_tokens=4)
+    assert out.shape == (1, 14)
+
+
 @pytest.mark.parametrize("family", ["gptj", "bloom", "falcon", "opt"])
 def test_hf_parity(family, tmp_path):
     import torch
