@@ -6,7 +6,8 @@
 // weight_only/modules.py:195-268) with multi-threaded C++.
 //
 // Layouts:
-//  * tpu_strided: int codes [K, N] packed into uint32 lanes along K; within
+//  * tpu_strided: int codes [K, N] packed into uint32 lanes along K,
+//    fields stored OFFSET-BINARY (signed + 2^(bits-1)); within
 //    each group of G rows, lane-row i field s holds original row s*(G/P)+i
 //    (P = 32/bits). Matches ops/packing.py exactly.
 //  * gptq (optimum/AutoGPTQ): qweight int32 [K/P, N], word i field s = row
@@ -48,7 +49,7 @@ extern "C" {
 // codes: int8 [K, N] (two's-complement low `bits`), out: uint32 [K/P, N].
 // Requires K % G == 0 and G % P == 0 (validated by the Python wrapper).
 void pack_tpu_strided(const int8_t* codes, uint32_t* out, int64_t K,
-                      int64_t N, int bits, int G) {
+                      int64_t N, int bits, int G, int offset_binary) {
   const int P = 32 / bits;
   const int64_t rpg = G / P;       // packed rows per group
   const int64_t ng = K / G;
@@ -61,10 +62,12 @@ void pack_tpu_strided(const int8_t* codes, uint32_t* out, int64_t K,
           uint32_t word = 0;
           for (int s = 0; s < P; ++s) {
             int64_t row = g * G + s * rpg + i;
-            word |= (static_cast<uint32_t>(
-                         static_cast<uint8_t>(codes[row * N + n])) &
-                     mask)
-                    << (bits * s);
+            uint32_t fieldv = static_cast<uint32_t>(
+                                  static_cast<uint8_t>(codes[row * N + n])) &
+                              mask;
+            // offset-binary: xor the sign bit of the two's-complement field
+            if (offset_binary) fieldv ^= (1u << (bits - 1));
+            word |= fieldv << (bits * s);
           }
           dst[n] = word;
         }
@@ -89,7 +92,7 @@ void unpack_tpu_strided(const uint32_t* packed, int8_t* out, int64_t K,
           uint32_t word = src[n];
           for (int s = 0; s < P; ++s) {
             int32_t v = static_cast<int32_t>((word >> (bits * s)) & mask);
-            if (is_signed && v >= half) v -= (1 << bits);
+            if (is_signed) v -= half;  // fields are offset-binary
             out[(g * G + s * rpg + i) * N + n] = static_cast<int8_t>(v);
           }
         }
@@ -143,8 +146,8 @@ void unpack_gptq_qweight(const int32_t* qweight, int8_t* out, int64_t K,
 }
 
 // Convert a gptq qweight directly to tpu_strided without materializing
-// int8 codes (the checkpoint-import hot path): unsigned->centered shift
-// included (out codes = raw - 2^(bits-1), stored two's complement).
+// int8 codes (the checkpoint-import hot path). gptq raw unsigned == our
+// offset-binary fields, so this is a pure re-stride.
 void gptq_to_tpu_strided(const int32_t* qweight, uint32_t* out, int64_t K,
                          int64_t N, int bits, int G) {
   const int P = 32 / bits;
@@ -164,9 +167,7 @@ void gptq_to_tpu_strided(const int32_t* qweight, uint32_t* out, int64_t K,
                 (static_cast<uint32_t>(qweight[(row / P) * N + n]) >>
                  (bits * (row % P))) &
                 mask;
-            uint32_t centered =
-                static_cast<uint32_t>(static_cast<int32_t>(raw) - half) & mask;
-            word |= centered << (bits * s);
+            word |= raw << (bits * s);
           }
           dst[n] = word;
         }
@@ -175,6 +176,6 @@ void gptq_to_tpu_strided(const int32_t* qweight, uint32_t* out, int64_t K,
   });
 }
 
-int nq_native_version() { return 1; }
+int nq_native_version() { return 2; }
 
 }  // extern "C"

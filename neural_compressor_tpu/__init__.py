@@ -17,10 +17,12 @@ from .quantization import (
     get_woq_tuning_config,
     prepare, convert, quantize, finalize_calibration, prepare_qat,
     autotune, get_all_config_set, save, load,
+    load_gptq_checkpoint,
 )
 from .quantization.fuse import fuse_for_serving
 from .quantization.layer_wise import (
     quantize_hf_checkpoint_streaming,
+    gptq_quantize_checkpoint_streaming,
     load_quantized_checkpoint,
 )
 from .quantization.export_hf import export_compressed_tensors

@@ -79,18 +79,17 @@ def _unpack_tile(pk, bits: int, n_groups: int, rows_per_group_packed: int):
 def _dequant_group_codes(codes, scales, zeros, bits, dtype_name, cb_vals):
     """codes [ng, G, TN] int32 (+scales/zeros [ng, TN]) -> bf16 [ng*G, TN].
 
-    Sign handling: two's-complement nibble u satisfies signed == (u^h) − h
-    (h = 2^(bits−1)); the −h constant and the zero point merge into one
-    broadcast subtract — 2 VPU ops instead of the compare/shift/sub chain.
+    Sign handling: int fields are stored OFFSET-BINARY (u = signed + h,
+    h = 2^(bits−1), ops/packing.py), so the h constant and the zero point
+    merge into ONE broadcast subtract — no per-element sign fix at all.
     """
     if dtype_name in FLOAT_CODE_DTYPES:
         vals = _codebook_select(codes.astype(jnp.float32), cb_vals)
     else:
         half = 1 << (bits - 1)
-        off = codes ^ half  # signed + half, still int32 in [0, 2^bits)
         zoff = (float(half) + (zeros[:, None, :] if zeros is not None
                                else 0.0))
-        vals = off.astype(jnp.float32) - zoff
+        vals = codes.astype(jnp.float32) - zoff
     w = vals * scales[:, None, :]
     ng, G, TN = w.shape
     return w.reshape(ng * G, TN)
@@ -230,9 +229,9 @@ def _make_vpu_kernel(bits, ngk, rpg, tn, nk, has_zeros):
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
         c = pk_ref[:].reshape(ngk, rpg, tn)
+        # fields are offset-binary: plane value = signed + half already
         planes = [
-            (((c >> (bits * s)) & mask) ^ (1 << (bits - 1)))
-            .astype(jnp.int32).astype(jnp.float32)
+            ((c >> (bits * s)) & mask).astype(jnp.int32).astype(jnp.float32)
             for s in range(P)
         ]
         codes8 = jnp.stack(planes, axis=1).reshape(ngk, P * rpg, tn)
@@ -491,8 +490,9 @@ def _make_vpu_int_kernel(bits, ngk, rpg, tn, nk, has_zeros):
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
         c = pk_ref[:].reshape(ngk, rpg, tn)
-        planes = [(((c >> (bits * s)) & mask) ^ (1 << (bits - 1)))
-                  .astype(jnp.int32) for s in range(P)]
+        # offset-binary fields: u = signed + half with no per-element fix
+        planes = [((c >> (bits * s)) & mask).astype(jnp.int32)
+                  for s in range(P)]
         u = jnp.stack(planes, axis=1).reshape(ngk, P * rpg, tn)
         xq = x_ref[0]                       # [ngk, G, 1] int32
         a = jnp.sum(u * xq, axis=1)         # [ngk, tn] int32

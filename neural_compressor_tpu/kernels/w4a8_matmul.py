@@ -60,8 +60,7 @@ def _make_kernel(bits, G, ngk, nk):
             planes = [((pk[g] >> (bits * s)) & mask).astype(jnp.int32)
                       for s in range(P)]
             codes = jnp.stack(planes, axis=0).reshape(G, TN)
-            codes = (codes - ((codes >= half).astype(jnp.int32) << bits)
-                     ).astype(jnp.int8)
+            codes = (codes - half).astype(jnp.int8)  # offset-binary fields
             xg = xq_ref[:, g * G:(g + 1) * G]
             d = jax.lax.dot_general(
                 xg, codes, dimension_numbers=(((1,), (0,)), ((), ())),

@@ -48,7 +48,7 @@ def _load():
     p8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     pu32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
     pi32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-    lib.pack_tpu_strided.argtypes = [p8, pu32, i64, i64, i32, i32]
+    lib.pack_tpu_strided.argtypes = [p8, pu32, i64, i64, i32, i32, i32]
     lib.unpack_tpu_strided.argtypes = [pu32, p8, i64, i64, i32, i32, i32]
     lib.pack_gptq_qweight.argtypes = [p8, pi32, i64, i64, i32]
     lib.unpack_gptq_qweight.argtypes = [pi32, p8, i64, i64, i32]
@@ -62,7 +62,8 @@ def available() -> bool:
     return _load() is not None
 
 
-def pack_tpu_strided(codes: np.ndarray, bits: int, G: int) -> np.ndarray:
+def pack_tpu_strided(codes: np.ndarray, bits: int, G: int,
+                     offset_binary: bool = True) -> np.ndarray:
     """int8 codes [K, N] -> uint32 [K/P, N] (tpu_strided)."""
     K, N = codes.shape
     P = 32 // bits
@@ -71,7 +72,8 @@ def pack_tpu_strided(codes: np.ndarray, bits: int, G: int) -> np.ndarray:
     codes = np.ascontiguousarray(codes, dtype=np.int8)
     if lib is not None:
         out = np.empty((K // P, N), dtype=np.uint32)
-        lib.pack_tpu_strided(codes, out, K, N, bits, G)
+        lib.pack_tpu_strided(codes, out, K, N, bits, G,
+                             int(offset_binary))
         return out
     # numpy fallback (same math as ops/packing.pack_codes)
     mask = (1 << bits) - 1

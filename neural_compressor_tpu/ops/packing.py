@@ -73,12 +73,17 @@ def _values_per_lane(bits: int) -> int:
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "group_size"))
-def pack_codes(codes: jax.Array, bits: int, group_size: int) -> jax.Array:
+@functools.partial(jax.jit,
+                   static_argnames=("bits", "group_size", "offset_binary"))
+def pack_codes(codes: jax.Array, bits: int, group_size: int,
+               offset_binary: bool = True) -> jax.Array:
     """Pack int codes [K, N] -> uint32 [K/P, N] in tpu_strided layout.
 
-    Codes are stored as raw low ``bits`` bits (two's complement for signed
-    symmetric codes). Requires K % G == 0 and G % P == 0.
+    ``offset_binary`` (int dtypes): each field stores ``signed + 2^(b-1)``
+    so kernels unpack with shift+mask alone — no per-element sign fix (for
+    4-bit two's complement this is just an XOR with 8 at pack time).
+    Codebook dtypes (nf4/fp4) store their raw unsigned indices
+    (offset_binary=False). Requires K % G == 0 and G % P == 0.
     """
     P = _values_per_lane(bits)
     K, N = codes.shape
@@ -88,6 +93,8 @@ def pack_codes(codes: jax.Array, bits: int, group_size: int) -> jax.Array:
     ng = K // G
     mask = (1 << bits) - 1
     c = codes.astype(jnp.uint32) & mask
+    if offset_binary:
+        c = c ^ (1 << (bits - 1))
     # [ng, P, G/P, N]: field s holds original row s*(G/P)+i of group g
     c = c.reshape(ng, P, G // P, N)
     packed = jnp.zeros((ng, G // P, N), dtype=jnp.uint32)
@@ -99,7 +106,9 @@ def pack_codes(codes: jax.Array, bits: int, group_size: int) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("bits", "group_size", "K", "signed"))
 def unpack_codes(packed: jax.Array, bits: int, group_size: int, K: int,
                  signed: bool) -> jax.Array:
-    """Inverse of ``pack_codes``: uint32 [K/P, N] -> int8 codes [K, N]."""
+    """Inverse of ``pack_codes``: uint32 [K/P, N] -> int8 codes [K, N].
+
+    ``signed=True`` fields are offset-binary (see pack_codes)."""
     P = _values_per_lane(bits)
     G = group_size if group_size > 0 else K
     ng = K // G
@@ -109,8 +118,7 @@ def unpack_codes(packed: jax.Array, bits: int, group_size: int, K: int,
     planes = [(p >> (bits * s)) & mask for s in range(P)]
     codes = jnp.concatenate(planes, axis=1).reshape(K, N).astype(jnp.int32)
     if signed:
-        half = 1 << (bits - 1)
-        codes = codes - ((codes >= half) * (1 << bits))
+        codes = codes - (1 << (bits - 1))
     return codes.astype(jnp.int8)
 
 
@@ -131,7 +139,8 @@ def pack_qtensor(qt: QTensor, force_int8: bool = False,
         and G % P == 0
     )
     if packable:
-        packed = pack_codes(qt.codes[:K], qt.bits, G)
+        packed = pack_codes(qt.codes[:K], qt.bits, G,
+                            offset_binary=qt.dtype not in FLOAT_CODE_DTYPES)
         layout = "tpu_strided"
     else:
         packed = qt.codes[:K].astype(jnp.int8)

@@ -32,7 +32,7 @@ def test_unpack_roundtrip(codes, bits, G, signed):
     lim = 1 << (bits - 1)
     c = (np.clip(codes, -lim, lim - 1) if signed
          else (codes % (1 << bits))).astype(np.int8)
-    packed = native.pack_tpu_strided(c, bits, G)
+    packed = native.pack_tpu_strided(c, bits, G, offset_binary=signed)
     out = native.unpack_tpu_strided(packed, bits, G, c.shape[0], signed)
     np.testing.assert_array_equal(out, c)
     # and against the jax unpacker
