@@ -21,8 +21,18 @@ from neural_compressor_tpu.models import LlamaForCausalLM
 
 
 def main():
-    model = LlamaForCausalLM.from_preset("llama-test")
-    data = np.random.default_rng(0).integers(0, 256, (16, 64))
+    # prefer the TRAINED in-repo model (real ppl landscape); fall back to
+    # random init when the checkpoint is absent
+    from neural_compressor_tpu.evaluation.train_tiny import (
+        frozen_corpus, load_tiny_lm)
+
+    model = load_tiny_lm()
+    if model is not None:
+        _train, val = frozen_corpus()
+        data = val[:32]
+    else:
+        model = LlamaForCausalLM.from_preset("llama-test")
+        data = np.random.default_rng(0).integers(0, 256, (16, 64))
 
     def eval_fn(m):
         return -evaluate_lm(m, data, batch_size=8)["ppl"]  # higher=better
