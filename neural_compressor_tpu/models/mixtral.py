@@ -19,6 +19,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import nnx
 
 from .llama import (
@@ -85,6 +86,145 @@ class MixtralSparseMoeBlock(nnx.Module):
         for e, expert in enumerate(self.experts):
             out = out + expert(x).astype(jnp.float32) * w_full[..., e:e + 1]
         return out.astype(x.dtype)
+
+
+class StackedMoEBlock(nnx.Module):
+    """Sparse capacity-based MoE dispatch over STACKED expert weights —
+    the serving form of ``MixtralSparseMoeBlock``.
+
+    The dense per-expert loop computes every expert on every token; this
+    block routes each token to its top-k experts' capacity slots
+    (C = ceil(T·k/E · capacity_factor), GShard/Switch-style, overflow
+    dropped) and runs the expert FFNs as batched einsums over an [E, ...]
+    leading axis. That axis is what EXPERT PARALLELISM shards: under the
+    TP mesh the stacked kernels get a P("model", ...) spec so each device
+    holds E/tp experts and XLA inserts the dispatch/combine collectives
+    (the reference delegates this to deepspeed/vLLM EP modules,
+    fp8_quant helper_modules.py:360-560).
+
+    Quantized experts stack their PACKED int4 codes + scales; dequant
+    happens inside the batched einsum (XLA fuses it), so expert weights
+    keep the 4x memory saving.
+    """
+
+    def __init__(self, gate, stacked: dict, cfg: MixtralConfig,
+                 quantized: bool, meta: dict | None = None,
+                 capacity_factor: float = 2.0):
+        self.cfg = cfg
+        self.capacity_factor = capacity_factor
+        self.gate = gate
+        self.quantized = quantized
+        self.meta = meta or {}
+        for name, arr in stacked.items():
+            setattr(self, name, nnx.Param(arr))
+
+    def _expert_kernels(self):
+        """[E, H, I], [E, H, I], [E, I, H] bf16 kernels (dequantized)."""
+        if not self.quantized:
+            return self.w1s[...], self.w3s[...], self.w2s[...]
+        from ..ops.packing import PackedWeight, dequantize_packed
+
+        def deq(packed, scales, shape):
+            def one(p, s):
+                pw = PackedWeight(p, s, None, self.meta["bits"],
+                                  self.meta["group_size"], "int", shape,
+                                  "tpu_strided")
+                return dequantize_packed(pw, out_dtype=jnp.bfloat16)
+
+            return jax.vmap(one)(packed, scales)
+
+        H, I = self.cfg.hidden_size, self.cfg.intermediate_size
+        return (deq(self.w1s[...], self.w1s_scales[...], (H, I)),
+                deq(self.w3s[...], self.w3s_scales[...], (H, I)),
+                deq(self.w2s[...], self.w2s_scales[...], (I, H)))
+
+    def __call__(self, x):
+        cfg = self.cfg
+        B, S, Hdim = x.shape
+        T = B * S
+        E = cfg.num_local_experts
+        k = cfg.num_experts_per_tok
+        xt = x.reshape(T, Hdim)
+        logits = self.gate(xt).astype(jnp.float32)           # [T, E]
+        topv, topi = jax.lax.top_k(logits, k)
+        gates = jax.nn.softmax(topv, axis=-1)                # [T, k]
+
+        C = int(np.ceil(T * k / E * self.capacity_factor))
+        C = max(8, ((C + 7) // 8) * 8)                       # sublane pad
+        # GShard-style position-in-expert with priority to earlier tokens
+        disp = jnp.zeros((T, E, C), jnp.float32)
+        comb = jnp.zeros((T, E, C), jnp.float32)
+        counts = jnp.zeros((E,), jnp.int32)
+        for j in range(k):
+            mask = jax.nn.one_hot(topi[:, j], E, dtype=jnp.int32)  # [T, E]
+            pos = counts[None, :] + jnp.cumsum(mask, axis=0) - mask
+            counts = counts + jnp.sum(mask, axis=0)
+            keep = (pos < C) & (mask == 1)
+            # scatter: token t -> (expert topi[t,j], slot pos[t, e])
+            pos_t = jnp.sum(pos * mask, axis=1)              # [T]
+            keep_t = jnp.any(keep, axis=1)
+            oh_slot = jax.nn.one_hot(pos_t, C, dtype=jnp.float32)
+            d_j = (mask.astype(jnp.float32)[:, :, None]
+                   * oh_slot[:, None, :]
+                   * keep_t.astype(jnp.float32)[:, None, None])
+            disp = disp + d_j
+            comb = comb + d_j * gates[:, j][:, None, None]
+
+        w1, w3, w2 = self._expert_kernels()
+        xin = jnp.einsum("tec,th->ech", disp, xt.astype(jnp.float32)
+                         ).astype(x.dtype)                   # [E, C, H]
+        h = (nnx.silu(jnp.einsum("ech,ehi->eci", xin, w1,
+                                 preferred_element_type=jnp.float32))
+             * jnp.einsum("ech,ehi->eci", xin, w3,
+                          preferred_element_type=jnp.float32))
+        out_e = jnp.einsum("eci,eih->ech", h.astype(x.dtype), w2,
+                           preferred_element_type=jnp.float32)  # [E, C, H]
+        y = jnp.einsum("tec,ech->th", comb, out_e)
+        return y.astype(x.dtype).reshape(B, S, Hdim)
+
+
+def stack_experts_for_serving(model, capacity_factor: float = 2.0) -> int:
+    """Replace every MixtralSparseMoeBlock with a StackedMoEBlock (sparse
+    capacity dispatch + EP-shardable [E, ...] kernels). Experts must be
+    uniform: all fp Linear, or all symmetric int-packed WOQLinear."""
+    from ..layers.module_utils import named_modules, replace_module
+    from ..layers.woq_linear import WOQLinear
+
+    n = 0
+    for path, mod in list(named_modules(model)):
+        if not isinstance(mod, MixtralSparseMoeBlock):
+            continue
+        experts = list(mod.experts)
+        cfg = mod.cfg
+        if all(type(getattr(e, a)) is nnx.Linear
+               for e in experts for a in ("w1", "w3", "w2")):
+            stacked = {
+                f"{a}s": jnp.stack([getattr(e, a).kernel[...]
+                                    for e in experts])
+                for a in ("w1", "w3", "w2")}
+        elif all(type(getattr(e, a)) is WOQLinear
+                 and getattr(e, a).zeros is None
+                 and getattr(e, a).perm is None
+                 and getattr(e, a).layout == "tpu_strided"
+                 for e in experts for a in ("w1", "w3", "w2")):
+            stacked = {"packed": True}
+            for a in ("w1", "w3", "w2"):
+                stacked[f"{a}s"] = jnp.stack(
+                    [getattr(e, a).packed[...] for e in experts])
+                stacked[f"{a}s_scales"] = jnp.stack(
+                    [getattr(e, a).scales[...] for e in experts])
+            ref = experts[0].w1
+            stacked["_meta"] = {"bits": ref.bits,
+                                "group_size": ref.group_size}
+        else:
+            continue
+        meta = stacked.pop("_meta", None)
+        is_packed = stacked.pop("packed", False)
+        new = StackedMoEBlock(mod.gate, stacked, cfg, quantized=is_packed,
+                              meta=meta, capacity_factor=capacity_factor)
+        replace_module(model, path, new)
+        n += 1
+    return n
 
 
 class MixtralDecoderLayer(nnx.Module):

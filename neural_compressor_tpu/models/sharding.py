@@ -108,6 +108,10 @@ def _spec_for(path: tuple, value) -> P:
     is_col = any(m in parts for m in COLUMN_PAR)
     is_row = any(m in parts for m in ROW_PAR)
 
+    # stacked MoE experts [E, ...]: shard the EXPERT axis (EP)
+    if ndim == 3 and (leaf.endswith("s") or leaf.endswith("s_scales")) \
+            and any(leaf.startswith(w) for w in ("w1", "w2", "w3")):
+        return P("model", None, None)
     if leaf in _WEIGHT_LEAVES and ndim == 2:
         if is_col:
             return P(None, "model")

@@ -89,3 +89,54 @@ def test_hf_mixtral_import_exact(tmp_path):
     jm = load_hf_mixtral(d, dtype=jnp.float32)
     y_j = np.asarray(jm(jnp.asarray(ids)), dtype=np.float32)
     np.testing.assert_allclose(y_t, y_j, atol=1e-4)
+
+
+class TestStackedMoE:
+    def test_stacked_matches_dense_fp(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from neural_compressor_tpu.models import MixtralForCausalLM
+        from neural_compressor_tpu.models.mixtral import (
+            StackedMoEBlock, stack_experts_for_serving)
+
+        m = MixtralForCausalLM.from_preset("mixtral-test")
+        ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 12)))
+        y0 = np.asarray(m(ids), np.float32)
+        n = stack_experts_for_serving(m, capacity_factor=8.0)  # no drops
+        assert n == 2
+        assert isinstance(m.layers[0].block_sparse_moe, StackedMoEBlock)
+        y1 = np.asarray(m(ids), np.float32)
+        np.testing.assert_allclose(y1, y0, atol=3e-2, rtol=3e-2)
+
+    def test_stacked_quantized_and_ep_sharded(self, eight_device_mesh):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        import neural_compressor_tpu as nq
+        from neural_compressor_tpu.models import (MixtralForCausalLM,
+                                                  make_mesh, shard_model)
+        from neural_compressor_tpu.models.mixtral import (
+            StackedMoEBlock, stack_experts_for_serving)
+
+        m = nq.quantize(
+            MixtralForCausalLM.from_preset(
+                "mixtral-test", num_local_experts=8),
+            nq.RTNConfig(dtype="int4", group_size=32))
+        ids = jnp.asarray(np.random.default_rng(1).integers(0, 256, (2, 8)))
+        y0 = np.asarray(m(ids), np.float32)
+        n = stack_experts_for_serving(m, capacity_factor=8.0)
+        assert n == 2
+        blk = m.layers[0].block_sparse_moe
+        assert blk.quantized
+        y1 = np.asarray(m(ids), np.float32)
+        np.testing.assert_allclose(y1, y0, atol=3e-2, rtol=3e-2)
+        # EP: the expert axis shards over the model axis
+        mesh = make_mesh((1, 8))
+        m = shard_model(m, mesh)
+        spec = blk.w1s[...].sharding.spec
+        assert len(spec) >= 1 and spec[0] == "model", spec
+        with mesh:
+            y2 = np.asarray(jax.device_get(m(ids)), np.float32)
+        np.testing.assert_allclose(y2, y1, atol=3e-2, rtol=3e-2)
