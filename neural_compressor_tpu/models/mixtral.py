@@ -6,11 +6,14 @@ blocks via ``PatchedMixtralMoE``/``PatchedGaudiMixtralSparseMoeBlock``
 ordinary Linear stacks, so RTN/GPTQ/FP8/... quantize them with zero extra
 machinery (paths ``...block_sparse_moe.experts.N.w1`` etc.).
 
-Routing: top-k softmax gate. Compute: every expert runs and results are
-combined with the (sparse) routing weights — the dense-dispatch formulation
-is XLA-friendly (static shapes, no gather/scatter) and exact; capacity-
-based EP dispatch over a mesh axis is an optimization planned with
-multi-chip MoE serving.
+Routing: top-k softmax gate. Two dispatch forms:
+  * dense (MixtralSparseMoeBlock): every expert runs on every token,
+    combined with sparse routing weights — exact, gather-free, and the
+    form all quantization passes see (experts are plain Linears).
+  * sparse capacity-based (StackedMoEBlock, via
+    ``stack_experts_for_serving``): GShard-style top-k dispatch into
+    per-expert capacity slots over STACKED [E, ...] kernels; the expert
+    axis shards over the mesh "model" axis = expert parallelism.
 """
 
 from __future__ import annotations
