@@ -30,8 +30,9 @@ def measure_paged(model, batch, steps=64, quantized=False):
     bt = np.zeros((batch, PMAX), np.int32)
     ids = rng.permutation(np.arange(1, batch * PMAX + 1))
     bt[:] = ids.reshape(batch, PMAX)
-    bt_j = jnp.asarray(bt)
-    pools = [p._replace(block_tables=bt_j) for p in pools]
+    # donation cannot alias one buffer into many pytree leaves: each
+    # layer's pool gets its OWN block-table copy
+    pools = [p._replace(block_tables=jnp.array(bt)) for p in pools]
     graphdef, state = nnx.split(model)
 
     @functools.partial(jax.jit, donate_argnums=(1,))
@@ -56,7 +57,7 @@ def measure_paged(model, batch, steps=64, quantized=False):
     compile_s = time.time() - t0
     pools = init_paged_pool(model.cfg, n_pages=batch * PMAX + 1, batch=batch,
                             max_len=T, page_size=PAGE, quantized=quantized)
-    pools = [p._replace(block_tables=bt_j) for p in pools]
+    pools = [p._replace(block_tables=jnp.array(bt)) for p in pools]
     t0 = time.time()
     _, _, acc = decode(state, pools, tok, steps)
     _ = np.asarray(acc)

@@ -44,7 +44,7 @@ def _paged_kernel(bt_ref, len_ref, q_ref, kp_ref, vp_ref, o_ref,
 
     length = len_ref[b]
     base = p * page
-    q = q_ref[0, 0]                      # [rep, D]
+    q = q_ref[0]                         # [rep, D]
     if quant:
         k = kp_ref[0].astype(jnp.bfloat16)   # codes [page, D]
         v = vp_ref[0].astype(jnp.bfloat16)
@@ -72,8 +72,8 @@ def _paged_kernel(bt_ref, len_ref, q_ref, kp_ref, vp_ref, o_ref,
 
     @pl.when(p == pmax - 1)
     def _():
-        o_ref[0, 0] = (acc_ref[:] /
-                       jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] /
+                    jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
 
 
 def _paged_quant_kernel(bt_ref, len_ref, q_ref, kp_ref, ks_ref, vp_ref,
@@ -91,7 +91,7 @@ def _paged_quant_kernel(bt_ref, len_ref, q_ref, kp_ref, ks_ref, vp_ref,
 
     length = len_ref[b]
     base = p * page
-    q = q_ref[0, 0]
+    q = q_ref[0]
     k = kp_ref[0].astype(jnp.bfloat16)
     v = vp_ref[0].astype(jnp.bfloat16)
     ksc = ks_ref[0][:, 0]                # [page]
@@ -117,8 +117,8 @@ def _paged_quant_kernel(bt_ref, len_ref, q_ref, kp_ref, ks_ref, vp_ref,
 
     @pl.when(p == pmax - 1)
     def _():
-        o_ref[0, 0] = (acc_ref[:] /
-                       jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] /
+                    jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -129,10 +129,9 @@ def _paged_attn_impl(q, k_pages, v_pages, block_tables, lengths, interpret):
     pmax = block_tables.shape[1]
     rep = H // Hkv
     qr = q[:, :, 0].reshape(B, Hkv, rep, D)
-    rep_p = rep if rep == 1 else max(rep, 8)
+    rep_p = max(rep, 8)  # 8-sublane query block (rep=1 blocks misbehave)
     if rep_p != rep:
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
-    qr = qr.reshape(B, Hkv, 1, rep_p, D)  # extra axis: full-dim sublane blk
     scale = 1.0 / (D ** 0.5)
     bt = block_tables.reshape(-1).astype(jnp.int32)
     lengths = lengths.astype(jnp.int32)
@@ -144,16 +143,16 @@ def _paged_attn_impl(q, k_pages, v_pages, block_tables, lengths, interpret):
         num_scalar_prefetch=2,
         grid=(B, Hkv, pmax),
         in_specs=[
-            pl.BlockSpec((1, None, 1, rep_p, D),
-                         lambda b, h, p, bt, ln: (b, h, 0, 0, 0),
+            pl.BlockSpec((1, None, rep_p, D),
+                         lambda b, h, p, bt, ln: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, None, page, D), page_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, None, page, D), page_map,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, None, 1, rep_p, D),
-                               lambda b, h, p, bt, ln: (b, h, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, None, rep_p, D),
+                               lambda b, h, p, bt, ln: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((rep_p, D), jnp.float32),
@@ -167,12 +166,11 @@ def _paged_attn_impl(q, k_pages, v_pages, block_tables, lengths, interpret):
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, 1, rep_p, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, rep_p, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(bt, lengths, qr, k_pages, v_pages)
-    out = out[:, :, 0]
     if rep_p != rep:
         out = out[:, :, :rep]
     return out.reshape(B, Hkv * rep, 1, D)
@@ -187,10 +185,9 @@ def _paged_attn_quant_impl(q, k_pages, k_scales, v_pages, v_scales,
     pmax = block_tables.shape[1]
     rep = H // Hkv
     qr = q[:, :, 0].reshape(B, Hkv, rep, D)
-    rep_p = rep if rep == 1 else max(rep, 8)
+    rep_p = max(rep, 8)  # 8-sublane query block (rep=1 blocks misbehave)
     if rep_p != rep:
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
-    qr = qr.reshape(B, Hkv, 1, rep_p, D)
     scale = 1.0 / (D ** 0.5)
     bt = block_tables.reshape(-1).astype(jnp.int32)
     lengths = lengths.astype(jnp.int32)
@@ -204,8 +201,8 @@ def _paged_attn_quant_impl(q, k_pages, k_scales, v_pages, v_scales,
         num_scalar_prefetch=2,
         grid=(B, Hkv, pmax),
         in_specs=[
-            pl.BlockSpec((1, None, 1, rep_p, D),
-                         lambda b, h, p, bt, ln: (b, h, 0, 0, 0),
+            pl.BlockSpec((1, None, rep_p, D),
+                         lambda b, h, p, bt, ln: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, None, page, D), page_map,
                          memory_space=pltpu.VMEM),
@@ -216,8 +213,8 @@ def _paged_attn_quant_impl(q, k_pages, k_scales, v_pages, v_scales,
             pl.BlockSpec((1, None, page, 1), page_map,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, None, 1, rep_p, D),
-                               lambda b, h, p, bt, ln: (b, h, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, None, rep_p, D),
+                               lambda b, h, p, bt, ln: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((rep_p, D), jnp.float32),
@@ -230,12 +227,11 @@ def _paged_attn_quant_impl(q, k_pages, k_scales, v_pages, v_scales,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, 1, rep_p, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, rep_p, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(bt, lengths, qr, k_pages, ks4, v_pages, vs4)
-    out = out[:, :, 0]
     if rep_p != rep:
         out = out[:, :, :rep]
     return out.reshape(B, Hkv * rep, 1, D)

@@ -129,9 +129,11 @@ def init_paged_pool(cfg: "LlamaConfig", n_pages: int, batch: int,
     pmax = (max_len + page_size - 1) // page_size
     shape = (n_pages, cfg.num_key_value_heads, page_size, cfg.head_dim)
     sshape = shape[:-1]
-    bt = jnp.zeros((batch, pmax), jnp.int32)
     out = []
     for _ in range(cfg.num_hidden_layers):
+        # per-layer copy: buffer donation cannot alias one block-table
+        # array into several pytree leaves
+        bt = jnp.zeros((batch, pmax), jnp.int32)
         if quantized:
             fmt = "int8" if quantized is True else str(quantized)
             cdt = _KV_CODE_DTYPES[fmt]
