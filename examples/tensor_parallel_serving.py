@@ -21,6 +21,8 @@ from neural_compressor_tpu.models import (
     make_mesh,
     shard_model,
 )
+from neural_compressor_tpu.models.llama import init_kv_cache
+from neural_compressor_tpu.models.sharding import enable_tp_serving
 
 
 def main():
@@ -29,10 +31,17 @@ def main():
     model = LlamaForCausalLM.from_preset("llama-test")
     qmodel = nq.quantize(model, nq.RTNConfig(dtype="int4", group_size=32))
     qmodel = shard_model(qmodel, mesh)
+    # run the FUSED pallas kernels per shard (shard_map + psum over ICI)
+    n_tp = enable_tp_serving(qmodel, mesh)
     ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 16)))
     with mesh:
         logits = qmodel(ids)
-    print("TP forward over", n, "devices:", logits.shape)
+        caches = init_kv_cache(qmodel.cfg, 2, 32)
+        _, caches = qmodel(ids, caches=caches, cache_pos=0)
+        step, _ = qmodel(ids[:, :1], positions=jnp.full((2, 1), 16),
+                         caches=caches, cache_pos=16)
+    print(f"TP forward over {n} devices ({n_tp} fused TP ops):",
+          logits.shape, "decode:", step.shape)
 
 
 if __name__ == "__main__":
