@@ -129,10 +129,13 @@ def w4a8_matmul(x: jax.Array, pw: PackedWeight, out_dtype=None) -> jax.Array:
     usable = (pw.layout == "tpu_strided" and pw.bits == 4
               and pw.zeros is None and pw.dtype == "int")
     G = pw.group_size if pw.group_size > 0 else K
-    tm = min(_round_up(M, 32), 256)  # int8 sublane = 32
+    # tile sweep on v5e (experiments/prefill_sweep*.log): tm=1024/tn=256/
+    # tk=4096 hits 198 TF/s at M=2048 — 1.46x the bf16 dot (136) and ~87%
+    # of the raw int8 MXU rate; tm=2048 exceeds VMEM
+    tm = min(_round_up(M, 32), 1024)  # int8 sublane = 32
     tn = 256
     tk = G
-    while tk * 2 <= min(K, 2048) and K % (tk * 2) == 0:
+    while tk * 2 <= min(K, 4096) and K % (tk * 2) == 0:
         tk *= 2
     if not usable or K % tk or N % tn:
         w = dequantize_packed(pw, out_dtype=jnp.bfloat16)
