@@ -1,9 +1,10 @@
-"""Quantize + generate across the whole model zoo (7 families).
+"""Quantize + generate across the whole model zoo (9 families).
 
 Each family exercises a different structure: GQA+RoPE (llama), fused
 c_attn (gpt2), MoE experts (mixtral), learned positions (opt), parallel
 residual + interleaved rotary (gpt-j), ALiBi (bloom), multi-query
-attention (falcon).
+attention (falcon), fused per-head QKV + partial rotate-half rotary
+(gpt-neox), single-LN parallel residual with biases (phi).
 
 Run (CPU):
   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python examples/model_zoo_quantize.py
@@ -21,7 +22,8 @@ import neural_compressor_tpu as nq
 from neural_compressor_tpu.generation import greedy_search
 from neural_compressor_tpu.models import (
     BloomForCausalLM, FalconForCausalLM, GPT2Config, GPT2LMHeadModel,
-    GPTJForCausalLM, LlamaForCausalLM, MixtralForCausalLM, OPTForCausalLM)
+    GPTJForCausalLM, GPTNeoXForCausalLM, LlamaForCausalLM,
+    MixtralForCausalLM, OPTForCausalLM, PhiForCausalLM)
 
 
 def builders():
@@ -34,6 +36,8 @@ def builders():
     yield "gptj", lambda: GPTJForCausalLM.from_preset("gptj-test")
     yield "bloom", lambda: BloomForCausalLM.from_preset("bloom-test")
     yield "falcon", lambda: FalconForCausalLM.from_preset("falcon-test")
+    yield "gptneox", lambda: GPTNeoXForCausalLM.from_preset("gptneox-test")
+    yield "phi", lambda: PhiForCausalLM.from_preset("phi-test")
 
 
 def main():

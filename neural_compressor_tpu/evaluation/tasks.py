@@ -68,7 +68,7 @@ def _run_candidate(code: str, test_code: str, timeout: float) -> bool:
 
 
 def code_pass_at_k(candidates_per_task, tests, k: int = 1,
-                   timeout: float = 5.0) -> float:
+                   timeout: float = 30.0) -> float:
     """bigcode pass@k over executed candidates.
 
     ``candidates_per_task``: list (per task) of lists of candidate code

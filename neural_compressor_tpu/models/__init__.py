@@ -1,7 +1,8 @@
 """Model zoo: TPU-native NNX implementations of the LLM families the
-reference's recipes cover (llama/mistral, gpt2, opt, mixtral, gpt-j, bloom,
-falcon — docs/source/llm_recipes.md), with tensor-parallel sharding rules
-and HF checkpoint import."""
+reference's recipes cover (llama/mistral/qwen2, gpt2, opt, mixtral, gpt-j,
+gpt-neox/dolly/pythia, bloom, falcon, phi, baichuan-7b —
+docs/source/llm_recipes.md), with tensor-parallel sharding rules and HF
+checkpoint import."""
 
 from .llama import LlamaConfig, LlamaForCausalLM, LLAMA_PRESETS
 from .gpt2 import GPT2Config, GPT2LMHeadModel
@@ -10,6 +11,8 @@ from .opt import OPTConfig, OPTForCausalLM, OPT_PRESETS
 from .gptj import GPTJConfig, GPTJForCausalLM, GPTJ_PRESETS
 from .bloom import BloomConfig, BloomForCausalLM, BLOOM_PRESETS
 from .falcon import FalconConfig, FalconForCausalLM, FALCON_PRESETS
+from .gptneox import GPTNeoXConfig, GPTNeoXForCausalLM, GPTNEOX_PRESETS
+from .phi import PhiConfig, PhiForCausalLM, PHI_PRESETS
 from .sharding import make_mesh, shard_model, llama_partition_rules
 
 __all__ = [
@@ -20,5 +23,7 @@ __all__ = [
     "GPTJConfig", "GPTJForCausalLM", "GPTJ_PRESETS",
     "BloomConfig", "BloomForCausalLM", "BLOOM_PRESETS",
     "FalconConfig", "FalconForCausalLM", "FALCON_PRESETS",
+    "GPTNeoXConfig", "GPTNeoXForCausalLM", "GPTNEOX_PRESETS",
+    "PhiConfig", "PhiForCausalLM", "PHI_PRESETS",
     "make_mesh", "shard_model", "llama_partition_rules",
 ]

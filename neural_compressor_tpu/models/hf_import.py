@@ -467,6 +467,147 @@ def load_hf_falcon(model_dir: str, dtype=jnp.bfloat16):
     return model
 
 
+def load_hf_gptneox(model_dir: str, dtype=jnp.bfloat16):
+    from .gptneox import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    cfg = GPTNeoXConfig(
+        vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        intermediate_size=hf["intermediate_size"],
+        rotary_pct=hf.get("rotary_pct", 0.25),
+        rotary_emb_base=hf.get("rotary_emb_base", 10000.0),
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-5),
+        use_parallel_residual=hf.get("use_parallel_residual", True),
+        dtype=dtype)
+    model = GPTNeoXForCausalLM(cfg, nnx.Rngs(0))
+    n = 0
+    for name, arr in _iter_checkpoint_tensors(model_dir):
+        name = name.removeprefix("gpt_neox.")
+        t = _to_jnp(arr, dtype)
+        n += 1
+        if name == "embed_in.weight":
+            model.embed_in.embedding[...] = t
+        elif name in ("final_layer_norm.weight", "final_layer_norm.bias"):
+            attr = "scale" if name.endswith("weight") else "bias"
+            getattr(model.final_layer_norm, attr)[...] = t.astype(jnp.float32)
+        elif name == "embed_out.weight":
+            model.embed_out.kernel[...] = t.T
+        elif name.startswith("layers."):
+            parts = name.split(".")
+            blk = model.layers[int(parts[1])]
+            rest = ".".join(parts[2:])
+            # qkv weight rows are the per-head-fused [H, 3, D] layout
+            # (HF GPTNeoXAttention views heads then splits thirds) — the
+            # same fused form our attention reshapes to; transpose only.
+            if not _assign_generic(blk, rest, t, {
+                "attention.query_key_value": blk.attention.query_key_value,
+                "attention.dense": blk.attention.dense,
+                "mlp.dense_h_to_4h": blk.mlp.dense_h_to_4h,
+                "mlp.dense_4h_to_h": blk.mlp.dense_4h_to_h,
+            }, {
+                "input_layernorm": blk.input_layernorm,
+                "post_attention_layernorm": blk.post_attention_layernorm,
+            }):
+                n -= 1  # rotary inv_freq / attention.bias buffers
+        else:
+            n -= 1
+    logger.info("Loaded %d HF tensors from %s", n, model_dir)
+    return model
+
+
+def load_hf_phi(model_dir: str, dtype=jnp.bfloat16):
+    from .phi import PhiConfig, PhiForCausalLM
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    cfg = PhiConfig(
+        vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        intermediate_size=hf["intermediate_size"],
+        partial_rotary_factor=hf.get("partial_rotary_factor", 0.5),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-5), dtype=dtype)
+    model = PhiForCausalLM(cfg, nnx.Rngs(0))
+    n = 0
+    for name, arr in _iter_checkpoint_tensors(model_dir):
+        name = name.removeprefix("model.")
+        t = _to_jnp(arr, dtype)
+        n += 1
+        if name == "embed_tokens.weight":
+            model.embed_tokens.embedding[...] = t
+        elif name in ("final_layernorm.weight", "final_layernorm.bias"):
+            attr = "scale" if name.endswith("weight") else "bias"
+            getattr(model.final_layernorm, attr)[...] = t.astype(jnp.float32)
+        elif name == "lm_head.weight":
+            model.lm_head.kernel[...] = t.T
+        elif name == "lm_head.bias":
+            model.lm_head.bias[...] = t
+        elif name.startswith("layers."):
+            parts = name.split(".")
+            blk = model.layers[int(parts[1])]
+            rest = ".".join(parts[2:])
+            if not _assign_generic(blk, rest, t, {
+                "self_attn.q_proj": blk.self_attn.q_proj,
+                "self_attn.k_proj": blk.self_attn.k_proj,
+                "self_attn.v_proj": blk.self_attn.v_proj,
+                "self_attn.dense": blk.self_attn.dense,
+                "mlp.fc1": blk.mlp.fc1,
+                "mlp.fc2": blk.mlp.fc2,
+            }, {"input_layernorm": blk.input_layernorm}):
+                n -= 1
+        else:
+            n -= 1
+    logger.info("Loaded %d HF tensors from %s", n, model_dir)
+    return model
+
+
+def load_hf_baichuan(model_dir: str, dtype=jnp.bfloat16):
+    """Baichuan(-2) 7B: the llama graph with a fused ``W_pack`` QKV.
+
+    W_pack stacks full q/k/v blocks along the out axis ([3E, E] torch) —
+    split into thirds and load through the llama module tree. The 13B
+    variants replace rotary with ALiBi, which the llama graph does not
+    model; refuse those explicitly (reference coverage:
+    docs/source/llm_recipes.md:69-93).
+    """
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    if hf.get("position_embedding", "ROPE").upper() == "ALIBI" or \
+            hf.get("model_max_length", 0) == 4096 and hf["hidden_size"] >= 5120:
+        raise ValueError(
+            "Baichuan-13B uses ALiBi positions; only the rotary (7B) "
+            "variants map onto the llama graph")
+    cfg = LlamaConfig(
+        vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        num_key_value_heads=hf["num_attention_heads"],
+        max_position_embeddings=hf.get("max_position_embeddings",
+                                       hf.get("model_max_length", 4096)),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6), dtype=dtype)
+    model = LlamaForCausalLM(cfg, nnx.Rngs(0))
+    E = cfg.hidden_size
+    n = 0
+    for name, arr in _iter_checkpoint_tensors(model_dir):
+        if name.endswith("self_attn.W_pack.weight"):
+            li = int(name.split(".")[2])
+            attn = model.model.layers[li].self_attn
+            t = _to_jnp(arr, dtype)
+            attn.q_proj.kernel[...] = t[:E].T
+            attn.k_proj.kernel[...] = t[E:2 * E].T
+            attn.v_proj.kernel[...] = t[2 * E:].T
+            n += 3
+        else:
+            n += _assign_llama_param(model, name, arr, dtype)
+    logger.info("Loaded %d HF tensors from %s", n, model_dir)
+    return model
+
+
 def detect_architecture(model_dir: str) -> str:
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
@@ -483,6 +624,15 @@ def detect_architecture(model_dir: str) -> str:
         return "llama"
     if has("GPTJ") or mt == "gptj":
         return "gptj"
+    if has("GPTNeoX") or mt == "gpt_neox":
+        return "gptneox"
+    if has("Phi3") or mt == "phi3":
+        raise ValueError("phi-3 (fused qkv/gate_up + su-rope) not mapped; "
+                         "phi-1/1.5/2 are supported via the phi family")
+    if has("Phi") or mt == "phi":
+        return "phi"
+    if has("Baichuan") or mt == "baichuan":
+        return "baichuan"
     if has("GPT2") or mt == "gpt2":
         return "gpt2"
     if has("Bloom") or mt == "bloom":
@@ -500,6 +650,9 @@ _LOADERS = {
     "mixtral": load_hf_mixtral,
     "gpt2": load_hf_gpt2,
     "gptj": load_hf_gptj,
+    "gptneox": load_hf_gptneox,
+    "phi": load_hf_phi,
+    "baichuan": load_hf_baichuan,
     "bloom": load_hf_bloom,
     "falcon": load_hf_falcon,
     "opt": load_hf_opt,

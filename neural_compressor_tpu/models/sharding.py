@@ -29,7 +29,7 @@ from ..common import logger
 # (regex over dotted param path) -> (spec for 2D kernels, handled below)
 COLUMN_PAR = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "lm_head",
               "c_attn", "c_fc", "fc1", "w1", "w3", "query_key_value",
-              "fc_in", "dense_h_to_4h")
+              "fc_in", "dense_h_to_4h", "embed_out")
 ROW_PAR = ("o_proj", "down_proj", "c_proj", "fc2", "w2", "out_proj",
            "fc_out", "dense_4h_to_h", "dense")
 

@@ -65,6 +65,12 @@ _PROJ_SUFFIXES: dict[str, tuple] = {
     "falcon": (".query_key_value.", ".dense.", ".dense_h_to_4h.",
                ".dense_4h_to_h."),
     "gpt2": (".c_attn.", ".c_proj.", ".c_fc."),
+    "gptneox": (".query_key_value.", ".dense.", ".dense_h_to_4h.",
+                ".dense_4h_to_h."),
+    "phi": (".q_proj.", ".k_proj.", ".v_proj.", ".dense.",
+            ".fc1.", ".fc2."),
+    "baichuan": (".W_pack.", ".o_proj.",
+                 ".gate_proj.", ".up_proj.", ".down_proj."),
 }
 _NO_TRANSPOSE_ARCHS = ("gpt2",)
 

@@ -17,7 +17,8 @@ import neural_compressor_tpu as nq
 from neural_compressor_tpu.layers import WOQLinear
 from neural_compressor_tpu.layers.module_utils import named_modules
 from neural_compressor_tpu.models import (
-    BloomForCausalLM, FalconForCausalLM, GPTJForCausalLM)
+    BloomForCausalLM, FalconForCausalLM, GPTJForCausalLM,
+    GPTNeoXForCausalLM, PhiForCausalLM)
 from neural_compressor_tpu.models.hf_import import (
     detect_architecture, load_hf_model)
 from neural_compressor_tpu.models.llama import init_kv_cache
@@ -49,6 +50,24 @@ def _hf_tiny(family, tmp_path):
             num_hidden_layers=2, num_attention_heads=4,
             max_position_embeddings=64, do_layer_norm_before=True)
         m = transformers.OPTForCausalLM(cfg)
+    elif family == "gptneox":
+        cfg = transformers.GPTNeoXConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=128, rotary_pct=0.25,
+            use_parallel_residual=True)
+        m = transformers.GPTNeoXForCausalLM(cfg)
+    elif family == "gptneox-seq":
+        cfg = transformers.GPTNeoXConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=128, rotary_pct=0.5,
+            use_parallel_residual=False)
+        m = transformers.GPTNeoXForCausalLM(cfg)
+    elif family == "phi":
+        cfg = transformers.PhiConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=128,
+            partial_rotary_factor=0.5)
+        m = transformers.PhiForCausalLM(cfg)
     else:  # pragma: no cover
         raise ValueError(family)
     m = m.eval().float()
@@ -89,12 +108,60 @@ def test_qwen2_hf_parity(tmp_path):
     assert out.shape == (1, 14)
 
 
-@pytest.mark.parametrize("family", ["gptj", "bloom", "falcon", "opt"])
+def test_baichuan_w_pack_import(tmp_path):
+    """Baichuan-7B = llama graph + fused W_pack: fusing a tiny llama
+    checkpoint's q/k/v into W_pack and relabeling the architecture must
+    reproduce the plain llama import bit-for-bit."""
+    import json as _json
+
+    import torch
+    import transformers
+    from safetensors.torch import load_file, save_file
+
+    torch.manual_seed(0)
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, tie_word_embeddings=False)
+    hf_model = transformers.LlamaForCausalLM(cfg).eval().float()
+    d_llama = tmp_path / "llama"
+    hf_model.save_pretrained(d_llama, safe_serialization=True)
+
+    tensors = load_file(d_llama / "model.safetensors")
+    fused = {}
+    for name, t in tensors.items():
+        if ".self_attn.q_proj.weight" in name:
+            stem = name.rsplit("q_proj.weight", 1)[0]
+            fused[stem + "W_pack.weight"] = torch.cat(
+                [tensors[stem + f"{p}_proj.weight"] for p in "qkv"], dim=0)
+        elif ".self_attn.k_proj.weight" in name or \
+                ".self_attn.v_proj.weight" in name:
+            continue
+        else:
+            fused[name] = t
+    d_bc = tmp_path / "baichuan"
+    d_bc.mkdir()
+    save_file(fused, d_bc / "model.safetensors")
+    hf_cfg = _json.loads((d_llama / "config.json").read_text())
+    hf_cfg["architectures"] = ["BaichuanForCausalLM"]
+    hf_cfg["model_type"] = "baichuan"
+    (d_bc / "config.json").write_text(_json.dumps(hf_cfg))
+
+    assert detect_architecture(str(d_bc)) == "baichuan"
+    ref = load_hf_model(str(d_llama), dtype=jnp.float32)
+    got = load_hf_model(str(d_bc), dtype=jnp.float32)
+    ids = np.random.default_rng(3).integers(0, 128, (2, 9))
+    np.testing.assert_array_equal(
+        np.asarray(ref(jnp.asarray(ids))), np.asarray(got(jnp.asarray(ids))))
+
+
+@pytest.mark.parametrize("family", ["gptj", "bloom", "falcon", "opt",
+                                    "gptneox", "gptneox-seq", "phi"])
 def test_hf_parity(family, tmp_path):
     import torch
 
     hf_model, d = _hf_tiny(family, tmp_path)
-    assert detect_architecture(d) == family
+    assert detect_architecture(d) == family.split("-")[0]
     model = load_hf_model(d, dtype=jnp.float32)
     ids = np.random.default_rng(0).integers(0, 128, (2, 12))
     with torch.no_grad():
@@ -111,6 +178,9 @@ def test_hf_parity(family, tmp_path):
     (GPTJForCausalLM, "gptj-test"),
     (BloomForCausalLM, "bloom-test"),
     (FalconForCausalLM, "falcon-test"),
+    (GPTNeoXForCausalLM, "gptneox-test"),
+    (GPTNeoXForCausalLM, "gptneox-test-seq"),
+    (PhiForCausalLM, "phi-test"),
 ])
 class TestNewFamilies:
     def test_cache_matches_prefill(self, cls, preset):
