@@ -255,17 +255,23 @@ def load_hf_gpt2(model_dir: str, dtype=jnp.bfloat16) -> GPT2LMHeadModel:
     return model
 
 
-def load_hf_opt(model_dir: str, dtype=jnp.bfloat16):
-    from .opt import OPTConfig, OPTForCausalLM
+def opt_config_from_hf(model_dir: str, dtype=jnp.bfloat16):
+    from .opt import OPTConfig
 
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
-    cfg = OPTConfig(
+    return OPTConfig(
         vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
         ffn_dim=hf["ffn_dim"], num_hidden_layers=hf["num_hidden_layers"],
         num_attention_heads=hf["num_attention_heads"],
         max_position_embeddings=hf.get("max_position_embeddings", 2048),
         dtype=dtype)
+
+
+def load_hf_opt(model_dir: str, dtype=jnp.bfloat16):
+    from .opt import OPTForCausalLM
+
+    cfg = opt_config_from_hf(model_dir, dtype=dtype)
     model = OPTForCausalLM(cfg, nnx.Rngs(0))
     n = 0
     for name, arr in _iter_checkpoint_tensors(model_dir):
@@ -323,16 +329,22 @@ def _assign_generic(layer, rest: str, t, linears: dict, norms: dict) -> bool:
     return False
 
 
-def load_hf_gptj(model_dir: str, dtype=jnp.bfloat16):
-    from .gptj import GPTJConfig, GPTJForCausalLM
+def gptj_config_from_hf(model_dir: str, dtype=jnp.bfloat16):
+    from .gptj import GPTJConfig
 
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
-    cfg = GPTJConfig(
+    return GPTJConfig(
         vocab_size=hf["vocab_size"], n_positions=hf.get("n_positions", 2048),
         n_embd=hf["n_embd"], n_layer=hf["n_layer"], n_head=hf["n_head"],
         rotary_dim=hf.get("rotary_dim") or hf["n_embd"] // hf["n_head"],
         n_inner=hf.get("n_inner"), dtype=dtype)
+
+
+def load_hf_gptj(model_dir: str, dtype=jnp.bfloat16):
+    from .gptj import GPTJForCausalLM
+
+    cfg = gptj_config_from_hf(model_dir, dtype=dtype)
     model = GPTJForCausalLM(cfg, nnx.Rngs(0))
     n = 0
     for name, arr in _iter_checkpoint_tensors(model_dir):
@@ -367,14 +379,20 @@ def load_hf_gptj(model_dir: str, dtype=jnp.bfloat16):
     return model
 
 
-def load_hf_bloom(model_dir: str, dtype=jnp.bfloat16):
-    from .bloom import BloomConfig, BloomForCausalLM
+def bloom_config_from_hf(model_dir: str, dtype=jnp.bfloat16):
+    from .bloom import BloomConfig
 
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
-    cfg = BloomConfig(
+    return BloomConfig(
         vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
         n_layer=hf["n_layer"], n_head=hf["n_head"], dtype=dtype)
+
+
+def load_hf_bloom(model_dir: str, dtype=jnp.bfloat16):
+    from .bloom import BloomForCausalLM
+
+    cfg = bloom_config_from_hf(model_dir, dtype=dtype)
     model = BloomForCausalLM(cfg, nnx.Rngs(0))
     n = 0
     for name, arr in _iter_checkpoint_tensors(model_dir):
@@ -416,18 +434,24 @@ def load_hf_bloom(model_dir: str, dtype=jnp.bfloat16):
     return model
 
 
-def load_hf_falcon(model_dir: str, dtype=jnp.bfloat16):
-    from .falcon import FalconConfig, FalconForCausalLM
+def falcon_config_from_hf(model_dir: str, dtype=jnp.bfloat16):
+    from .falcon import FalconConfig
 
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
-    cfg = FalconConfig(
+    return FalconConfig(
         vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
         num_hidden_layers=hf.get("num_hidden_layers", hf.get("n_layer")),
         num_attention_heads=hf.get("num_attention_heads", hf.get("n_head")),
         num_kv_heads=(hf.get("num_kv_heads", 1)
                       if not hf.get("multi_query", True) else 1),
         parallel_attn=hf.get("parallel_attn", True), dtype=dtype)
+
+
+def load_hf_falcon(model_dir: str, dtype=jnp.bfloat16):
+    from .falcon import FalconForCausalLM
+
+    cfg = falcon_config_from_hf(model_dir, dtype=dtype)
     model = FalconForCausalLM(cfg, nnx.Rngs(0))
     n = 0
     saw_lm_head = False
@@ -467,12 +491,12 @@ def load_hf_falcon(model_dir: str, dtype=jnp.bfloat16):
     return model
 
 
-def load_hf_gptneox(model_dir: str, dtype=jnp.bfloat16):
-    from .gptneox import GPTNeoXConfig, GPTNeoXForCausalLM
+def gptneox_config_from_hf(model_dir: str, dtype=jnp.bfloat16):
+    from .gptneox import GPTNeoXConfig
 
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
-    cfg = GPTNeoXConfig(
+    return GPTNeoXConfig(
         vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
         num_hidden_layers=hf["num_hidden_layers"],
         num_attention_heads=hf["num_attention_heads"],
@@ -482,6 +506,12 @@ def load_hf_gptneox(model_dir: str, dtype=jnp.bfloat16):
         layer_norm_eps=hf.get("layer_norm_eps", 1e-5),
         use_parallel_residual=hf.get("use_parallel_residual", True),
         dtype=dtype)
+
+
+def load_hf_gptneox(model_dir: str, dtype=jnp.bfloat16):
+    from .gptneox import GPTNeoXForCausalLM
+
+    cfg = gptneox_config_from_hf(model_dir, dtype=dtype)
     model = GPTNeoXForCausalLM(cfg, nnx.Rngs(0))
     n = 0
     for name, arr in _iter_checkpoint_tensors(model_dir):
@@ -518,12 +548,12 @@ def load_hf_gptneox(model_dir: str, dtype=jnp.bfloat16):
     return model
 
 
-def load_hf_phi(model_dir: str, dtype=jnp.bfloat16):
-    from .phi import PhiConfig, PhiForCausalLM
+def phi_config_from_hf(model_dir: str, dtype=jnp.bfloat16):
+    from .phi import PhiConfig
 
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
-    cfg = PhiConfig(
+    return PhiConfig(
         vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
         num_hidden_layers=hf["num_hidden_layers"],
         num_attention_heads=hf["num_attention_heads"],
@@ -531,6 +561,12 @@ def load_hf_phi(model_dir: str, dtype=jnp.bfloat16):
         partial_rotary_factor=hf.get("partial_rotary_factor", 0.5),
         rope_theta=hf.get("rope_theta", 10000.0),
         layer_norm_eps=hf.get("layer_norm_eps", 1e-5), dtype=dtype)
+
+
+def load_hf_phi(model_dir: str, dtype=jnp.bfloat16):
+    from .phi import PhiForCausalLM
+
+    cfg = phi_config_from_hf(model_dir, dtype=dtype)
     model = PhiForCausalLM(cfg, nnx.Rngs(0))
     n = 0
     for name, arr in _iter_checkpoint_tensors(model_dir):

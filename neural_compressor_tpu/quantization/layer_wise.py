@@ -7,19 +7,20 @@ redesign: there is no module graph to hook — the checkpoint itself is the
 iteration space. Two modes:
 
   * ``quantize_hf_checkpoint_streaming`` — calibration-free (RTN-style)
-    over ANY supported architecture (llama/mistral, mixtral, opt, gptj,
-    bloom, falcon, gpt2); tensors stream one at a time, peak memory is one
-    tensor.
+    over ANY supported architecture (llama/mistral/qwen2, mixtral, opt,
+    gptj, gptneox, phi, bloom, falcon, gpt2, baichuan); tensors stream one
+    at a time, peak memory is one tensor.
   * ``gptq_quantize_checkpoint_streaming`` — calibrated streaming GPTQ
-    (reference gptq.py:286-316 use_layer_wise): decoder layers are built,
-    loaded, calibrated and quantized one at a time; peak memory is one fp
-    layer plus the hidden states.
+    (reference gptq.py:286-316 use_layer_wise) over any zoo family:
+    decoder layers are built, loaded, calibrated and quantized one at a
+    time; peak memory is one fp layer plus the hidden states.
 
 The hardened-pickle concern of the reference (modified_pickle.py) does not
 arise: only safetensors are read.
 
 Output is self-contained: ``quant_model.safetensors`` (quantized modules, in
-save_load's default format) + ``fp_tensors.safetensors`` (norms/embeddings)
+save_load's default format) + ``model.safetensors`` (the fp passthrough — norms/embeddings/biases under
+their original HF names, so the output is also a valid ``hf_import`` view)
 + the original ``config.json`` — loadable without the source checkpoint via
 ``load_quantized_checkpoint``.
 """
@@ -55,7 +56,7 @@ _PROJ_SUFFIXES: dict[str, tuple] = {
     "llama": (".q_proj.", ".k_proj.", ".v_proj.", ".o_proj.",
               ".gate_proj.", ".up_proj.", ".down_proj."),
     "mixtral": (".q_proj.", ".k_proj.", ".v_proj.", ".o_proj.",
-                ".w1.", ".w2.", ".w3.", ".gate."),
+                ".w1.", ".w2.", ".w3."),  # router gate stays fp (config.py)
     "opt": (".q_proj.", ".k_proj.", ".v_proj.", ".out_proj.",
             ".fc1.", ".fc2."),
     "gptj": (".q_proj.", ".k_proj.", ".v_proj.", ".out_proj.",
@@ -74,12 +75,28 @@ _PROJ_SUFFIXES: dict[str, tuple] = {
 }
 _NO_TRANSPOSE_ARCHS = ("gpt2",)
 
+# checkpoint-name prefix -> module-tree path prefix per architecture (the
+# quantized-module metas must address OUR module tree so save_load.load can
+# replace_module them; llama's tree mirrors the HF names exactly)
+_MODULE_PREFIX_STRIP = {
+    "llama": "", "baichuan": "",
+    "mixtral": "model.", "phi": "model.",
+    "opt": "model.decoder.",
+    "gptj": "transformer.", "bloom": "transformer.",
+    "falcon": "transformer.", "gpt2": "transformer.",
+    "gptneox": "gpt_neox.",
+}
+
+
+def _model_path(name: str, arch: str) -> str:
+    return name.removeprefix(_MODULE_PREFIX_STRIP.get(arch, ""))
+
 
 def _module_path_for(name: str, arch: str) -> str | None:
     """HF tensor name -> quantizable module path, or None to pass through."""
     if name.endswith(".weight") and any(
             p in name for p in _PROJ_SUFFIXES[arch]):
-        return name[: -len(".weight")]
+        return _model_path(name[: -len(".weight")], arch)
     return None
 
 
@@ -99,6 +116,7 @@ def quantize_hf_checkpoint_streaming(model_dir: str, quant_config,
     q_tensors: dict = {}
     fp_tensors: dict = {}
     metas: dict = {}
+    bias_map: dict = {}
     n_q = 0
     for name, arr in _iter_checkpoint_tensors(model_dir):
         mpath = _module_path_for(name, arch)
@@ -121,14 +139,23 @@ def quantize_hf_checkpoint_streaming(model_dir: str, quant_config,
                 _store(q_tensors, mpath, tname, tarr)
             n_q += 1
             del w, qt, mod
+        elif name.endswith(".bias") and any(
+                p in name for p in _PROJ_SUFFIXES[arch]):
+            # projection bias: belongs to the (to-be-)quantized module,
+            # not the fp skeleton — buffered until its weight is seen
+            bias_map[_model_path(name[: -len(".bias")], arch)] = (
+                name, np.asarray(_to_jnp(arr, jnp.float32)))
         else:
-            a = np.asarray(arr)
-            if a.dtype == np.uint16:  # raw bf16 passes through as-is
-                fp_tensors[name + ":bf16"] = a
-            else:
-                fp_tensors[name] = a
+            # fp passthrough keeps original names/dtypes (uint16 = raw
+            # bf16 by the hf_import convention)
+            fp_tensors[name] = np.asarray(arr)
+    for mpath, (orig_name, b) in bias_map.items():
+        if mpath in metas:
+            _store(q_tensors, mpath, "bias", b)
+        else:  # e.g. unquantized lm_head bias
+            fp_tensors[orig_name] = b
     save_file(q_tensors, os.path.join(output_dir, "quant_model.safetensors"))
-    save_file(fp_tensors, os.path.join(output_dir, FP_NAME))
+    save_file(fp_tensors, os.path.join(output_dir, "model.safetensors"))
     with open(os.path.join(output_dir, CONFIG_NAME), "w") as f:
         json.dump({"format": "default", "modules": metas}, f, indent=2)
     shutil.copy(os.path.join(model_dir, "config.json"),
@@ -164,14 +191,186 @@ class _CheckpointReader:
     def get(self, name: str):
         return self._handles[self._where[name]].get_tensor(name)
 
+    def names_under(self, prefix: str):
+        return sorted(n for n in self._where if n.startswith(prefix))
+
     def __contains__(self, name):
         return name in self._where
+
+
+# --- streaming-GPTQ family adapters ----------------------------------------
+# Each entry describes how to build + drive ONE decoder block of the family:
+#   cfg:    model_dir, dtype -> config
+#   prefix: checkpoint tensor prefix of the layer list ("model.layers." ...)
+#   block:  cfg, rngs -> decoder-block module
+#   linears: block -> {subpath: Linear} (assignment + quantization targets)
+#   norms:  block -> {subpath: norm module}
+#   embed:  reader, cfg, ids, dtype -> initial hidden states
+#   aux:    cfg, positions, mask -> positional args appended after x
+#   skip_quant: subpaths assigned but NOT quantized (e.g. MoE router)
+
+
+def _llama_linears(blk):
+    return {f"self_attn.{p}_proj": getattr(blk.self_attn, f"{p}_proj")
+            for p in "qkvo"} | {
+        f"mlp.{p}_proj": getattr(blk.mlp, f"{p}_proj")
+        for p in ("gate", "up", "down")}
+
+
+def _mixtral_linears(blk):
+    d = {f"self_attn.{p}_proj": getattr(blk.self_attn, f"{p}_proj")
+         for p in "qkvo"}
+    d["block_sparse_moe.gate"] = blk.block_sparse_moe.gate
+    for i, e in enumerate(blk.block_sparse_moe.experts):
+        for a in ("w1", "w2", "w3"):
+            d[f"block_sparse_moe.experts.{i}.{a}"] = getattr(e, a)
+    return d
+
+
+def _rope_aux(cfg, positions, mask):
+    from ..models.llama import _rope
+
+    cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta)
+    return (cos, sin, mask)
+
+
+def _bloom_embed(reader, cfg, ids, dtype):
+    x = _to_jnp(reader.get("transformer.word_embeddings.weight"), dtype)[ids]
+    g = _to_jnp(reader.get("transformer.word_embeddings_layernorm.weight"),
+                jnp.float32)
+    b = _to_jnp(reader.get("transformer.word_embeddings_layernorm.bias"),
+                jnp.float32)
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + cfg.layer_norm_epsilon) * g
+            + b).astype(dtype)
+
+
+def _opt_embed(reader, cfg, ids, dtype):
+    tok = _to_jnp(reader.get("model.decoder.embed_tokens.weight"), dtype)[ids]
+    pos_w = _to_jnp(reader.get("model.decoder.embed_positions.weight"), dtype)
+    S = ids.shape[1]
+    return tok + pos_w[jnp.arange(S) + 2][None]  # HF OPT +2 offset
+
+
+def _stream_archs():
+    """Lazy adapter table (imports model classes on first use)."""
+    from ..models import (bloom, falcon, gptj, gptneox, llama, mixtral, opt,
+                          phi)
+    from ..models.hf_import import (bloom_config_from_hf,
+                                    falcon_config_from_hf,
+                                    gptj_config_from_hf,
+                                    gptneox_config_from_hf,
+                                    mixtral_config_from_hf,
+                                    opt_config_from_hf, phi_config_from_hf)
+
+    def posaux(cfg, positions, mask):
+        return (positions, mask)
+
+    def maskaux(cfg, positions, mask):
+        return (mask,)
+
+    def embed_of(name):
+        def embed(reader, cfg, ids, dtype):
+            return _to_jnp(reader.get(name), dtype)[ids]
+        return embed
+
+    return {
+        "llama": dict(
+            cfg=llama_config_from_hf, prefix="model.layers.",
+            block=llama.LlamaDecoderLayer, linears=_llama_linears,
+            norms=lambda b: {"input_layernorm": b.input_layernorm,
+                             "post_attention_layernorm":
+                                 b.post_attention_layernorm},
+            embed=embed_of("model.embed_tokens.weight"),
+            aux=_rope_aux, skip_quant=()),
+        "mixtral": dict(
+            cfg=mixtral_config_from_hf, prefix="model.layers.",
+            block=mixtral.MixtralDecoderLayer, linears=_mixtral_linears,
+            norms=lambda b: {"input_layernorm": b.input_layernorm,
+                             "post_attention_layernorm":
+                                 b.post_attention_layernorm},
+            embed=embed_of("model.embed_tokens.weight"),
+            aux=_rope_aux, skip_quant=("block_sparse_moe.gate",)),
+        "opt": dict(
+            cfg=opt_config_from_hf, prefix="model.decoder.layers.",
+            block=opt.OPTDecoderLayer,
+            linears=lambda b: {
+                f"self_attn.{p}": getattr(b.self_attn, p)
+                for p in ("q_proj", "k_proj", "v_proj", "out_proj")} | {
+                "fc1": b.fc1, "fc2": b.fc2},
+            norms=lambda b: {"self_attn_layer_norm": b.self_attn_layer_norm,
+                             "final_layer_norm": b.final_layer_norm},
+            embed=_opt_embed, aux=maskaux, skip_quant=()),
+        "gptj": dict(
+            cfg=gptj_config_from_hf, prefix="transformer.h.",
+            block=gptj.GPTJBlock,
+            linears=lambda b: {
+                f"attn.{p}": getattr(b.attn, p)
+                for p in ("q_proj", "k_proj", "v_proj", "out_proj")} | {
+                "mlp.fc_in": b.mlp.fc_in, "mlp.fc_out": b.mlp.fc_out},
+            norms=lambda b: {"ln_1": b.ln_1},
+            embed=embed_of("transformer.wte.weight"), aux=posaux,
+            skip_quant=()),
+        "gptneox": dict(
+            cfg=gptneox_config_from_hf, prefix="gpt_neox.layers.",
+            block=gptneox.GPTNeoXBlock,
+            linears=lambda b: {
+                "attention.query_key_value": b.attention.query_key_value,
+                "attention.dense": b.attention.dense,
+                "mlp.dense_h_to_4h": b.mlp.dense_h_to_4h,
+                "mlp.dense_4h_to_h": b.mlp.dense_4h_to_h},
+            norms=lambda b: {"input_layernorm": b.input_layernorm,
+                             "post_attention_layernorm":
+                                 b.post_attention_layernorm},
+            embed=embed_of("gpt_neox.embed_in.weight"), aux=posaux,
+            skip_quant=()),
+        "phi": dict(
+            cfg=phi_config_from_hf, prefix="model.layers.",
+            block=phi.PhiBlock,
+            linears=lambda b: {
+                f"self_attn.{p}": getattr(b.self_attn, p)
+                for p in ("q_proj", "k_proj", "v_proj", "dense")} | {
+                "mlp.fc1": b.mlp.fc1, "mlp.fc2": b.mlp.fc2},
+            norms=lambda b: {"input_layernorm": b.input_layernorm},
+            embed=embed_of("model.embed_tokens.weight"), aux=posaux,
+            skip_quant=()),
+        "bloom": dict(
+            cfg=bloom_config_from_hf, prefix="transformer.h.",
+            block=bloom.BloomBlock,
+            linears=lambda b: {
+                "self_attention.query_key_value":
+                    b.self_attention.query_key_value,
+                "self_attention.dense": b.self_attention.dense,
+                "mlp.dense_h_to_4h": b.mlp.dense_h_to_4h,
+                "mlp.dense_4h_to_h": b.mlp.dense_4h_to_h},
+            norms=lambda b: {"input_layernorm": b.input_layernorm,
+                             "post_attention_layernorm":
+                                 b.post_attention_layernorm},
+            embed=_bloom_embed, aux=maskaux, skip_quant=()),
+        "falcon": dict(
+            cfg=falcon_config_from_hf, prefix="transformer.h.",
+            block=falcon.FalconDecoderLayer,
+            linears=lambda b: {
+                "self_attention.query_key_value":
+                    b.self_attention.query_key_value,
+                "self_attention.dense": b.self_attention.dense,
+                "mlp.dense_h_to_4h": b.mlp.dense_h_to_4h,
+                "mlp.dense_4h_to_h": b.mlp.dense_4h_to_h},
+            norms=lambda b: (
+                {"input_layernorm": b.input_layernorm}
+                | ({} if b.cfg.parallel_attn else
+                   {"post_attention_layernorm": b.post_attention_layernorm})),
+            embed=embed_of("transformer.word_embeddings.weight"),
+            aux=_rope_aux, skip_quant=()),
+    }
 
 
 def gptq_quantize_checkpoint_streaming(model_dir: str, quant_config,
                                        output_dir: str,
                                        calib_ids, dtype=jnp.bfloat16) -> None:
-    """Calibrated streaming GPTQ over a llama-family HF checkpoint
+    """Calibrated streaming GPTQ over an HF checkpoint of ANY zoo family
     (reference layer-wise GPTQ, gptq.py:286-316 + 606-613): each decoder
     layer is BUILT, loaded from the shards, calibrated (Hessians from the
     streamed hidden states), quantized and written out, then freed — the
@@ -184,85 +383,77 @@ def gptq_quantize_checkpoint_streaming(model_dir: str, quant_config,
     from flax import nnx
 
     from ..algorithms.gptq import HessianObserver, gptq_layer_to_woq
-    from ..layers.module_utils import (get_module, named_modules,
-                                       replace_module)
-    from ..models.llama import LlamaDecoderLayer, _rope
+    from ..layers.module_utils import get_module, replace_module
+    from ..models.hf_import import _assign_generic
     from .save_load import _module_meta, _module_tensors
 
     arch = detect_architecture(model_dir)
-    assert arch == "llama", "streaming GPTQ currently targets llama-family"
+    archs = _stream_archs()
+    assert arch in archs, f"unsupported streaming-GPTQ arch {arch!r}"
+    ad = archs[arch]
     os.makedirs(output_dir, exist_ok=True)
     from safetensors.numpy import save_file
 
-    cfg = llama_config_from_hf(model_dir, dtype=dtype)
+    cfg = ad["cfg"](model_dir, dtype=dtype)
     reader = _CheckpointReader(model_dir)
     ids = jnp.asarray(calib_ids)
     B, S = ids.shape
 
-    # embeddings -> initial hidden states
-    embed = _to_jnp(reader.get("model.embed_tokens.weight"), dtype)
-    x = embed[ids]
+    x = ad["embed"](reader, cfg, ids, dtype)
     positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
-    cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta)
     mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
-
-    _LAYER_TENSORS = {
-        "self_attn.q_proj": "self_attn.q_proj",
-        "self_attn.k_proj": "self_attn.k_proj",
-        "self_attn.v_proj": "self_attn.v_proj",
-        "self_attn.o_proj": "self_attn.o_proj",
-        "mlp.gate_proj": "mlp.gate_proj",
-        "mlp.up_proj": "mlp.up_proj",
-        "mlp.down_proj": "mlp.down_proj",
-    }
+    aux = ad["aux"](cfg, positions, mask)
 
     q_tensors: dict = {}
     fp_tensors: dict = {}
     metas: dict = {}
+    quantized_names: set = set()
     rngs = nnx.Rngs(0)
-    for li in range(cfg.num_hidden_layers):
-        layer = LlamaDecoderLayer(cfg, rngs)
-        base = f"model.layers.{li}."
-        for sub in _LAYER_TENSORS:
-            t = _to_jnp(reader.get(f"{base}{sub}.weight"), dtype)
-            get_module(layer, sub).kernel[...] = t.T
-        for ln in ("input_layernorm", "post_attention_layernorm"):
-            t = _to_jnp(reader.get(f"{base}{ln}.weight"), jnp.float32)
-            getattr(layer, ln).weight[...] = t
-            fp_tensors[f"{base}{ln}.weight"] = np.asarray(t)
+    n_layers = cfg.num_hidden_layers
+    for li in range(n_layers):
+        layer = ad["block"](cfg, rngs)
+        base = f"{ad['prefix']}{li}."
+        linears = ad["linears"](layer)
+        norms = ad["norms"](layer)
+        # assign every checkpoint tensor belonging to this layer (weights
+        # transpose, biases and norms as-is — hf_import's rules)
+        for name in reader.names_under(base):
+            rest = name[len(base):]
+            t = _to_jnp(reader.get(name), dtype)
+            _assign_generic(layer, rest, t, linears, norms)
 
-        # Hessians from the streamed hiddens, then quantize in place
-        for sub in _LAYER_TENSORS:
+        quant_subs = [s for s in linears if s not in ad["skip_quant"]]
+        for sub in quant_subs:
             mod = get_module(layer, sub)
             replace_module(layer, sub,
                            HessianObserver(mod, mod.kernel.shape[0]))
-        layer(x, cos, sin, mask)
-        for sub in _LAYER_TENSORS:
+        layer(x, *aux)
+        for sub in quant_subs:
             obs = get_module(layer, sub)
             H = obs.hessian()
-            new = gptq_layer_to_woq(obs.inner.kernel[...], H, quant_config)
+            bias = None if obs.inner.bias is None else obs.inner.bias[...]
+            new = gptq_layer_to_woq(obs.inner.kernel[...], H, quant_config,
+                                    bias=bias)
             replace_module(layer, sub, new)
-            mpath = f"model.layers.{li}.{sub}"
+            mpath = _model_path(f"{base}{sub}", arch)
             metas[mpath] = _module_meta(new)
             for tname, tarr in _module_tensors(new).items():
                 _store(q_tensors, mpath, tname, tarr)
+            quantized_names.add(f"{base}{sub}.weight")
         # propagate through the QUANTIZED layer (sequential scheme)
-        x, _ = layer(x, cos, sin, mask)
+        x, _ = layer(x, *aux)
         del layer
         gc.collect()
-        logger.info("streaming GPTQ: layer %d/%d done", li + 1,
-                    cfg.num_hidden_layers)
+        logger.info("streaming GPTQ: layer %d/%d done", li + 1, n_layers)
 
-    for name in ("model.embed_tokens.weight", "model.norm.weight",
-                 "lm_head.weight"):
-        if name in reader:
-            a = reader.get(name)
-            if a.dtype == np.uint16:
-                fp_tensors[name + ":bf16"] = a
-            else:
-                fp_tensors[name] = a
+    # everything that was not quantized passes through under its original
+    # name (embeddings, norms, heads, buffers) — the output's
+    # model.safetensors is a valid fp view for the family's hf_import
+    for name, arr in _iter_checkpoint_tensors(model_dir):
+        if name not in quantized_names:
+            fp_tensors[name] = np.asarray(arr)
     save_file(q_tensors, os.path.join(output_dir, "quant_model.safetensors"))
-    save_file(fp_tensors, os.path.join(output_dir, FP_NAME))
+    save_file(fp_tensors, os.path.join(output_dir, "model.safetensors"))
     with open(os.path.join(output_dir, CONFIG_NAME), "w") as f:
         json.dump({"format": "default", "modules": metas}, f, indent=2)
     shutil.copy(os.path.join(model_dir, "config.json"),
@@ -273,18 +464,20 @@ def gptq_quantize_checkpoint_streaming(model_dir: str, quant_config,
 
 def load_quantized_checkpoint(ckpt_dir: str, dtype=jnp.bfloat16):
     """Rebuild the quantized model from a streaming-quantized checkpoint
-    (no source fp checkpoint required)."""
-    from flax import nnx
-    from safetensors.numpy import load_file
+    (no source fp checkpoint required, any zoo family): the checkpoint's
+    ``model.safetensors`` is a valid fp view for ``hf_import`` (quantized
+    projections absent), then save_load swaps the quantized modules in."""
+    from safetensors.numpy import load_file, save_file
 
-    from ..models.hf_import import _assign_llama_param
-    from ..models.llama import LlamaForCausalLM
+    from ..models.hf_import import load_hf_model
     from .save_load import load as load_quant
 
-    cfg = llama_config_from_hf(ckpt_dir, dtype=dtype)
-    model = LlamaForCausalLM(cfg, nnx.Rngs(0))
-    for name, arr in load_file(os.path.join(ckpt_dir, FP_NAME)).items():
-        if name.endswith(":bf16"):
-            name = name[: -len(":bf16")]
-        _assign_llama_param(model, name, arr, dtype)
+    fp_view = os.path.join(ckpt_dir, "model.safetensors")
+    legacy = os.path.join(ckpt_dir, FP_NAME)
+    if not os.path.exists(fp_view) and os.path.exists(legacy):
+        # migrate a pre-generalization output (":bf16"-suffixed names)
+        tensors = {k.removesuffix(":bf16"): v
+                   for k, v in load_file(legacy).items()}
+        save_file(tensors, fp_view)
+    model = load_hf_model(ckpt_dir, dtype=dtype)
     return load_quant(ckpt_dir, model)

@@ -111,10 +111,64 @@ def test_streaming_all_archs(family, tmp_path):
     with open(os.path.join(out, "quant_config.json")) as f:
         modules = json.load(f)["modules"]
     assert len(modules) >= 8, modules.keys()
-    # direct quantize of the imported model agrees on the weights
-    m = load_hf_model(d, dtype=jnp.float32)
-    qm = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
-    assert qm is not None
+    # END-TO-END: reload matches direct in-memory quantization of the
+    # imported model (exercises module-path translation + bias carry)
+    m_stream = load_quantized_checkpoint(out, dtype=jnp.float32)
+    qm = nq.quantize(load_hf_model(d, dtype=jnp.float32),
+                     nq.RTNConfig(dtype="int4", group_size=32))
+    ids = jnp.asarray(np.random.default_rng(5).integers(0, 128, (2, 10)))
+    np.testing.assert_allclose(
+        np.asarray(m_stream(ids), dtype=np.float32),
+        np.asarray(qm(ids), dtype=np.float32), atol=2e-3)
+
+
+@pytest.mark.parametrize("family", ["opt", "mixtral", "gptneox"])
+def test_streaming_gptq_all_archs(family, tmp_path):
+    """Calibrated streaming GPTQ generalizes beyond llama: per-family
+    decoder blocks are built/loaded/calibrated one at a time and the
+    reloaded result matches the in-memory GPTQ on the same data
+    (reference layer-wise GPTQ covers any HF model, gptq.py:286-316)."""
+    import transformers
+
+    from neural_compressor_tpu.algorithms.calib_capture import (
+        calibration_forward)
+    from neural_compressor_tpu.models.hf_import import load_hf_model
+    from neural_compressor_tpu.quantization.layer_wise import (
+        gptq_quantize_checkpoint_streaming)
+
+    if family == "opt":
+        hm = transformers.OPTForCausalLM(transformers.OPTConfig(
+            vocab_size=128, hidden_size=64, ffn_dim=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=64))
+    elif family == "mixtral":
+        hm = transformers.MixtralForCausalLM(transformers.MixtralConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, num_local_experts=4,
+            num_experts_per_tok=2, max_position_embeddings=64))
+    else:
+        hm = transformers.GPTNeoXForCausalLM(transformers.GPTNeoXConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=128, rotary_pct=0.25))
+    d = str(tmp_path / family)
+    hm.eval().float().save_pretrained(d, safe_serialization=True)
+
+    rng = np.random.default_rng(7)
+    calib = rng.integers(0, 128, (4, 16))
+    out = str(tmp_path / f"{family}_gptq")
+    gptq_quantize_checkpoint_streaming(
+        d, nq.GPTQConfig(dtype="int4", group_size=32, block_size=32),
+        out, calib, dtype=jnp.float32)
+    m_stream = load_quantized_checkpoint(out, dtype=jnp.float32)
+    m_direct = nq.quantize(
+        load_hf_model(d, dtype=jnp.float32),
+        nq.GPTQConfig(dtype="int4", group_size=32, block_size=32),
+        run_fn=lambda m: calibration_forward(m, [jnp.asarray(calib)]))
+    ids = jnp.asarray(rng.integers(0, 128, (2, 12)))
+    a = np.asarray(m_stream(ids), dtype=np.float32)
+    b = np.asarray(m_direct(ids), dtype=np.float32)
+    np.testing.assert_allclose(a, b, atol=2e-2, rtol=1e-2)
 
 
 def test_streaming_self_contained(hf_dir, tmp_path):
