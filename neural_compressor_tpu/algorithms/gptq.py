@@ -100,6 +100,31 @@ def _qdq_col(w: jax.Array, scale: jax.Array, zero: jax.Array, bits: int,
     return (q - zero) * scale
 
 
+def _tril_inverse_blocked(L: jax.Array, block: int = 256) -> jax.Array:
+    """Invert a lower-triangular [K, K] matrix with bounded memory.
+
+    Blocked forward substitution: each fori_loop step solves one B-row
+    panel against the small [B, B] diagonal block, so no triangular_solve
+    ever sees the full K extent (the XLA:TPU K-sized solve materializes
+    O(K/128) panel temps — 20 GB at K=11008)."""
+    K = L.shape[0]
+    B = next(b for b in range(min(block, K), 0, -1) if K % b == 0)
+    nb = K // B
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)[0]
+
+    def step(p, M):
+        r0 = p * B
+        Lrow = jax.lax.dynamic_slice(L, (r0, 0), (B, K))
+        Lb = jax.lax.dynamic_slice(L, (r0, r0), (B, B))
+        E = (k_idx[None, :] == (r0 + jnp.arange(B))[:, None]).astype(L.dtype)
+        X = Lrow @ M  # rows >= r0 of M are still zero
+        Y = jax.lax.linalg.triangular_solve(Lb, E - X, left_side=True,
+                                            lower=True)
+        return jax.lax.dynamic_update_slice(M, Y, (r0, 0))
+
+    return jax.lax.fori_loop(0, nb, step, jnp.zeros_like(L))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "group_size", "sym", "act_order", "percdamp",
@@ -196,12 +221,18 @@ def gptq_quantize_matrix(W: jax.Array, H: jax.Array, *, bits=4,
         z_all = jnp.zeros((n_groups, N), dtype=jnp.float32)
         g_of_col = jnp.arange(K) // G
 
-    # damped Cholesky inverse, upper factor (reference gptq.py:1221-1231)
+    # damped Cholesky inverse, upper factor (reference gptq.py:1221-1231).
+    # Computed WITHOUT forming Hinv: with J the reversal permutation and
+    # L̃ = chol(JHJ), the upper factor satisfying Hinv = UᵀU is
+    # U = J·L̃⁻¹·J  (H = C⁻ᵀC⁻¹ ⇒ C⁻ᵀ is an upper factor of H, and
+    # reversal turns upper-times-upperᵀ into ordinary Cholesky form).
+    # The direct cho_solve(eye(K)) route OOMs the TPU compiler at 7B
+    # scale: XLA's K-sized triangular_solve keeps O(K/128) panel temps
+    # live (~20 GB at K=11008); the blocked inverse is fori_loop-bounded.
     damp = percdamp * jnp.mean(jnp.diagonal(H))
     H = H + damp * jnp.eye(K, dtype=jnp.float32)
-    L = jnp.linalg.cholesky(H)
-    Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(K, dtype=jnp.float32))
-    U = jnp.linalg.cholesky(Hinv.T).T  # upper-triangular factor of Hinv
+    Lrev = jnp.linalg.cholesky(H[::-1, ::-1])
+    U = _tril_inverse_blocked(Lrev)[::-1, ::-1]  # upper factor of Hinv
 
     nb = K // B
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
