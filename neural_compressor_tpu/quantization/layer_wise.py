@@ -43,6 +43,7 @@ from ..models.hf_import import (
     detect_architecture,
     llama_config_from_hf,
 )
+from ..ops.native_io import CheckpointReader
 from ..ops.packing import pack_qtensor
 from ..ops.qtensor import quantize_tensor
 from .save_load import CONFIG_NAME, _module_meta, _module_tensors, _store
@@ -164,38 +165,11 @@ def quantize_hf_checkpoint_streaming(model_dir: str, quant_config,
                 n_q, model_dir, output_dir)
 
 
-class _CheckpointReader:
-    """Random-access tensor reader over single/sharded HF safetensors."""
-
-    def __init__(self, model_dir: str):
-        from safetensors import safe_open
-
-        self._handles = {}
-        self._where = {}
-        index = os.path.join(model_dir, "model.safetensors.index.json")
-        if os.path.exists(index):
-            with open(index) as f:
-                weight_map = json.load(f)["weight_map"]
-            for name, shard in weight_map.items():
-                self._where[name] = shard
-            for shard in set(weight_map.values()):
-                self._handles[shard] = safe_open(
-                    os.path.join(model_dir, shard), framework="np")
-        else:
-            h = safe_open(os.path.join(model_dir, "model.safetensors"),
-                          framework="np")
-            self._handles["_"] = h
-            for name in h.keys():
-                self._where[name] = "_"
-
-    def get(self, name: str):
-        return self._handles[self._where[name]].get_tensor(name)
-
-    def names_under(self, prefix: str):
-        return sorted(n for n in self._where if n.startswith(prefix))
-
-    def __contains__(self, name):
-        return name in self._where
+# Random-access reader over single/sharded HF safetensors. Native path
+# (ops/native_io.py): mmap'ed shards, background page-in of the next
+# layer's tensors, multi-threaded bf16->f32 widening; transparent
+# safetensors fallback without the toolchain.
+_CheckpointReader = CheckpointReader
 
 
 # --- streaming-GPTQ family adapters ----------------------------------------
@@ -421,6 +395,11 @@ def gptq_quantize_checkpoint_streaming(model_dir: str, quant_config,
             rest = name[len(base):]
             t = _to_jnp(reader.get(name), dtype)
             _assign_generic(layer, rest, t, linears, norms)
+        # page-in the next layer's shard bytes while this layer runs
+        # calibration + GPTQ on the TPU (native reader only; no-op on the
+        # safetensors fallback)
+        if li + 1 < n_layers:
+            reader.prefetch_prefix(f"{ad['prefix']}{li + 1}.")
 
         quant_subs = [s for s in linears if s not in ad["skip_quant"]]
         for sub in quant_subs:
