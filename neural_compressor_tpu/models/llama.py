@@ -540,6 +540,13 @@ def build_quantized(preset_or_cfg, quant_config, seed: int = 0,
         holder = _LayerHolder(layer)
         _quantize(holder, quant_config)
         model.model.layers.append(holder.layer)
+    if getattr(quant_config, "quant_lm_head", False) and \
+            model.lm_head is not None:
+        # the head is the single largest weight (262 MB bf16 at 7B);
+        # quantizing it saves ~0.25 ms/decode step (PERF_NOTES open levers)
+        holder = _LayerHolder(model.lm_head)
+        _quantize(holder, quant_config)
+        model.lm_head = holder.layer
     return model
 
 
