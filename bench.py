@@ -86,6 +86,9 @@ def main():
     ap.add_argument("--fp-lm-head", action="store_true",
                     help="keep the lm_head in bf16 (default quantizes it: "
                          "262 MB -> 66 MB at 7B, ~0.25 ms/step)")
+    ap.add_argument("--no-w4a8", action="store_true",
+                    help="serve bf16-activation dequant matmuls instead of "
+                         "the default W4A8 modules (int8 dynamic act quant)")
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
@@ -110,11 +113,13 @@ def main():
         LlamaConfig(**params),
         nq.RTNConfig(dtype="int4", group_size=128,
                      quant_lm_head=not args.fp_lm_head))
-    from neural_compressor_tpu.quantization.fuse import fuse_for_serving
+    from neural_compressor_tpu.quantization.fuse import (fuse_for_serving,
+                                                         to_w4a8_serving)
 
     nf = fuse_for_serving(qmodel)
+    nw = 0 if args.no_w4a8 else to_w4a8_serving(qmodel)
     print(f"  build+quantize took {time.time()-t0:.1f}s "
-          f"({nf} fused groups)", file=sys.stderr)
+          f"({nf} fused groups, {nw} W4A8 modules)", file=sys.stderr)
 
     int4_tok_s = measure_decode(qmodel, args.batch, args.max_len, args.steps,
                                 label="int4")

@@ -72,3 +72,30 @@ def fuse_for_serving(model) -> int:
                 n += 1
     logger.info("Fused %d projection groups for serving", n)
     return n
+
+
+def to_w4a8_serving(model) -> int:
+    """Swap every WOQLinear (fused included) for a W4A8Linear in place.
+
+    Same packed int4 weights; activations are dynamically quantized to
+    int8 at runtime (reference HPUMixedPrecisionLinear,
+    mixed_low_precision/modules.py:31), so no calibration is needed.
+    Decode runs the all-integer VPU matvec, prefill the int8-MXU kernel —
+    both measured faster than the bf16 dequant path (PERF_NOTES).
+    Returns the number of modules converted."""
+    from ..layers.module_utils import replace_module
+    from ..layers.woq_linear import W4A8Linear
+
+    n = 0
+    for path, mod in list(named_modules(model)):
+        if type(mod) is WOQLinear:
+            w4a8 = W4A8Linear(
+                mod.packed_weight(),
+                bias=None if mod.bias is None else mod.bias[...],
+                impl=mod.impl,
+                pre_scale=(None if mod.pre_scale is None
+                           else mod.pre_scale[...]))
+            replace_module(model, path, w4a8)
+            n += 1
+    logger.info("Converted %d modules to W4A8 serving", n)
+    return n

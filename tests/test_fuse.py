@@ -51,3 +51,28 @@ def test_fused_model_save_load_roundtrip(tmp_path):
     assert att.q_proj is None and att.qkv_proj is not None
     np.testing.assert_array_equal(
         np.asarray(loaded(ids), dtype=np.float32), y0)
+
+
+def test_to_w4a8_serving_swap_and_closeness():
+    from neural_compressor_tpu.layers.woq_linear import W4A8Linear, WOQLinear
+    from neural_compressor_tpu.layers.module_utils import named_modules
+    from neural_compressor_tpu.quantization.fuse import to_w4a8_serving
+
+    rng = np.random.default_rng(3)
+    m = LlamaForCausalLM.from_preset("llama-test")
+    ids = jnp.asarray(rng.integers(0, 256, (1, 16)))
+    qm = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+    nq.fuse_for_serving(qm)
+    y0 = np.asarray(qm(ids), dtype=np.float32)
+    n = to_w4a8_serving(qm)
+    assert n > 0
+    kinds = {type(mod) for _p, mod in named_modules(qm)
+             if isinstance(mod, WOQLinear)}
+    assert kinds == {W4A8Linear}  # every quantized module swapped
+    # int8 dynamic act quant perturbs outputs slightly, never wildly
+    y1 = np.asarray(qm(ids), dtype=np.float32)
+    rel = np.abs(y1 - y0).max() / (np.abs(y0).max() + 1e-9)
+    assert rel < 0.1, rel
+    # token-level agreement on a short greedy rollout
+    g0 = np.asarray(greedy_search(qm, ids[:, :8], max_new_tokens=4))
+    assert g0.shape[-1] == 12
