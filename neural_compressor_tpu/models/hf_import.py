@@ -66,7 +66,11 @@ def llama_config_from_hf(model_dir: str, dtype=jnp.bfloat16) -> LlamaConfig:
         rope_theta=hf.get("rope_theta", 10000.0),
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
         attention_bias=(hf.get("attention_bias", False)
-                        or hf.get("model_type") == "qwen2"),
+                        or hf.get("model_type") in ("qwen2", "glm")),
+        rope_style=("interleaved_partial" if hf.get("model_type") == "glm"
+                    else "half"),
+        partial_rotary_factor=(hf.get("partial_rotary_factor", 0.5)
+                               if hf.get("model_type") == "glm" else 1.0),
         dtype=dtype,
     )
 
@@ -110,6 +114,15 @@ def _assign_llama_param(model, name: str, arr: np.ndarray, dtype) -> int:
         }
         if rest in mapping:
             mapping[rest].kernel[...] = t.T  # torch [out,in] -> [in,out]
+            return 1
+        if rest == "mlp.gate_up_proj.weight":
+            # GLM fused gate_up [2I, H]: gate is the first half (HF
+            # GlmMLP chunk(2) order); split so per-projection quantization
+            # and fuse_for_serving work unchanged
+            tt = t.T
+            inter = tt.shape[1] // 2
+            layer.mlp.gate_proj.kernel[...] = tt[:, :inter]
+            layer.mlp.up_proj.kernel[...] = tt[:, inter:]
             return 1
         bias_map = {
             "self_attn.q_proj.bias": layer.self_attn.q_proj,
@@ -657,6 +670,10 @@ def detect_architecture(model_dir: str) -> str:
         return "mixtral"
     if (has("Llama") or has("Mistral") or has("Qwen2")
             or mt in ("llama", "mistral", "qwen2")):
+        return "llama"
+    if has("GlmForCausalLM") or mt == "glm":
+        # GLM (chatglm lineage, HF-native form) maps onto the llama stack:
+        # GQA + qkv bias + partial interleaved rotary + fused gate_up
         return "llama"
     if has("GPTJ") or mt == "gptj":
         return "gptj"

@@ -38,6 +38,11 @@ class LlamaConfig:
     tie_word_embeddings: bool = False
     # qwen2-style attention: biases on q/k/v projections only
     attention_bias: bool = False
+    # GLM-style rotary: "half" = HF llama rotate-half over the full head
+    # dim; "interleaved_partial" = GLM/chatglm rotate-every-two over the
+    # first partial_rotary_factor * head_dim dims, rest pass-through
+    rope_style: str = "half"
+    partial_rotary_factor: float = 1.0
     dtype: object = jnp.bfloat16
 
     def __post_init__(self):
@@ -71,6 +76,22 @@ LLAMA_PRESETS = {
                        intermediate_size=256, num_hidden_layers=2,
                        num_attention_heads=4, num_key_value_heads=2,
                        max_position_embeddings=128, attention_bias=True),
+    # GLM family (chatglm lineage in its HF-native "glm" form): GQA with
+    # 2 kv heads, qkv biases, partial interleaved rotary, fused gate_up
+    # in the checkpoint (split to gate/up on import, re-fused for serving)
+    "glm-4-9b": dict(vocab_size=151552, hidden_size=4096,
+                     intermediate_size=13696, num_hidden_layers=40,
+                     num_attention_heads=32, num_key_value_heads=2,
+                     head_dim=128, rms_norm_eps=1.5625e-7,
+                     rope_theta=10000.0, attention_bias=True,
+                     rope_style="interleaved_partial",
+                     partial_rotary_factor=0.5),
+    "glm-test": dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     num_key_value_heads=2, head_dim=16,
+                     max_position_embeddings=128, attention_bias=True,
+                     rope_style="interleaved_partial",
+                     partial_rotary_factor=0.5),
 }
 
 
@@ -275,24 +296,42 @@ class RMSNorm(nnx.Module):
         return (xn * self.weight[...]).astype(self.dtype)
 
 
-def _rope(positions: jax.Array, head_dim: int, theta: float):
-    """Rotary embedding tables: cos/sin [B, S, D/2] (f32)."""
-    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
-                                / head_dim))
-    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B, S, D/2]
+def _rope(positions: jax.Array, head_dim: int, theta: float,
+          partial_factor: float = 1.0):
+    """Rotary embedding tables: cos/sin [B, S, rd/2] (f32), where
+    rd = partial_factor * head_dim is the rotated width."""
+    rd = int(head_dim * partial_factor)
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B,S,rd/2]
     return jnp.cos(angles), jnp.sin(angles)
 
 
-def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: [B, S, H, D]; rotate-half convention (HF llama)."""
-    d2 = x.shape[-1] // 2
-    x1, x2 = x[..., :d2], x[..., d2:]
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
+               style: str = "half") -> jax.Array:
+    """x: [B, S, H, D]; cos/sin [B, S, rd/2].
+
+    ``half``: HF llama rotate-half over the full head dim (rd == D).
+    ``interleaved_partial``: GLM rotate-every-two — pair (2i, 2i+1) of the
+    first rd dims rotates by angle pos*inv_freq[i]; dims >= rd pass
+    through (HF modeling_glm.apply_rotary_pos_emb)."""
     cos = cos[:, :, None, :]
     sin = sin[:, :, None, :]
-    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
-    return jnp.concatenate(
-        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
-    ).astype(x.dtype)
+    if style == "half":
+        d2 = x.shape[-1] // 2
+        x1, x2 = x[..., :d2], x[..., d2:]
+        xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+        return jnp.concatenate(
+            [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
+        ).astype(x.dtype)
+    assert style == "interleaved_partial", style
+    rd = 2 * cos.shape[-1]
+    xr = x[..., :rd].astype(jnp.float32)
+    xp = x[..., rd:]
+    x1, x2 = xr[..., 0::2], xr[..., 1::2]
+    r1 = x1 * cos - x2 * sin
+    r2 = x2 * cos + x1 * sin
+    rot = jnp.stack([r1, r2], axis=-1).reshape(xr.shape).astype(x.dtype)
+    return jnp.concatenate([rot, xp], axis=-1)
 
 
 class LlamaAttention(nnx.Module):
@@ -324,8 +363,8 @@ class LlamaAttention(nnx.Module):
             q = self.q_proj(x).reshape(B, S, H, D)
             k = self.k_proj(x).reshape(B, S, Hkv, D)
             v = self.v_proj(x).reshape(B, S, Hkv, D)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = apply_rope(q, cos, sin, cfg.rope_style)
+        k = apply_rope(k, cos, sin, cfg.rope_style)
         # head-major [B, H, S, D]: matches the cache layout, no relayout in
         # the attention einsums
         q = q.transpose(0, 2, 1, 3)
@@ -469,7 +508,8 @@ class LlamaModel(nnx.Module):
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
         x = self.embed_tokens(input_ids)
-        cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta)
+        cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta,
+                         cfg.partial_rotary_factor)
 
         if caches is None:
             # causal mask [1, 1, S, S]

@@ -93,6 +93,21 @@ def _model_path(name: str, arch: str) -> str:
     return name.removeprefix(_MODULE_PREFIX_STRIP.get(arch, ""))
 
 
+def _remap_stream_tensor(name: str, arr):
+    """Split checkpoint-fused tensors into our per-projection modules.
+
+    GLM stores gate|up fused as ``mlp.gate_up_proj.weight`` [2I, H]
+    (torch layout, gate first — HF GlmMLP chunk(2) order); our llama tree
+    keeps gate_proj/up_proj separate so per-projection quantization and
+    fuse_for_serving work unchanged."""
+    if name.endswith("mlp.gate_up_proj.weight"):
+        inter = arr.shape[0] // 2
+        stem = name[: -len("gate_up_proj.weight")]
+        return [(stem + "gate_proj.weight", arr[:inter]),
+                (stem + "up_proj.weight", arr[inter:])]
+    return [(name, arr)]
+
+
 def _module_path_for(name: str, arch: str) -> str | None:
     """HF tensor name -> quantizable module path, or None to pass through."""
     if name.endswith(".weight") and any(
@@ -119,7 +134,8 @@ def quantize_hf_checkpoint_streaming(model_dir: str, quant_config,
     metas: dict = {}
     bias_map: dict = {}
     n_q = 0
-    for name, arr in _iter_checkpoint_tensors(model_dir):
+    for raw_name, raw_arr in _iter_checkpoint_tensors(model_dir):
+      for name, arr in _remap_stream_tensor(raw_name, raw_arr):
         mpath = _module_path_for(name, arch)
         quantizable = (
             mpath is not None
@@ -204,7 +220,8 @@ def _mixtral_linears(blk):
 def _rope_aux(cfg, positions, mask):
     from ..models.llama import _rope
 
-    cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta,
+                     getattr(cfg, "partial_rotary_factor", 1.0))
     return (cos, sin, mask)
 
 
@@ -392,9 +409,11 @@ def gptq_quantize_checkpoint_streaming(model_dir: str, quant_config,
         # assign every checkpoint tensor belonging to this layer (weights
         # transpose, biases and norms as-is — hf_import's rules)
         for name in reader.names_under(base):
-            rest = name[len(base):]
-            t = _to_jnp(reader.get(name), dtype)
-            _assign_generic(layer, rest, t, linears, norms)
+            for name2, piece in _remap_stream_tensor(name,
+                                                     reader.get(name)):
+                rest = name2[len(base):]
+                t = _to_jnp(piece, dtype)
+                _assign_generic(layer, rest, t, linears, norms)
         # page-in the next layer's shard bytes while this layer runs
         # calibration + GPTQ on the TPU (native reader only; no-op on the
         # safetensors fallback)
@@ -429,8 +448,13 @@ def gptq_quantize_checkpoint_streaming(model_dir: str, quant_config,
     # name (embeddings, norms, heads, buffers) — the output's
     # model.safetensors is a valid fp view for the family's hf_import
     for name, arr in _iter_checkpoint_tensors(model_dir):
-        if name not in quantized_names:
+        pieces = _remap_stream_tensor(name, arr)
+        keep = [(n2, a2) for n2, a2 in pieces if n2 not in quantized_names]
+        if len(keep) == len(pieces) and name not in quantized_names:
             fp_tensors[name] = np.asarray(arr)
+        else:
+            for n2, a2 in keep:  # un-quantized remainder of a fused tensor
+                fp_tensors[n2] = np.asarray(a2)
     save_file(q_tensors, os.path.join(output_dir, "quant_model.safetensors"))
     save_file(fp_tensors, os.path.join(output_dir, "model.safetensors"))
     with open(os.path.join(output_dir, CONFIG_NAME), "w") as f:

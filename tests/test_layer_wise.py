@@ -122,7 +122,7 @@ def test_streaming_all_archs(family, tmp_path):
         np.asarray(qm(ids), dtype=np.float32), atol=2e-3)
 
 
-@pytest.mark.parametrize("family", ["opt", "mixtral", "gptneox"])
+@pytest.mark.parametrize("family", ["opt", "mixtral", "gptneox", "glm"])
 def test_streaming_gptq_all_archs(family, tmp_path):
     """Calibrated streaming GPTQ generalizes beyond llama: per-family
     decoder blocks are built/loaded/calibrated one at a time and the
@@ -147,6 +147,14 @@ def test_streaming_gptq_all_archs(family, tmp_path):
             num_hidden_layers=2, num_attention_heads=4,
             num_key_value_heads=2, num_local_experts=4,
             num_experts_per_tok=2, max_position_embeddings=64))
+    elif family == "glm":
+        # fused gate_up in the checkpoint — exercises the stream remap
+        hm = transformers.GlmForCausalLM(transformers.GlmConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, partial_rotary_factor=0.5,
+            attention_bias=True, max_position_embeddings=64,
+            pad_token_id=0, eos_token_id=1))
     else:
         hm = transformers.GPTNeoXForCausalLM(transformers.GPTNeoXConfig(
             vocab_size=128, hidden_size=64, num_hidden_layers=2,

@@ -206,3 +206,51 @@ class TestNewFamilies:
         assert n_woq >= 4
         out = greedy_search(qm, ids, max_new_tokens=4)
         assert out.shape == (1, 12)
+
+
+def test_glm_hf_parity(tmp_path):
+    """GLM (chatglm lineage, HF-native form) folds onto the llama stack:
+    GQA + qkv biases + partial INTERLEAVED rotary + fused gate_up split on
+    import (reference recipe family THUDM/chatglm, llm_recipes.md)."""
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.GlmConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, partial_rotary_factor=0.5, attention_bias=True,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=1)
+    hf_model = transformers.GlmForCausalLM(cfg).eval().float()
+    d = tmp_path / "glm"
+    hf_model.save_pretrained(d, safe_serialization=True)
+    assert detect_architecture(str(d)) == "llama"
+    model = load_hf_model(str(d), dtype=jnp.float32)
+    assert model.cfg.rope_style == "interleaved_partial"
+    assert model.cfg.partial_rotary_factor == 0.5
+    ids = np.random.default_rng(1).integers(0, 128, (2, 12))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(model(jnp.asarray(ids)), dtype=np.float32)
+    err = np.abs(ref - got).max()
+    assert err < 5e-3, err
+    # KV-cache decode must agree with the full forward (rope pass-through
+    # dims exercise the cache path too)
+    caches = init_kv_cache(model.cfg, 2, 16)
+    logits, caches = model(jnp.asarray(ids[:, :8]),
+                           caches=caches, cache_pos=0)
+    step, caches = model(jnp.asarray(ids[:, 8:9]),
+                         positions=jnp.full((2, 1), 8), caches=caches,
+                         cache_pos=8)
+    full = model(jnp.asarray(ids[:, :9]))
+    np.testing.assert_allclose(np.asarray(step[:, 0]),
+                               np.asarray(full[:, 8]), atol=2e-3)
+    # quantize + generate
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.generation import greedy_search
+
+    qm = nq.quantize(model, nq.RTNConfig(dtype="int4", group_size=16))
+    assert nq.fuse_for_serving(qm) == 4
+    out = greedy_search(qm, jnp.asarray(ids[:1]), max_new_tokens=4)
+    assert out.shape == (1, 16)
