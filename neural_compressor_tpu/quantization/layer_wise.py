@@ -465,11 +465,18 @@ def gptq_quantize_checkpoint_streaming(model_dir: str, quant_config,
                 len(metas), model_dir, output_dir)
 
 
-def load_quantized_checkpoint(ckpt_dir: str, dtype=jnp.bfloat16):
+def load_quantized_checkpoint(ckpt_dir: str, dtype=jnp.bfloat16,
+                              streaming: bool | None = None):
     """Rebuild the quantized model from a streaming-quantized checkpoint
     (no source fp checkpoint required, any zoo family): the checkpoint's
     ``model.safetensors`` is a valid fp view for ``hf_import`` (quantized
-    projections absent), then save_load swaps the quantized modules in."""
+    projections absent), then save_load swaps the quantized modules in.
+
+    ``streaming`` (default auto = on for llama-family): build + load one
+    decoder layer at a time so the fp skeleton is never materialized —
+    required to serve a >RAM checkpoint (a 7B bf16 skeleton alone fills a
+    16 GB chip). The transient is one fp layer.
+    """
     from safetensors.numpy import load_file, save_file
 
     from ..models.hf_import import load_hf_model
@@ -482,5 +489,71 @@ def load_quantized_checkpoint(ckpt_dir: str, dtype=jnp.bfloat16):
         tensors = {k.removesuffix(":bf16"): v
                    for k, v in load_file(legacy).items()}
         save_file(tensors, fp_view)
+    arch = detect_architecture(ckpt_dir)
+    if streaming is None:
+        streaming = arch == "llama"
+    if streaming and arch == "llama":
+        return _load_quantized_llama_streaming(ckpt_dir, dtype)
     model = load_hf_model(ckpt_dir, dtype=dtype)
     return load_quant(ckpt_dir, model)
+
+
+def _load_quantized_llama_streaming(ckpt_dir: str, dtype):
+    """Layer-at-a-time rebuild of a quantized llama-family checkpoint."""
+    import dataclasses
+
+    from flax import nnx
+    from safetensors.numpy import load_file
+
+    from ..layers.module_utils import replace_module
+    from ..models.hf_import import _assign_llama_param
+    from ..models.llama import LlamaDecoderLayer, LlamaForCausalLM
+    from .save_load import (CONFIG_NAME as QCFG, WEIGHTS_NAME, _rebuild,
+                            _restore_array)
+
+    cfg = llama_config_from_hf(ckpt_dir, dtype=dtype)
+    with open(os.path.join(ckpt_dir, QCFG)) as f:
+        qcfg = json.load(f)
+    per_module: dict[str, dict] = {}
+    for key, arr in load_file(os.path.join(ckpt_dir, WEIGHTS_NAME)).items():
+        path, name = key.rsplit("/", 1)
+        name = name.split(":", 1)[0]
+        per_module.setdefault(path, {})[name] = _restore_array(key, arr)
+
+    def swap_in(model, path, meta):
+        replace_module(model, path, _rebuild(meta, per_module.get(path, {})))
+        if path.endswith(".qkv_proj"):
+            parent = path.rsplit(".", 1)[0]
+            for dead in ("q_proj", "k_proj", "v_proj"):
+                replace_module(model, f"{parent}.{dead}", None)
+        elif path.endswith(".gate_up_proj"):
+            parent = path.rsplit(".", 1)[0]
+            for dead in ("gate_proj", "up_proj"):
+                replace_module(model, f"{parent}.{dead}", None)
+
+    reader = _CheckpointReader(ckpt_dir)
+    model = LlamaForCausalLM(
+        dataclasses.replace(cfg, num_hidden_layers=0), nnx.Rngs(0))
+    model.cfg = cfg
+    model.model.cfg = cfg
+    rngs = nnx.Rngs(1)
+    n_q = 0
+    for li in range(cfg.num_hidden_layers):
+        model.model.layers.append(LlamaDecoderLayer(cfg, rngs))
+        base = f"model.layers.{li}."
+        for name in reader.names_under(base):
+            _assign_llama_param(model, name, reader.get(name), dtype)
+        for path, meta in qcfg["modules"].items():
+            if path.startswith(base):
+                swap_in(model, path, meta)
+                n_q += 1
+    for name in reader.names_under(""):
+        if not name.startswith("model.layers."):
+            _assign_llama_param(model, name, reader.get(name), dtype)
+    for path, meta in qcfg["modules"].items():  # e.g. quantized lm_head
+        if not path.startswith("model.layers."):
+            swap_in(model, path, meta)
+            n_q += 1
+    logger.info("Streaming-loaded %d quantized modules from %s",
+                n_q, ckpt_dir)
+    return model
