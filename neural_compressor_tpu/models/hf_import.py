@@ -52,6 +52,8 @@ def _to_jnp(arr: np.ndarray, dtype) -> jnp.ndarray:
 def llama_config_from_hf(model_dir: str, dtype=jnp.bfloat16) -> LlamaConfig:
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
+    if hf.get("model_type") == "chatglm":
+        hf = _chatglm_hf_keys(hf)
     return LlamaConfig(
         vocab_size=hf["vocab_size"],
         hidden_size=hf["hidden_size"],
@@ -75,13 +77,83 @@ def llama_config_from_hf(model_dir: str, dtype=jnp.bfloat16) -> LlamaConfig:
     )
 
 
+def _chatglm_hf_keys(hf: dict) -> dict:
+    """Translate a THUDM chatglm2/3 config.json into HF-native glm keys
+    (the two formats describe the same graph; transformers' Glm* is the
+    converted form of THUDM's modeling_chatglm)."""
+    heads = hf["num_attention_heads"]
+    return dict(
+        hf,
+        model_type="glm",
+        vocab_size=hf.get("padded_vocab_size", hf.get("vocab_size")),
+        intermediate_size=hf["ffn_hidden_size"],
+        num_hidden_layers=hf["num_layers"],
+        num_key_value_heads=(hf.get("multi_query_group_num", heads)
+                             if hf.get("multi_query_attention", False)
+                             else heads),
+        head_dim=hf.get("kv_channels"),
+        max_position_embeddings=hf.get("seq_length", 32768),
+        rms_norm_eps=hf.get("layernorm_epsilon", 1e-5),
+        rope_theta=10000.0 * hf.get("rope_ratio", 1.0),
+        attention_bias=hf.get("add_qkv_bias", True),
+        partial_rotary_factor=0.5,
+        tie_word_embeddings=False,
+    )
+
+
+def chatglm_remap_tensor(name: str, arr, cfg) -> list:
+    """THUDM chatglm2/3 tensor -> llama/glm-tree tensors (with fused-qkv
+    and fused-gate_up splits). Returns [] for buffers to drop
+    (rotary inv_freq caches)."""
+    top = {
+        "transformer.embedding.word_embeddings.weight":
+            "model.embed_tokens.weight",
+        "transformer.encoder.final_layernorm.weight": "model.norm.weight",
+        "transformer.output_layer.weight": "lm_head.weight",
+    }
+    if name in top:
+        return [(top[name], arr)]
+    pre = "transformer.encoder.layers."
+    if not name.startswith(pre):
+        return []
+    li, sub = name[len(pre):].split(".", 1)
+    base = f"model.layers.{li}."
+    if sub.startswith("self_attention.query_key_value."):
+        kind = sub.rsplit(".", 1)[1]  # weight | bias
+        q_rows = cfg.num_attention_heads * cfg.head_dim
+        kv_rows = cfg.num_key_value_heads * cfg.head_dim
+        return [(f"{base}self_attn.q_proj.{kind}", arr[:q_rows]),
+                (f"{base}self_attn.k_proj.{kind}",
+                 arr[q_rows:q_rows + kv_rows]),
+                (f"{base}self_attn.v_proj.{kind}",
+                 arr[q_rows + kv_rows:q_rows + 2 * kv_rows])]
+    if sub == "self_attention.dense.weight":
+        return [(f"{base}self_attn.o_proj.weight", arr)]
+    if sub == "mlp.dense_h_to_4h.weight":
+        inter = arr.shape[0] // 2  # swiglu chunk(2): gate first, up second
+        return [(f"{base}mlp.gate_proj.weight", arr[:inter]),
+                (f"{base}mlp.up_proj.weight", arr[inter:])]
+    if sub == "mlp.dense_4h_to_h.weight":
+        return [(f"{base}mlp.down_proj.weight", arr)]
+    if sub in ("input_layernorm.weight", "post_attention_layernorm.weight"):
+        return [(base + sub, arr)]
+    return []
+
+
 def load_hf_llama(model_dir: str, dtype=jnp.bfloat16) -> LlamaForCausalLM:
-    """Build a LlamaForCausalLM and fill it from a local HF checkpoint."""
+    """Build a LlamaForCausalLM and fill it from a local HF checkpoint
+    (llama/mistral/qwen2/glm; THUDM chatglm2/3 layout is remapped)."""
     cfg = llama_config_from_hf(model_dir, dtype=dtype)
+    with open(os.path.join(model_dir, "config.json")) as f:
+        chatglm = json.load(f).get("model_type") == "chatglm"
     model = LlamaForCausalLM(cfg, nnx.Rngs(0))
     n = 0
     for name, arr in _iter_checkpoint_tensors(model_dir):
-        n += _assign_llama_param(model, name, arr, dtype)
+        if chatglm:
+            for name2, piece in chatglm_remap_tensor(name, arr, cfg):
+                n += _assign_llama_param(model, name2, piece, dtype)
+        else:
+            n += _assign_llama_param(model, name, arr, dtype)
     logger.info("Loaded %d HF tensors from %s", n, model_dir)
     return model
 
@@ -671,9 +743,11 @@ def detect_architecture(model_dir: str) -> str:
     if (has("Llama") or has("Mistral") or has("Qwen2")
             or mt in ("llama", "mistral", "qwen2")):
         return "llama"
-    if has("GlmForCausalLM") or mt == "glm":
-        # GLM (chatglm lineage, HF-native form) maps onto the llama stack:
-        # GQA + qkv bias + partial interleaved rotary + fused gate_up
+    if has("GlmForCausalLM") or has("ChatGLM") or mt in ("glm", "chatglm"):
+        # GLM (chatglm lineage) maps onto the llama stack: GQA + qkv bias
+        # + partial interleaved rotary + fused gate_up. The original THUDM
+        # layout (fused MQA qkv, transformer.encoder.*) is remapped on
+        # import (chatglm_remap_tensor)
         return "llama"
     if has("GPTJ") or mt == "gptj":
         return "gptj"

@@ -254,3 +254,72 @@ def test_glm_hf_parity(tmp_path):
     assert nq.fuse_for_serving(qm) == 4
     out = greedy_search(qm, jnp.asarray(ids[:1]), max_new_tokens=4)
     assert out.shape == (1, 16)
+
+
+def test_chatglm_thudm_layout_import(tmp_path):
+    """The original THUDM chatglm2/3 checkpoint layout (fused MQA
+    query_key_value, fused dense_h_to_4h, transformer.encoder.* names)
+    imports to the same numerics as the HF-native glm form (reference
+    recipe models THUDM/chatglm2-6b, chatglm3-6b)."""
+    import json
+
+    import torch
+    import transformers
+    from safetensors.torch import save_file
+
+    torch.manual_seed(0)
+    cfg = transformers.GlmConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, partial_rotary_factor=0.5, attention_bias=True,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=1)
+    hf_model = transformers.GlmForCausalLM(cfg).eval().float()
+    sd = hf_model.state_dict()
+
+    # write the SAME weights in THUDM layout
+    out = {}
+    out["transformer.embedding.word_embeddings.weight"] = \
+        sd["model.embed_tokens.weight"]
+    out["transformer.encoder.final_layernorm.weight"] = \
+        sd["model.norm.weight"]
+    out["transformer.output_layer.weight"] = sd["lm_head.weight"]
+    for li in range(2):
+        s, d = f"model.layers.{li}.", f"transformer.encoder.layers.{li}."
+        for kind in ("weight", "bias"):
+            out[f"{d}self_attention.query_key_value.{kind}"] = torch.cat(
+                [sd[f"{s}self_attn.{p}_proj.{kind}"] for p in "qkv"], dim=0)
+        out[f"{d}self_attention.dense.weight"] = \
+            sd[f"{s}self_attn.o_proj.weight"]
+        out[f"{d}mlp.dense_h_to_4h.weight"] = \
+            sd[f"{s}mlp.gate_up_proj.weight"]
+        out[f"{d}mlp.dense_4h_to_h.weight"] = \
+            sd[f"{s}mlp.down_proj.weight"]
+        for nm in ("input_layernorm.weight",
+                   "post_attention_layernorm.weight"):
+            out[d + nm] = sd[s + nm]
+    d = tmp_path / "chatglm"
+    d.mkdir()
+    save_file({k: v.contiguous() for k, v in out.items()},
+              str(d / "model.safetensors"))
+    with open(d / "config.json", "w") as f:
+        json.dump({
+            "model_type": "chatglm",
+            "architectures": ["ChatGLMForConditionalGeneration"],
+            "padded_vocab_size": 128, "hidden_size": 64,
+            "ffn_hidden_size": 128, "num_layers": 2,
+            "num_attention_heads": 4, "multi_query_attention": True,
+            "multi_query_group_num": 2, "kv_channels": 16,
+            "seq_length": 64, "layernorm_epsilon": cfg.rms_norm_eps,
+            "add_qkv_bias": True, "rope_ratio": 1.0,
+        }, f)
+
+    assert detect_architecture(str(d)) == "llama"
+    model = load_hf_model(str(d), dtype=jnp.float32)
+    assert model.cfg.rope_style == "interleaved_partial"
+    ids = np.random.default_rng(2).integers(0, 128, (2, 12))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(model(jnp.asarray(ids)), dtype=np.float32)
+    err = np.abs(ref - got).max()
+    assert err < 5e-3, err
