@@ -53,13 +53,48 @@ def _quantize_elem_int(x, bits: int):
     return jnp.clip(jnp.round(x), -qmax - 1, qmax)
 
 
+@functools.partial(jax.jit, static_argnames=("block_size", "axis"))
+def quantize_nvfp4(x: jax.Array, block_size: int = 16,
+                   axis: int = -1) -> jax.Array:
+    """QDQ ``x`` in NVFP4 (reference docs/PT_NVFP4Quant.md; the reference
+    delegates the math to the external auto-round package — implemented
+    natively here): e2m1 elements over 16-element blocks along ``axis``,
+    with a REAL fp8-e4m3 scale per block (not MX's pow2 exponent) plus one
+    global fp32 scale that places block scales in e4m3 range. The e4m3
+    mantissa on the scale is what gives NVFP4 its accuracy edge over mxfp4.
+    """
+    axis = axis % x.ndim
+    x32 = x.astype(jnp.float32)
+    perm = [i for i in range(x.ndim) if i != axis] + [axis]
+    inv = [perm.index(i) for i in range(x.ndim)]
+    xt = jnp.transpose(x32, perm)
+    L = xt.shape[-1]
+    pad = (-L) % block_size
+    xp = jnp.pad(xt, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    blk = xp.reshape(*xp.shape[:-1], (L + pad) // block_size, block_size)
+
+    # global scale: block amax / 6 must fit e4m3's 448 after division
+    gmax = jnp.max(jnp.abs(blk))
+    gscale = jnp.where(gmax == 0, 1.0, gmax / (448.0 * 6.0))
+    amax = jnp.max(jnp.abs(blk), axis=-1, keepdims=True)
+    bscale = _quantize_elem_fp(amax / 6.0 / gscale, 4, 3 + 1, 448.0)
+    eff = jnp.where(bscale == 0, 1.0, bscale * gscale)
+    q = _quantize_elem_fp(blk / eff, 2, 1 + 1, 6.0)  # e2m1 grid
+    out = (q * eff).reshape(*xp.shape[:-1], L + pad)[..., :L]
+    return jnp.transpose(out, inv).astype(x.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("elem_format", "block_size",
                                              "axis", "round_method"))
 def quantize_mx(x: jax.Array, elem_format: str = "fp8_e4m3",
                 block_size: int = 32, axis: int = -1,
                 round_method: str = "nearest") -> jax.Array:
     """QDQ ``x`` in an MX format: shared pow2 exponent per block along
-    ``axis``, elements in ``elem_format``. Returns same-shape array."""
+    ``axis``, elements in ``elem_format``. ``elem_format="nvfp4"`` routes
+    to :func:`quantize_nvfp4` (e4m3 block scales, block 16 by default).
+    Returns same-shape array."""
+    if elem_format == "nvfp4":
+        return quantize_nvfp4(x, block_size=min(block_size, 16), axis=axis)
     ebits, mbits, emax, max_norm = mx_format_info(elem_format)
     axis = axis % x.ndim
     x32 = x.astype(jnp.float32)

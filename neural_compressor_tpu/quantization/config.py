@@ -429,7 +429,8 @@ class HybridGPTQConfig(GPTQConfig):
 class QATConfig(_WOQBase):
     """Quantization-aware training config (reference StaticQuantConfig/QAT,
     config.py:2069; NVFP4/MXFP8 schemes qat/quant_utils.py:64-118).
-    ``mx_format`` switches the fake-quant to an MX block format."""
+    ``mx_format`` switches the fake-quant to an MX block format
+    ("mxfp8_e4m3", "fp4", ..., or "nvfp4" for e4m3 block-16 scales)."""
 
     params_list = ("dtype", "bits", "group_size")
 

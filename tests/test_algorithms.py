@@ -186,6 +186,42 @@ class TestMXQuant:
             get_module(qm, "model.layers.0.self_attn.q_proj"), MXLinear)
         assert _rel(y0, qm(ids)) < 0.15
 
+    def test_nvfp4_beats_mxfp4(self):
+        # NVFP4's e4m3 block scales carry mantissa; MX fp4's pow2 shared
+        # exponent wastes up to 1 bit of range per block -> higher error.
+        from neural_compressor_tpu.ops.mx import quantize_mx, quantize_nvfp4
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((64, 128)), dtype=jnp.float32)
+        mx_rel = float(jnp.linalg.norm(x - quantize_mx(x, "fp4", 32, -1))
+                       / jnp.linalg.norm(x))
+        nv_rel = float(jnp.linalg.norm(x - quantize_nvfp4(x))
+                       / jnp.linalg.norm(x))
+        assert nv_rel < mx_rel, (nv_rel, mx_rel)
+        assert nv_rel < 0.25, nv_rel
+
+    def test_nvfp4_zero_safe_and_grid(self):
+        from neural_compressor_tpu.ops.mx import quantize_nvfp4
+
+        z = quantize_nvfp4(jnp.zeros((4, 32)))
+        assert not np.any(np.isnan(np.asarray(z))) and np.all(
+            np.asarray(z) == 0)
+        # odd (non-multiple-of-16) trailing dim pads and unpads
+        x = jnp.asarray(np.random.default_rng(2).standard_normal((3, 21)),
+                        dtype=jnp.float32)
+        assert quantize_nvfp4(x).shape == x.shape
+
+    def test_nvfp4_e2e(self, llama, ids):
+        from neural_compressor_tpu.algorithms.mx import MXLinear
+
+        y0 = llama(ids)
+        qm = nq.quantize(llama, nq.MXQuantConfig(
+            w_dtype="nvfp4", blocksize=16, weight_only=True))
+        assert isinstance(
+            get_module(qm, "model.layers.0.self_attn.q_proj"), MXLinear)
+        # wiring test; 4-bit on random-init weights is inherently coarse
+        assert _rel(y0, qm(ids)) < 0.4
+
 
 class TestMixedPrecision:
     def test_bf16(self, llama, ids):
