@@ -134,9 +134,24 @@ def w4a8_matmul(x: jax.Array, pw: PackedWeight, out_dtype=None) -> jax.Array:
     # of the raw int8 MXU rate; tm=2048 exceeds VMEM
     tm = min(_round_up(M, 32), 1024)  # int8 sublane = 32
     tn = 256
-    tk = G
-    while tk * 2 <= min(K, 4096) and K % (tk * 2) == 0:
-        tk *= 2
+    # largest K-tile that is a multiple of G and divides K: small tk makes
+    # the kernel grid-overhead bound (K=11008 with tk=256 ran at 89 GB/s,
+    # experiments/w4a8_m16.log). VMEM bounds tk by tm (x block is tm x tk
+    # int8, double-buffered).
+    ng = K // G
+
+    def _best_tk(cap):
+        t = G
+        for m in range(1, ng + 1):
+            if ng % m == 0 and m * G <= cap:
+                t = m * G
+        return t
+
+    tk = _best_tk(4096 if tm > 64 else 6144)
+    if tk <= 512 and tm > 512:
+        # awkward K (e.g. 11008 = 86 groups): a big K-tile only exists
+        # above 4096; halve the M-tile to afford it in VMEM
+        tm, tk = 512, _best_tk(6144)
     if not usable or K % tk or N % tn:
         w = dequantize_packed(pw, out_dtype=jnp.bfloat16)
         return jnp.dot(x2.astype(jnp.bfloat16), w,

@@ -109,11 +109,13 @@ class W4A8Linear(WOQLinear):
     """INT4-weight x INT8-activation serving Linear (reference
     ``HPUMixedPrecisionLinear``, mixed_low_precision/modules.py:31).
 
-    Prefill (large M, compute-bound): int8 MXU path via the fused W4A8
-    kernel. Decode (small M, weights-bound): the bf16 fused dequant kernel.
+    Prefill / batched decode (M >= 16): int8 MXU path via the fused W4A8
+    kernel — it beats the bf16 dequant kernel already at M=16 (353 vs 276
+    GB/s on the fused-qkv shape, experiments/w4a8_m16.log). Single-row
+    decode (M == 1): the all-integer VPU matvec.
     """
 
-    M_INT8_THRESHOLD = 64
+    M_INT8_THRESHOLD = 16
 
     def __call__(self, x: jax.Array) -> jax.Array:
         from ..kernels.dequant_matmul import vpu_matvec_int8act
