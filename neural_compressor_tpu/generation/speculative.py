@@ -1,0 +1,177 @@
+"""Speculative (draft-verify) greedy decoding.
+
+A small draft model proposes ``k`` tokens autoregressively; the target
+verifies all of them in ONE forward over a (k+1)-token window and accepts
+the longest matching prefix plus its own correction token — so each target
+dispatch yields 1..k+1 tokens. For greedy decoding this is EXACT: the
+output is bit-identical to :func:`~..generation.greedy_search` on the
+target alone (verification recomputes the target argmax at every emitted
+position).
+
+No reference counterpart (the reference delegates serving to vLLM /
+optimum-habana); rebuilt natively because decode on TPU is weight-stream
+bound (PERF_NOTES.md) — verifying k+1 positions costs the same weight
+traffic as one, so latency drops by ~the mean acceptance length.
+
+TPU-first structure: everything is ONE jitted ``lax.while_loop`` with
+static shapes — every round processes exactly a (k+1)-token window at a
+per-row offset (``cache_pos`` carries a per-row [B] vector, the same
+mechanism continuous batching uses). Rows rejected in a round leave stale
+KV entries, which is safe by construction: the next round's window starts
+at the first rejected index and rewrites those rows before any query can
+attend to them (the position-based mask only exposes ``key_pos <=
+query_pos``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..models.llama import init_kv_cache
+
+
+def _split(model):
+    graphdef, state = nnx.split(model)
+
+    def apply(state, ids, positions, caches, cache_pos):
+        m = nnx.merge(graphdef, state)
+        return m(ids, positions=positions, caches=caches,
+                 cache_pos=cache_pos)
+
+    return state, apply
+
+
+def speculative_greedy_search(target, draft, input_ids,
+                              max_new_tokens: int = 32, k: int = 4,
+                              eos_token_id: int | None = None,
+                              max_len: int | None = None,
+                              return_stats: bool = False):
+    """Greedy decode ``target`` with ``draft`` speculation (exact).
+
+    Args:
+        target: the (quantized) model whose output distribution is served.
+        draft: a cheaper model over the same vocabulary (smaller preset,
+            deeper-quantized sibling, ...). Quality only affects speed.
+        k: drafted tokens per round (window = k+1).
+        return_stats: also return ``{"rounds": r, "accept_rate": ...}``.
+    """
+    B, P = input_ids.shape
+    total = max_len or (P + max_new_tokens + k + 1)
+
+    def caches_for(m):
+        quantized = (getattr(m, "kv_cache_format", "int8")
+                     if getattr(m, "kv_cache_quantized", False) else False)
+        return init_kv_cache(m.cfg, B, total, quantized=quantized)
+
+    tstate, tapply = _split(target)
+    dstate, dapply = _split(draft)
+    tcaches, dcaches = caches_for(target), caches_for(draft)
+
+    @functools.partial(jax.jit, static_argnames=("mnt", "kk"))
+    def go(tstate, dstate, input_ids, tcaches, dcaches, mnt, kk):
+        W = kk + 1
+        # prefill both models on the prompt
+        prompt_pos = jnp.broadcast_to(jnp.arange(P)[None, :], (B, P))
+        _, tcaches = tapply(tstate, input_ids, prompt_pos, tcaches, 0)
+        _, dcaches = dapply(dstate, input_ids, prompt_pos, dcaches, 0)
+
+        out0 = jnp.zeros((B, mnt + W), jnp.int32)  # margin absorbs overshoot
+        pos0 = jnp.full((B,), P, jnp.int32)        # decided-token count
+        cur0 = input_ids[:, -1:]
+        fin0 = jnp.zeros((B,), bool)
+
+        def cond(c):
+            pos, fin, rounds = c[0], c[5], c[6]
+            return jnp.any(~fin & (pos - P < mnt)) & (rounds < mnt + 1)
+
+        def body(c):
+            pos, cur, out, tcaches, dcaches, fin, rounds, accepted = c
+            b = pos - 1  # window start index (last decided token)
+
+            # --- draft kk+1 micro-steps: propose d1..dkk, fill rows b..b+kk
+            def dstep(j, dc):
+                tok, dcaches, win = dc
+                lg, dcaches = dapply(dstate, tok, (b + j)[:, None],
+                                     dcaches, b + j)
+                nxt = jnp.argmax(lg[:, -1], axis=-1)[:, None].astype(
+                    jnp.int32)
+                win = jax.lax.dynamic_update_slice(win, tok, (0, j))
+                return nxt, dcaches, win
+
+            win0 = jnp.zeros((B, W + 1), jnp.int32)
+            last, dcaches, win = jax.lax.fori_loop(
+                0, W, dstep, (cur, dcaches, win0))
+            win = jax.lax.dynamic_update_slice(win, last, (0, W))
+            window = win[:, :W]            # [cur, d1..dkk]
+            drafted = win[:, 1:W + 1]      # [d1..dkk, d_{kk+1}] (last unused)
+
+            # --- verify: one target forward over the window
+            positions = b[:, None] + jnp.arange(W)[None, :]
+            lg, tcaches = tapply(tstate, window, positions, tcaches, b)
+            t = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # [B, W]
+
+            # --- longest accepted prefix (+1 correction/bonus token)
+            match = drafted[:, :kk] == t[:, :kk]
+            n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
+                            axis=1)                       # 0..kk
+            m = n_acc + 1                                 # emitted per row
+            if eos_token_id is not None:
+                is_eos = t == eos_token_id
+                # cut at the first EOS inside the emitted span
+                eos_idx = jnp.argmax(is_eos, axis=1)
+                has_eos = jnp.any(is_eos, axis=1) & (eos_idx < m)
+                m = jnp.where(has_eos, eos_idx + 1, m)
+            else:
+                has_eos = jnp.zeros((B,), bool)
+            m = jnp.where(fin, 0, m)
+
+            # --- write the whole window of target tokens; rows a later
+            # round re-decides are overwritten then (same coverage rule
+            # as the KV rows). Finished rows write their old content back.
+            def row(o, tw, p, f):
+                old = jax.lax.dynamic_slice(o, (p,), (W,))
+                return jax.lax.dynamic_update_slice(
+                    o, jnp.where(f, old, tw), (p,))
+
+            out = jax.vmap(row)(out, t, pos - P, fin)
+            cur = jnp.take_along_axis(
+                t, jnp.maximum(m - 1, 0)[:, None], axis=1)
+            cur = jnp.where(fin[:, None], c[1], cur)
+            accepted = accepted + jnp.sum(jnp.where(fin, 0, m))
+            pos = pos + m
+            fin = fin | has_eos | (pos - P >= mnt)
+            return pos, cur, out, tcaches, dcaches, fin, rounds + 1, accepted
+
+        pos, _cur, out, _tc, _dc, _fin, rounds, accepted = jax.lax.while_loop(
+            cond, body,
+            (pos0, cur0, out0, tcaches, dcaches, fin0,
+             jnp.int32(0), jnp.int32(0)))
+
+        # match greedy_search's tail semantics: a row that hit EOS repeats
+        # the EOS token while any other row is still decoding (greedy's
+        # frozen rows re-emit their last token), and everything past the
+        # step the whole batch stopped at stays zero.
+        idx = jnp.arange(mnt + W)[None, :]
+        decided = pos - P
+        maxc = jnp.minimum(jnp.max(decided), mnt)
+        if eos_token_id is not None:
+            lastpos = jnp.maximum(decided - 1, 0)
+            last = jnp.take_along_axis(out, lastpos[:, None], axis=1)[:, 0]
+            pad = jnp.where((last == eos_token_id)[:, None] & (idx < maxc),
+                            eos_token_id, 0)
+        else:
+            pad = jnp.zeros((B, mnt + W), jnp.int32)
+        out = jnp.where(idx < decided[:, None], out, pad)[:, :mnt]
+        return jnp.concatenate([input_ids, out], axis=1), rounds, accepted
+
+    seq, rounds, accepted = go(tstate, dstate, input_ids, tcaches, dcaches,
+                               max_new_tokens, k)
+    if return_stats:
+        r = max(int(rounds), 1)
+        return seq, {"rounds": int(rounds),
+                     "tokens_per_round": float(accepted) / r}
+    return seq

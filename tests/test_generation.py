@@ -87,3 +87,50 @@ def test_quantized_model_generate(ids):
         m, nq.RTNConfig(dtype="int4", group_size=32) + nq.KVCacheQuantConfig())
     out = generate(qm, ids, max_new_tokens=5)
     assert out.shape == (2, 13)
+
+
+# ---------------------------------------------------------------------------
+# Speculative (draft-verify) decoding
+# ---------------------------------------------------------------------------
+
+from neural_compressor_tpu.generation import speculative_greedy_search
+
+
+def test_speculative_exact_vs_greedy(llama, ids):
+    """With ANY draft (here: a different random model), speculative greedy
+    must be token-identical to plain greedy on the target."""
+    draft = LlamaForCausalLM.from_preset("llama-test", seed=7)
+    ref = greedy_search(llama, ids, max_new_tokens=10)
+    out = speculative_greedy_search(llama, draft, ids, max_new_tokens=10,
+                                    k=3)
+    assert out.shape == ref.shape
+    assert bool(jnp.all(out == ref)), (np.asarray(out), np.asarray(ref))
+
+
+def test_speculative_perfect_draft_accepts_everything(llama, ids):
+    """draft == target -> every round yields k+1 tokens."""
+    out, stats = speculative_greedy_search(
+        llama, llama, ids, max_new_tokens=12, k=3, return_stats=True)
+    ref = greedy_search(llama, ids, max_new_tokens=12)
+    assert bool(jnp.all(out == ref))
+    assert stats["rounds"] == 3  # ceil(12 / 4)
+    assert stats["tokens_per_round"] >= 3.9
+
+
+def test_speculative_eos(llama, ids):
+    ref = greedy_search(llama, ids, max_new_tokens=10)
+    eos = int(ref[0, ids.shape[1] + 4])  # token greedy emits mid-stream
+    ref_eos = greedy_search(llama, ids, max_new_tokens=10, eos_token_id=eos)
+    draft = LlamaForCausalLM.from_preset("llama-test", seed=7)
+    out = speculative_greedy_search(llama, draft, ids, max_new_tokens=10,
+                                    k=4, eos_token_id=eos)
+    assert bool(jnp.all(out == ref_eos))
+
+
+def test_speculative_quantized_target(llama, ids):
+    qm = nq.quantize(LlamaForCausalLM.from_preset("llama-test"),
+                     nq.RTNConfig(dtype="int4", group_size=32))
+    draft = LlamaForCausalLM.from_preset("llama-test", seed=7)
+    ref = greedy_search(qm, ids, max_new_tokens=8)
+    out = speculative_greedy_search(qm, draft, ids, max_new_tokens=8, k=2)
+    assert bool(jnp.all(out == ref))
