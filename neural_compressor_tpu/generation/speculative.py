@@ -173,5 +173,5 @@ def speculative_greedy_search(target, draft, input_ids,
     if return_stats:
         r = max(int(rounds), 1)
         return seq, {"rounds": int(rounds),
-                     "tokens_per_round": float(accepted) / r}
+                     "tokens_per_round": float(accepted) / r / B}
     return seq

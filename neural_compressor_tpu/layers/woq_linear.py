@@ -109,13 +109,15 @@ class W4A8Linear(WOQLinear):
     """INT4-weight x INT8-activation serving Linear (reference
     ``HPUMixedPrecisionLinear``, mixed_low_precision/modules.py:31).
 
-    Prefill / batched decode (M >= 16): int8 MXU path via the fused W4A8
-    kernel — it beats the bf16 dequant kernel already at M=16 (353 vs 276
-    GB/s on the fused-qkv shape, experiments/w4a8_m16.log). Single-row
-    decode (M == 1): the all-integer VPU matvec.
+    The int8-MXU kernel wins at EVERY M on v5e once the K-tile is the
+    largest group-multiple dividing K (experiments/w4a8_m1.log, M=1:
+    286 vs 415 us/layer against the all-integer VPU matvec; the M-tile
+    pads to the int8 sublane, irrelevant in the weights-bound regime).
+    ``M_INT8_THRESHOLD`` is kept as a tuning knob; below it, M == 1
+    takes the VPU matvec and other small M the bf16 dequant kernel.
     """
 
-    M_INT8_THRESHOLD = 16
+    M_INT8_THRESHOLD = 1
 
     def __call__(self, x: jax.Array) -> jax.Array:
         from ..kernels.dequant_matmul import vpu_matvec_int8act
@@ -126,13 +128,13 @@ class W4A8Linear(WOQLinear):
         M = 1
         for d in x.shape[:-1]:
             M *= d
-        if M == 1:
-            # decode: all-integer VPU matvec (int8 act x int4 codes)
+        if M >= self.M_INT8_THRESHOLD:
+            y = w4a8_matmul(x, self.packed_weight())
+        elif M == 1:
+            # all-integer VPU matvec (int8 act x int4 codes)
             y = vpu_matvec_int8act(x, self.packed_weight())
             if y is None:
                 y = woq_matmul(x, self.packed_weight(), impl=self.impl)
-        elif M >= self.M_INT8_THRESHOLD:
-            y = w4a8_matmul(x, self.packed_weight())
         else:
             y = woq_matmul(x, self.packed_weight(), impl=self.impl)
         if self.bias is not None:
