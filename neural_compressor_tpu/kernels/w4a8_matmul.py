@@ -140,18 +140,28 @@ def w4a8_matmul(x: jax.Array, pw: PackedWeight, out_dtype=None) -> jax.Array:
     # int8, double-buffered).
     ng = K // G
 
-    def _best_tk(cap):
+    def _largest_tk(cap):
         t = G
         for m in range(1, ng + 1):
             if ng % m == 0 and m * G <= cap:
                 t = m * G
         return t
 
-    tk = _best_tk(4096 if tm > 64 else 6144)
-    if tk <= 512 and tm > 512:
-        # awkward K (e.g. 11008 = 86 groups): a big K-tile only exists
-        # above 4096; halve the M-tile to afford it in VMEM
-        tm, tk = 512, _best_tk(6144)
+    if tm <= 32:
+        # decode tiles: grid-step overhead dominates — take the largest
+        # K-tile available (K=11008: tk=5504 runs 351 GB/s vs 89 at 256)
+        tk = _largest_tk(6144)
+    else:
+        # batched/prefill tiles: measured optima sit at power-of-2-ish
+        # tk (K=4096 prefers 4096, K=14336 prefers 2048 over 3584 —
+        # batched_llama3 B=96/128 regressed 13% on the larger tile)
+        tk = G
+        while tk * 2 <= min(K, 4096) and K % (tk * 2) == 0:
+            tk *= 2
+        if tk <= 512:
+            # pathological K (11008 = 86 groups): no mid-size power-of-2
+            # tile exists; shrink the M-tile to afford the big one
+            tm, tk = min(tm, 512), _largest_tk(6144)
     if not usable or K % tk or N % tn:
         w = dequantize_packed(pw, out_dtype=jnp.bfloat16)
         return jnp.dot(x2.astype(jnp.bfloat16), w,
