@@ -30,6 +30,7 @@ from flax import nnx
 import neural_compressor_tpu as nq
 from neural_compressor_tpu.models import LlamaForCausalLM
 from neural_compressor_tpu.models.llama import init_kv_cache
+from neural_compressor_tpu.quantization.fuse import s4_prepare as _s4_prepare
 
 
 def build_decode_fn(model, batch: int, max_len: int):
@@ -38,6 +39,7 @@ def build_decode_fn(model, batch: int, max_len: int):
     @jax.jit
     def decode(state, caches, token, pos, steps):
         m = nnx.merge(graphdef, state)
+        _s4_prepare(m)
 
         def body(i, carry):
             token, caches, acc = carry

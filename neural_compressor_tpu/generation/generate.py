@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from ..models.llama import init_kv_cache
+from ..quantization.fuse import s4_prepare as _s4_prepare
 
 
 def _split(model):
@@ -33,7 +34,14 @@ def _split(model):
         m = nnx.merge(graphdef, state)
         return m(ids, positions=positions, caches=caches, cache_pos=cache_pos)
 
-    return graphdef, state, apply
+    def prepare(state):
+        # once per program, BEFORE the decode loop (s4_prepare docstring)
+        m = nnx.merge(graphdef, state)
+        if _s4_prepare(m):
+            return nnx.split(m)[1]
+        return state
+
+    return graphdef, state, apply, prepare
 
 
 def _prefill_and_loop(apply, state, input_ids, caches, max_new_tokens,
@@ -110,10 +118,11 @@ def _run(model, input_ids, max_new_tokens, eos_token_id, next_token_fn,
     quantized = (getattr(model, "kv_cache_format", "int8")
                  if getattr(model, "kv_cache_quantized", False) else False)
     caches = init_kv_cache(model.cfg, B, total, quantized=quantized)
-    graphdef, state, apply = _split(model)
+    graphdef, state, apply, prepare = _split(model)
 
     @functools.partial(jax.jit, static_argnames=("mnt",))
     def go(state, input_ids, caches, mnt):
+        state = prepare(state)
         return _prefill_and_loop(apply, state, input_ids, caches, mnt,
                                  eos_token_id, next_token_fn)
 
@@ -139,11 +148,12 @@ def beam_search(model, input_ids, num_beams: int = 4,
     # caches allocated over B*num_beams rows
     caches = init_kv_cache(model.cfg, B * num_beams, total,
                            quantized=quantized)
-    graphdef, state, apply = _split(model)
+    graphdef, state, apply, prepare = _split(model)
     V = None  # resolved at trace time
 
     @functools.partial(jax.jit, static_argnames=("mnt", "nb"))
     def go(state, input_ids, caches, mnt, nb):
+        state = prepare(state)
         B, P = input_ids.shape
         ids_rep = jnp.repeat(input_ids, nb, axis=0)  # [B*nb, P]
         positions = jnp.broadcast_to(jnp.arange(P)[None, :], ids_rep.shape)

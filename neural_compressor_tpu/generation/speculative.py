@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from ..models.llama import init_kv_cache
+from ..quantization.fuse import s4_prepare as _s4_prepare
 
 
 def _split(model):
@@ -42,7 +43,14 @@ def _split(model):
         return m(ids, positions=positions, caches=caches,
                  cache_pos=cache_pos)
 
-    return state, apply
+    def prepare(state):
+        # once per program, BEFORE the decode loop (s4_prepare docstring)
+        m = nnx.merge(graphdef, state)
+        if _s4_prepare(m):
+            return nnx.split(m)[1]
+        return state
+
+    return state, apply, prepare
 
 
 def speculative_greedy_search(target, draft, input_ids,
@@ -67,12 +75,13 @@ def speculative_greedy_search(target, draft, input_ids,
                      if getattr(m, "kv_cache_quantized", False) else False)
         return init_kv_cache(m.cfg, B, total, quantized=quantized)
 
-    tstate, tapply = _split(target)
-    dstate, dapply = _split(draft)
+    tstate, tapply, tprepare = _split(target)
+    dstate, dapply, dprepare = _split(draft)
     tcaches, dcaches = caches_for(target), caches_for(draft)
 
     @functools.partial(jax.jit, static_argnames=("mnt", "kk"))
     def go(tstate, dstate, input_ids, tcaches, dcaches, mnt, kk):
+        tstate, dstate = tprepare(tstate), dprepare(dstate)
         W = kk + 1
         # prefill both models on the prompt
         prompt_pos = jnp.broadcast_to(jnp.arange(P)[None, :], (B, P))

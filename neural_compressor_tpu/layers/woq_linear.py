@@ -121,6 +121,7 @@ class W4A8Linear(WOQLinear):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         from ..kernels.dequant_matmul import vpu_matvec_int8act
+        from ..kernels.s4_matmul import s4_matmul
         from ..kernels.w4a8_matmul import w4a8_matmul
 
         if self.pre_scale is not None:
@@ -128,7 +129,10 @@ class W4A8Linear(WOQLinear):
         M = 1
         for d in x.shape[:-1]:
             M *= d
-        if M >= self.M_INT8_THRESHOLD:
+        if self.layout == "s4_rowpack":
+            # native-int4 serving layout (Mosaic hardware unpack)
+            y = s4_matmul(x, self.packed_weight())
+        elif M >= self.M_INT8_THRESHOLD:
             y = w4a8_matmul(x, self.packed_weight())
         elif M == 1:
             # all-integer VPU matvec (int8 act x int4 codes)

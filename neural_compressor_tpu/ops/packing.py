@@ -122,6 +122,60 @@ def unpack_codes(packed: jax.Array, bits: int, group_size: int, K: int,
     return codes.astype(jnp.int8)
 
 
+@jax.jit
+def pack_codes_s4(codes: jax.Array) -> jax.Array:
+    """Pack SIGNED int4 codes [K, N] -> uint32 [K, N/8] in "s4_rowpack"
+    layout: word (k, j) holds the 8 CONSECUTIVE output columns
+    8j..8j+7 of input row k, nibble s = column 8j+s, two's complement.
+
+    This is exactly XLA's native S4 element order for a row-major [K, N]
+    int4 array, so ``s4_view`` (bitcast + reshape) reinterprets the buffer
+    with NO copy inside a jitted program — the serving kernel then uses
+    Mosaic's hardware int4->int8 convert, measured 1.3-1.6x faster than
+    shift-plane unpacking (experiments/mosaic_int4_probe.log).
+    """
+    K, N = codes.shape
+    c = codes.astype(jnp.uint32) & 0xF
+    c = c.reshape(K, N // 8, 8)
+    packed = jnp.zeros((K, N // 8), dtype=jnp.uint32)
+    for s in range(8):
+        packed = packed | (c[..., s] << (4 * s))
+    return packed
+
+
+def s4_view(packed: jax.Array, K: int, N: int) -> jax.Array:
+    """Zero-copy int4 [K, N] view of an "s4_rowpack" uint32 buffer.
+
+    Must run inside jit — standalone int4 arrays cannot cross a dispatch
+    boundary under the remote-TPU plugin (device_put recursion), which is
+    why the storage dtype stays uint32."""
+    return jax.lax.bitcast_convert_type(packed, jnp.int4).reshape(K, N)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "N"))
+def unpack_codes_s4(packed: jax.Array, K: int, N: int) -> jax.Array:
+    """Inverse of ``pack_codes_s4`` without int4 dtypes (CPU-safe):
+    uint32 [K, N/8] -> signed int8 codes [K, N]."""
+    planes = [((packed >> (4 * s)) & 0xF).astype(jnp.int32)
+              for s in range(8)]
+    c = jnp.stack(planes, axis=-1).reshape(K, N)
+    return jnp.where(c >= 8, c - 16, c).astype(jnp.int8)
+
+
+def to_s4_rowpack(pw: PackedWeight) -> PackedWeight:
+    """Convert a sym-int4 PackedWeight to the "s4_rowpack" serving layout
+    (see ``pack_codes_s4``). Requires sym int ("zeros is None"), bits=4,
+    resolved scales, N % 8 == 0."""
+    pw = resolve_double_quant(pw)
+    K, N = pw.orig_shape
+    if not (pw.bits == 4 and pw.dtype == "int" and pw.zeros is None
+            and N % 8 == 0 and pw.layout == "tpu_strided"):
+        raise ValueError(f"not s4_rowpack-convertible: bits={pw.bits} "
+                         f"dtype={pw.dtype} layout={pw.layout} N={N}")
+    codes = unpack_to_codes(pw)
+    return pw._replace(packed=pack_codes_s4(codes), layout="s4_rowpack")
+
+
 def pack_qtensor(qt: QTensor, force_int8: bool = False,
                  perm: jax.Array | None = None) -> PackedWeight:
     """QTensor -> PackedWeight in the best available layout.
@@ -223,6 +277,10 @@ def unpack_to_codes(pw: PackedWeight) -> jax.Array:
         # codebook indices are unsigned.
         signed = pw.dtype not in FLOAT_CODE_DTYPES
         return unpack_codes(pw.packed, pw.bits, pw.group_size, K, signed=signed)
+    if pw.layout == "s4_rowpack":
+        if pw.packed.dtype == jnp.uint32:
+            return unpack_codes_s4(pw.packed, K, N)
+        return pw.packed.astype(jnp.int8)  # prepared int4 view
     return pw.packed.astype(jnp.int8)
 
 
@@ -236,6 +294,11 @@ def _dequantize_packed_arrays(packed, scales, zeros, bits, group_size, dtype,
     if layout == "tpu_strided":
         signed = dtype not in FLOAT_CODE_DTYPES
         codes = unpack_codes(packed, bits, G, K, signed=signed)
+    elif layout == "s4_rowpack":
+        if packed.dtype == jnp.uint32:
+            codes = unpack_codes_s4(packed, K, packed.shape[-1] * 8)
+        else:
+            codes = packed.astype(jnp.int8)  # prepared int4 view
     else:
         codes = packed.astype(jnp.int8)
     N = codes.shape[-1]

@@ -74,28 +74,72 @@ def fuse_for_serving(model) -> int:
     return n
 
 
-def to_w4a8_serving(model) -> int:
+def to_w4a8_serving(model, s4: bool | str = "auto") -> int:
     """Swap every WOQLinear (fused included) for a W4A8Linear in place.
 
     Same packed int4 weights; activations are dynamically quantized to
     int8 at runtime (reference HPUMixedPrecisionLinear,
     mixed_low_precision/modules.py:31), so no calibration is needed.
-    Decode runs the all-integer VPU matvec, prefill the int8-MXU kernel —
-    both measured faster than the bf16 dequant path (PERF_NOTES).
+
+    ``s4``: convert eligible sym-int4 weights to the "s4_rowpack" native-
+    int4 layout (kernels/s4_matmul.py — Mosaic hardware unpack, measured
+    1.3-1.6x the shift-plane kernel at decode). "auto" = only on a TPU
+    backend; multi-chip TP serving repacks back to "tpu_strided"
+    (models/sharding.enable_tp_serving).
     Returns the number of modules converted."""
+    import jax as _jax
+
     from ..layers.module_utils import replace_module
     from ..layers.woq_linear import W4A8Linear
+    from ..ops.packing import to_s4_rowpack
 
-    n = 0
+    if s4 == "auto":
+        s4 = _jax.default_backend() == "tpu"
+    n = n_s4 = 0
     for path, mod in list(named_modules(model)):
         if type(mod) is WOQLinear:
+            pw = mod.packed_weight()
+            if (s4 and pw.layout == "tpu_strided" and pw.bits == 4
+                    and pw.dtype == "int" and pw.zeros is None
+                    and pw.orig_shape[1] % 256 == 0):
+                pw = to_s4_rowpack(pw)
+                n_s4 += 1
             w4a8 = W4A8Linear(
-                mod.packed_weight(),
+                pw,
                 bias=None if mod.bias is None else mod.bias[...],
                 impl=mod.impl,
                 pre_scale=(None if mod.pre_scale is None
                            else mod.pre_scale[...]))
             replace_module(model, path, w4a8)
             n += 1
-    logger.info("Converted %d modules to W4A8 serving", n)
+    logger.info("Converted %d modules to W4A8 serving (%d native-int4)",
+                n, n_s4)
+    return n
+
+
+def s4_prepare(model) -> int:
+    """Materialize the zero-copy int4 view of every "s4_rowpack" weight.
+
+    MUST run INSIDE the jitted serving program, on the module merged from
+    (graphdef, state), BEFORE the decode/prefill loop: int4 arrays cannot
+    cross a dispatch boundary under the remote-TPU plugin, and leaving the
+    view to be taken per matmul call makes XLA re-materialize it inside
+    the loop at ~20 GB/s (experiments/s4_integration_ab.log — hoisted, the
+    same kernel streams 680-740 GB/s). ``generation.generate``,
+    ``serving.engine`` and ``bench.py`` all call this right after their
+    nnx.merge. No-op (returns 0) when nothing is eligible."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from ..layers.woq_linear import W4A8Linear
+    from ..ops.packing import s4_view
+
+    n = 0
+    for _path, mod in named_modules(model):
+        if (type(mod) is W4A8Linear and mod.layout == "s4_rowpack"
+                and mod.packed[...].dtype == _jnp.uint32):
+            K, N = mod.in_features, mod.out_features
+            mod.packed = type(mod.packed)(_jax.lax.optimization_barrier(
+                s4_view(mod.packed[...], K, N)))
+            n += 1
     return n

@@ -33,6 +33,7 @@ from flax import nnx
 
 from ..common import logger
 from ..models.llama import init_kv_cache
+from ..quantization.fuse import s4_prepare as _s4_prepare
 
 
 @dataclasses.dataclass
@@ -138,6 +139,7 @@ class ContinuousBatchingEngine:
             @jax.jit
             def prefill(state, caches, ids, slot, start, last_idx):
                 m = nnx.merge(graphdef, state)
+                _s4_prepare(m)
                 positions = start + jnp.arange(C)[None, :]
                 # slice this slot's cache rows, run, write back
                 sub = jax.tree.map(lambda c: jax.lax.dynamic_slice_in_dim(
@@ -268,6 +270,7 @@ class ContinuousBatchingEngine:
             @jax.jit
             def decode_many(state, pools, bt, toks, pos):
                 m = nnx.merge(graphdef, state)
+                _s4_prepare(m)
                 pools = [p._replace(block_tables=bt) for p in pools]
 
                 def body(i, carry):
@@ -295,6 +298,7 @@ class ContinuousBatchingEngine:
             @jax.jit
             def decode(state, caches, toks, pos):
                 m = nnx.merge(graphdef, state)
+                _s4_prepare(m)
                 logits, caches = m(toks[:, None], positions=pos[:, None],
                                    caches=caches, cache_pos=pos)
                 nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
@@ -311,6 +315,7 @@ class ContinuousBatchingEngine:
             @jax.jit
             def decode_many(state, caches, toks, pos):
                 m = nnx.merge(graphdef, state)
+                _s4_prepare(m)
 
                 def body(i, carry):
                     toks, pos, caches, out = carry
