@@ -39,6 +39,8 @@ def build_decode(model, batch, max_len, quant_kv=False):
     @functools.partial(jax.jit, donate_argnums=(1,))
     def decode(state, caches, token, steps):
         m = nnx.merge(graphdef, state)
+        from neural_compressor_tpu.quantization.fuse import s4_prepare
+        s4_prepare(m)
 
         def body(i, carry):
             token, caches, acc = carry
