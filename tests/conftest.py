@@ -23,6 +23,15 @@ except Exception:
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="session")
+def _tmp_workspace(tmp_path_factory):
+    """Keep test-run tuning history out of the repo's tracked workspace."""
+    from neural_compressor_tpu.common.utility import options
+
+    options.workspace = str(tmp_path_factory.mktemp("nc_tpu_ws"))
+    yield
+
+
 @pytest.fixture(scope="session")
 def eight_device_mesh():
     import numpy as np
