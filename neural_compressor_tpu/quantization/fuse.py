@@ -95,15 +95,19 @@ def to_w4a8_serving(model, s4: bool | str = "auto") -> int:
 
     if s4 == "auto":
         s4 = _jax.default_backend() == "tpu"
+
+    def _maybe_s4(pw):
+        if (s4 and pw.layout == "tpu_strided" and pw.bits == 4
+                and pw.dtype == "int" and pw.zeros is None
+                and pw.orig_shape[1] % 256 == 0):
+            return to_s4_rowpack(pw), 1
+        return pw, 0
+
     n = n_s4 = 0
     for path, mod in list(named_modules(model)):
         if type(mod) is WOQLinear:
-            pw = mod.packed_weight()
-            if (s4 and pw.layout == "tpu_strided" and pw.bits == 4
-                    and pw.dtype == "int" and pw.zeros is None
-                    and pw.orig_shape[1] % 256 == 0):
-                pw = to_s4_rowpack(pw)
-                n_s4 += 1
+            pw, up = _maybe_s4(mod.packed_weight())
+            n_s4 += up
             w4a8 = W4A8Linear(
                 pw,
                 bias=None if mod.bias is None else mod.bias[...],
@@ -112,6 +116,15 @@ def to_w4a8_serving(model, s4: bool | str = "auto") -> int:
                            else mod.pre_scale[...]))
             replace_module(model, path, w4a8)
             n += 1
+        elif type(mod) is W4A8Linear and mod.layout == "tpu_strided":
+            # e.g. hybrid_gptq already produced W4A8 modules — upgrade the
+            # storage layout in place
+            pw, up = _maybe_s4(mod.packed_weight())
+            if up:
+                mod.packed = type(mod.packed)(pw.packed)
+                mod.layout = pw.layout
+                n_s4 += up
+                n += 1
     logger.info("Converted %d modules to W4A8 serving (%d native-int4)",
                 n, n_s4)
     return n

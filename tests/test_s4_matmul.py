@@ -133,6 +133,28 @@ class TestS4Serving:
         out_s4 = np.asarray(greedy_search(q2, ids, max_new_tokens=8))
         np.testing.assert_array_equal(out_strided, out_s4)
 
+    def test_existing_w4a8_upgraded_in_place(self):
+        # hybrid_gptq creates W4A8Linear directly; to_w4a8_serving must
+        # upgrade its storage layout rather than skip it
+        from flax import nnx
+
+        from neural_compressor_tpu.layers.woq_linear import W4A8Linear
+        from neural_compressor_tpu.quantization.fuse import to_w4a8_serving
+
+        w, pw = _pw()
+        class Holder(nnx.Module):
+            def __init__(self):
+                self.lin = W4A8Linear(pw)
+        h = Holder()
+        x = jnp.asarray(np.random.default_rng(7).standard_normal((2, 512)),
+                        jnp.bfloat16)
+        y0 = np.asarray(h.lin(x)).astype(np.float32)
+        n = to_w4a8_serving(h, s4=True)
+        assert n == 1 and h.lin.layout == "s4_rowpack"
+        y1 = np.asarray(h.lin(x)).astype(np.float32)
+        rel = np.linalg.norm(y1 - y0) / np.linalg.norm(y0)
+        assert rel < 0.02, rel
+
     def test_s4_prepare_swaps_dtype_inside_jit(self):
         from flax import nnx
 
