@@ -155,6 +155,36 @@ class TestS4Serving:
         rel = np.linalg.norm(y1 - y0) / np.linalg.norm(y0)
         assert rel < 0.02, rel
 
+    def test_engine_and_speculative_with_s4(self):
+        # covers the s4_prepare insertion points in serving/engine.py and
+        # generation/speculative.py
+        from neural_compressor_tpu.generation.generate import greedy_search
+        from neural_compressor_tpu.generation.speculative import \
+            speculative_greedy_search
+        from neural_compressor_tpu.models import LlamaForCausalLM
+        from neural_compressor_tpu.quantization.fuse import (fuse_for_serving,
+                                                             to_w4a8_serving)
+        from neural_compressor_tpu.serving.engine import \
+            ContinuousBatchingEngine
+
+        rng = np.random.default_rng(8)
+        m = LlamaForCausalLM.from_preset("llama-test")
+        qm = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+        fuse_for_serving(qm)
+        to_w4a8_serving(qm, s4=True)
+
+        prompt = rng.integers(0, 200, (6,))
+        ref = np.asarray(greedy_search(qm, jnp.asarray(prompt)[None, :],
+                                       max_new_tokens=5))
+        eng = ContinuousBatchingEngine(qm, n_slots=2, max_len=64)
+        r = eng.submit(prompt, max_new_tokens=5)
+        eng.run()
+        assert r.generated == ref[0, len(prompt):].tolist()
+
+        spec = np.asarray(speculative_greedy_search(
+            qm, qm, jnp.asarray(prompt)[None, :], max_new_tokens=5, k=2))
+        np.testing.assert_array_equal(spec[:, :ref.shape[1]], ref)
+
     def test_s4_prepare_swaps_dtype_inside_jit(self):
         from flax import nnx
 
