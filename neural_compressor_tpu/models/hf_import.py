@@ -54,6 +54,17 @@ def llama_config_from_hf(model_dir: str, dtype=jnp.bfloat16) -> LlamaConfig:
         hf = json.load(f)
     if hf.get("model_type") == "chatglm":
         hf = _chatglm_hf_keys(hf)
+    rope_scaling = None
+    rs = hf.get("rope_scaling")
+    if rs and rs.get("type", rs.get("rope_type")) in ("longrope", "su"):
+        # HF phi-3 keeps original_max_position_embeddings at the top level
+        rope_scaling = dict(
+            type="longrope",
+            short_factor=list(rs["short_factor"]),
+            long_factor=list(rs["long_factor"]),
+            original_max_position_embeddings=int(
+                rs.get("original_max_position_embeddings")
+                or hf["original_max_position_embeddings"]))
     return LlamaConfig(
         vocab_size=hf["vocab_size"],
         hidden_size=hf["hidden_size"],
@@ -73,6 +84,7 @@ def llama_config_from_hf(model_dir: str, dtype=jnp.bfloat16) -> LlamaConfig:
                     else "half"),
         partial_rotary_factor=(hf.get("partial_rotary_factor", 0.5)
                                if hf.get("model_type") == "glm" else 1.0),
+        rope_scaling=rope_scaling,
         dtype=dtype,
     )
 
@@ -187,10 +199,21 @@ def _assign_llama_param(model, name: str, arr: np.ndarray, dtype) -> int:
         if rest in mapping:
             mapping[rest].kernel[...] = t.T  # torch [out,in] -> [in,out]
             return 1
+        if rest == "self_attn.qkv_proj.weight":
+            # Phi-3 fused qkv [(H + 2*KV) * hd, hidden]: row order q, k, v
+            # (HF Phi3Attention); split so per-projection quantization and
+            # fuse_for_serving work unchanged
+            cfg = model.cfg
+            q_rows = cfg.num_attention_heads * cfg.head_dim
+            kv_rows = cfg.num_key_value_heads * cfg.head_dim
+            layer.self_attn.q_proj.kernel[...] = t[:q_rows].T
+            layer.self_attn.k_proj.kernel[...] = t[q_rows:q_rows + kv_rows].T
+            layer.self_attn.v_proj.kernel[...] = t[q_rows + kv_rows:].T
+            return 1
         if rest == "mlp.gate_up_proj.weight":
-            # GLM fused gate_up [2I, H]: gate is the first half (HF
-            # GlmMLP chunk(2) order); split so per-projection quantization
-            # and fuse_for_serving work unchanged
+            # GLM/Phi-3 fused gate_up [2I, H]: gate is the first half (HF
+            # GlmMLP/Phi3MLP chunk(2) order); split so per-projection
+            # quantization and fuse_for_serving work unchanged
             tt = t.T
             inter = tt.shape[1] // 2
             layer.mlp.gate_proj.kernel[...] = tt[:, :inter]
@@ -754,8 +777,9 @@ def detect_architecture(model_dir: str) -> str:
     if has("GPTNeoX") or mt == "gpt_neox":
         return "gptneox"
     if has("Phi3") or mt == "phi3":
-        raise ValueError("phi-3 (fused qkv/gate_up + su-rope) not mapped; "
-                         "phi-1/1.5/2 are supported via the phi family")
+        # Phi-3 = llama graph + fused qkv/gate_up checkpoint tensors
+        # (split on import) + longrope (su) scaling read from rope_scaling
+        return "llama"
     if has("Phi") or mt == "phi":
         return "phi"
     if has("Baichuan") or mt == "baichuan":

@@ -43,6 +43,14 @@ class LlamaConfig:
     # first partial_rotary_factor * head_dim dims, rest pass-through
     rope_style: str = "half"
     partial_rotary_factor: float = 1.0
+    # Phi-3 "longrope" (su-rope): per-dim frequency rescale factors plus a
+    # global attention factor sqrt(1 + ln(s)/ln(orig_max)). The short/long
+    # choice is static (max_position_embeddings vs the original training
+    # context), matching HF's trace-time resolution — no data-dependent
+    # branching inside jit. ``rope_scaling`` holds {"type": "longrope",
+    # "short_factor": [...], "long_factor": [...],
+    # "original_max_position_embeddings": N}.
+    rope_scaling: dict | None = None
     dtype: object = jnp.bfloat16
 
     def __post_init__(self):
@@ -86,6 +94,21 @@ LLAMA_PRESETS = {
                      rope_theta=10000.0, attention_bias=True,
                      rope_style="interleaved_partial",
                      partial_rotary_factor=0.5),
+    # Phi-3 (microsoft/Phi-3-mini): llama graph with fused qkv/gate_up in
+    # the checkpoint (split on import) and longrope scaling on the 128k
+    # variant (reference recipe family llm_recipes.md phi rows)
+    "phi3-mini-4k": dict(vocab_size=32064, hidden_size=3072,
+                         intermediate_size=8192, num_hidden_layers=32,
+                         num_attention_heads=32, num_key_value_heads=32,
+                         max_position_embeddings=4096, rope_theta=10000.0),
+    "phi3-test": dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=128,
+                      rope_scaling=dict(
+                          type="longrope",
+                          original_max_position_embeddings=32,
+                          short_factor=[1.0] * 8,
+                          long_factor=[1.5] * 8)),
     "glm-test": dict(vocab_size=256, hidden_size=64, intermediate_size=128,
                      num_hidden_layers=2, num_attention_heads=4,
                      num_key_value_heads=2, head_dim=16,
@@ -325,13 +348,38 @@ class RMSNorm(nnx.Module):
 
 
 def _rope(positions: jax.Array, head_dim: int, theta: float,
-          partial_factor: float = 1.0):
+          partial_factor: float = 1.0, scaling: dict | None = None,
+          max_position_embeddings: int = 0):
     """Rotary embedding tables: cos/sin [B, S, rd/2] (f32), where
-    rd = partial_factor * head_dim is the rotated width."""
+    rd = partial_factor * head_dim is the rotated width.
+
+    ``scaling`` (Phi-3 longrope / su-rope, HF
+    ``_compute_longrope_parameters``): inv_freq is divided per-dim by the
+    short or long factor — long iff the sequence reaches past the original
+    training context (a scalar runtime select, not a recompile) — and
+    cos/sin carry the attention factor sqrt(1 + ln(s)/ln(orig_max))
+    whenever the configured context extends the original one."""
     rd = int(head_dim * partial_factor)
     inv_freq = 1.0 / (theta ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
+    mscale = 1.0
+    if scaling and scaling.get("type") in ("longrope", "su"):
+        import math
+
+        orig_max = int(scaling["original_max_position_embeddings"])
+        s = max(max_position_embeddings, orig_max) / orig_max
+        if s > 1.0:
+            mscale = math.sqrt(1.0 + math.log(s) / math.log(orig_max))
+        short = jnp.asarray(scaling["short_factor"],
+                            dtype=jnp.float32)[: rd // 2]
+        long = jnp.asarray(scaling["long_factor"],
+                           dtype=jnp.float32)[: rd // 2]
+        # HF switches factor sets when the runtime seq_len exceeds the
+        # original context; both divisors are trace-time constants so this
+        # is one scalar-predicated vector select inside jit
+        is_long = (jnp.max(positions) + 1) > orig_max
+        inv_freq = inv_freq / jnp.where(is_long, long, short)
     angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B,S,rd/2]
-    return jnp.cos(angles), jnp.sin(angles)
+    return jnp.cos(angles) * mscale, jnp.sin(angles) * mscale
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
@@ -541,7 +589,8 @@ class LlamaModel(nnx.Module):
             positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
         x = self.embed_tokens(input_ids)
         cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta,
-                         cfg.partial_rotary_factor)
+                         cfg.partial_rotary_factor, cfg.rope_scaling,
+                         cfg.max_position_embeddings)
 
         if caches is None:
             # causal mask [1, 1, S, S]

@@ -221,7 +221,9 @@ def _rope_aux(cfg, positions, mask):
     from ..models.llama import _rope
 
     cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta,
-                     getattr(cfg, "partial_rotary_factor", 1.0))
+                     getattr(cfg, "partial_rotary_factor", 1.0),
+                     getattr(cfg, "rope_scaling", None),
+                     getattr(cfg, "max_position_embeddings", 0))
     return (cos, sin, mask)
 
 

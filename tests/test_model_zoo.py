@@ -323,3 +323,88 @@ def test_chatglm_thudm_layout_import(tmp_path):
     got = np.asarray(model(jnp.asarray(ids)), dtype=np.float32)
     err = np.abs(ref - got).max()
     assert err < 5e-3, err
+
+
+def test_phi3_hf_parity(tmp_path):
+    """Phi-3 (fused qkv_proj/gate_up_proj + longrope) folds onto the llama
+    stack: fused tensors split on import, su-rope factors applied with the
+    static long/short choice (reference recipe family microsoft/Phi-3,
+    llm_recipes.md)."""
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, original_max_position_embeddings=32,
+        rope_scaling={"type": "longrope",
+                      "short_factor": [1.0 + 0.1 * i for i in range(8)],
+                      "long_factor": [1.5 + 0.2 * i for i in range(8)]},
+        tie_word_embeddings=False, pad_token_id=0, eos_token_id=1)
+    hf_model = transformers.Phi3ForCausalLM(cfg).eval().float()
+    d = tmp_path / "phi3"
+    hf_model.save_pretrained(d, safe_serialization=True)
+    assert detect_architecture(str(d)) == "llama"
+    model = load_hf_model(str(d), dtype=jnp.float32)
+    assert model.cfg.rope_scaling["type"] == "longrope"
+    # 12 tokens: inside the original 32-token context -> short factors,
+    # but the attention factor still applies (max_pos 64 > original 32)
+    ids = np.random.default_rng(1).integers(0, 128, (2, 12))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(model(jnp.asarray(ids)), dtype=np.float32)
+    err = np.abs(ref - got).max()
+    assert err < 5e-3, err
+    # 40 tokens: past the original context -> HF's dynamic rope update
+    # switches to the long factors; our scalar select must follow
+    ids40 = np.random.default_rng(4).integers(0, 128, (2, 40))
+    with torch.no_grad():
+        ref40 = hf_model(torch.tensor(ids40)).logits.numpy()
+    got40 = np.asarray(model(jnp.asarray(ids40)), dtype=np.float32)
+    err40 = np.abs(ref40 - got40).max()
+    assert err40 < 5e-3, err40
+    # cache decode agrees with the full forward under longrope tables
+    caches = init_kv_cache(model.cfg, 2, 16)
+    _, caches = model(jnp.asarray(ids[:, :8]), caches=caches, cache_pos=0)
+    step, _ = model(jnp.asarray(ids[:, 8:9]),
+                    positions=jnp.full((2, 1), 8), caches=caches,
+                    cache_pos=8)
+    full = model(jnp.asarray(ids[:, :9]))
+    np.testing.assert_allclose(np.asarray(step[:, 0]),
+                               np.asarray(full[:, 8]), atol=2e-3)
+    # quantize + generate through the fused-serving path
+    from neural_compressor_tpu.generation import greedy_search
+
+    qm = nq.quantize(model, nq.RTNConfig(dtype="int4", group_size=16))
+    assert nq.fuse_for_serving(qm) == 4
+    out = greedy_search(qm, jnp.asarray(ids[:1]), max_new_tokens=4)
+    assert out.shape == (1, 16)
+
+
+def test_phi3_short_context_uses_short_factor(tmp_path):
+    """A phi-3 config whose max context equals the original context picks
+    the short factors and applies no attention rescale (HF
+    _compute_longrope_parameters semantics)."""
+    import torch
+    import transformers
+
+    torch.manual_seed(1)
+    cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=32, original_max_position_embeddings=32,
+        rope_scaling={"type": "longrope",
+                      "short_factor": [1.0 + 0.25 * i for i in range(8)],
+                      "long_factor": [9.0] * 8},
+        tie_word_embeddings=False, pad_token_id=0, eos_token_id=1)
+    hf_model = transformers.Phi3ForCausalLM(cfg).eval().float()
+    d = tmp_path / "phi3s"
+    hf_model.save_pretrained(d, safe_serialization=True)
+    model = load_hf_model(str(d), dtype=jnp.float32)
+    ids = np.random.default_rng(2).integers(0, 128, (1, 10))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(model(jnp.asarray(ids)), dtype=np.float32)
+    err = np.abs(ref - got).max()
+    assert err < 5e-3, err
