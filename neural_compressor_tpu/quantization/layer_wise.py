@@ -93,18 +93,27 @@ def _model_path(name: str, arch: str) -> str:
     return name.removeprefix(_MODULE_PREFIX_STRIP.get(arch, ""))
 
 
-def _remap_stream_tensor(name: str, arr):
+def _remap_stream_tensor(name: str, arr, cfg=None):
     """Split checkpoint-fused tensors into our per-projection modules.
 
-    GLM stores gate|up fused as ``mlp.gate_up_proj.weight`` [2I, H]
-    (torch layout, gate first — HF GlmMLP chunk(2) order); our llama tree
-    keeps gate_proj/up_proj separate so per-projection quantization and
+    GLM/Phi-3 store gate|up fused as ``mlp.gate_up_proj.weight`` [2I, H]
+    (torch layout, gate first — HF GlmMLP/Phi3MLP chunk(2) order); Phi-3
+    additionally fuses q|k|v as ``self_attn.qkv_proj.weight`` (row order
+    q, k, v — split needs the head counts, so pass ``cfg``). Our llama
+    tree keeps the projections separate so per-projection quantization and
     fuse_for_serving work unchanged."""
     if name.endswith("mlp.gate_up_proj.weight"):
         inter = arr.shape[0] // 2
         stem = name[: -len("gate_up_proj.weight")]
         return [(stem + "gate_proj.weight", arr[:inter]),
                 (stem + "up_proj.weight", arr[inter:])]
+    if name.endswith("self_attn.qkv_proj.weight") and cfg is not None:
+        q = cfg.num_attention_heads * cfg.head_dim
+        kv = cfg.num_key_value_heads * cfg.head_dim
+        stem = name[: -len("qkv_proj.weight")]
+        return [(stem + "q_proj.weight", arr[:q]),
+                (stem + "k_proj.weight", arr[q:q + kv]),
+                (stem + "v_proj.weight", arr[q + kv:q + 2 * kv])]
     return [(name, arr)]
 
 
@@ -126,6 +135,9 @@ def quantize_hf_checkpoint_streaming(model_dir: str, quant_config,
     arch = detect_architecture(model_dir)
     assert arch in _PROJ_SUFFIXES, f"unsupported streaming arch {arch!r}"
     transpose = arch not in _NO_TRANSPOSE_ARCHS
+    # the llama family may carry phi-3-style fused qkv — splitting it
+    # needs the head counts
+    split_cfg = llama_config_from_hf(model_dir) if arch == "llama" else None
     os.makedirs(output_dir, exist_ok=True)
     from safetensors.numpy import save_file
 
@@ -135,7 +147,7 @@ def quantize_hf_checkpoint_streaming(model_dir: str, quant_config,
     bias_map: dict = {}
     n_q = 0
     for raw_name, raw_arr in _iter_checkpoint_tensors(model_dir):
-      for name, arr in _remap_stream_tensor(raw_name, raw_arr):
+      for name, arr in _remap_stream_tensor(raw_name, raw_arr, split_cfg):
         mpath = _module_path_for(name, arch)
         quantizable = (
             mpath is not None
@@ -412,7 +424,7 @@ def gptq_quantize_checkpoint_streaming(model_dir: str, quant_config,
         # transpose, biases and norms as-is — hf_import's rules)
         for name in reader.names_under(base):
             for name2, piece in _remap_stream_tensor(name,
-                                                     reader.get(name)):
+                                                     reader.get(name), cfg):
                 rest = name2[len(base):]
                 t = _to_jnp(piece, dtype)
                 _assign_generic(layer, rest, t, linears, norms)
@@ -450,7 +462,7 @@ def gptq_quantize_checkpoint_streaming(model_dir: str, quant_config,
     # name (embeddings, norms, heads, buffers) — the output's
     # model.safetensors is a valid fp view for the family's hf_import
     for name, arr in _iter_checkpoint_tensors(model_dir):
-        pieces = _remap_stream_tensor(name, arr)
+        pieces = _remap_stream_tensor(name, arr, cfg)
         keep = [(n2, a2) for n2, a2 in pieces if n2 not in quantized_names]
         if len(keep) == len(pieces) and name not in quantized_names:
             fp_tensors[name] = np.asarray(arr)

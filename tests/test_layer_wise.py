@@ -195,3 +195,66 @@ def test_streaming_self_contained(hf_dir, tmp_path):
         assert m(ids).shape == (1, 8, 256)
     finally:
         shutil.move(moved, hf_dir)
+
+
+def _tiny_phi3_dir(tmp_path):
+    import transformers
+
+    cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, original_max_position_embeddings=32,
+        rope_scaling={"type": "longrope",
+                      "short_factor": [1.0 + 0.1 * i for i in range(8)],
+                      "long_factor": [1.5] * 8},
+        tie_word_embeddings=False, pad_token_id=0, eos_token_id=1)
+    d = str(tmp_path / "phi3")
+    transformers.Phi3ForCausalLM(cfg).eval().float().save_pretrained(
+        d, safe_serialization=True)
+    return d
+
+
+def test_streaming_phi3_fused_qkv(tmp_path):
+    """Phi-3 checkpoints carry fused qkv_proj/gate_up_proj: the streaming
+    splitter must produce per-projection quantized modules that match the
+    direct in-memory path."""
+    from neural_compressor_tpu.models.hf_import import load_hf_model
+
+    d = _tiny_phi3_dir(tmp_path)
+    out = str(tmp_path / "phi3_q")
+    quantize_hf_checkpoint_streaming(
+        d, nq.RTNConfig(dtype="int4", group_size=16), out,
+        dtype=jnp.float32)
+    m_stream = load_quantized_checkpoint(out, dtype=jnp.float32)
+    qm = nq.quantize(load_hf_model(d, dtype=jnp.float32),
+                     nq.RTNConfig(dtype="int4", group_size=16))
+    ids = jnp.asarray(np.random.default_rng(7).integers(0, 128, (2, 10)))
+    np.testing.assert_allclose(
+        np.asarray(m_stream(ids), dtype=np.float32),
+        np.asarray(qm(ids), dtype=np.float32), atol=2e-3)
+
+
+def test_streaming_gptq_phi3(tmp_path):
+    """Calibrated streaming GPTQ over a phi-3 checkpoint (fused tensors
+    split per layer while streaming)."""
+    from neural_compressor_tpu.algorithms.calib_capture import (
+        calibration_forward)
+    from neural_compressor_tpu.models.hf_import import load_hf_model
+    from neural_compressor_tpu.quantization.layer_wise import (
+        gptq_quantize_checkpoint_streaming)
+
+    d = _tiny_phi3_dir(tmp_path)
+    out = str(tmp_path / "phi3_gptq")
+    ids = np.random.default_rng(8).integers(0, 128, (2, 16))
+    gptq_quantize_checkpoint_streaming(
+        d, nq.GPTQConfig(dtype="int4", group_size=16), out,
+        calib_ids=ids, dtype=jnp.float32)
+    m_stream = load_quantized_checkpoint(out, dtype=jnp.float32)
+    qm = nq.quantize(load_hf_model(d, dtype=jnp.float32),
+                     nq.GPTQConfig(dtype="int4", group_size=16),
+                     run_fn=calibration_forward,
+                     run_args=([jnp.asarray(ids)],))
+    probe = jnp.asarray(ids[:, :10])
+    np.testing.assert_allclose(
+        np.asarray(m_stream(probe), dtype=np.float32),
+        np.asarray(qm(probe), dtype=np.float32), atol=2e-3)
