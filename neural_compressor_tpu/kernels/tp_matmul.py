@@ -98,3 +98,71 @@ def tp_woq_matmul_row(x: jax.Array, pw: PackedWeight, mesh: Mesh,
         out_specs=_x_spec(x.ndim, data_axis, None),
         check_rep=False,
     )(x, pw.packed, pw.scales, zeros)
+
+
+def tp_w4a8_matmul_column(x: jax.Array, pw: PackedWeight, mesh: Mesh,
+                          axis: str = "model",
+                          data_axis: str | None = None):
+    """W4A8 (int8-act x int4-weight, integer-MXU kernel) with W sharded on
+    the output dim. ``x`` is replicated over ``axis``; every shard
+    quantizes the identical full-K activation, so the result is bit-equal
+    to the single-chip ``w4a8_matmul`` of the same shapes.
+
+    tpu_strided only (the s4_rowpack view must be hoisted per program,
+    which a per-step shard_map cannot do — enable_tp_serving keeps TP
+    modules on tpu_strided)."""
+    from .w4a8_matmul import w4a8_matmul
+
+    pw = resolve_double_quant(pw)
+    assert pw.layout == "tpu_strided" and pw.perm is None, (pw.layout,)
+    K, N = pw.orig_shape
+    tp = mesh.shape[axis]
+    assert N % tp == 0, f"N={N} not divisible by tp={tp}"
+    Nl = N // tp
+
+    def local(x, packed, scales):
+        lp = PackedWeight(packed, scales, None, pw.bits, pw.group_size,
+                          pw.dtype, (K, Nl), pw.layout)
+        return w4a8_matmul(x, lp)
+
+    spec_w = P(None, axis)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(_x_spec(x.ndim, data_axis, None), spec_w, spec_w),
+        out_specs=_x_spec(x.ndim, data_axis, axis),
+        check_rep=False,
+    )(x, pw.packed, pw.scales)
+
+
+def tp_w4a8_matmul_row(x: jax.Array, pw: PackedWeight, mesh: Mesh,
+                       axis: str = "model",
+                       data_axis: str | None = None):
+    """W4A8 with W sharded on the reduction dim; per-shard f32 partials are
+    psum'ed over ICI. Each shard int8-quantizes its own K-slice of the
+    activation (per-shard per-token scales — FINER act granularity than
+    the single-chip global scale, so results are close to but not
+    bit-equal with single-chip; both are valid int8 quantizations)."""
+    from .w4a8_matmul import w4a8_matmul
+
+    pw = resolve_double_quant(pw)
+    assert pw.layout == "tpu_strided" and pw.perm is None, (pw.layout,)
+    K, N = pw.orig_shape
+    tp = mesh.shape[axis]
+    G = pw.group_size if pw.group_size > 0 else K
+    assert K % tp == 0 and (K // tp) % G == 0, (
+        f"K={K} must shard into whole groups (G={G}, tp={tp})")
+    Kl = K // tp
+
+    def local(x, packed, scales):
+        lp = PackedWeight(packed, scales, None, pw.bits, pw.group_size,
+                          pw.dtype, (Kl, N), pw.layout)
+        y = w4a8_matmul(x, lp)
+        return jax.lax.psum(y, axis)
+
+    spec_w = P(axis, None)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(_x_spec(x.ndim, data_axis, axis), spec_w, spec_w),
+        out_specs=_x_spec(x.ndim, data_axis, None),
+        check_rep=False,
+    )(x, pw.packed, pw.scales)

@@ -126,6 +126,18 @@ class W4A8Linear(WOQLinear):
 
         if self.pre_scale is not None:
             x = x / self.pre_scale[...].astype(x.dtype)
+        if self.tp_role is not None and self.layout == "tpu_strided":
+            from ..kernels.tp_matmul import (tp_w4a8_matmul_column,
+                                             tp_w4a8_matmul_row)
+
+            kind, axis, data_axis = self.tp_role
+            fn = (tp_w4a8_matmul_column if kind == "column"
+                  else tp_w4a8_matmul_row)
+            y = fn(x, self.packed_weight(), self.tp_mesh, axis=axis,
+                   data_axis=data_axis)
+            if self.bias is not None:
+                y = y + self.bias[...].astype(y.dtype)
+            return y
         M = 1
         for d in x.shape[:-1]:
             M *= d

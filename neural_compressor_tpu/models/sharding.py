@@ -51,12 +51,28 @@ def enable_tp_serving(model: nnx.Module, mesh: Mesh, axis: str = "model",
     qkv_proj / gate_up_proj fused projections are column-parallel (their
     N-concat segments each shard cleanly when heads divide the axis)."""
     from ..layers.module_utils import named_modules
-    from ..layers.woq_linear import WOQLinear
+    from ..layers.woq_linear import W4A8Linear, WOQLinear
 
     tp = mesh.shape[axis]
     n = 0
     for path, mod in named_modules(model):
-        if type(mod) is not WOQLinear:  # exact: W4A8's int8 path is not TP'd
+        # WOQLinear runs the fused dequant kernels per shard; W4A8Linear
+        # runs the int8-MXU kernel per shard (tpu_strided only — the
+        # s4_rowpack int4 view cannot be hoisted through a per-step
+        # shard_map, so keep TP modules on tpu_strided: call
+        # enable_tp_serving BEFORE to_w4a8_serving, which then skips the
+        # s4 conversion for TP-tagged modules)
+        if type(mod) is W4A8Linear:
+            if mod.layout != "tpu_strided" or mod.perm is not None:
+                logger.warning(
+                    "enable_tp_serving: skipping %s (layout=%s, perm=%s) — "
+                    "convert with to_w4a8_serving(s4=False) or call "
+                    "enable_tp_serving before to_w4a8_serving",
+                    path, mod.layout, mod.perm is not None)
+                continue
+        elif type(mod) is not WOQLinear:
+            continue
+        elif mod.perm is not None:
             continue
         leaf = path.rsplit(".", 1)[-1]
         K, N = mod.in_features, mod.out_features

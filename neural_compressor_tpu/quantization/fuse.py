@@ -106,14 +106,20 @@ def to_w4a8_serving(model, s4: bool | str = "auto") -> int:
     n = n_s4 = 0
     for path, mod in list(named_modules(model)):
         if type(mod) is WOQLinear:
-            pw, up = _maybe_s4(mod.packed_weight())
-            n_s4 += up
+            pw = mod.packed_weight()
+            if mod.tp_role is None:
+                pw, up = _maybe_s4(pw)
+                n_s4 += up
+            # TP-tagged modules stay tpu_strided: the per-shard int8-MXU
+            # kernel (kernels/tp_matmul.py) cannot hoist the s4 view
             w4a8 = W4A8Linear(
                 pw,
                 bias=None if mod.bias is None else mod.bias[...],
                 impl=mod.impl,
                 pre_scale=(None if mod.pre_scale is None
                            else mod.pre_scale[...]))
+            w4a8.tp_role = mod.tp_role
+            w4a8.tp_mesh = mod.tp_mesh
             replace_module(model, path, w4a8)
             n += 1
         elif type(mod) is W4A8Linear and mod.layout == "tpu_strided":

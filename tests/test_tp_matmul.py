@@ -100,3 +100,94 @@ def test_enable_tp_serving_end_to_end(eight_device_mesh):
     got = np.asarray(jax.device_get(got), dtype=np.float32)
     err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 5e-2, err
+
+
+@pytest.fixture(scope="module")
+def w4a8_problem():
+    """Shapes chosen so every 8-way shard still meets the int8-MXU kernel's
+    tile floor (Nl = 2048/8 = 256 = tn; Kl = 256/8 = 32 = one group)."""
+    from neural_compressor_tpu.kernels.w4a8_matmul import w4a8_matmul
+
+    rng = np.random.default_rng(2)
+    K, N = 256, 2048
+    w = jnp.asarray(rng.standard_normal((K, N)), dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, K)), dtype=jnp.float32)
+    pw = pack_qtensor(quantize_tensor(w, bits=4, group_size=32,
+                                      scheme="sym"))
+    ref_fp = np.asarray(x @ dequantize_packed(pw, out_dtype=jnp.float32))
+    ref_w4a8 = np.asarray(w4a8_matmul(x, pw), dtype=np.float32)
+    return x, pw, ref_fp, ref_w4a8
+
+
+def test_w4a8_column_parallel(w4a8_problem, eight_device_mesh):
+    """Column-TP W4A8: x replicated -> identical per-shard act quant ->
+    bit-equal to the single-chip int8-MXU result."""
+    from neural_compressor_tpu.kernels.tp_matmul import tp_w4a8_matmul_column
+
+    x, pw, ref_fp, ref_w4a8 = w4a8_problem
+    mesh = make_mesh((1, 8))
+    with mesh:
+        y = np.asarray(tp_w4a8_matmul_column(x, pw, mesh), dtype=np.float32)
+    np.testing.assert_allclose(y, ref_w4a8, atol=1e-4)
+    rel = np.abs(y - ref_fp).max() / (np.abs(ref_fp).max() + 1e-9)
+    assert rel < 2e-2, rel  # int8-act quantization error only
+
+
+def test_w4a8_row_parallel(w4a8_problem, eight_device_mesh):
+    """Row-TP W4A8: each shard int8-quantizes its own K-slice (per-shard
+    act scales, finer than single-chip) and f32 partials psum — close to
+    the single-chip result, tight against the fp reference."""
+    from neural_compressor_tpu.kernels.tp_matmul import tp_w4a8_matmul_row
+
+    rng = np.random.default_rng(3)
+    K, N = 2048, 256
+    w = jnp.asarray(rng.standard_normal((K, N)), dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, K)), dtype=jnp.float32)
+    pw = pack_qtensor(quantize_tensor(w, bits=4, group_size=32,
+                                      scheme="sym"))
+    ref_fp = np.asarray(x @ dequantize_packed(pw, out_dtype=jnp.float32))
+    mesh = make_mesh((1, 8))
+    with mesh:
+        y = np.asarray(tp_w4a8_matmul_row(x, pw, mesh), dtype=np.float32)
+    rel = np.abs(y - ref_fp).max() / (np.abs(ref_fp).max() + 1e-9)
+    assert rel < 2e-2, rel  # per-shard int8-act quantization error only
+
+
+def test_tp_w4a8_serving_end_to_end(eight_device_mesh):
+    """enable_tp_serving BEFORE to_w4a8_serving: modules convert to
+    W4A8Linear but stay tpu_strided with their TP roles, and TP decode
+    matches the single-chip W4A8 decode."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.layers.woq_linear import W4A8Linear
+    from neural_compressor_tpu.layers.module_utils import get_module
+    from neural_compressor_tpu.models import LlamaForCausalLM, shard_model
+    from neural_compressor_tpu.models.llama import init_kv_cache
+    from neural_compressor_tpu.models.sharding import enable_tp_serving
+    from neural_compressor_tpu.quantization.fuse import to_w4a8_serving
+
+    rng = np.random.default_rng(11)
+    ids = jnp.asarray(rng.integers(0, 256, (2, 8)))
+    qm = nq.quantize(LlamaForCausalLM.from_preset("llama-test"),
+                     nq.RTNConfig(dtype="int4", group_size=32))
+    # single-chip W4A8 reference
+    qref = nq.quantize(LlamaForCausalLM.from_preset("llama-test"),
+                       nq.RTNConfig(dtype="int4", group_size=32))
+    to_w4a8_serving(qref, s4=False)
+    ref = np.asarray(qref(ids), dtype=np.float32)
+
+    mesh = make_mesh((1, 8))
+    qm = shard_model(qm, mesh)
+    n = enable_tp_serving(qm, mesh, data_axis=None)
+    assert n >= 8
+    to_w4a8_serving(qm, s4="auto")  # must NOT s4-convert TP modules
+    q = get_module(qm, "model.layers.0.self_attn.q_proj")
+    assert type(q) is W4A8Linear and q.layout == "tpu_strided"
+    assert q.tp_role is not None and q.tp_role[0] == "column"
+    with mesh:
+        got = qm(ids)
+    got = np.asarray(jax.device_get(got), dtype=np.float32)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 5e-2, err
