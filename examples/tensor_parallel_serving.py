@@ -43,6 +43,17 @@ def main():
     print(f"TP forward over {n} devices ({n_tp} fused TP ops):",
           logits.shape, "decode:", step.shape)
 
+    # upgrade to the W4A8 serving modules (int8-MXU kernels per shard) —
+    # enable_tp_serving first, so TP modules keep the tpu_strided layout
+    from neural_compressor_tpu.quantization.fuse import to_w4a8_serving
+
+    to_w4a8_serving(qmodel)
+    with mesh:
+        w4_logits = qmodel(ids)
+    drift = float(jnp.max(jnp.abs(w4_logits - logits)))
+    print(f"W4A8 TP forward: {w4_logits.shape}, "
+          f"max drift vs WOQ TP {drift:.4f} (int8-act quantization)")
+
 
 if __name__ == "__main__":
     main()
