@@ -1,7 +1,7 @@
 """Headline benchmark: INT4 weight-only Llama decode throughput on one chip.
 
 Prints ONE JSON line:
-  {"metric": "llama7b_int4_decode", "value": <tokens/s/chip>,
+  {"metric": "<preset>_int4_decode_b<batch>", "value": <tokens/s/chip>,
    "unit": "tokens/s", "vs_baseline": <speedup over bf16 decode>}
 
 The reference publishes accuracy-only tables (BASELINE.md); throughput
@@ -33,7 +33,7 @@ from neural_compressor_tpu.models.llama import init_kv_cache
 from neural_compressor_tpu.quantization.fuse import s4_prepare as _s4_prepare
 
 
-def build_decode_fn(model, batch: int, max_len: int):
+def build_decode_fn(model, batch: int):
     graphdef, state = nnx.split(model)
 
     @jax.jit
@@ -59,7 +59,7 @@ def build_decode_fn(model, batch: int, max_len: int):
 def measure_decode(model, batch=1, max_len=256, steps=64, label=""):
     cfg = model.cfg
     caches = init_kv_cache(cfg, batch, max_len)
-    state, decode = build_decode_fn(model, batch, max_len)
+    state, decode = build_decode_fn(model, batch)
     tok = jnp.zeros((batch, 1), dtype=jnp.int32)
     t0 = time.time()
     _, caches2, acc = decode(state, caches, tok, 0, 4)  # compile + warm

@@ -135,27 +135,17 @@ def s4_matmul(x: jax.Array, pw: PackedWeight, out_dtype=None) -> jax.Array:
     M = x2.shape[0]
 
     G = pw.group_size if pw.group_size > 0 else K
-    # tile policy identical to w4a8_matmul (measured there; the s4 kernel
-    # has the same grid structure, only cheaper unpack)
-    tm = min(_round_up(M, 32), 1024)
-    tn = 512 if M <= 32 else 256
-    ng = K // G
+    # tm/tk policy shared with w4a8_matmul (same grid structure, only the
+    # unpack is cheaper here)
+    from .w4a8_matmul import select_w4a8_tiles
 
-    def _largest_tk(cap):
-        t = G
-        for m in range(1, ng + 1):
-            if ng % m == 0 and m * G <= cap:
-                t = m * G
-        return t
-
-    if tm <= 32:
-        tk = _largest_tk(6144)
-    else:
-        tk = G
-        while tk * 2 <= min(K, 4096) and K % (tk * 2) == 0:
-            tk *= 2
-        if tk <= 512:
-            tm, tk = min(tm, 512), _largest_tk(6144)
+    tm, tk = select_w4a8_tiles(M, K, G)
+    # eligibility (s4_usable / fuse._maybe_s4) only guarantees N % 256 ==
+    # 0; only widen the decode N-tile when N actually allows it (the
+    # quantized llama lm_head has N=32000 ≡ 256 mod 512 — with an
+    # unconditional tn=512 it would silently take the bf16-dequant
+    # fallback every decode step)
+    tn = 512 if (M <= 32 and N % 512 == 0) else 256
     if not s4_usable(pw) or K % tk or N % tn:
         w = dequantize_packed(pw, out_dtype=jnp.bfloat16)
         return jnp.dot(x2.astype(jnp.bfloat16), w,

@@ -111,33 +111,17 @@ def _w4a8_impl(xq, packed, scales, *, bits, G, K, N, interpret, tm, tn, tk):
     )(xq, packed, scales)
 
 
-def w4a8_matmul(x: jax.Array, pw: PackedWeight, out_dtype=None) -> jax.Array:
-    """y = x @ dequant(Wq) with int8 per-token act quantization and the
-    integer MXU path. Requires sym int4 tpu_strided weights; falls back to
-    the bf16 dequant path otherwise."""
-    out_dtype = out_dtype or x.dtype
-    pw = resolve_double_quant(pw)
-    K, N = pw.orig_shape
-    lead = x.shape[:-1]
-    x2 = x.reshape(-1, K)
-    if pw.perm is not None:
-        # rows stored permuted (act-order/GAR): contract x in stored order
-        x2 = jnp.take(x2, pw.perm, axis=1)
-        pw = pw._replace(perm=None)
-    M = x2.shape[0]
+def select_w4a8_tiles(M: int, K: int, G: int) -> tuple[int, int]:
+    """(tm, tk) for the grouped int8-MXU kernels (shared by w4a8_matmul
+    and s4_matmul — the two kernels have the same grid structure and the
+    policy below was measured on both; only tn differs per kernel).
 
-    usable = (pw.layout == "tpu_strided" and pw.bits == 4
-              and pw.zeros is None and pw.dtype == "int")
-    G = pw.group_size if pw.group_size > 0 else K
-    # tile sweep on v5e (experiments/prefill_sweep*.log): tm=1024/tn=256/
-    # tk=4096 hits 198 TF/s at M=2048 — 1.46x the bf16 dot (136) and ~87%
-    # of the raw int8 MXU rate; tm=2048 exceeds VMEM
+    Tile sweep on v5e (experiments/prefill_sweep*.log): tm=1024/tk=4096
+    hits 198 TF/s at M=2048 — 1.46x the bf16 dot and ~87% of the raw int8
+    MXU rate; tm=2048 exceeds VMEM. The K-tile must be a multiple of G
+    dividing K; small tk makes the kernel grid-overhead bound (K=11008
+    with tk=256 ran at 89 GB/s, experiments/w4a8_m16.log)."""
     tm = min(_round_up(M, 32), 1024)  # int8 sublane = 32
-    tn = 256
-    # largest K-tile that is a multiple of G and divides K: small tk makes
-    # the kernel grid-overhead bound (K=11008 with tk=256 ran at 89 GB/s,
-    # experiments/w4a8_m16.log). VMEM bounds tk by tm (x block is tm x tk
-    # int8, double-buffered).
     ng = K // G
 
     def _largest_tk(cap):
@@ -162,6 +146,29 @@ def w4a8_matmul(x: jax.Array, pw: PackedWeight, out_dtype=None) -> jax.Array:
             # pathological K (11008 = 86 groups): no mid-size power-of-2
             # tile exists; shrink the M-tile to afford the big one
             tm, tk = min(tm, 512), _largest_tk(6144)
+    return tm, tk
+
+
+def w4a8_matmul(x: jax.Array, pw: PackedWeight, out_dtype=None) -> jax.Array:
+    """y = x @ dequant(Wq) with int8 per-token act quantization and the
+    integer MXU path. Requires sym int4 tpu_strided weights; falls back to
+    the bf16 dequant path otherwise."""
+    out_dtype = out_dtype or x.dtype
+    pw = resolve_double_quant(pw)
+    K, N = pw.orig_shape
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, K)
+    if pw.perm is not None:
+        # rows stored permuted (act-order/GAR): contract x in stored order
+        x2 = jnp.take(x2, pw.perm, axis=1)
+        pw = pw._replace(perm=None)
+    M = x2.shape[0]
+
+    usable = (pw.layout == "tpu_strided" and pw.bits == 4
+              and pw.zeros is None and pw.dtype == "int")
+    G = pw.group_size if pw.group_size > 0 else K
+    tm, tk = select_w4a8_tiles(M, K, G)
+    tn = 256
     if not usable or K % tk or N % tn:
         w = dequantize_packed(pw, out_dtype=jnp.bfloat16)
         return jnp.dot(x2.astype(jnp.bfloat16), w,

@@ -32,7 +32,8 @@ def _fusible(mods) -> bool:
                 or (m.bias is None) != (ref.bias is None)
                 or m.pre_scale is not None
                 or m.perm is not None          # act-order/GAR rows differ
-                or m.sq_scales is not None):   # double-quant meta differs
+                or m.sq_scales is not None     # double-quant meta differs
+                or m.tp_role != ref.tp_role):  # same TP role or none
             return False
     return True
 
@@ -50,7 +51,12 @@ def _concat_woq(mods) -> WOQLinear:
         layout=ref.layout)
     bias = (jnp.concatenate([m.bias[...] for m in mods])
             if ref.bias is not None else None)
-    return WOQLinear(pw, bias=bias, impl=ref.impl)
+    fused = WOQLinear(pw, bias=bias, impl=ref.impl)
+    # identical TP roles survive fusion (q/k/v are all column-parallel
+    # with the same axes; the N-concat shards exactly like the parts)
+    fused.tp_role = ref.tp_role
+    fused.tp_mesh = ref.tp_mesh
+    return fused
 
 
 def fuse_for_serving(model) -> int:
@@ -122,9 +128,11 @@ def to_w4a8_serving(model, s4: bool | str = "auto") -> int:
             w4a8.tp_mesh = mod.tp_mesh
             replace_module(model, path, w4a8)
             n += 1
-        elif type(mod) is W4A8Linear and mod.layout == "tpu_strided":
+        elif (type(mod) is W4A8Linear and mod.layout == "tpu_strided"
+                and mod.tp_role is None):
             # e.g. hybrid_gptq already produced W4A8 modules — upgrade the
-            # storage layout in place
+            # storage layout in place (TP-tagged modules must stay
+            # tpu_strided: the per-shard kernels cannot hoist the s4 view)
             pw, up = _maybe_s4(mod.packed_weight())
             if up:
                 mod.packed = type(mod.packed)(pw.packed)

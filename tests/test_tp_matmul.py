@@ -191,3 +191,31 @@ def test_tp_w4a8_serving_end_to_end(eight_device_mesh):
     got = np.asarray(jax.device_get(got), dtype=np.float32)
     err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 5e-2, err
+
+
+def test_fuse_preserves_tp_role(eight_device_mesh):
+    """fuse_for_serving after enable_tp_serving must carry the identical
+    column TP role onto the fused qkv/gate_up module (and to_w4a8_serving
+    must never s4-convert a TP-tagged module, even via the W4A8 upgrade
+    branch)."""
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.layers.module_utils import get_module
+    from neural_compressor_tpu.models import LlamaForCausalLM, shard_model
+    from neural_compressor_tpu.models.sharding import enable_tp_serving
+    from neural_compressor_tpu.quantization.fuse import (
+        fuse_for_serving, to_w4a8_serving)
+
+    qm = nq.quantize(LlamaForCausalLM.from_preset("llama-test"),
+                     nq.RTNConfig(dtype="int4", group_size=32))
+    mesh = make_mesh((1, 8))
+    qm = shard_model(qm, mesh)
+    enable_tp_serving(qm, mesh, data_axis=None)
+    assert fuse_for_serving(qm) == 4
+    qkv = get_module(qm, "model.layers.0.self_attn.qkv_proj")
+    assert qkv.tp_role is not None and qkv.tp_role[0] == "column"
+    # upgrade to W4A8 twice: the second call hits the W4A8Linear branch
+    to_w4a8_serving(qm, s4=True)
+    to_w4a8_serving(qm, s4=True)
+    qkv = get_module(qm, "model.layers.0.self_attn.qkv_proj")
+    assert qkv.layout == "tpu_strided"  # TP modules must never go s4
+    assert qkv.tp_role is not None
