@@ -69,6 +69,23 @@ def main():
                   file=sys.stderr)
             results[name] = float("nan")
 
+    # KV-cache quantization: measured through the DECODE path (the cache
+    # formats only exist there); fp-weights model, quantized cache —
+    # isolates the KV cost from weight quantization
+    from neural_compressor_tpu.evaluation.lm_eval import decode_perplexity
+
+    kv_val = val[:32]
+    ppl_decode_fp = decode_perplexity(model, kv_val, batch_size=16)
+    for fmt in ("int8", "fp8_e4m3"):
+        try:
+            p = decode_perplexity(model, kv_val, batch_size=16,
+                                  kv_quantized=fmt)
+            results[f"kv_{fmt}"] = ppl_fp + (p - ppl_decode_fp)
+        except Exception as e:  # pragma: no cover
+            print(f"  kv_{fmt} FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            results[f"kv_{fmt}"] = float("nan")
+
     print(f"fp ppl: {ppl_fp:.4f}", file=sys.stderr)
     for name, p in results.items():
         print(f"  {name:10s} ppl {p:8.4f}  delta {p - ppl_fp:+.4f}  "

@@ -66,3 +66,25 @@ def test_gptq_int4_beats_rtn_int4(setup):
     assert ppl_gptq <= ppl_rtn * 1.02, (ppl_gptq, ppl_rtn)
     # absolute budget: int4 GPTQ within 10% relative ppl of fp
     assert ppl_gptq - ppl_fp < 0.10 * ppl_fp, (ppl_gptq, ppl_fp)
+
+
+def test_kv_cache_quantization_near_lossless(setup):
+    """Decode-path ppl with a quantized KV cache: bf16-cache decode must
+    match parallel eval, and int8/fp8 codes (per-token-per-head scales)
+    must cost almost nothing on the trained model."""
+    from neural_compressor_tpu.evaluation.lm_eval import decode_perplexity
+
+    val, _calib, ppl_fp = setup
+    kv_val = val[:16]
+    model = load_tiny_lm()
+    d_fp = decode_perplexity(model, kv_val, batch_size=16)
+    d_i8 = decode_perplexity(model, kv_val, batch_size=16,
+                             kv_quantized="int8")
+    d_f8 = decode_perplexity(model, kv_val, batch_size=16,
+                             kv_quantized="fp8_e4m3")
+    p_fp = perplexity(model, kv_val, batch_size=16)
+    # cache decode == parallel forward on the same split
+    assert abs(d_fp - p_fp) < 5e-3 * p_fp, (d_fp, p_fp)
+    # int8/fp8 KV codes are near-lossless (serving-config evidence)
+    assert d_i8 - d_fp < 0.02 * d_fp, (d_i8, d_fp)
+    assert d_f8 - d_fp < 0.02 * d_fp, (d_f8, d_fp)
