@@ -76,7 +76,7 @@ def main():
 
     kv_val = val[:32]
     ppl_decode_fp = decode_perplexity(model, kv_val, batch_size=16)
-    for fmt in ("int8", "fp8_e4m3"):
+    for fmt in ("int8", "fp8_e4m3", "int4"):
         try:
             p = decode_perplexity(model, kv_val, batch_size=16,
                                   kv_quantized=fmt)

@@ -14,7 +14,7 @@ from ..layers.module_utils import named_modules
 from . import register_algo
 
 
-_KV_FORMATS = ("int8", "fp8_e4m3")
+_KV_FORMATS = ("int8", "fp8_e4m3", "int4")
 
 
 @register_algo("kv_cache")
@@ -28,6 +28,8 @@ def kv_cache_entry(model, configs_mapping, mode="quantize", run_fn=None,
         dt = getattr(cfg, "dtype", "int8")
         if dt in ("fp8", "fp8_e4m3", "float8_e4m3"):
             fmt = "fp8_e4m3"
+        elif dt == "int4":
+            fmt = "int4"
         elif dt not in _KV_FORMATS:
             raise ValueError(
                 f"KVCacheQuantConfig.dtype={dt!r} unsupported; "

@@ -136,14 +136,18 @@ class QuantKVCache(NamedTuple):
     or fp8-e4m3 (the format is carried by the codes' dtype); both halve KV
     HBM traffic vs bf16. Scales are [B, H, S] f32 (negligible overhead)."""
 
-    k_codes: jax.Array  # int8 | float8_e4m3fn [B, H, S, D]
+    k_codes: jax.Array  # int8 | float8_e4m3fn [B,H,S,D] | uint8 [B,H,S,D/2]
     k_scale: jax.Array  # f32  [B, H, S]
     v_codes: jax.Array
     v_scale: jax.Array
 
     @property
     def fmt(self) -> str:
-        return "int8" if self.k_codes.dtype == jnp.int8 else "fp8_e4m3"
+        if self.k_codes.dtype == jnp.int8:
+            return "int8"
+        if self.k_codes.dtype == jnp.uint8:
+            return "int4"  # packed nibble pairs (half-split along D)
+        return "fp8_e4m3"
 
 
 class PagedKVCache(NamedTuple):
@@ -180,6 +184,9 @@ def init_paged_pool(cfg: "LlamaConfig", n_pages: int, batch: int,
         bt = jnp.zeros((batch, pmax), jnp.int32)
         if quantized:
             fmt = "int8" if quantized is True else str(quantized)
+            assert fmt != "int4", (
+                "paged pools hold element-width codes; int4 packed KV is "
+                "contiguous-cache only (init_kv_cache)")
             cdt = _KV_CODE_DTYPES[fmt]
             out.append(PagedKVCache(jnp.zeros(shape, cdt),
                                     jnp.ones(sshape, jnp.float32),
@@ -215,17 +222,31 @@ def _paged_write_row(cache: PagedKVCache, k_new, v_new, pos):
             v_new[:, :, 0].astype(cache.v_pages.dtype)))
 
 
-_KV_CODE_DTYPES = {"int8": jnp.int8, "fp8_e4m3": jnp.float8_e4m3fn}
+_KV_CODE_DTYPES = {"int8": jnp.int8, "fp8_e4m3": jnp.float8_e4m3fn,
+                   "int4": jnp.uint8}
 
 
 def _kv_quant(x: jax.Array, fmt: str = "int8"):
-    """[B, H, S, D] -> codes (int8 or fp8-e4m3) + per-(token, head) scale."""
+    """[B, H, S, D] -> codes + per-(token, head) scale.
+
+    Formats: int8 / fp8-e4m3 (codes at element width) and int4 — two
+    offset-binary nibbles per uint8 byte, packed HALF-SPLIT along D
+    (d < D/2 in the low nibble, d >= D/2 in the high) so the unpack is a
+    shift/mask + concat with no interleave relayout. int4 halves KV HBM
+    bytes again over int8 — the batched-decode ceiling is cache-read
+    bound (PERF_NOTES), so byte width is throughput."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)
     if fmt == "fp8_e4m3":
         scale = jnp.where(amax <= 0, 1.0, amax / 448.0)
         codes = jnp.clip(xf / scale[..., None], -448.0, 448.0
                          ).astype(jnp.float8_e4m3fn)
+    elif fmt == "int4":
+        scale = jnp.where(amax <= 0, 1.0, amax / 7.0)
+        c = jnp.clip(jnp.round(xf / scale[..., None]), -8, 7) + 8.0
+        c = c.astype(jnp.uint8)
+        h = c.shape[-1] // 2
+        codes = c[..., :h] | (c[..., h:] << 4)
     else:
         scale = jnp.where(amax <= 0, 1.0, amax / 127.0)
         codes = jnp.clip(jnp.round(xf / scale[..., None]), -128, 127
@@ -233,7 +254,21 @@ def _kv_quant(x: jax.Array, fmt: str = "int8"):
     return codes, scale
 
 
+def _kv_unpack_int4(codes: jax.Array) -> jax.Array:
+    """Packed uint8 [.., D/2] -> centered int8 codes [.., D]."""
+    lo = (codes & 15).astype(jnp.int8) - 8
+    hi = (codes >> 4).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def _kv_codes_int8(codes: jax.Array) -> jax.Array:
+    """Cache codes -> dot-ready form (unpacks int4; int8/fp8 pass through)."""
+    return _kv_unpack_int4(codes) if codes.dtype == jnp.uint8 else codes
+
+
 def _kv_dequant(codes: jax.Array, scale: jax.Array, dtype) -> jax.Array:
+    if codes.dtype == jnp.uint8:
+        codes = _kv_unpack_int4(codes)
     return (codes.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
@@ -325,6 +360,8 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
     if quantized:
         fmt = "int8" if quantized is True else str(quantized)
         cdt = _KV_CODE_DTYPES[fmt]
+        if fmt == "int4":  # two nibbles per byte, half-split along D
+            shape = shape[:-1] + (cfg.head_dim // 2,)
         return [QuantKVCache(jnp.zeros(shape, cdt),
                              jnp.ones(sshape, jnp.float32),
                              jnp.zeros(shape, cdt),
@@ -465,7 +502,10 @@ class LlamaAttention(nnx.Module):
             out = out.astype(x.dtype).transpose(0, 2, 1, 3)
             return self.o_proj(out.reshape(B, S, H * D)), new_cache
         if isinstance(cache, QuantKVCache):
-            if S == 1 and tp_mesh is None and fused_ok:
+            if (S == 1 and tp_mesh is None and fused_ok
+                    and cache.fmt != "int4"):
+                # the fused kernel consumes element-width codes; int4
+                # packed caches take the grouped code-domain path below
                 from ..kernels.decode_attention import decode_attention_quant
 
                 out, new_cache = decode_attention_quant(q, k, v, cache,
@@ -486,9 +526,10 @@ class LlamaAttention(nnx.Module):
                 # repeated K/V; per-token scales fold into scores/probs
                 # (same math as the fused decode kernel). Measured B=16
                 # int8-KV: 31.4 -> 30.1 ms/step (PERF_NOTES round 2).
-                out = _grouped_attention(q, k_codes.astype(x.dtype),
-                                         v_codes.astype(x.dtype), mask, D,
-                                         k_scale, v_scale)
+                out = _grouped_attention(
+                    q, _kv_codes_int8(k_codes).astype(x.dtype),
+                    _kv_codes_int8(v_codes).astype(x.dtype), mask, D,
+                    k_scale, v_scale)
                 out = out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
                 return self.o_proj(out), new_cache
             k = _kv_dequant(k_codes, k_scale, x.dtype)

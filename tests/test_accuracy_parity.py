@@ -88,3 +88,18 @@ def test_kv_cache_quantization_near_lossless(setup):
     # int8/fp8 KV codes are near-lossless (serving-config evidence)
     assert d_i8 - d_fp < 0.02 * d_fp, (d_i8, d_fp)
     assert d_f8 - d_fp < 0.02 * d_fp, (d_f8, d_fp)
+
+
+def test_kv_int4_within_budget(setup):
+    """Packed int4 KV (2 nibbles/byte, half-split along D): 4x cache
+    capacity over bf16 at a measured, budgeted ppl cost (sym per-token
+    scales; per-channel K quantization is the known next lever)."""
+    from neural_compressor_tpu.evaluation.lm_eval import decode_perplexity
+
+    val, _calib, _ppl_fp = setup
+    kv_val = val[:16]
+    model = load_tiny_lm()
+    d_fp = decode_perplexity(model, kv_val, batch_size=16)
+    d_i4 = decode_perplexity(model, kv_val, batch_size=16,
+                             kv_quantized="int4")
+    assert d_i4 - d_fp < 0.1, (d_i4, d_fp)  # BASELINE Δppl budget

@@ -134,3 +134,21 @@ def test_speculative_quantized_target(llama, ids):
     ref = greedy_search(qm, ids, max_new_tokens=8)
     out = speculative_greedy_search(qm, draft, ids, max_new_tokens=8, k=2)
     assert bool(jnp.all(out == ref))
+
+
+def test_generate_int4_kv_cache():
+    """Greedy generation through the packed-int4 KV cache format."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.generation import greedy_search
+    from neural_compressor_tpu.models import LlamaForCausalLM
+
+    m = LlamaForCausalLM.from_preset("llama-test")
+    qm = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+    qm = nq.quantize(qm, nq.KVCacheQuantConfig(dtype="int4"))
+    assert qm.kv_cache_format == "int4"
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 8)))
+    out = greedy_search(qm, ids, max_new_tokens=4)
+    assert out.shape == (2, 12)
