@@ -31,8 +31,9 @@ MAX_LEN = 1024
 
 def build_decode(model, batch, max_len, quant_kv=False):
     def make_caches():
-        return init_kv_cache(model.cfg, batch, max_len,
-                             quantized="int8" if quant_kv else False)
+        fmt = quant_kv if isinstance(quant_kv, str) else (
+            "int8" if quant_kv else False)
+        return init_kv_cache(model.cfg, batch, max_len, quantized=fmt)
 
     graphdef, state = nnx.split(model)
 

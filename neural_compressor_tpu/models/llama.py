@@ -314,6 +314,41 @@ def _grouped_attention(q, k, v, mask, D, k_scale=None, v_scale=None):
     return out.reshape(B, H, S, D).astype(q.dtype)
 
 
+def _grouped_attention_int4(q, k_packed, v_packed, mask, D,
+                            k_scale, v_scale):
+    """``_grouped_attention`` on PACKED int4 caches without materializing
+    an unpacked [B, Hkv, T, D] temp: the half-split nibble layout turns
+    QK^T into the sum of two half-D dots and PV into two half-D output
+    slices, so each dot's rhs is a per-element shift/mask of the packed
+    bytes — elementwise, fusable into the dot read — and the cache
+    streams from HBM at nibble width."""
+    B, H, S, _ = q.shape
+    Hkv, T = k_packed.shape[1], k_packed.shape[2]
+    rep = H // Hkv
+    h = D // 2
+    qg = q.reshape(B, Hkv, rep, S, D)
+    dt = q.dtype
+    k_lo = ((k_packed & 15).astype(jnp.int8) - 8).astype(dt)
+    k_hi = ((k_packed >> 4).astype(jnp.int8) - 8).astype(dt)
+    s = (jnp.einsum("bgrsd,bgtd->bgrst", qg[..., :h], k_lo,
+                    preferred_element_type=jnp.float32)
+         + jnp.einsum("bgrsd,bgtd->bgrst", qg[..., h:], k_hi,
+                      preferred_element_type=jnp.float32))
+    s = s * k_scale[:, :, None, None, :]
+    s = s / jnp.sqrt(D).astype(jnp.float32)
+    s = jnp.where(mask[:, :, None], s, -1e30)
+    p = (jax.nn.softmax(s, axis=-1)
+         * v_scale[:, :, None, None, :]).astype(dt)
+    v_lo = ((v_packed & 15).astype(jnp.int8) - 8).astype(dt)
+    v_hi = ((v_packed >> 4).astype(jnp.int8) - 8).astype(dt)
+    out = jnp.concatenate(
+        [jnp.einsum("bgrst,bgtd->bgrsd", p, v_lo,
+                    preferred_element_type=jnp.float32),
+         jnp.einsum("bgrst,bgtd->bgrsd", p, v_hi,
+                    preferred_element_type=jnp.float32)], axis=-1)
+    return out.reshape(B, H, S, D).astype(q.dtype)
+
+
 _FP8_MAX = 448.0  # e4m3
 
 
@@ -526,10 +561,13 @@ class LlamaAttention(nnx.Module):
                 # repeated K/V; per-token scales fold into scores/probs
                 # (same math as the fused decode kernel). Measured B=16
                 # int8-KV: 31.4 -> 30.1 ms/step (PERF_NOTES round 2).
-                out = _grouped_attention(
-                    q, _kv_codes_int8(k_codes).astype(x.dtype),
-                    _kv_codes_int8(v_codes).astype(x.dtype), mask, D,
-                    k_scale, v_scale)
+                if new_cache.fmt == "int4":
+                    out = _grouped_attention_int4(q, k_codes, v_codes,
+                                                  mask, D, k_scale, v_scale)
+                else:
+                    out = _grouped_attention(q, k_codes.astype(x.dtype),
+                                             v_codes.astype(x.dtype),
+                                             mask, D, k_scale, v_scale)
                 out = out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
                 return self.o_proj(out), new_cache
             k = _kv_dequant(k_codes, k_scale, x.dtype)
