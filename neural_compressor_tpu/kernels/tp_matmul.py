@@ -87,8 +87,10 @@ def tp_woq_matmul_row(x: jax.Array, pw: PackedWeight, mesh: Mesh,
         lp = PackedWeight(packed, scales, zeros if has_zeros else None,
                           pw.bits, pw.group_size, pw.dtype, (Kl, N),
                           pw.layout)
-        y = woq_matmul(x, lp, impl=impl)
-        return jax.lax.psum(y, axis)
+        # sum partials in f32 — a bf16 round before the psum would
+        # compound across tp shards
+        y = woq_matmul(x, lp, impl=impl, out_dtype=jnp.float32)
+        return jax.lax.psum(y, axis).astype(x.dtype)
 
     zeros = pw.zeros if has_zeros else jnp.zeros_like(pw.scales)
     spec_w = P(axis, None)
@@ -156,8 +158,10 @@ def tp_w4a8_matmul_row(x: jax.Array, pw: PackedWeight, mesh: Mesh,
     def local(x, packed, scales):
         lp = PackedWeight(packed, scales, None, pw.bits, pw.group_size,
                           pw.dtype, (Kl, N), pw.layout)
-        y = w4a8_matmul(x, lp)
-        return jax.lax.psum(y, axis)
+        # sum partials in f32 — a bf16 round before the psum would
+        # compound across tp shards
+        y = w4a8_matmul(x, lp, out_dtype=jnp.float32)
+        return jax.lax.psum(y, axis).astype(x.dtype)
 
     spec_w = P(axis, None)
     return shard_map(

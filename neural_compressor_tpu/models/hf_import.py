@@ -82,8 +82,11 @@ def llama_config_from_hf(model_dir: str, dtype=jnp.bfloat16) -> LlamaConfig:
                         or hf.get("model_type") in ("qwen2", "glm")),
         rope_style=("interleaved_partial" if hf.get("model_type") == "glm"
                     else "half"),
+        # glm defaults to 0.5; phi-3/phi-4 carry it explicitly (e.g.
+        # Phi-4-mini: 0.75 with half-style rotation on the rotated slice)
         partial_rotary_factor=(hf.get("partial_rotary_factor", 0.5)
-                               if hf.get("model_type") == "glm" else 1.0),
+                               if hf.get("model_type") == "glm"
+                               else hf.get("partial_rotary_factor", 1.0)),
         rope_scaling=rope_scaling,
         dtype=dtype,
     )
@@ -776,9 +779,15 @@ def detect_architecture(model_dir: str) -> str:
         return "gptj"
     if has("GPTNeoX") or mt == "gpt_neox":
         return "gptneox"
+    if has("Phi3Small") or has("Phi3V") or mt in ("phi3small", "phi3_v"):
+        raise ValueError(
+            "phi-3-small (blocksparse attention) and phi-3-vision are not "
+            "mapped; phi-3-mini/medium and phi-4-mini import via the "
+            "llama path")
     if has("Phi3") or mt == "phi3":
-        # Phi-3 = llama graph + fused qkv/gate_up checkpoint tensors
-        # (split on import) + longrope (su) scaling read from rope_scaling
+        # Phi-3/Phi-4-mini = llama graph + fused qkv/gate_up checkpoint
+        # tensors (split on import) + longrope (su) scaling and optional
+        # partial rotary read from the config
         return "llama"
     if has("Phi") or mt == "phi":
         return "phi"

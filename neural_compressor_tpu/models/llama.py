@@ -267,8 +267,7 @@ def _kv_codes_int8(codes: jax.Array) -> jax.Array:
 
 
 def _kv_dequant(codes: jax.Array, scale: jax.Array, dtype) -> jax.Array:
-    if codes.dtype == jnp.uint8:
-        codes = _kv_unpack_int4(codes)
+    codes = _kv_codes_int8(codes)
     return (codes.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
@@ -458,19 +457,25 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
                style: str = "half") -> jax.Array:
     """x: [B, S, H, D]; cos/sin [B, S, rd/2].
 
-    ``half``: HF llama rotate-half over the full head dim (rd == D).
+    ``half``: HF llama rotate-half over the first rd dims (rd from the
+    table width; dims >= rd pass through — phi-3/phi-4 partial rotary,
+    HF modeling_phi3 q_rot/q_pass split; rd == D for llama itself).
     ``interleaved_partial``: GLM rotate-every-two — pair (2i, 2i+1) of the
     first rd dims rotates by angle pos*inv_freq[i]; dims >= rd pass
     through (HF modeling_glm.apply_rotary_pos_emb)."""
     cos = cos[:, :, None, :]
     sin = sin[:, :, None, :]
     if style == "half":
-        d2 = x.shape[-1] // 2
-        x1, x2 = x[..., :d2], x[..., d2:]
+        rd = 2 * cos.shape[-1]
+        xr, xp = x[..., :rd], x[..., rd:]
+        d2 = rd // 2
+        x1, x2 = xr[..., :d2], xr[..., d2:]
         xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
-        return jnp.concatenate(
+        rot = jnp.concatenate(
             [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
         ).astype(x.dtype)
+        return rot if rd == x.shape[-1] else jnp.concatenate(
+            [rot, xp], axis=-1)
     assert style == "interleaved_partial", style
     rd = 2 * cos.shape[-1]
     xr = x[..., :rd].astype(jnp.float32)

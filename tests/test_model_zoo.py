@@ -408,3 +408,50 @@ def test_phi3_short_context_uses_short_factor(tmp_path):
     got = np.asarray(model(jnp.asarray(ids)), dtype=np.float32)
     err = np.abs(ref - got).max()
     assert err < 5e-3, err
+
+
+def test_phi4_mini_partial_rotary_parity(tmp_path):
+    """Phi-4-mini layout: phi3 model_type with partial_rotary_factor 0.75
+    — rotate-half over the first 0.75*D dims, rest pass-through, longrope
+    factor lists sized to the rotated width."""
+    import torch
+    import transformers
+
+    torch.manual_seed(2)
+    rd_half = int(16 * 0.75) // 2  # head_dim 16 -> 6 factors
+    cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, original_max_position_embeddings=32,
+        partial_rotary_factor=0.75,
+        rope_scaling={"type": "longrope",
+                      "short_factor": [1.0 + 0.1 * i for i in range(rd_half)],
+                      "long_factor": [1.5] * rd_half},
+        tie_word_embeddings=False, pad_token_id=0, eos_token_id=1)
+    hf_model = transformers.Phi3ForCausalLM(cfg).eval().float()
+    d = tmp_path / "phi4mini"
+    hf_model.save_pretrained(d, safe_serialization=True)
+    model = load_hf_model(str(d), dtype=jnp.float32)
+    assert model.cfg.partial_rotary_factor == 0.75
+    for n_tok in (12, 40):  # short (short_factor) and long (long_factor)
+        ids = np.random.default_rng(n_tok).integers(0, 128, (2, n_tok))
+        import torch as _t
+        with _t.no_grad():
+            ref = hf_model(_t.tensor(ids)).logits.numpy()
+        got = np.asarray(model(jnp.asarray(ids)), dtype=np.float32)
+        err = np.abs(ref - got).max()
+        assert err < 5e-3, (n_tok, err)
+
+
+def test_phi3_small_clear_error(tmp_path):
+    """Unmapped phi-3 variants (small/vision) must fail fast with a clear
+    message, not import silently wrong."""
+    import json as _json
+
+    d = tmp_path / "phi3small"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps(
+        {"architectures": ["Phi3SmallForCausalLM"],
+         "model_type": "phi3small", "vocab_size": 128}))
+    with pytest.raises(ValueError, match="phi-3-small"):
+        detect_architecture(str(d))
