@@ -101,6 +101,14 @@ LLAMA_PRESETS = {
                          intermediate_size=8192, num_hidden_layers=32,
                          num_attention_heads=32, num_key_value_heads=32,
                          max_position_embeddings=4096, rope_theta=10000.0),
+    # Phi-4-mini: phi3 layout with GQA (24q/8kv), 0.75 partial rotary,
+    # 200k vocab, tied embeddings
+    "phi4-mini": dict(vocab_size=200064, hidden_size=3072,
+                      intermediate_size=8192, num_hidden_layers=32,
+                      num_attention_heads=24, num_key_value_heads=8,
+                      max_position_embeddings=4096, rope_theta=10000.0,
+                      partial_rotary_factor=0.75,
+                      tie_word_embeddings=True),
     "phi3-test": dict(vocab_size=256, hidden_size=64, intermediate_size=128,
                       num_hidden_layers=2, num_attention_heads=4,
                       num_key_value_heads=2, max_position_embeddings=128,
