@@ -5,9 +5,19 @@ Parity: reference ``PatchedKVCache``/``PatchedVLLMKVCache``
 the cache is a pytree the user allocates (models.llama.init_kv_cache), so
 "patching" reduces to flagging the model: attention modules consume
 ``QuantKVCache`` transparently. This entry marks the model so serving code
-allocates quantized caches."""
+allocates quantized caches.
+
+``per_channel_k`` (int4 only, KIVI-style): prepare attaches a per-
+(kv-head, channel) amax observer to every attention module; a calibration
+run accumulates post-rope key stats; convert freezes them into
+``kv_k_scale`` variables that the attention folds into q — K quantization
+error is channel-dominated, so int4 K wants channel scales (measured in
+tests/test_accuracy_parity.py)."""
 
 from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import nnx
 
 from ..common import logger
 from ..layers.module_utils import named_modules
@@ -17,13 +27,17 @@ from . import register_algo
 _KV_FORMATS = ("int8", "fp8_e4m3", "int4")
 
 
+def _attention_modules(model):
+    for _name, mod in named_modules(model):
+        if type(mod).__name__.endswith("Attention") and hasattr(mod, "cfg"):
+            yield mod
+
+
 @register_algo("kv_cache")
 def kv_cache_entry(model, configs_mapping, mode="quantize", run_fn=None,
                    run_args=None, example_inputs=None, config=None):
-    if mode == "prepare":
-        return model
-    # the mapping's config decides the cache code format (int8 | fp8_e4m3)
-    fmt = "int8"
+    # the mapping's config decides the cache code format
+    fmt, per_channel = "int8", False
     for (_name, _t), cfg in configs_mapping.items():
         dt = getattr(cfg, "dtype", "int8")
         if dt in ("fp8", "fp8_e4m3", "float8_e4m3"):
@@ -34,14 +48,44 @@ def kv_cache_entry(model, configs_mapping, mode="quantize", run_fn=None,
             raise ValueError(
                 f"KVCacheQuantConfig.dtype={dt!r} unsupported; "
                 f"expected one of {_KV_FORMATS}")
+        per_channel = bool(getattr(cfg, "per_channel_k", False))
         break
+    if per_channel and fmt != "int4":
+        raise ValueError("per_channel_k applies to dtype='int4' only "
+                         "(int8/fp8 per-token scales are already lossless)")
+
+    if per_channel and mode in ("prepare", "quantize"):
+        for mod in _attention_modules(model):
+            hkv, d = mod.cfg.num_key_value_heads, mod.cfg.head_dim
+            mod.kv_k_amax = nnx.Variable(jnp.zeros((hkv, d), jnp.float32))
+            mod.kv_observe = True
+        if mode == "quantize":
+            from ..quantization.quantize import run_calibration
+
+            assert run_fn is not None, (
+                "per_channel_k needs a calibration run_fn (or use "
+                "prepare/convert)")
+            run_calibration(model, run_fn, run_args)
+    if mode == "prepare":
+        return model
+
     n = 0
-    for _name, mod in named_modules(model):
-        if type(mod).__name__.endswith("Attention"):
-            n += 1
+    for mod in _attention_modules(model):
+        if per_channel:
+            amax = mod.kv_k_amax[...]
+            assert float(jnp.max(amax)) > 0, (
+                "per_channel_k: no calibration data reached the attention "
+                "observers — run the calibration function between "
+                "prepare() and convert()")
+            mod.kv_k_scale = nnx.Variable(
+                jnp.where(amax <= 0, 1.0, amax / 7.0))
+            mod.kv_observe = False
+        n += 1
     # static attrs; init_kv_cache(..., quantized=model.kv_cache_format)
     model.kv_cache_quantized = True
     model.kv_cache_format = fmt
-    logger.info("KV-cache quantization enabled (%s, per-token-per-head "
-                "scales) for %d attention modules", fmt, n)
+    logger.info("KV-cache quantization enabled (%s, %s scales) for %d "
+                "attention modules", fmt,
+                "per-channel-K + per-token-V" if per_channel
+                else "per-token-per-head", n)
     return model

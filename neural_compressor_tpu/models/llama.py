@@ -322,7 +322,7 @@ def _grouped_attention(q, k, v, mask, D, k_scale=None, v_scale=None):
 
 
 def _grouped_attention_int4(q, k_packed, v_packed, mask, D,
-                            k_scale, v_scale):
+                            k_scale, v_scale, k_channel_scale=None):
     """``_grouped_attention`` on PACKED int4 caches without materializing
     an unpacked [B, Hkv, T, D] temp: the half-split nibble layout turns
     QK^T into the sum of two half-D dots and PV into two half-D output
@@ -334,6 +334,10 @@ def _grouped_attention_int4(q, k_packed, v_packed, mask, D,
     rep = H // Hkv
     h = D // 2
     qg = q.reshape(B, Hkv, rep, S, D)
+    if k_channel_scale is not None:
+        # calibrated per-channel K scales fold into q (q·(s_d·c_d) =
+        # (q·s)·c); the per-token k_scale rows are 1 in this mode
+        qg = qg * k_channel_scale[None, :, None, None, :].astype(qg.dtype)
     dt = q.dtype
     k_lo = ((k_packed & 15).astype(jnp.int8) - 8).astype(dt)
     k_hi = ((k_packed >> 4).astype(jnp.int8) - 8).astype(dt)
@@ -532,6 +536,14 @@ class LlamaAttention(nnx.Module):
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
+        if getattr(self, "kv_observe", False):
+            # KV calibration (KVCacheQuantConfig per_channel_k): running
+            # per-(kv-head, channel) amax of the post-rope keys — K error
+            # is channel-dominated (KIVI), so int4 K wants channel scales
+            self.kv_k_amax[...] = jnp.maximum(
+                self.kv_k_amax[...],
+                jnp.max(jnp.abs(k.astype(jnp.float32)), axis=(0, 2)))
+
         from ..kernels.decode_attention import use_fused_decode_attention
 
         tp_mesh = getattr(self, "tp_mesh_attn", None)
@@ -560,7 +572,21 @@ class LlamaAttention(nnx.Module):
                                                         cache_pos)
                 out = out.astype(x.dtype).transpose(0, 2, 1, 3)
                 return self.o_proj(out.reshape(B, S, H * D)), new_cache
-            kc, ks = _kv_quant(k, fmt=cache.fmt)
+            k_ch = (self.kv_k_scale[...]
+                    if getattr(self, "kv_k_scale", None) is not None
+                    and cache.fmt == "int4" else None)
+            if k_ch is not None:
+                # calibrated per-channel K scales (KIVI-style): codes are
+                # k / scale[h, d]; the scale folds into q before the dot,
+                # so the per-token k_scale rows stay 1
+                c = jnp.clip(jnp.round(k.astype(jnp.float32)
+                                       / k_ch[None, :, None, :]), -8, 7) + 8
+                c = c.astype(jnp.uint8)
+                hh = c.shape[-1] // 2
+                kc = c[..., :hh] | (c[..., hh:] << 4)
+                ks = jnp.ones(k.shape[:-1], jnp.float32)
+            else:
+                kc, ks = _kv_quant(k, fmt=cache.fmt)
             vc, vs = _kv_quant(v, fmt=cache.fmt)
             k_codes = _update_rows(cache.k_codes, kc, cache_pos)
             k_scale = _update_rows(cache.k_scale, ks, cache_pos)
@@ -576,7 +602,8 @@ class LlamaAttention(nnx.Module):
                 # int8-KV: 31.4 -> 30.1 ms/step (PERF_NOTES round 2).
                 if new_cache.fmt == "int4":
                     out = _grouped_attention_int4(q, k_codes, v_codes,
-                                                  mask, D, k_scale, v_scale)
+                                                  mask, D, k_scale, v_scale,
+                                                  k_channel_scale=k_ch)
                 else:
                     out = _grouped_attention(q, k_codes.astype(x.dtype),
                                              v_codes.astype(x.dtype),

@@ -398,10 +398,14 @@ class KVCacheQuantConfig(BaseConfig):
     params_list = ("dtype",)
 
     def __init__(self, dtype="int8", per_head_scales=True,
-                 white_list=DEFAULT_WHITE_LIST):
+                 per_channel_k=False, white_list=DEFAULT_WHITE_LIST):
         super().__init__(white_list=white_list)
         self.dtype = dtype
         self.per_head_scales = per_head_scales
+        # int4 only: calibrated per-(kv-head, channel) K scales folded
+        # into q (KIVI-style — K quantization error is channel-dominated);
+        # needs a calibration run_fn
+        self.per_channel_k = per_channel_k
 
     @classmethod
     def supported_op_types(cls):
