@@ -131,3 +131,25 @@ def test_paged_engine_int8_pool():
     r = eng.submit(rng.integers(0, 256, (12,)), max_new_tokens=5)
     done = eng.run(chunk=2)
     assert len(done) == 1 and len(r.generated) == 5
+
+
+def test_int4_kv_cache_engine_matches_greedy():
+    """Engine with the packed-int4 cache format: same tokens as
+    greedy_search under the same cache format."""
+    import jax.numpy as jnp
+    from neural_compressor_tpu.generation import greedy_search
+
+    rng = np.random.default_rng(5)
+    qm = nq.quantize(
+        LlamaForCausalLM.from_preset("llama-test"),
+        nq.RTNConfig(dtype="int4", group_size=32)
+        + nq.KVCacheQuantConfig(dtype="int4"))
+    assert qm.kv_cache_format == "int4"
+    eng = ContinuousBatchingEngine(qm, n_slots=2, max_len=64)
+    prompt = rng.integers(0, 256, (6,))
+    req = eng.submit(prompt, max_new_tokens=4)
+    done = eng.run()
+    assert len(done) == 1
+    ref = greedy_search(qm, jnp.asarray(prompt)[None, :], max_new_tokens=4)
+    np.testing.assert_array_equal(np.asarray(req.generated),
+                                  np.asarray(ref)[0, len(prompt):])
