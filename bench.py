@@ -123,8 +123,17 @@ def main():
     print(f"  build+quantize took {time.time()-t0:.1f}s "
           f"({nf} fused groups, {nw} W4A8 modules)", file=sys.stderr)
 
-    int4_tok_s = measure_decode(qmodel, args.batch, args.max_len, args.steps,
-                                label="int4")
+    # one retry: the tunnel occasionally drops a compile/transfer
+    # ("response body closed") — a transient, not a result
+    try:
+        int4_tok_s = measure_decode(qmodel, args.batch, args.max_len,
+                                    args.steps, label="int4")
+    except Exception as e:  # pragma: no cover
+        print(f"  int4 measurement failed ({type(e).__name__}: {e}); "
+              "retrying once", file=sys.stderr)
+        time.sleep(10)
+        int4_tok_s = measure_decode(qmodel, args.batch, args.max_len,
+                                    args.steps, label="int4")
     del qmodel
 
     # Baseline is best-effort: the tunnel compile of the bf16 7B program is
