@@ -18,6 +18,7 @@ from .quantization import (
     prepare, convert, quantize, finalize_calibration, prepare_qat,
     autotune, get_all_config_set, save, load,
     load_gptq_checkpoint,
+    load_hf_awq_checkpoint,
 )
 from .quantization.fuse import fuse_for_serving
 from .quantization.layer_wise import (

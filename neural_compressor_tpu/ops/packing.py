@@ -395,6 +395,48 @@ def from_gptq_layout(qweight: np.ndarray, qzeros: np.ndarray, scales: np.ndarray
     return pack_qtensor(qt, perm=perm)
 
 
+def from_awq_layout(qweight: np.ndarray, qzeros: np.ndarray,
+                    scales: np.ndarray, bits: int = 4,
+                    group_size: int = 128) -> PackedWeight:
+    """Convert an AutoAWQ ("gemm") checkpoint tensor set to PackedWeight.
+
+    AWQ layout (reference ``unpack_awq``, weight_only/utility.py:1275):
+    ``qweight`` int32 [K, N/8] with 8 nibbles along N in the AWQ
+    interleave order [0, 2, 4, 6, 1, 3, 5, 7]; ``qzeros`` int32
+    [K/G, N/8] in the same order; ``scales`` [K/G, N]. Semantics are
+    ``w = (q - z) * scale`` with NO off-by-one on the zero points (unlike
+    the optimum/GPTQ layout)."""
+    assert bits == 4, "AWQ gemm checkpoints are 4-bit"
+    qweight = np.asarray(qweight).astype(np.int64)
+    qzeros = np.asarray(qzeros).astype(np.int64)
+    K, N8 = qweight.shape
+    N = N8 * 8
+    mask = (1 << bits) - 1
+
+    def unpack_cols(words, rows):
+        raw = np.stack([(words >> (bits * s)) & mask for s in range(8)],
+                       axis=2).reshape(rows, N)
+        # logical[:, i] = raw[:, rev[i]], rev per-8 = inverse of the AWQ
+        # order map [0,2,4,6,1,3,5,7]
+        rev = (np.arange(N).reshape(-1, 8)[:, [0, 4, 1, 5, 2, 6, 3, 7]]
+               ).reshape(-1)
+        return raw[:, rev]
+
+    codes = unpack_cols(qweight, K).astype(np.int32)
+    zeros = unpack_cols(qzeros, qzeros.shape[0]).astype(np.int32)
+    scales = np.asarray(scales, dtype=np.float32)
+    ng = scales.shape[0]
+    G = K // ng
+    half = 1 << (bits - 1)
+    codes = codes - half  # centered convention (qtensor.quantize_int_asym)
+    zeros = zeros - half
+
+    qt = QTensor(jnp.asarray(codes.astype(np.int8)), jnp.asarray(scales),
+                 jnp.asarray(zeros, dtype=jnp.float32), "int", bits, G,
+                 (K, N))
+    return pack_qtensor(qt)
+
+
 def to_gptq_layout(pw: PackedWeight) -> dict[str, np.ndarray]:
     """Export PackedWeight to the optimum/AutoGPTQ tensor layout."""
     pw = resolve_double_quant(pw)

@@ -24,5 +24,6 @@ from .quantize import (
     prepare_qat,
 )
 from .autotune import autotune, get_all_config_set
-from .save_load import save, load, load_gptq_checkpoint
+from .save_load import (save, load, load_gptq_checkpoint,
+                        load_hf_awq_checkpoint)
 from .layer_fallback import autotune_layer_fallback, rank_layer_sensitivity

@@ -256,3 +256,54 @@ def load_gptq_checkpoint(input_dir: str, model):
     with open(os.path.join(input_dir, CONFIG_NAME)) as f:
         cfg = json.load(f)
     return _load_gptq(input_dir, model, cfg)
+
+
+def load_hf_awq_checkpoint(model_dir: str, dtype=jnp.bfloat16):
+    """Load an AutoAWQ ("gemm") quantized HF checkpoint — config.json with
+    ``quantization_config.quant_method == "awq"`` and per-projection
+    qweight/qzeros/scales tensors — into WOQLinear serving modules
+    (reference ``repack_awq_and_load_state_dict``,
+    transformers/models/modeling_auto.py:54,337). Llama-family
+    architectures (the AWQ ecosystem's catalogue)."""
+    from ..layers.module_utils import get_module
+    from ..models.hf_import import (_assign_llama_param,
+                                    _iter_checkpoint_tensors,
+                                    detect_architecture,
+                                    llama_config_from_hf)
+    from ..models.llama import LlamaForCausalLM
+    from ..ops.packing import from_awq_layout
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    qc = hf.get("quantization_config") or {}
+    assert qc.get("quant_method") == "awq", (
+        f"not an AWQ checkpoint: quantization_config={qc!r}")
+    version = str(qc.get("version", "gemm")).lower()
+    assert version == "gemm", f"AWQ version {version!r} unsupported (gemm only)"
+    bits = int(qc.get("bits", qc.get("w_bit", 4)))
+    group_size = int(qc.get("group_size", qc.get("q_group_size", 128)))
+    arch = detect_architecture(model_dir)
+    assert arch == "llama", f"AWQ import supports llama-family, got {arch}"
+
+    cfg = llama_config_from_hf(model_dir, dtype=dtype)
+    model = LlamaForCausalLM(cfg, nnx.Rngs(0))
+    pend: dict[str, dict] = {}
+    n_fp = 0
+    for name, arr in _iter_checkpoint_tensors(model_dir):
+        stem, leaf = name.rsplit(".", 1)
+        if leaf in ("qweight", "qzeros", "scales"):
+            pend.setdefault(stem, {})[leaf] = np.asarray(arr)
+        else:
+            n_fp += _assign_llama_param(model, name, arr, dtype)
+    n = 0
+    for path, t in sorted(pend.items()):
+        pw = from_awq_layout(t["qweight"], t["qzeros"], t["scales"],
+                             bits=bits, group_size=group_size)
+        old = get_module(model, path)
+        bias = (None if getattr(old, "bias", None) is None
+                else old.bias[...].astype(jnp.float32))
+        replace_module(model, path, WOQLinear(pw, bias=bias))
+        n += 1
+    logger.info("Loaded AWQ checkpoint: %d quantized modules, %d fp "
+                "tensors from %s", n, n_fp, model_dir)
+    return model

@@ -67,3 +67,93 @@ class TestCompressedTensorsExport:
         cfg = json.load(open(out + "/quantization_config.json"))
         assert cfg["quant_method"] == "compressed-tensors"
         assert cfg["config_groups"]["group_0"]["weights"]["group_size"] == 32
+
+
+def _to_awq_layout(codes_centered, zeros_centered, scales):
+    """Inverse of ops.packing.from_awq_layout (test fixture): centered
+    codes/zeros [K, N]/[ng, N] -> AWQ gemm qweight/qzeros int32."""
+    o = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+
+    def pack_cols(logical):
+        rows, N = logical.shape
+        fwd = (np.arange(N).reshape(-1, 8)[:, o]).reshape(-1)
+        raw = logical[:, fwd].astype(np.int64) & 15
+        words = np.zeros((rows, N // 8), dtype=np.int64)
+        for s in range(8):
+            words |= raw[:, s::8] << (4 * s)
+        return words.astype(np.int32)
+
+    return (pack_cols(codes_centered + 8), pack_cols(zeros_centered + 8),
+            scales.astype(np.float16))
+
+
+def test_awq_checkpoint_import(tmp_path):
+    """AutoAWQ ("gemm") HF checkpoint -> WOQLinear modules: synthesize an
+    AWQ checkpoint from a tiny fp llama (asym int4 via our own quant
+    math packed into the AWQ interleave), import through
+    load_hf_awq_checkpoint, and match the QDQ reference exactly."""
+    import json as _json
+
+    import torch
+    import transformers
+    from safetensors.numpy import save_file
+
+    from neural_compressor_tpu.ops.packing import from_awq_layout
+    from neural_compressor_tpu.ops.qtensor import dequantize, quantize_tensor
+    from neural_compressor_tpu.quantization.save_load import (
+        load_hf_awq_checkpoint)
+    from neural_compressor_tpu.layers.woq_linear import WOQLinear
+
+    torch.manual_seed(0)
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False)
+    hf_model = transformers.LlamaForCausalLM(cfg).eval().float()
+    d = tmp_path / "awq"
+    hf_model.save_pretrained(d, safe_serialization=True)
+
+    # rebuild the checkpoint: projections -> AWQ tensors, rest fp
+    from safetensors.numpy import load_file as _lf
+    import os as _os
+    raw = _lf(str(d / "model.safetensors"))
+    out = {}
+    proj = (".q_proj.weight", ".k_proj.weight", ".v_proj.weight",
+            ".o_proj.weight", ".gate_proj.weight", ".up_proj.weight",
+            ".down_proj.weight")
+    qdq_ref = {}
+    for name, arr in raw.items():
+        if name.endswith(proj):
+            w = jnp.asarray(arr.astype(np.float32)).T  # [K, N]
+            qt = quantize_tensor(w, bits=4, group_size=16, scheme="asym")
+            qdq_ref[name] = np.asarray(dequantize(qt))
+            stem = name[: -len(".weight")]
+            qw, qz, sc = _to_awq_layout(
+                np.asarray(qt.codes, dtype=np.int32),
+                np.asarray(qt.zeros, dtype=np.int32),
+                np.asarray(qt.scales))
+            out[stem + ".qweight"] = qw
+            out[stem + ".qzeros"] = qz
+            out[stem + ".scales"] = sc.astype(np.float32)
+        else:
+            out[name] = arr
+    save_file(out, str(d / "model.safetensors"))
+    hf_cfg = _json.loads((d / "config.json").read_text())
+    hf_cfg["quantization_config"] = {
+        "quant_method": "awq", "bits": 4, "group_size": 16,
+        "version": "gemm", "zero_point": True}
+    (d / "config.json").write_text(_json.dumps(hf_cfg))
+
+    model = load_hf_awq_checkpoint(str(d), dtype=jnp.float32)
+    # imported modules dequantize EXACTLY to the QDQ reference
+    q0 = model.model.layers[0].self_attn.q_proj
+    assert isinstance(q0, WOQLinear) and q0.zeros is not None
+    got_w = np.asarray(q0.dequantized_kernel())
+    ref_w = qdq_ref["model.layers.0.self_attn.q_proj.weight"]
+    # the checkpoint stores fp16 scales (real AWQ files do) — the only
+    # allowed difference vs the f32 QDQ reference is that rounding
+    np.testing.assert_allclose(got_w, ref_w, atol=1e-4)
+    # and the model runs
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (2, 10)))
+    logits = model(ids)
+    assert logits.shape == (2, 10, 128)
