@@ -93,6 +93,17 @@ class AutoModelForCausalLM:
         low_bit_cfg = os.path.join(path, "quant_config.json")
         if os.path.exists(low_bit_cfg) and quantization_config is None:
             return load_low_bit(path, dtype=dtype)
+        if quantization_config is None:
+            # pre-quantized HF-ecosystem checkpoints (reference
+            # modeling_auto.py:337 routes on quant_method the same way)
+            import json as _json
+
+            with open(os.path.join(path, "config.json")) as f:
+                qc = _json.load(f).get("quantization_config") or {}
+            if qc.get("quant_method") == "awq":
+                from ..quantization.save_load import load_hf_awq_checkpoint
+
+                return load_hf_awq_checkpoint(path, dtype=dtype)
         model = load_hf_model(path, dtype=dtype)
         if quantization_config is not None:
             model = convert_to_quantized_model(

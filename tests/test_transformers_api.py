@@ -154,3 +154,56 @@ class TestLoglikelihood:
         cont = np.asarray(out)[0, 6:].tolist()
         res = loglikelihood_from_ids(m, [(ctx.tolist(), cont)])
         assert res[0][1] is True  # the greedy continuation must be flagged
+
+
+def test_from_pretrained_awq_checkpoint(tmp_path):
+    """from_pretrained on a pre-quantized AutoAWQ checkpoint routes to the
+    AWQ importer automatically (reference modeling_auto quant_method
+    dispatch)."""
+    from tests.test_opt_export import _to_awq_layout
+
+    import json as _json
+    import torch
+    import transformers
+    from safetensors.numpy import load_file, save_file
+
+    from neural_compressor_tpu.layers.woq_linear import WOQLinear
+    from neural_compressor_tpu.ops.qtensor import quantize_tensor
+    from neural_compressor_tpu.transformers_api import AutoModelForCausalLM
+
+    torch.manual_seed(1)
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False)
+    transformers.LlamaForCausalLM(cfg).eval().float().save_pretrained(
+        tmp_path / "m", safe_serialization=True)
+    d = tmp_path / "m"
+    raw = load_file(str(d / "model.safetensors"))
+    proj = (".q_proj.weight", ".k_proj.weight", ".v_proj.weight",
+            ".o_proj.weight", ".gate_proj.weight", ".up_proj.weight",
+            ".down_proj.weight")
+    out = {}
+    for name, arr in raw.items():
+        if name.endswith(proj):
+            qt = quantize_tensor(jnp.asarray(arr.astype(np.float32)).T,
+                                 bits=4, group_size=16, scheme="asym")
+            qw, qz, sc = _to_awq_layout(np.asarray(qt.codes, np.int32),
+                                        np.asarray(qt.zeros, np.int32),
+                                        np.asarray(qt.scales))
+            stem = name[: -len(".weight")]
+            out[stem + ".qweight"] = qw
+            out[stem + ".qzeros"] = qz
+            out[stem + ".scales"] = sc.astype(np.float32)
+        else:
+            out[name] = arr
+    save_file(out, str(d / "model.safetensors"))
+    hf_cfg = _json.loads((d / "config.json").read_text())
+    hf_cfg["quantization_config"] = {"quant_method": "awq", "bits": 4,
+                                     "group_size": 16, "version": "gemm"}
+    (d / "config.json").write_text(_json.dumps(hf_cfg))
+
+    model = AutoModelForCausalLM.from_pretrained(str(d), dtype=jnp.float32)
+    assert isinstance(model.model.layers[0].self_attn.q_proj, WOQLinear)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (1, 8)))
+    assert model(ids).shape == (1, 8, 128)
