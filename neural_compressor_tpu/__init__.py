@@ -19,6 +19,7 @@ from .quantization import (
     autotune, get_all_config_set, save, load,
     load_gptq_checkpoint,
     load_hf_awq_checkpoint,
+    load_hf_gptq_checkpoint,
 )
 from .quantization.fuse import fuse_for_serving
 from .quantization.layer_wise import (

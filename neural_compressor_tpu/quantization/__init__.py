@@ -25,5 +25,5 @@ from .quantize import (
 )
 from .autotune import autotune, get_all_config_set
 from .save_load import (save, load, load_gptq_checkpoint,
-                        load_hf_awq_checkpoint)
+                        load_hf_awq_checkpoint, load_hf_gptq_checkpoint)
 from .layer_fallback import autotune_layer_fallback, rank_layer_sensitivity

@@ -258,6 +258,53 @@ def load_gptq_checkpoint(input_dir: str, model):
     return _load_gptq(input_dir, model, cfg)
 
 
+def load_hf_gptq_checkpoint(model_dir: str, dtype=jnp.bfloat16):
+    """Load a GPTQ-quantized HF checkpoint (AutoGPTQ/optimum layout named
+    by ``quantization_config.quant_method == "gptq"`` — per-projection
+    qweight/qzeros/scales/g_idx tensors) into WOQLinear modules.
+    Llama-family architectures. Reference: modeling_auto.py:337 routes
+    pre-quantized HF checkpoints by quant_method the same way."""
+    from ..layers.module_utils import get_module
+    from ..models.hf_import import (_assign_llama_param,
+                                    _iter_checkpoint_tensors,
+                                    detect_architecture,
+                                    llama_config_from_hf)
+    from ..models.llama import LlamaForCausalLM
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    qc = hf.get("quantization_config") or {}
+    assert qc.get("quant_method") == "gptq", (
+        f"not a GPTQ checkpoint: quantization_config={qc!r}")
+    bits = int(qc.get("bits", 4))
+    sym = bool(qc.get("sym", False))
+    arch = detect_architecture(model_dir)
+    assert arch == "llama", f"GPTQ import supports llama-family, got {arch}"
+
+    cfg = llama_config_from_hf(model_dir, dtype=dtype)
+    model = LlamaForCausalLM(cfg, nnx.Rngs(0))
+    pend: dict[str, dict] = {}
+    n_fp = 0
+    for name, arr in _iter_checkpoint_tensors(model_dir):
+        stem, leaf = name.rsplit(".", 1)
+        if leaf in ("qweight", "qzeros", "scales", "g_idx"):
+            pend.setdefault(stem, {})[leaf] = np.asarray(arr)
+        else:
+            n_fp += _assign_llama_param(model, name, arr, dtype)
+    n = 0
+    for path, t in sorted(pend.items()):
+        pw = from_gptq_layout(t["qweight"], t["qzeros"], t["scales"],
+                              t.get("g_idx"), bits=bits, sym=sym)
+        old = get_module(model, path)
+        bias = (None if getattr(old, "bias", None) is None
+                else old.bias[...].astype(jnp.float32))
+        replace_module(model, path, WOQLinear(pw, bias=bias))
+        n += 1
+    logger.info("Loaded HF-GPTQ checkpoint: %d quantized modules, %d fp "
+                "tensors from %s", n, n_fp, model_dir)
+    return model
+
+
 def load_hf_awq_checkpoint(model_dir: str, dtype=jnp.bfloat16):
     """Load an AutoAWQ ("gemm") quantized HF checkpoint — config.json with
     ``quantization_config.quant_method == "awq"`` and per-projection

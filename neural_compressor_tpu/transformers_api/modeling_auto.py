@@ -104,6 +104,10 @@ class AutoModelForCausalLM:
                 from ..quantization.save_load import load_hf_awq_checkpoint
 
                 return load_hf_awq_checkpoint(path, dtype=dtype)
+            if qc.get("quant_method") == "gptq":
+                from ..quantization.save_load import load_hf_gptq_checkpoint
+
+                return load_hf_gptq_checkpoint(path, dtype=dtype)
         model = load_hf_model(path, dtype=dtype)
         if quantization_config is not None:
             model = convert_to_quantized_model(

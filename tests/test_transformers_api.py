@@ -207,3 +207,56 @@ def test_from_pretrained_awq_checkpoint(tmp_path):
     assert isinstance(model.model.layers[0].self_attn.q_proj, WOQLinear)
     ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (1, 8)))
     assert model(ids).shape == (1, 8, 128)
+
+
+def test_from_pretrained_hf_gptq_checkpoint(tmp_path):
+    """from_pretrained on a GPTQ-quantized HF checkpoint (AutoGPTQ layout
+    under quantization_config.quant_method='gptq'): bit-exact with the
+    in-memory quantized model the tensors came from."""
+    import json as _json
+    import torch
+    import transformers
+    from safetensors.numpy import load_file, save_file
+
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.layers.module_utils import named_modules
+    from neural_compressor_tpu.layers.woq_linear import WOQLinear
+    from neural_compressor_tpu.models.hf_import import load_hf_model
+    from neural_compressor_tpu.ops.packing import to_gptq_layout
+    from neural_compressor_tpu.transformers_api import AutoModelForCausalLM
+
+    torch.manual_seed(3)
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False)
+    transformers.LlamaForCausalLM(cfg).eval().float().save_pretrained(
+        tmp_path / "m", safe_serialization=True)
+    d = tmp_path / "m"
+
+    ref = nq.quantize(load_hf_model(str(d), dtype=jnp.float32),
+                      nq.RTNConfig(dtype="int4", group_size=16,
+                                   use_sym=False))
+    raw = load_file(str(d / "model.safetensors"))
+    out = {n: a for n, a in raw.items()
+           if not n.endswith((".q_proj.weight", ".k_proj.weight",
+                              ".v_proj.weight", ".o_proj.weight",
+                              ".gate_proj.weight", ".up_proj.weight",
+                              ".down_proj.weight"))}
+    for path, mod in named_modules(ref):
+        if isinstance(mod, WOQLinear):
+            for leaf, arr in to_gptq_layout(mod.packed_weight()).items():
+                out[f"{path}.{leaf}"] = np.asarray(arr)
+    save_file(out, str(d / "model.safetensors"))
+    hf_cfg = _json.loads((d / "config.json").read_text())
+    hf_cfg["quantization_config"] = {"quant_method": "gptq", "bits": 4,
+                                     "group_size": 16, "sym": False}
+    (d / "config.json").write_text(_json.dumps(hf_cfg))
+
+    model = AutoModelForCausalLM.from_pretrained(str(d), dtype=jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, 128, (2, 9)))
+    # the optimum layout stores fp16 scales — the only difference vs the
+    # f32 in-memory model is that rounding
+    np.testing.assert_allclose(
+        np.asarray(model(ids), dtype=np.float32),
+        np.asarray(ref(ids), dtype=np.float32), atol=1e-2)
