@@ -22,6 +22,7 @@
 #include <algorithm>
 #include <functional>
 #include <mutex>
+#include <chrono>
 #include <thread>
 #include <unordered_map>
 #include <vector>
@@ -81,7 +82,7 @@ inline float f16_to_f32(uint16_t h) {
         ++shift;
       }
       man &= 0x3ff;
-      bits = sign | ((127 - 15 - shift) << 23) | (man << 13);
+      bits = sign | ((127 - 14 - shift) << 23) | (man << 13);
     }
   } else if (exp == 0x1f) {
     bits = sign | 0x7f800000u | (man << 13);
@@ -117,6 +118,11 @@ int64_t io_open(const char* path) {
 }
 
 void io_close(int64_t handle) {
+  // detached prefetch touchers read the mapping; unmapping under them is
+  // a use-after-munmap SIGSEGV — drain them first (they finish in ms)
+  for (int spins = 0; g_inflight_prefetch.load() > 0 && spins < 20000;
+       ++spins)
+    std::this_thread::sleep_for(std::chrono::microseconds(100));
   std::lock_guard<std::mutex> lk(g_mu);
   auto it = g_maps.find(handle);
   if (it == g_maps.end()) return;
@@ -176,23 +182,6 @@ int io_read_f16_as_f32(int64_t handle, int64_t off, int64_t n, float* out) {
   const uint16_t* src = reinterpret_cast<const uint16_t*>(p);
   io_parallel_for(n, 4 << 20, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) out[i] = f16_to_f32(src[i]);
-  });
-  return 0;
-}
-
-// Narrow n f32 values at `off` into bf16 (round-to-nearest-even), the
-// write-side counterpart used when emitting bf16 output shards.
-int io_read_f32_as_bf16(int64_t handle, int64_t off, int64_t n,
-                        uint16_t* out) {
-  const uint8_t* p = region(handle, off, n * 4);
-  if (p == nullptr) return -1;
-  const uint32_t* src = reinterpret_cast<const uint32_t*>(p);
-  io_parallel_for(n, 4 << 20, [&](int64_t lo, int64_t hi) {
-    for (int64_t i = lo; i < hi; ++i) {
-      uint32_t x = src[i];
-      uint32_t lsb = (x >> 16) & 1u;
-      out[i] = static_cast<uint16_t>((x + 0x7fffu + lsb) >> 16);
-    }
   });
   return 0;
 }

@@ -77,7 +77,10 @@ def pack_tpu_strided(codes: np.ndarray, bits: int, G: int,
         return out
     # numpy fallback (same math as ops/packing.pack_codes)
     mask = (1 << bits) - 1
-    c = (codes.astype(np.uint32) & mask).reshape(K // G, P, G // P, N)
+    c = codes.astype(np.int32)
+    if offset_binary:  # fields = signed + half (see commit 6dbea95)
+        c = c + (1 << (bits - 1))
+    c = (c.astype(np.uint32) & mask).reshape(K // G, P, G // P, N)
     out = np.zeros((K // G, G // P, N), dtype=np.uint32)
     for s in range(P):
         out |= c[:, s] << (bits * s)
@@ -98,9 +101,8 @@ def unpack_tpu_strided(packed: np.ndarray, bits: int, G: int, K: int,
     p = packed.reshape(K // G, G // P, N)
     planes = [(p >> (bits * s)) & mask for s in range(P)]
     codes = np.concatenate(planes, axis=1).reshape(K, N).astype(np.int32)
-    if signed:
-        half = 1 << (bits - 1)
-        codes = codes - ((codes >= half) * (1 << bits))
+    if signed:  # offset-binary fields: code = field - half (commit 6dbea95)
+        codes = codes - (1 << (bits - 1))
     return codes.astype(np.int8)
 
 

@@ -111,7 +111,8 @@ class NativeShard:
                                               out.reshape(-1))
         elif tag == "F32":
             out = np.empty(shape, dtype=np.float32)
-            rc = self._read_bytes(off, nbytes, out)
+            self._read_bytes(off, nbytes, out)  # raises on failure
+            rc = 0
         else:
             return self.get_tensor(name).astype(np.float32)
         if rc != 0:
@@ -122,9 +123,15 @@ class NativeShard:
         off, nbytes, _, _ = self._span(name)
         self._lib.io_prefetch(self._h, off, nbytes)
 
-    def _read_bytes(self, off, nbytes, out: np.ndarray) -> int:
-        return self._lib.io_read_bytes(
+    def _read_bytes(self, off, nbytes, out: np.ndarray) -> None:
+        rc = self._lib.io_read_bytes(
             self._h, off, nbytes, out.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            # a silent np.empty return would become garbage model weights
+            raise IOError(
+                f"native read failed (rc={rc}): offset {off} + {nbytes} "
+                f"bytes is outside the mapped shard — corrupt/truncated "
+                "checkpoint?")
 
     def close(self):
         if self._h > 0:
@@ -166,7 +173,10 @@ class _FallbackShard:
 def open_shard(path: str):
     try:
         return NativeShard(path)
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale libnq_native.so predating the IO entry
+        # points (ctypes raises on the missing symbol in _bind) — fall
+        # back rather than crash; `make -C native` refreshes it
         return _FallbackShard(path)
 
 

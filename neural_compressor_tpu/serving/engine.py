@@ -65,7 +65,16 @@ class ContinuousBatchingEngine:
         self.n_slots = n_slots
         self.max_len = max_len
         self.eos_token_id = eos_token_id
-        self.prefill_chunk = min(prefill_chunk, max_len)
+        # chunk starts step by the chunk size from 0: a chunk that would
+        # cross max_len gets its dynamic_update_slice start CLAMPED,
+        # silently shifting rows — round down to a divisor of max_len
+        c = min(prefill_chunk, max_len)
+        while max_len % c:
+            c -= 1
+        if c != prefill_chunk:
+            logger.info("prefill_chunk %d -> %d (must divide max_len %d)",
+                        prefill_chunk, c, max_len)
+        self.prefill_chunk = c
         quantized = (getattr(model, "kv_cache_format", "int8")
                  if getattr(model, "kv_cache_quantized", False) else False)
         self.paged = paged
@@ -194,12 +203,22 @@ class ContinuousBatchingEngine:
                 self.slot_state[slot] = "decode"
                 self.slot_pos[slot] = P
                 self.slot_tok[slot] = tok
+                if ((self.eos_token_id is not None
+                        and tok == self.eos_token_id)
+                        or len(req.generated) >= req.max_new_tokens):
+                    req.done = True  # the prefill token already fulfilled it
                 logger.debug("slot %d prefilled request %d (P=%d)",
                              slot, req.uid, P)
             return
 
     # -------------------------------------------------------- paged helpers
     def _alloc_page(self, slot: int, page_idx: int) -> None:
+        if not self.free_pages:
+            raise RuntimeError(
+                f"paged KV pool exhausted ({self.n_pages} pages, "
+                f"{sum(len(p) for p in self.slot_pages)} in use) — size "
+                "n_pages for the worst-case concurrent length or submit "
+                "fewer/shorter requests")
         pid = self.free_pages.pop()
         self.slot_pages[slot].append(pid)
         self.block_tables[slot, page_idx] = pid
@@ -290,23 +309,6 @@ class ContinuousBatchingEngine:
             self._jit_cache[key] = decode_many
         return self._jit_cache[key]
 
-    def _decode_fn(self):
-        key = "decode"
-        if key not in self._jit_cache:
-            graphdef = self._graphdef
-
-            @jax.jit
-            def decode(state, caches, toks, pos):
-                m = nnx.merge(graphdef, state)
-                _s4_prepare(m)
-                logits, caches = m(toks[:, None], positions=pos[:, None],
-                                   caches=caches, cache_pos=pos)
-                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-                return caches, nxt
-
-            self._jit_cache[key] = decode
-        return self._jit_cache[key]
-
     def _decode_many_fn(self, k: int):
         key = ("decode_many", k)
         if key not in self._jit_cache:
@@ -356,27 +358,12 @@ class ContinuousBatchingEngine:
             self.slot_pos, park).astype(np.int32)
 
     def step(self):
-        decode = self._decode_fn()
-        toks = jnp.asarray(self.slot_tok)
-        pos = jnp.asarray(self._decode_positions())
-        self.caches, nxt = decode(self._state, self.caches, toks, pos)
-        nxt = np.asarray(nxt)
-        for slot, req in enumerate(self.slot_req):
-            if req is None or self.slot_state[slot] != "decode":
-                continue
-            self.slot_pos[slot] += 1
-            tok = int(nxt[slot])
-            req.generated.append(tok)
-            self.slot_tok[slot] = tok
-            if ((self.eos_token_id is not None and tok == self.eos_token_id)
-                    or len(req.generated) >= req.max_new_tokens
-                    or self.slot_pos[slot] >= self.max_len - 1):
-                req.done = True
+        """Single decode step (works in contiguous and paged modes)."""
+        return self.step_many(1)
 
     def step_many(self, k: int = 8):
         """Decode ``k`` tokens for every active slot in one dispatch."""
-        if k <= 1:
-            return self.step()
+        k = max(int(k), 1)
         toks = jnp.asarray(self.slot_tok)
         pos = jnp.asarray(self._decode_positions())
         if self.paged:

@@ -55,3 +55,25 @@ def test_gptq_to_tpu_strided_fused(codes):
     centered = (c.astype(np.int32) - 8).astype(np.int8)
     expected = native.pack_tpu_strided(centered, 4, 32)
     np.testing.assert_array_equal(fused, expected)
+
+
+def test_numpy_fallback_matches_native(monkeypatch):
+    """The numpy fallbacks must produce the SAME bytes/codes as the C++
+    path (they diverged once: offset-binary landed only in C++)."""
+    from neural_compressor_tpu.ops import native
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(-8, 8, (64, 16)).astype(np.int8)
+    for ob in (False, True):
+        ref = native.pack_tpu_strided(codes, 4, 32, offset_binary=ob)
+        with monkeypatch.context() as m:
+            m.setattr(native, "_load", lambda: None)
+            fb = native.pack_tpu_strided(codes, 4, 32, offset_binary=ob)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(fb)), ob
+    packed = native.pack_tpu_strided(codes, 4, 32, offset_binary=True)
+    for signed in (False, True):
+        ref = native.unpack_tpu_strided(packed, 4, 32, 64, signed)
+        with monkeypatch.context() as m:
+            m.setattr(native, "_load", lambda: None)
+            fb = native.unpack_tpu_strided(packed, 4, 32, 64, signed)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(fb))

@@ -91,3 +91,19 @@ def test_native_available():
     from neural_compressor_tpu.ops import native
 
     assert native.available()
+
+
+def test_f16_subnormals_widen_exactly(tmp_path):
+    """IEEE f16 subnormals through the native widen (the normalize path
+    had an off-by-one exponent that halved every subnormal)."""
+    from safetensors.numpy import save_file
+
+    vals = np.array([6.0e-8, 3.05e-5, 5.96e-8, -2.4e-5, 6.1e-5, 0.25, -3.0],
+                    dtype=np.float16)  # subnormals + normals + zero-adjacent
+    d = tmp_path / "sub"
+    d.mkdir()
+    save_file({"t": vals}, str(d / "model.safetensors"))
+    shard = native_io.open_shard(str(d / "model.safetensors"))
+    got = shard.get_f32("t")
+    np.testing.assert_array_equal(got, vals.astype(np.float32))
+    shard.close()

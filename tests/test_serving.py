@@ -153,3 +153,43 @@ def test_int4_kv_cache_engine_matches_greedy():
     ref = greedy_search(qm, jnp.asarray(prompt)[None, :], max_new_tokens=4)
     np.testing.assert_array_equal(np.asarray(req.generated),
                                   np.asarray(ref)[0, len(prompt):])
+
+
+def test_max_new_tokens_one_and_paged_single_step():
+    """Contract regressions: the prefill-completion token counts toward
+    max_new_tokens (no over-generation), and a paged engine survives
+    run(chunk=1) (step() used to assume the contiguous cache)."""
+    rng = np.random.default_rng(7)
+    m = nq.quantize(LlamaForCausalLM.from_preset("llama-test"),
+                    nq.RTNConfig(dtype="int4", group_size=32))
+    eng = ContinuousBatchingEngine(m, n_slots=2, max_len=64)
+    req = eng.submit(rng.integers(0, 256, (5,)), max_new_tokens=1)
+    eng.run()
+    assert len(req.generated) == 1, req.generated
+
+    eng2 = ContinuousBatchingEngine(m, n_slots=2, max_len=64, paged=True,
+                                    page_size=16)
+    r2 = eng2.submit(rng.integers(0, 256, (5,)), max_new_tokens=3)
+    eng2.run(chunk=1)
+    assert r2.done and len(r2.generated) == 3
+
+
+def test_prefill_chunk_rounded_to_divisor():
+    """A prefill_chunk that does not divide max_len is rounded down (a
+    crossing chunk's clamped dynamic_update_slice would silently corrupt
+    cache rows); generations still match greedy_search."""
+    import jax.numpy as jnp
+    from neural_compressor_tpu.generation import greedy_search
+
+    rng = np.random.default_rng(9)
+    m = nq.quantize(LlamaForCausalLM.from_preset("llama-test"),
+                    nq.RTNConfig(dtype="int4", group_size=32))
+    eng = ContinuousBatchingEngine(m, n_slots=2, max_len=96,
+                                   prefill_chunk=40)  # -> 32
+    assert eng.prefill_chunk == 32 and 96 % eng.prefill_chunk == 0
+    prompt = rng.integers(0, 256, (50,))
+    req = eng.submit(prompt, max_new_tokens=5)
+    eng.run(chunk=2)
+    ref = greedy_search(m, jnp.asarray(prompt)[None, :], max_new_tokens=5)
+    np.testing.assert_array_equal(np.asarray(req.generated),
+                                  np.asarray(ref)[0, len(prompt):])
