@@ -60,6 +60,17 @@ def _stats_file(config) -> str | None:
     return f"{base}_maxabs.json" if base else None
 
 
+def _observers_empty(model) -> bool:
+    """True if no attached observer saw any data (every amax == 0)."""
+    saw = False
+    for _name, mod in named_modules(model):
+        if isinstance(mod, ObservedLinear):
+            saw = True
+            if float(mod.act_observer.amax[...]) > 0:
+                return False
+    return saw
+
+
 @register_algo("fp8_quant")
 def fp8_entry(model, configs_mapping, mode="quantize", run_fn=None,
               run_args=None, example_inputs=None, config=None):
@@ -77,6 +88,12 @@ def fp8_entry(model, configs_mapping, mode="quantize", run_fn=None,
         if run_fn is None and stats_path and os.path.exists(stats_path):
             # measurement reuse: quantize without re-calibrating
             load_measurements(model, stats_path)
+        elif run_fn is None:
+            raise ValueError(
+                "FP8 static quantization needs calibration: pass run_fn, "
+                "or point dump_stats_path at a previous run's measurement "
+                "file" + (f" (looked for {stats_path})" if stats_path
+                          else ""))
         else:
             run_user_calibration(model, run_fn, run_args)
             if stats_path:
@@ -85,7 +102,18 @@ def fp8_entry(model, configs_mapping, mode="quantize", run_fn=None,
     if mode == "convert":
         stats_path = _stats_file(config)
         if stats_path:
-            save_measurements(model, stats_path)
+            if _observers_empty(model) and os.path.exists(stats_path):
+                # prepare->convert without a calibration run in between:
+                # REUSE the saved measurements — overwriting them with
+                # zeros would both mis-scale this model and destroy the
+                # previous calibration
+                load_measurements(model, stats_path)
+            else:
+                save_measurements(model, stats_path)
+        if _observers_empty(model):
+            raise ValueError(
+                "FP8 convert found all-zero activation observers — run "
+                "the calibration function between prepare() and convert()")
 
     n = 0
     for (name, _t), cfg in configs_mapping.items():

@@ -375,6 +375,9 @@ def decode_attention_quant(q, k_new, v_new, cache, pos):
 
     B, H, S, D = q.shape
     assert S == 1, "decode kernel is single-token"
+    assert cache.k_codes.dtype != jnp.uint8, (
+        "int4-packed caches take the grouped code-domain attention "
+        "(models.llama), not the fused kernel")
     fp8 = cache.k_codes.dtype != jnp.int8
     if _WRITE_MODE == "kernel" and not fp8:
         kc, ks, vc, vs, out = _decode_attn_quant_impl(

@@ -242,12 +242,18 @@ def paged_decode_attention(q, cache, lengths):
 
     q: [B, H, 1, D]; ``lengths`` [B] = tokens already in the cache
     INCLUDING the current one (the new row must be written before the
-    call). Returns out [B, H, 1, D].
+    call). Slots with length 0 return zeros (their first masked page
+    would otherwise average arbitrary pool data through the online
+    softmax: every exp(s - m_init) = 1 when all scores are -1e30).
+    Returns out [B, H, 1, D].
     """
+    assert q.shape[2] == 1, "paged decode attention is single-token"
     interpret = not _on_tpu()
     if cache.k_scales is None:
-        return _paged_attn_impl(q, cache.k_pages, cache.v_pages,
-                                cache.block_tables, lengths, interpret)
-    return _paged_attn_quant_impl(q, cache.k_pages, cache.k_scales,
-                                  cache.v_pages, cache.v_scales,
-                                  cache.block_tables, lengths, interpret)
+        out = _paged_attn_impl(q, cache.k_pages, cache.v_pages,
+                               cache.block_tables, lengths, interpret)
+    else:
+        out = _paged_attn_quant_impl(q, cache.k_pages, cache.k_scales,
+                                     cache.v_pages, cache.v_scales,
+                                     cache.block_tables, lengths, interpret)
+    return out * (lengths > 0)[:, None, None, None].astype(out.dtype)

@@ -145,6 +145,10 @@ class FP8Linear(nnx.Module):
         self.in_features, self.out_features = K, N
         self.dtype_name = dtype_name
         self.act_dynamic = m.act_dynamic
+        # persisted so save/load rebuilds the same scale shapes/behavior
+        self.scale_method = scale_method
+        self.per_channel_weight = m.weight_granularity == "pcs"
+        self.act_granularity = m.act_granularity
         fdt = fp8_dtype(dtype_name)
         fp8_max = float(jnp.finfo(fdt).max)
         wf = kernel.astype(jnp.float32)
@@ -172,9 +176,13 @@ class FP8Linear(nnx.Module):
         lead = x.shape[:-1]
         x2 = x.reshape(-1, self.in_features).astype(jnp.float32)
         if self.act_dynamic:
-            # per-call per-token scale (reference QuantDynamicInput,
-            # _core/quant_dequant.py:115)
-            s = jnp.max(jnp.abs(x2), axis=-1, keepdims=True) / fp8_max
+            # per-call scale (reference QuantDynamicInput,
+            # _core/quant_dequant.py:115): pcs = per-token rows,
+            # pts = one scale over the whole call
+            if getattr(self, "act_granularity", "pcs") == "pts":
+                s = jnp.max(jnp.abs(x2)) / fp8_max
+            else:
+                s = jnp.max(jnp.abs(x2), axis=-1, keepdims=True) / fp8_max
             s = jnp.where(s <= 0, 1.0, s)
         else:
             s = self.act_scale[...]

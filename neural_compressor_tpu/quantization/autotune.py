@@ -7,15 +7,16 @@ or max_trials is hit, then re-quantize with the best config if the last
 trial wasn't the best.
 
 JAX note: models are NNX module graphs; "deepcopy the model per trial"
-becomes ``nnx.split`` + rebuild, keeping the fp state on host between
-trials so device memory holds one model at a time.
+becomes ``nnx.split`` + a host (numpy) snapshot of the fp state rebuilt per
+trial, so device memory holds one working model at a time.
 """
 
 from __future__ import annotations
 
-import copy
 from typing import Callable
 
+import jax
+import numpy as np
 from flax import nnx
 
 from ..common import logger
@@ -29,9 +30,19 @@ from ..common.tuning import (
 from .quantize import quantize
 
 
-def _clone_model(model):
-    graphdef, state = nnx.split(model)
-    return nnx.merge(graphdef, copy.deepcopy(state))
+class _HostSnapshot:
+    """fp reference state pinned on HOST between trials: the trial's
+    quantized model, not a second fp copy, is what device memory holds
+    (a 7B bf16 fp model alone fills most of a v5e chip)."""
+
+    def __init__(self, model):
+        self._graphdef, state = nnx.split(model)
+        self._host = jax.tree.map(lambda x: np.asarray(x), state,
+                                  is_leaf=lambda x: hasattr(x, "dtype"))
+
+    def fresh(self):
+        state = jax.tree.map(lambda x: x, self._host)
+        return nnx.merge(self._graphdef, state)
 
 
 def get_all_config_set():
@@ -46,21 +57,26 @@ def autotune(model, tune_config: TuningConfig, eval_fn: Callable,
              resume: bool = False):
     """Search the expanded config set for the best quantized model.
 
-    ``eval_fn(model) -> float`` (higher is better). Returns the best
-    quantized model, or None if no trial met the goal and no trials ran.
+    ``eval_fn(model) -> float`` (higher is better). Returns the model
+    quantized with the BEST-scoring config — whether the stop rule fired,
+    the config set exhausted, or every fresh trial was resumed from
+    history — or None if no trial produced a finite score.
     ``workspace`` persists per-trial history; ``resume=True`` skips
     configs already evaluated in a previous session.
     """
     from ..common.utility import options
 
-    best_model = None
+    snapshot = _HostSnapshot(model)
     config_loader, tuning_logger, tuning_monitor = init_tuning(tune_config)
     tuning_monitor.attach_workspace(workspace or options.workspace,
                                     resume=resume)
     if tuning_monitor.baseline is None:
-        tuning_monitor.set_baseline(eval_fn(_clone_model(model)))
+        tuning_monitor.set_baseline(eval_fn(snapshot.fresh()))
     tuning_logger.tuning_start()
 
+    last_model = None     # the most recent trial's quantized model
+    last_trial = None     # its trial index
+    stopped = False
     for trial_index, quant_config in enumerate(config_loader, 1):
         tuning_logger.trial_start(trial_index=trial_index)
         prior = tuning_monitor.lookup_resumed(quant_config)
@@ -68,18 +84,15 @@ def autotune(model, tune_config: TuningConfig, eval_fn: Callable,
             logger.info("Trial %d: resumed result %.6f (skipping re-run)",
                         trial_index, prior)
             tuning_monitor.add_trial_result(trial_index, prior, quant_config)
+            tuning_logger.trial_end(trial_index=trial_index)
             if tuning_monitor.need_stop():
-                best_record = tuning_monitor.get_best_trial_record()
-                best_model = quantize(_clone_model(model),
-                                      best_record.quant_config,
-                                      run_fn=run_fn, run_args=run_args,
-                                      example_inputs=example_inputs)
+                stopped = True
                 break
             continue
         tuning_logger.execution_start()
         logger.info("quant config: %r", quant_config)
         try:
-            q_model = quantize(_clone_model(model), quant_config,
+            q_model = quantize(snapshot.fresh(), quant_config,
                                run_fn=run_fn, run_args=run_args,
                                example_inputs=example_inputs)
             tuning_logger.execution_end()
@@ -88,30 +101,41 @@ def autotune(model, tune_config: TuningConfig, eval_fn: Callable,
             tuning_logger.evaluation_end()
         except Exception as e:
             # trial-failure recovery (the reference's loop aborts here —
-            # SURVEY §5): record the failure and keep searching
+            # SURVEY §5): record the failure and keep searching, but the
+            # failed trial still counts toward max_trials
             logger.warning("Trial %d failed (%s: %s); continuing.",
                            trial_index, type(e).__name__, e)
             tuning_monitor.add_trial_result(trial_index, float("-inf"),
                                             quant_config)
+            tuning_logger.trial_end(trial_index=trial_index)
+            if tuning_monitor.need_stop():
+                stopped = True
+                break
             continue
         logger.info("Trial %d evaluation result: %.6f", trial_index,
                     eval_result)
         tuning_monitor.add_trial_result(trial_index, eval_result, quant_config)
-
+        tuning_logger.trial_end(trial_index=trial_index)
+        last_model, last_trial = q_model, trial_index
         if tuning_monitor.need_stop():
-            best_record = tuning_monitor.get_best_trial_record()
-            if best_record.trial_index != trial_index:
-                logger.info("Re-quantizing with best config (trial %d)",
-                            best_record.trial_index)
-                q_model = quantize(_clone_model(model),
-                                   best_record.quant_config, run_fn=run_fn,
-                                   run_args=run_args,
-                                   example_inputs=example_inputs)
-            best_model = q_model
+            stopped = True
             break
-        best_model = q_model
 
     tuning_logger.tuning_end()
-    if best_model is None:
-        logger.warning("autotune produced no model (empty config set?)")
-    return best_model
+    best_record = (tuning_monitor.get_best_trial_record()
+                   if tuning_monitor.trial_records else None)
+    if best_record is None or best_record.trial_result == float("-inf"):
+        logger.warning("autotune produced no model (empty config set or "
+                       "every trial failed)")
+        return None
+    if last_trial == best_record.trial_index and last_model is not None:
+        return last_model
+    # the best config was an earlier trial, a resumed history entry, or the
+    # set exhausted after the best — re-quantize with it
+    logger.info("Re-quantizing with best config (trial %d, score %.6f%s)",
+                best_record.trial_index, best_record.trial_result,
+                "" if stopped else "; config set exhausted")
+    del last_model
+    return quantize(snapshot.fresh(), best_record.quant_config,
+                    run_fn=run_fn, run_args=run_args,
+                    example_inputs=example_inputs)

@@ -67,7 +67,8 @@ def _module_meta(mod) -> dict:
     meta = {"type": t}
     for attr in ("in_features", "out_features", "bits", "group_size",
                  "wdtype", "layout", "impl", "dtype_name", "act_bits",
-                 "act_dtype", "blocksize", "weight_only", "act_dynamic"):
+                 "act_dtype", "blocksize", "weight_only", "act_dynamic",
+                 "scale_method", "per_channel_weight", "act_granularity"):
         if hasattr(mod, attr):
             v = getattr(mod, attr)
             if isinstance(v, (int, float, str, bool)):
@@ -142,9 +143,12 @@ def _rebuild(meta: dict, tensors: dict):
         obj.w_scale[...] = tensors["w_scale"]
         return obj
     if t == "FP8Linear":
-        obj = FP8Linear(zeros_k, tensors["act_scale"] * 0 + 1.0, bias=bias,
-                        dtype_name=meta["dtype_name"],
-                        act_dynamic=meta.get("act_dynamic", False))
+        obj = FP8Linear(zeros_k, jnp.ones_like(tensors["act_scale"]),
+                        bias=bias, dtype_name=meta["dtype_name"],
+                        act_dynamic=meta.get("act_dynamic", False),
+                        per_channel_weight=meta.get("per_channel_weight",
+                                                    False),
+                        scale_method=meta.get("scale_method"))
         w = tensors["w_fp8"]
         if w.dtype == jnp.uint8:
             w = w.view(fp8_dtype(meta["dtype_name"]))

@@ -113,3 +113,57 @@ def test_fp8_kv_cache_generation():
     ids = jnp.asarray(np.random.default_rng(3).integers(0, 256, (2, 8)))
     out = greedy_search(qm, ids, max_new_tokens=4)
     assert out.shape == (2, 12)
+
+
+def test_pcs_weight_scale_survives_save_load(tmp_path, calib):
+    """Per-channel (pcs) w_scale [N] used to be rebuilt as a scalar on
+    load, crashing the restore; scale_method must round-trip."""
+    m = LlamaForCausalLM.from_preset("llama-test")
+    q = nq.quantize(m, nq.FP8Config(
+        scale_method="act_maxabs_pts_pow2_weight_maxabs_pcs_pow2",
+        dump_stats_path=None), run_fn=calib)
+    v = q.model.layers[0].self_attn.v_proj
+    assert v.w_scale[...].ndim == 1  # per-channel
+    nq.save(q, str(tmp_path / "q"))
+    m2 = LlamaForCausalLM.from_preset("llama-test")
+    q2 = nq.load(str(tmp_path / "q"), m2)
+    v2 = q2.model.layers[0].self_attn.v_proj
+    np.testing.assert_array_equal(np.asarray(v.w_scale[...]),
+                                  np.asarray(v2.w_scale[...]))
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (1, 8)))
+    np.testing.assert_allclose(np.asarray(q(ids), np.float32),
+                               np.asarray(q2(ids), np.float32), atol=1e-5)
+
+
+def test_pts_vs_pcs_dynamic_act_differ():
+    """'act_maxabs_pts_dyn' (one scale per call) and per-token dynamic
+    must be distinct methods (both used to be per-token)."""
+    rng = np.random.default_rng(1)
+    k = jnp.asarray(rng.standard_normal((32, 16)), jnp.float32)
+    # rows with very different magnitudes separate the two granularities
+    x = jnp.asarray(np.concatenate([rng.standard_normal((1, 32)) * 10,
+                                    rng.standard_normal((1, 32)) * 0.01]),
+                    jnp.float32)
+    pts = FP8Linear(k, jnp.float32(1.0), scale_method="act_maxabs_pts_dyn")
+    pcs = FP8Linear(k, jnp.float32(1.0), scale_method="act_maxabs_pcs_dyn")
+    y_pts = np.asarray(pts(x))
+    y_pcs = np.asarray(pcs(x))
+    # distinct methods: with rows of different magnitude the quantization
+    # grids differ (fp8's wide dynamic range keeps both accurate — the
+    # distinction is the statistics, reference scale_method_config.py)
+    assert np.abs(y_pts - y_pcs).max() > 0, "pts_dyn == pcs_dyn"
+    # and with equal-magnitude rows the two coincide
+    x_eq = jnp.concatenate([x[:1], x[:1]], axis=0)
+    np.testing.assert_allclose(np.asarray(pts(x_eq)),
+                               np.asarray(pcs(x_eq)), atol=1e-6)
+
+
+def test_quantize_without_calibration_errors(tmp_path):
+    """mode='quantize' with no run_fn and no measurement file must raise —
+    it used to silently quantize with all-1.0 scales AND write a zeros
+    stats file that poisoned later runs."""
+    m = LlamaForCausalLM.from_preset("llama-test")
+    with pytest.raises(ValueError, match="calibration"):
+        nq.quantize(m, nq.FP8Config(
+            dump_stats_path=str(tmp_path / "none")), run_fn=None)
+    assert not (tmp_path / "none_maxabs.json").exists()

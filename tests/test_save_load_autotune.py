@@ -107,6 +107,23 @@ class TestAutotune:
         q = get_module(best, "model.layers.0.self_attn.q_proj")
         assert q.bits == 4
 
+    def test_exhausted_set_returns_best_not_last(self, ids):
+        """When the config set exhausts before the stop rule fires, the
+        BEST-scoring trial's config wins, not the last one evaluated
+        (int4 first, int2 last; unreachable goal, generous max_trials)."""
+        m = LlamaForCausalLM.from_preset("llama-test")
+        y_ref = m(ids).astype(jnp.float32)
+
+        def eval_fn(model):
+            return 1.0 - _rel(y_ref, model(ids).astype(jnp.float32))
+
+        cfg = nq.RTNConfig(dtype=["int4", "int2"], group_size=32)
+        best = nq.autotune(
+            m, TuningConfig(config_set=cfg, tolerable_loss=0.00001,
+                            max_trials=50), eval_fn=eval_fn)
+        q = get_module(best, "model.layers.0.self_attn.q_proj")
+        assert q.bits == 4
+
 
 class TestLayerFallback:
     def test_escalates_until_goal(self, ids):
