@@ -45,11 +45,11 @@ def _split(model):
 
 
 def _prefill_and_loop(apply, state, input_ids, caches, max_new_tokens,
-                      eos_token_id, next_token_fn):
+                      eos_token_id, next_token_fn, rng):
     B, P = input_ids.shape
     positions = jnp.broadcast_to(jnp.arange(P)[None, :], (B, P))
     logits, caches = apply(state, input_ids, positions, caches, 0)
-    first, rng0 = next_token_fn(logits[:, -1], jax.random.PRNGKey(0))
+    first, rng0 = next_token_fn(logits[:, -1], rng)
 
     out0 = jnp.zeros((B, max_new_tokens), jnp.int32)
     out0 = out0.at[:, 0].set(first[:, 0])
@@ -102,17 +102,18 @@ def sample(model, input_ids, max_new_tokens: int = 32, temperature: float = 1.0,
             csum = jnp.cumsum(probs, axis=-1)
             # smallest logit still inside the nucleus
             keep = csum - probs < top_p
-            kth = jnp.max(jnp.where(keep, srt, -jnp.inf), axis=-1,
+            kth = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
                           keepdims=True)
             lg = jnp.where(lg < kth, -jnp.inf, lg)
         nxt = jax.random.categorical(sub, lg, axis=-1)
         return nxt[:, None].astype(jnp.int32), rng
 
-    return _run(model, input_ids, max_new_tokens, eos_token_id, pick, max_len)
+    return _run(model, input_ids, max_new_tokens, eos_token_id, pick, max_len,
+                seed=seed)
 
 
 def _run(model, input_ids, max_new_tokens, eos_token_id, next_token_fn,
-         max_len):
+         max_len, seed: int = 0):
     B, P = input_ids.shape
     total = P + max_new_tokens if max_len is None else max_len
     quantized = (getattr(model, "kv_cache_format", "int8")
@@ -121,12 +122,13 @@ def _run(model, input_ids, max_new_tokens, eos_token_id, next_token_fn,
     graphdef, state, apply, prepare = _split(model)
 
     @functools.partial(jax.jit, static_argnames=("mnt",))
-    def go(state, input_ids, caches, mnt):
+    def go(state, input_ids, caches, rng, mnt):
         state = prepare(state)
         return _prefill_and_loop(apply, state, input_ids, caches, mnt,
-                                 eos_token_id, next_token_fn)
+                                 eos_token_id, next_token_fn, rng)
 
-    return go(state, input_ids, caches, max_new_tokens)
+    return go(state, input_ids, caches, jax.random.PRNGKey(seed),
+              max_new_tokens)
 
 
 # ---------------------------------------------------------------------------
@@ -145,34 +147,29 @@ def beam_search(model, input_ids, num_beams: int = 4,
     total = P + max_new_tokens
     quantized = (getattr(model, "kv_cache_format", "int8")
                  if getattr(model, "kv_cache_quantized", False) else False)
-    # caches allocated over B*num_beams rows
-    caches = init_kv_cache(model.cfg, B * num_beams, total,
-                           quantized=quantized)
+    # prefill runs over B rows once; the cache is replicated per beam after
+    caches = init_kv_cache(model.cfg, B, total, quantized=quantized)
     graphdef, state, apply, prepare = _split(model)
-    V = None  # resolved at trace time
 
     @functools.partial(jax.jit, static_argnames=("mnt", "nb"))
     def go(state, input_ids, caches, mnt, nb):
         state = prepare(state)
         B, P = input_ids.shape
-        ids_rep = jnp.repeat(input_ids, nb, axis=0)  # [B*nb, P]
-        positions = jnp.broadcast_to(jnp.arange(P)[None, :], ids_rep.shape)
-        logits, caches = apply(state, ids_rep, positions, caches, 0)
+        positions = jnp.broadcast_to(jnp.arange(P)[None, :], (B, P))
+        logits, caches = apply(state, input_ids, positions, caches, 0)
         logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
         V = logp.shape[-1]
-        logp = logp.reshape(B, nb, V)
-        # beam 0 only at start (all beams identical after prefill)
-        init_mask = jnp.where(jnp.arange(nb)[None, :, None] == 0, 0.0,
-                              -jnp.inf)
-        flat = (logp + init_mask).reshape(B, nb * V)
-        scores, idx = jax.lax.top_k(flat, nb)  # [B, nb]
-        beam_src = idx // V
-        token = (idx % V).astype(jnp.int32)
+        # first step: top-nb continuations of the single prefill beam
+        scores, token = jax.lax.top_k(logp, nb)  # [B, nb]
+        token = token.astype(jnp.int32)
+        # replicate the prefill cache across beams: flat row b*nb+j <- b
+        caches = jax.tree.map(lambda x: jnp.repeat(x, nb, axis=0), caches)
 
         out0 = jnp.zeros((B, nb, mnt), jnp.int32)
         out0 = out0.at[:, :, 0].set(token)
         fin0 = (token == eos_token_id) if eos_token_id is not None else \
             jnp.zeros((B, nb), bool)
+        lens0 = jnp.ones((B, nb), jnp.int32)  # generated length per beam
 
         def gather_caches(caches, beam_src):
             flatsrc = (jnp.arange(B)[:, None] * nb + beam_src).reshape(-1)
@@ -182,14 +179,12 @@ def beam_search(model, input_ids, num_beams: int = 4,
 
             return jax.tree.map(g, caches)
 
-        caches = gather_caches(caches, beam_src)
-
         def cond(carry):
             i, fin = carry[0], carry[5]
             return (i < mnt) & ~jnp.all(fin)
 
         def body(carry):
-            i, token, caches, out, scores, fin = carry
+            i, token, caches, out, scores, fin, lens = carry
             tok_flat = token.reshape(B * nb, 1)
             pos = jnp.full((B * nb, 1), P + i - 1, dtype=jnp.int32)
             logits, caches = apply(state, tok_flat, pos, caches, P + i - 1)
@@ -210,13 +205,18 @@ def beam_search(model, input_ids, num_beams: int = 4,
             out = jax.lax.dynamic_update_slice(
                 out, token[:, :, None], (0, 0, i))
             fin = jnp.take_along_axis(fin, beam_src, axis=1)
+            lens = jnp.take_along_axis(lens, beam_src, axis=1)
+            # beams still alive before this step grew by one token
+            lens = jnp.where(fin, lens, i + 1)
             if eos_token_id is not None:
                 fin = fin | (token == eos_token_id)
-            return i + 1, token, caches, out, scores, fin
+            return i + 1, token, caches, out, scores, fin, lens
 
-        _i, _t, _c, out, scores, _f = jax.lax.while_loop(
-            cond, body, (1, token, caches, out0, scores, fin0))
-        best = jnp.argmax(scores / (mnt ** length_penalty), axis=-1)
+        _i, _t, _c, out, scores, _f, lens = jax.lax.while_loop(
+            cond, body, (1, token, caches, out0, scores, fin0, lens0))
+        # HF parity: each hypothesis scored as sum_logprob / len^penalty
+        best = jnp.argmax(
+            scores / (lens.astype(jnp.float32) ** length_penalty), axis=-1)
         best_out = jnp.take_along_axis(
             out, best[:, None, None], axis=1)[:, 0]
         return jnp.concatenate([input_ids, best_out], axis=1)

@@ -29,27 +29,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from flax import nnx
 
 from ..models.llama import init_kv_cache
-from ..quantization.fuse import s4_prepare as _s4_prepare
+from .generate import _split as _split_gen
 
 
 def _split(model):
-    graphdef, state = nnx.split(model)
-
-    def apply(state, ids, positions, caches, cache_pos):
-        m = nnx.merge(graphdef, state)
-        return m(ids, positions=positions, caches=caches,
-                 cache_pos=cache_pos)
-
-    def prepare(state):
-        # once per program, BEFORE the decode loop (s4_prepare docstring)
-        m = nnx.merge(graphdef, state)
-        if _s4_prepare(m):
-            return nnx.split(m)[1]
-        return state
-
+    _graphdef, state, apply, prepare = _split_gen(model)
     return state, apply, prepare
 
 
@@ -68,7 +54,14 @@ def speculative_greedy_search(target, draft, input_ids,
         return_stats: also return ``{"rounds": r, "accept_rate": ...}``.
     """
     B, P = input_ids.shape
-    total = max_len or (P + max_new_tokens + k + 1)
+    need = P + max_new_tokens + k + 1
+    if max_len is not None and max_len < need:
+        # the verify window writes up to k tokens past the last decided
+        # position; a shorter cache would clamp the write onto live KV rows
+        raise ValueError(
+            f"max_len={max_len} too small for speculative decoding: need "
+            f"prompt + max_new_tokens + k + 1 = {need} rows of KV margin")
+    total = max_len or need
 
     def caches_for(m):
         quantized = (getattr(m, "kv_cache_format", "int8")

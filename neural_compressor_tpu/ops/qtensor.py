@@ -46,7 +46,7 @@ FP4_CODEBOOK = jnp.array(
 
 CODEBOOKS = {"nf4": NF4_CODEBOOK, "fp4": FP4_CODEBOOK, "fp4_e2m1": FP4_CODEBOOK}
 
-INT_DTYPES = ("int", "int8", "int4", "int2", "int1")
+INT_DTYPES = ("int", "int8", "int4", "int2")
 FLOAT_CODE_DTYPES = tuple(CODEBOOKS.keys())
 FP8_DTYPES = ("fp8_e4m3", "fp8_e5m2")
 
@@ -135,6 +135,8 @@ def quantize_int_sym(
     group max magnitude is on the negative side (reference
     weight_only/utility.py:199-243 semantics).
     """
+    if bits < 2:
+        raise ValueError("bits must be >= 2 (1-bit sym has qmax=0)")
     K, N = w.shape
     G = _resolve_group(K, group_size)
     codes, scale = _int_sym_arrays(w, bits, G, full_range)
@@ -163,6 +165,8 @@ def quantize_int_asym(w: jax.Array, bits: int = 4, group_size: int = 32) -> QTen
     codes always fit signed int8 and pack as two's complement; dequantization
     ``(q - z) * s`` is invariant under the common shift.
     """
+    if bits < 2:
+        raise ValueError("bits must be >= 2")
     K, N = w.shape
     G = _resolve_group(K, group_size)
     codes, scale, zeros = _int_asym_arrays(w, bits, G)
@@ -190,8 +194,8 @@ def _codebook_arrays(w, dtype, G):
     return codes, scale
 
 
-def quantize_codebook(w: jax.Array, dtype: str = "nf4", group_size: int = 32,
-                      double_quant: bool = False) -> QTensor:
+def quantize_codebook(w: jax.Array, dtype: str = "nf4",
+                      group_size: int = 32) -> QTensor:
     """NF4/FP4 group quantization: normalize by group absmax, snap to codebook."""
     K, N = w.shape
     G = _resolve_group(K, group_size)
@@ -240,7 +244,15 @@ def quantize_tensor(
     """Dispatch on dtype/scheme. ``dtype`` in {"int", "int4", ..., "nf4", "fp4"}."""
     if dtype in FLOAT_CODE_DTYPES:
         return quantize_codebook(w, dtype=dtype, group_size=group_size)
-    if dtype.startswith("int") and len(dtype) > 3:
+    if dtype in FP8_DTYPES:
+        raise ValueError(
+            f"{dtype!r} weights go through the FP8 flow (algorithms/fp8), "
+            "not quantize_tensor")
+    if dtype != "int":
+        if not (dtype.startswith("int") and dtype[3:].isdigit()):
+            raise ValueError(
+                f"unknown quant dtype {dtype!r}; expected one of "
+                f"{INT_DTYPES + FLOAT_CODE_DTYPES}")
         bits = int(dtype[3:])
     if scheme == "sym":
         return quantize_int_sym(w, bits=bits, group_size=group_size, full_range=full_range)
@@ -319,22 +331,6 @@ def search_clip(
     errs = jax.vmap(qdq_with_ratio)(ratios)  # [n_grid, ng, N]
     best = jnp.argmin(errs, axis=0)  # [ng, N]
     return ratios[best]  # [ng, N]
-
-
-# ---------------------------------------------------------------------------
-# Double quantization of scales
-# ---------------------------------------------------------------------------
-
-def double_quant_scales(scales: jax.Array, bits: int = 8, group_size: int = 256,
-                        scheme: str = "asym") -> tuple[jax.Array, QTensor]:
-    """Quantize the scale tensor itself (memory saving for small groups).
-
-    Returns (dequantized_scales, inner QTensor). Parity: the double_quant
-    branch of reference ``quant_tensor`` (weight_only/utility.py:273-436).
-    """
-    ng, N = scales.shape
-    qt = quantize_tensor(scales, bits=bits, group_size=group_size, scheme=scheme)
-    return dequantize(qt), qt
 
 
 # ---------------------------------------------------------------------------

@@ -73,6 +73,35 @@ def test_sampling_temperature_zero_ish(llama, ids):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(g))
 
 
+def test_sampling_seed_and_top_p_not_greedy(llama, ids):
+    """Regression: top-p must keep the whole nucleus (not degenerate to
+    greedy) and the seed kwarg must actually steer the draw."""
+    outs = [sample(llama, ids, max_new_tokens=8, temperature=2.0,
+                   top_p=0.99, seed=s) for s in range(4)]
+    g = greedy_search(llama, ids, max_new_tokens=8)
+    # at high temperature with a .99 nucleus, 4 seeded draws can't all
+    # collapse onto greedy...
+    assert not all(bool(jnp.all(o == g)) for o in outs)
+    # ...and different seeds must produce at least one differing sequence
+    assert not all(bool(jnp.all(o == outs[0])) for o in outs[1:])
+
+
+def test_top_p_tiny_keeps_argmax(llama, ids):
+    """A vanishing nucleus keeps exactly the top-1 token -> greedy."""
+    out = sample(llama, ids, max_new_tokens=4, top_p=1e-6)
+    g = greedy_search(llama, ids, max_new_tokens=4)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(g))
+
+
+def test_beam_length_penalty_rescoring(llama, ids):
+    """length_penalty participates per-beam (it must at least not crash and
+    must keep beam-1 == greedy, where lengths are all equal)."""
+    g = greedy_search(llama, ids, max_new_tokens=5)
+    b = beam_search(llama, ids, num_beams=1, max_new_tokens=5,
+                    length_penalty=2.0)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(b))
+
+
 def test_eos_early_stop(llama, ids):
     g = greedy_search(llama, ids, max_new_tokens=6)
     eos = int(g[0, 8])  # force the very first generated token to be "EOS"
@@ -134,6 +163,15 @@ def test_speculative_quantized_target(llama, ids):
     ref = greedy_search(qm, ids, max_new_tokens=8)
     out = speculative_greedy_search(qm, draft, ids, max_new_tokens=8, k=2)
     assert bool(jnp.all(out == ref))
+
+
+def test_speculative_rejects_short_max_len(llama, ids):
+    """Regression: a max_len without the k+1 window margin used to clamp
+    KV writes onto live rows; now it raises."""
+    draft = LlamaForCausalLM.from_preset("llama-test", seed=7)
+    with pytest.raises(ValueError, match="max_len"):
+        speculative_greedy_search(llama, draft, ids, max_new_tokens=8, k=3,
+                                  max_len=ids.shape[1] + 8)
 
 
 def test_generate_int4_kv_cache():

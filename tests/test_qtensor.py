@@ -115,17 +115,17 @@ class TestScaleQuant:
         codes2 = qt.quantize_with_scale(w, r.scales, None, bits=4, group_size=32)
         np.testing.assert_array_equal(np.asarray(r.codes), np.asarray(codes2))
 
-    def test_double_quant_scales(self):
-        w = rand(256, 16, seed=8)
-        r = qt.quantize_int_sym(w, bits=4, group_size=32)
-        dq_scales, inner = qt.double_quant_scales(r.scales, bits=8, group_size=256)
-        rel = np.abs(np.asarray(dq_scales) - np.asarray(r.scales)) / np.abs(np.asarray(r.scales))
-        assert rel.mean() < 0.06
-        # absolute error bounded by one asym step of each column's scale range
-        s = np.asarray(r.scales)
-        step = (s.max(axis=0) - s.min(axis=0)) / 255
-        err = np.abs(np.asarray(dq_scales) - s)
-        assert (err <= step * 0.51 + 1e-6).all()
+    def test_rejects_bits1_and_unknown_dtypes(self):
+        w = rand(64, 8, seed=8)
+        with pytest.raises(ValueError, match="bits"):
+            qt.quantize_int_sym(w, bits=1, group_size=32)
+        with pytest.raises(ValueError, match="bits"):
+            qt.quantize_int_asym(w, bits=1, group_size=32)
+        # fp8 dtypes are served by the FP8 flow, not the int/codebook path
+        with pytest.raises(ValueError, match="fp8"):
+            qt.quantize_tensor(w, dtype="fp8_e4m3")
+        with pytest.raises(ValueError, match="unknown"):
+            qt.quantize_tensor(w, dtype="bf16")
 
 
 class TestActivationQuant:
