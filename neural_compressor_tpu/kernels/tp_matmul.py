@@ -117,6 +117,9 @@ def tp_w4a8_matmul_column(x: jax.Array, pw: PackedWeight, mesh: Mesh,
 
     pw = resolve_double_quant(pw)
     assert pw.layout == "tpu_strided" and pw.perm is None, (pw.layout,)
+    assert pw.zeros is None, (
+        "tp_w4a8 kernels are symmetric-only (asym zero points would be "
+        "dropped); route asym weights through tp_woq_matmul_*")
     K, N = pw.orig_shape
     tp = mesh.shape[axis]
     assert N % tp == 0, f"N={N} not divisible by tp={tp}"
@@ -148,6 +151,9 @@ def tp_w4a8_matmul_row(x: jax.Array, pw: PackedWeight, mesh: Mesh,
 
     pw = resolve_double_quant(pw)
     assert pw.layout == "tpu_strided" and pw.perm is None, (pw.layout,)
+    assert pw.zeros is None, (
+        "tp_w4a8 kernels are symmetric-only (asym zero points would be "
+        "dropped); route asym weights through tp_woq_matmul_*")
     K, N = pw.orig_shape
     tp = mesh.shape[axis]
     G = pw.group_size if pw.group_size > 0 else K

@@ -122,6 +122,12 @@ def select_w4a8_tiles(M: int, K: int, G: int) -> tuple[int, int]:
     dividing K; small tk makes the kernel grid-overhead bound (K=11008
     with tk=256 ran at 89 GB/s, experiments/w4a8_m16.log)."""
     tm = min(_round_up(M, 32), 1024)  # int8 sublane = 32
+    if M > 1024:
+        # ragged large M: equal-split tiles bound pad waste to <1 sublane
+        # per tile (M=1025 with tm=1024 would pad to 2048 — 2x the FLOPs
+        # in the compute-bound regime)
+        ntiles = -(-M // 1024)
+        tm = _round_up(-(-M // ntiles), 32)
     ng = K // G
 
     def _largest_tk(cap):

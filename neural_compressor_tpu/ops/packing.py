@@ -165,8 +165,8 @@ def unpack_codes_s4(packed: jax.Array, K: int, N: int) -> jax.Array:
 def to_s4_rowpack(pw: PackedWeight) -> PackedWeight:
     """Convert a sym-int4 PackedWeight to the "s4_rowpack" serving layout
     (see ``pack_codes_s4``). Requires sym int ("zeros is None"), bits=4,
-    resolved scales, N % 8 == 0."""
-    pw = resolve_double_quant(pw)
+    N % 8 == 0. Double-quantized scale meta survives unchanged (only the
+    code layout is repacked; kernels resolve scales at entry)."""
     K, N = pw.orig_shape
     if not (pw.bits == 4 and pw.dtype == "int" and pw.zeros is None
             and N % 8 == 0 and pw.layout == "tpu_strided"):
@@ -302,7 +302,12 @@ def _dequantize_packed_arrays(packed, scales, zeros, bits, group_size, dtype,
     else:
         codes = packed.astype(jnp.int8)
     N = codes.shape[-1]
-    codes = codes.reshape(K // G, G, N)
+    rem = codes.shape[0] % G
+    if rem:
+        # "int8" layout stores K unpadded rows; scales cover ceil(K/G)
+        # groups (quantization pads) — re-pad before grouping
+        codes = jnp.pad(codes, ((0, G - rem), (0, 0)))
+    codes = codes.reshape(-1, G, N)
     if dtype in FLOAT_CODE_DTYPES:
         vals = CODEBOOKS[dtype][codes.astype(jnp.int32)]
     else:
@@ -310,7 +315,7 @@ def _dequantize_packed_arrays(packed, scales, zeros, bits, group_size, dtype,
         if zeros is not None:
             vals = vals - zeros[:, None, :]
     w = vals * scales[:, None, :]
-    return w.reshape(K, N).astype(out_dtype)
+    return w.reshape(-1, N)[:K].astype(out_dtype)
 
 
 def dequantize_packed(pw: PackedWeight, out_dtype=jnp.bfloat16) -> jax.Array:
@@ -397,7 +402,7 @@ def from_gptq_layout(qweight: np.ndarray, qzeros: np.ndarray, scales: np.ndarray
 
 def from_awq_layout(qweight: np.ndarray, qzeros: np.ndarray,
                     scales: np.ndarray, bits: int = 4,
-                    group_size: int = 128) -> PackedWeight:
+                    group_size: int | None = None) -> PackedWeight:
     """Convert an AutoAWQ ("gemm") checkpoint tensor set to PackedWeight.
 
     AWQ layout (reference ``unpack_awq``, weight_only/utility.py:1275):
@@ -427,6 +432,10 @@ def from_awq_layout(qweight: np.ndarray, qzeros: np.ndarray,
     scales = np.asarray(scales, dtype=np.float32)
     ng = scales.shape[0]
     G = K // ng
+    if group_size and group_size > 0 and G != group_size:
+        raise ValueError(
+            f"AWQ checkpoint tensors imply group_size={G} "
+            f"(K={K}, {ng} scale groups) but config says {group_size}")
     half = 1 << (bits - 1)
     codes = codes - half  # centered convention (qtensor.quantize_int_asym)
     zeros = zeros - half
@@ -439,6 +448,10 @@ def from_awq_layout(qweight: np.ndarray, qzeros: np.ndarray,
 
 def to_gptq_layout(pw: PackedWeight) -> dict[str, np.ndarray]:
     """Export PackedWeight to the optimum/AutoGPTQ tensor layout."""
+    if pw.dtype in FLOAT_CODE_DTYPES:
+        raise ValueError(
+            f"GPTQ layout has integer semantics; cannot export codebook "
+            f"dtype {pw.dtype!r} (indices would decode as garbage)")
     pw = resolve_double_quant(pw)
     K, N = pw.orig_shape
     bits = pw.bits

@@ -21,9 +21,15 @@ from ..ops.packing import PackedWeight
 
 
 def _fusible(mods) -> bool:
-    if not all(type(m) is WOQLinear for m in mods):
-        return False
+    # WOQLinear or W4A8Linear groups fuse (output-dim concat is layout-
+    # preserving for both tpu_strided and s4_rowpack); mixed types don't
+    from ..layers.woq_linear import W4A8Linear
+
     ref = mods[0]
+    if type(ref) not in (WOQLinear, W4A8Linear):
+        return False
+    if not all(type(m) is type(ref) for m in mods):
+        return False
     for m in mods:
         if (m.bits != ref.bits or m.group_size != ref.group_size
                 or m.wdtype != ref.wdtype or m.layout != ref.layout
@@ -51,7 +57,7 @@ def _concat_woq(mods) -> WOQLinear:
         layout=ref.layout)
     bias = (jnp.concatenate([m.bias[...] for m in mods])
             if ref.bias is not None else None)
-    fused = WOQLinear(pw, bias=bias, impl=ref.impl)
+    fused = type(ref)(pw, bias=bias, impl=ref.impl)
     # identical TP roles survive fusion (q/k/v are all column-parallel
     # with the same axes; the N-concat shards exactly like the parts)
     fused.tp_role = ref.tp_role
@@ -109,10 +115,22 @@ def to_w4a8_serving(model, s4: bool | str = "auto") -> int:
             return to_s4_rowpack(pw), 1
         return pw, 0
 
-    n = n_s4 = 0
+    def _w4a8_eligible(pw):
+        # the int8-MXU path needs sym int4 tpu_strided weights; anything
+        # else (asym/zeros, nf4/fp4, 2-bit, "int8" layout) would only be
+        # DOWNGRADED by the swap — w4a8_matmul falls back to XLA
+        # dequant+dot, losing WOQLinear's fused Pallas kernels, and the
+        # TP w4a8 kernels are symmetric-only (zeros would be dropped)
+        return (pw.layout == "tpu_strided" and pw.bits == 4
+                and pw.dtype == "int" and pw.zeros is None)
+
+    n = n_s4 = n_skip = 0
     for path, mod in list(named_modules(model)):
         if type(mod) is WOQLinear:
             pw = mod.packed_weight()
+            if not _w4a8_eligible(pw):
+                n_skip += 1
+                continue
             if mod.tp_role is None:
                 pw, up = _maybe_s4(pw)
                 n_s4 += up
@@ -139,6 +157,9 @@ def to_w4a8_serving(model, s4: bool | str = "auto") -> int:
                 mod.layout = pw.layout
                 n_s4 += up
                 n += 1
+    if n_skip:
+        logger.info("to_w4a8_serving: left %d non-sym-int4 module(s) on "
+                    "their WOQLinear kernels", n_skip)
     logger.info("Converted %d modules to W4A8 serving (%d native-int4)",
                 n, n_s4)
     return n

@@ -53,6 +53,53 @@ def test_fused_model_save_load_roundtrip(tmp_path):
         np.asarray(loaded(ids), dtype=np.float32), y0)
 
 
+def test_to_w4a8_serving_skips_ineligible():
+    """Asym / codebook weights must NOT convert: W4A8Linear would drop to
+    the XLA fallback (slower than WOQLinear's fused kernels), and the TP
+    w4a8 kernels are symmetric-only. Outputs must be bit-identical."""
+    from neural_compressor_tpu.layers.woq_linear import W4A8Linear, WOQLinear
+    from neural_compressor_tpu.layers.module_utils import named_modules
+    from neural_compressor_tpu.quantization.fuse import to_w4a8_serving
+
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, 256, (1, 12)))
+    qm = nq.quantize(LlamaForCausalLM.from_preset("llama-test"),
+                     nq.RTNConfig(dtype="int4", group_size=32,
+                                  use_sym=False))
+    y0 = np.asarray(qm(ids), dtype=np.float32)
+    n = to_w4a8_serving(qm)
+    assert n == 0  # nothing eligible
+    kinds = {type(mod) for _p, mod in named_modules(qm)
+             if isinstance(mod, WOQLinear)}
+    assert W4A8Linear not in kinds
+    np.testing.assert_array_equal(
+        np.asarray(qm(ids), dtype=np.float32), y0)
+
+
+def test_fuse_after_w4a8_conversion():
+    """fuse_for_serving must fuse W4A8Linear groups too (conversion order
+    must not silently forfeit the qkv/gate_up fusion win). Fusion can move
+    small-N projections onto the int8-MXU kernel (N-concat crosses the
+    tile threshold), so outputs are close, not bit-equal."""
+    from neural_compressor_tpu.layers.woq_linear import W4A8Linear
+    from neural_compressor_tpu.layers.module_utils import get_module
+    from neural_compressor_tpu.quantization.fuse import to_w4a8_serving
+
+    rng = np.random.default_rng(6)
+    ids = jnp.asarray(rng.integers(0, 256, (2, 12)))
+    qm = nq.quantize(LlamaForCausalLM.from_preset("llama-test"),
+                     nq.RTNConfig(dtype="int4", group_size=32))
+    to_w4a8_serving(qm, s4=False)
+    y0 = np.asarray(qm(ids), dtype=np.float32)
+    n = nq.fuse_for_serving(qm)
+    assert n == 4  # 2 layers x (qkv + gate_up)
+    qkv = get_module(qm, "model.layers.0.self_attn.qkv_proj")
+    assert type(qkv) is W4A8Linear
+    y1 = np.asarray(qm(ids), dtype=np.float32)
+    rel = np.abs(y1 - y0).max() / (np.abs(y0).max() + 1e-9)
+    assert rel < 0.1, rel
+
+
 def test_to_w4a8_serving_swap_and_closeness():
     from neural_compressor_tpu.layers.woq_linear import W4A8Linear, WOQLinear
     from neural_compressor_tpu.layers.module_utils import named_modules

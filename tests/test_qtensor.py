@@ -240,3 +240,74 @@ class TestDoubleQuantStorage:
         assert lin2.sq_scales is not None
         y2 = np.asarray(m2(ids), dtype=np.float32)
         np.testing.assert_allclose(y1, y2, atol=1e-2)
+
+
+class TestPackingRegressions:
+    def test_dequantize_packed_ragged_k(self):
+        """K not a multiple of group_size lands on the "int8" layout;
+        dequantize must re-pad (used to crash in reshape)."""
+        from neural_compressor_tpu.ops.packing import (dequantize_packed,
+                                                       pack_qtensor)
+
+        w = jnp.asarray(np.random.default_rng(0).standard_normal((100, 16)),
+                        dtype=jnp.float32)
+        r = qt.quantize_tensor(w, bits=4, group_size=32)
+        pw = pack_qtensor(r)
+        assert pw.layout == "int8"
+        got = np.asarray(dequantize_packed(pw, out_dtype=jnp.float32))
+        ref = np.asarray(qt.dequantize(r))
+        assert got.shape == (100, 16)
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    def test_gptq_export_rejects_codebook(self):
+        from neural_compressor_tpu.ops.packing import (pack_qtensor,
+                                                       to_gptq_layout)
+
+        w = jnp.asarray(np.random.default_rng(1).standard_normal((64, 16)),
+                        dtype=jnp.float32)
+        pw = pack_qtensor(qt.quantize_tensor(w, dtype="nf4", group_size=32))
+        with pytest.raises(ValueError, match="codebook"):
+            to_gptq_layout(pw)
+
+    def test_s4_rowpack_keeps_double_quant(self):
+        """to_s4_rowpack must not materialize f32 scales (the memory win
+        double-quant exists for); numerics resolve identically in-kernel."""
+        from neural_compressor_tpu.ops.packing import (apply_double_quant,
+                                                       dequantize_packed,
+                                                       pack_qtensor,
+                                                       to_s4_rowpack)
+
+        w = jnp.asarray(np.random.default_rng(2).standard_normal((256, 64)),
+                        dtype=jnp.float32)
+        pw = apply_double_quant(
+            pack_qtensor(qt.quantize_tensor(w, bits=4, group_size=32)),
+            bits=8, group_size=4)
+        s4 = to_s4_rowpack(pw)
+        assert s4.sq_scales is not None and s4.scales.dtype == jnp.int8
+        np.testing.assert_allclose(
+            np.asarray(dequantize_packed(s4, out_dtype=jnp.float32)),
+            np.asarray(dequantize_packed(pw, out_dtype=jnp.float32)),
+            atol=1e-6)
+
+    def test_awq_import_group_size_mismatch(self):
+        from neural_compressor_tpu.ops.packing import from_awq_layout
+
+        qweight = np.zeros((64, 2), np.int32)   # K=64, N=16
+        qzeros = np.zeros((2, 2), np.int32)     # 2 groups -> G=32
+        scales = np.ones((2, 16), np.float32)
+        with pytest.raises(ValueError, match="group_size"):
+            from_awq_layout(qweight, qzeros, scales, group_size=128)
+        pw = from_awq_layout(qweight, qzeros, scales, group_size=32)
+        assert pw.group_size == 32
+
+    def test_w4a8_tile_policy_ragged_m(self):
+        """M just past a tile boundary must not double the padded rows."""
+        from neural_compressor_tpu.kernels.w4a8_matmul import (
+            _round_up, select_w4a8_tiles)
+
+        for M in (1025, 1500, 2049, 3000):
+            tm, _tk = select_w4a8_tiles(M, 4096, 32)
+            waste = _round_up(M, tm) - M
+            assert waste < 1024, (M, tm, waste)
+        # clean sizes keep the measured-optimal 1024 tile
+        assert select_w4a8_tiles(2048, 4096, 32)[0] == 1024
