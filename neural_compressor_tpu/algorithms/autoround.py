@@ -146,10 +146,17 @@ def _convert(model, block_paths, captured, configs_mapping):
             for args, kwargs in inputs:
                 block(*args, **kwargs)
             stats = {}
-            for sub_path in targets:
+            for sub_path in list(targets):
                 obs = get_module(block, sub_path)
-                stats[sub_path] = obs.sample()
+                sample = obs.sample()
                 replace_module(block, sub_path, obs.inner)
+                if sample is None:
+                    logger.warning(
+                        "AutoRound: %s.%s received no calibration batches "
+                        "— leaving it unquantized", bpath, sub_path)
+                    del targets[sub_path]
+                    continue
+                stats[sub_path] = sample
 
             for c, cfg in targets.items():
                 sub = get_module(block, c)

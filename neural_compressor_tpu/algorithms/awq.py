@@ -28,7 +28,6 @@ from ..layers.woq_linear import WOQLinear
 from ..ops.qtensor import quantize_tensor
 from . import register_algo
 from .calib_capture import CalibCaptureState, find_target_blocks, run_capture
-from .rtn import rtn_quantize_kernel
 from .utils import extract_linear, dump_op_stats
 
 _FLOAT_SKIP = ("fp32", "bf16", "fp16", "float32", "bfloat16", "float16")
@@ -51,6 +50,14 @@ ABSORB_PATTERNS = {
 }
 
 
+@jax.jit
+def _amax_sample_update(amax, x):
+    """One fused dispatch per replayed batch (eager ops are ~0.3 s each in
+    this environment): new per-channel amax + the flattened f32 sample."""
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    return jnp.maximum(amax, jnp.max(jnp.abs(x2), axis=0)), x2
+
+
 class ActStatObserver(nnx.Module):
     """Wraps a Linear: records per-channel amax and an input sample."""
 
@@ -60,15 +67,20 @@ class ActStatObserver(nnx.Module):
         self.amax = ObserverStat(jnp.zeros((in_features,), jnp.float32))
         self.max_sample_rows = max_sample_rows
         self._samples: list = []
+        self._sample_rows = 0
 
     def __call__(self, x, *args, **kwargs):
-        x2 = jnp.abs(x.reshape(-1, x.shape[-1]).astype(jnp.float32))
-        self.amax[...] = jnp.maximum(self.amax[...], jnp.max(x2, axis=0))
-        if sum(s.shape[0] for s in self._samples) < self.max_sample_rows:
-            self._samples.append(x.reshape(-1, x.shape[-1]).astype(jnp.float32))
+        self.amax[...], x2 = _amax_sample_update(self.amax[...], x)
+        if self._sample_rows < self.max_sample_rows:
+            self._samples.append(x2)
+            self._sample_rows += x2.shape[0]
         return self.inner(x, *args, **kwargs)
 
-    def sample(self) -> jax.Array:
+    def sample(self) -> jax.Array | None:
+        """Calibration sample rows, or None if this module was never hit
+        during replay (e.g. an expert the router never selected)."""
+        if not self._samples:
+            return None
         x = jnp.concatenate(self._samples, axis=0)
         return x[: self.max_sample_rows]
 
@@ -185,16 +197,79 @@ def _absorb_groups_for_block(block, block_path, cfg):
     return groups
 
 
-def _norm_foldable(block, parent, s) -> bool:
-    pm = get_module(block, parent)
-    w = getattr(pm, "weight", None)
-    return w is not None and w[...].shape == s.shape
+def _param_value(pm, name):
+    """Unwrap an nnx.Param-like attribute's value, tolerating absent attrs
+    and Params wrapping None (e.g. nnx.LayerNorm with use_bias=False)."""
+    p = getattr(pm, name, None)
+    if p is None:
+        return None, None
+    try:
+        v = p[...]
+    except (TypeError, IndexError):
+        return None, None
+    return (p, v) if v is not None else (None, None)
 
 
-def _prev_foldable(block, parent, s) -> bool:
-    pm = get_module(block, parent)
-    lin = extract_linear(pm)
-    return lin is not None and lin[0].shape[1] == s.shape[0]
+def _norm_scale_attr(pm) -> str | None:
+    """Name of the norm's multiplicative parameter: 'weight' for
+    RMSNorm-style modules (models/llama.py), 'scale' for nnx.LayerNorm."""
+    for name in ("weight", "scale"):
+        if _param_value(pm, name)[1] is not None:
+            return name
+    return None
+
+
+def apply_absorb_fold(block, parent, children, members, kind, s) -> bool:
+    """Fold 1/s into ``parent`` so every child of the absorb group sees x/s.
+
+    ``members`` are the children being quantized (their kernels get the
+    matching *s fold by their caller); any other child of the group stays
+    fp and is compensated here by scaling its kernel rows by s, so a
+    partially-quantized group (e.g. k_proj kept fp via a local override)
+    cannot be silently corrupted. For nnx.LayerNorm parents the elementwise
+    bias is divided too (LN output is normalized*scale + bias). Returns
+    False — nothing mutated — when shapes/attrs make the fold impossible.
+    """
+    comp = []
+    for c in children:
+        if c in members:
+            continue
+        m = get_module(block, c)
+        lin = extract_linear(m)
+        if (lin is None or getattr(m, "kernel", None) is None
+                or lin[0].shape[0] != s.shape[0]):
+            return False
+        comp.append(m)
+    if kind == "norm":
+        pm = get_module(block, parent)
+        attr = _norm_scale_attr(pm)
+        if attr is None:
+            return False
+        p, pv = _param_value(pm, attr)
+        if pv.shape != s.shape:
+            return False
+        p[...] = (pv.astype(jnp.float32) / s).astype(pv.dtype)
+        b, bv = _param_value(pm, "bias")
+        if bv is not None and bv.shape == s.shape:
+            b[...] = (bv.astype(jnp.float32) / s).astype(bv.dtype)
+    elif kind == "prev_linear":
+        pm = get_module(block, parent)
+        lin = extract_linear(pm)
+        if (lin is None or lin[0].shape[1] != s.shape[0]
+                or getattr(pm, "kernel", None) is None):
+            return False
+        pk, pb = lin
+        pm.kernel[...] = (pk.astype(jnp.float32)
+                          / s[None, :]).astype(pm.kernel[...].dtype)
+        if pb is not None:
+            pm.bias[...] = (pb.astype(jnp.float32) / s).astype(
+                pm.bias[...].dtype)
+    else:
+        return False
+    for m in comp:
+        k = m.kernel[...]
+        m.kernel[...] = (k.astype(jnp.float32) * s[:, None]).astype(k.dtype)
+    return True
 
 
 def _has(block, path):
@@ -254,12 +329,20 @@ def _convert(model, block_paths, captured, configs_mapping):
                 replace_module(block, sub_path, ActStatObserver(sub, k.shape[0]))
             for args, kwargs in inputs:
                 block(*args, **kwargs)
-            # strip observers, keep stats
+            # strip observers, keep stats; targets never hit during replay
+            # (e.g. experts the router skipped) stay fp
             stats = {}
-            for sub_path in targets:
+            for sub_path in list(targets):
                 obs = get_module(block, sub_path)
-                stats[sub_path] = (obs.amax[...], obs.sample())
+                sample = obs.sample()
                 replace_module(block, sub_path, obs.inner)
+                if sample is None:
+                    logger.warning(
+                        "AWQ: %s.%s received no calibration batches — "
+                        "leaving it unquantized", bpath, sub_path)
+                    del targets[sub_path]
+                    continue
+                stats[sub_path] = (obs.amax[...], sample)
 
             # pass A: search + fold every group's scale while all parents
             # are still fp (reference order: apply_scale then quantize,
@@ -285,22 +368,11 @@ def _convert(model, block_paths, captured, configs_mapping):
                     s = jnp.ones((Ws.shape[0],), jnp.float32)
 
                 pre_scale = None
-                if kind == "norm" and _norm_foldable(block, parent, s):
-                    parent_mod = get_module(block, parent)
-                    parent_mod.weight[...] = (
-                        parent_mod.weight[...]
-                        / s.astype(parent_mod.weight[...].dtype))
-                elif kind == "prev_linear" and _prev_foldable(block, parent, s):
-                    pmod = get_module(block, parent)
-                    pk, pb = extract_linear(pmod)
-                    pmod.kernel[...] = (pk.astype(jnp.float32)
-                                        / s[None, :]).astype(pmod.kernel[...].dtype)
-                    if pb is not None:
-                        pmod.bias[...] = (pb.astype(jnp.float32) / s).astype(
-                            pmod.bias[...].dtype)
-                else:
+                if not apply_absorb_fold(block, parent, children, members,
+                                         kind, s):
                     # shapes don't permit folding (e.g. GQA v->o with head
-                    # repetition): apply at runtime instead
+                    # repetition, or an unfoldable fp sibling in the
+                    # group): apply at runtime instead
                     pre_scale = s
                 for c in members:
                     scale_of[c] = (s, pre_scale, X)

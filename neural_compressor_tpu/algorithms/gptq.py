@@ -28,7 +28,8 @@ from ..common import logger
 from ..layers.module_utils import get_module, named_modules, replace_module
 from ..layers.observers import ObserverStat
 from ..layers.woq_linear import WOQLinear
-from ..ops.qtensor import QTensor, quantize_with_scale
+from ..ops.qtensor import (CODEBOOKS, FLOAT_CODE_DTYPES, QTensor,
+                           _codebook_nearest, _grouped, quantize_with_scale)
 from ..ops.packing import pack_qtensor
 from . import register_algo
 from .calib_capture import (
@@ -45,6 +46,14 @@ _FLOAT_SKIP = ("fp32", "bf16", "fp16", "float32", "bfloat16", "float16")
 # Hessian capture
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _xtx_update(xtx, count, x):
+    """One fused accumulate dispatch per replayed batch (eager per-op
+    dispatch costs ~0.3 s in this environment)."""
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    return xtx + x2.T @ x2, count + x2.shape[0]
+
+
 class HessianObserver(nnx.Module):
     """Wraps a Linear-like module; accumulates X᙭ = Σ xᵀx and sample count
     over its inputs (reference ``add_batch``, gptq.py:1111-1141)."""
@@ -56,9 +65,8 @@ class HessianObserver(nnx.Module):
         self.count = ObserverStat(jnp.array(0.0, dtype=jnp.float32))
 
     def __call__(self, x, *args, **kwargs):
-        x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
-        self.xtx[...] = self.xtx[...] + x2.T @ x2
-        self.count[...] = self.count[...] + x2.shape[0]
+        self.xtx[...], self.count[...] = _xtx_update(
+            self.xtx[...], self.count[...], x)
         return self.inner(x, *args, **kwargs)
 
     def hessian(self) -> jax.Array:
@@ -70,9 +78,13 @@ class HessianObserver(nnx.Module):
 # The core column-sweep quantizer
 # ---------------------------------------------------------------------------
 
-def _group_scale(wg: jax.Array, bits: int, sym: bool):
+def _group_scale(wg: jax.Array, bits: int, sym: bool, codebook=None):
     """Per-row scale/zero for one group slab wg [N, G] (centered-asym
     convention, matching ops.qtensor)."""
+    if codebook is not None:
+        scale = jnp.max(jnp.abs(wg), axis=1)
+        scale = jnp.where(scale <= 0, 1.0, scale)
+        return scale, jnp.zeros_like(scale)
     qmax_s = 2 ** (bits - 1) - 1
     if sym:
         scale = jnp.max(jnp.abs(wg), axis=1) / qmax_s
@@ -88,8 +100,11 @@ def _group_scale(wg: jax.Array, bits: int, sym: bool):
 
 
 def _qdq_col(w: jax.Array, scale: jax.Array, zero: jax.Array, bits: int,
-             sym: bool):
+             sym: bool, codebook=None):
     """Quantize-dequantize one column w [N] with per-row scale/zero."""
+    if codebook is not None:
+        idx = _codebook_nearest(w / scale, codebook).astype(jnp.int32)
+        return codebook[idx] * scale
     if sym:
         qmax = 2 ** (bits - 1) - 1
         q = jnp.clip(jnp.round(w / scale), -qmax - 1, qmax)
@@ -129,12 +144,12 @@ def _tril_inverse_blocked(L: jax.Array, block: int = 256) -> jax.Array:
     jax.jit,
     static_argnames=("bits", "group_size", "sym", "act_order", "percdamp",
                      "block_size", "static_groups", "hybrid_order",
-                     "fp8_aware"),
+                     "fp8_aware", "wdtype"),
 )
 def gptq_quantize_matrix(W: jax.Array, H: jax.Array, *, bits=4,
                          group_size=128, sym=True, act_order=False,
                          percdamp=0.01, block_size=128, static_groups=False,
-                         hybrid_order=False, fp8_aware=False):
+                         hybrid_order=False, fp8_aware=False, wdtype="int"):
     """Run the GPTQ sweep on one weight.
 
     W: [K, N] (in × out). H: [K, K]. Returns (Wq [K, N] QDQ values,
@@ -149,7 +164,12 @@ def gptq_quantize_matrix(W: jax.Array, H: jax.Array, *, bits=4,
     fp8 e4m3 grid inside a protective range so a downstream W4A8/fp8 serving
     matmul cannot overflow when dequantizing int4 -> fp8. Returns values
     already multiplied back by the pow2 bf16->fp8 scale.
+
+    ``wdtype`` "nf4"/"fp4" runs the sweep with codebook rounding (absmax
+    group scale, nearest-codebook QDQ) instead of integer rounding, matching
+    the reference's dtype support in its GPTQ ``quantize`` hook.
     """
+    codebook = CODEBOOKS[wdtype] if wdtype in FLOAT_CODE_DTYPES else None
     K, N = W.shape
     G = group_size if group_size > 0 else K
     B = min(block_size, K)
@@ -210,7 +230,8 @@ def gptq_quantize_matrix(W: jax.Array, H: jax.Array, *, bits=4,
             W0 = Wt[:, jnp.argsort(perm)]  # original order
         w_groups = W0.reshape(N, n_groups, G)
         s_all, z_all = jax.vmap(
-            lambda wg: _group_scale(wg, bits, sym), in_axes=1, out_axes=0
+            lambda wg: _group_scale(wg, bits, sym, codebook),
+            in_axes=1, out_axes=0,
         )(w_groups)  # [n_groups, N]
         if act_order:
             g_of_col = perm // G  # group id of each (permuted) column
@@ -253,7 +274,7 @@ def gptq_quantize_matrix(W: jax.Array, H: jax.Array, *, bits=4,
                     Wblk, s_all, z_all = args
                     base = (i // G) * G
                     wg = jax.lax.dynamic_slice(Wblk, (0, base), (N, G))
-                    s, z = _group_scale(wg, bits, sym)
+                    s, z = _group_scale(wg, bits, sym, codebook)
                     gidx = (start + base) // G
                     s_all = jax.lax.dynamic_update_slice(s_all, s[None, :],
                                                          (gidx, 0))
@@ -274,7 +295,7 @@ def gptq_quantize_matrix(W: jax.Array, H: jax.Array, *, bits=4,
                 z = z_all[gid]
 
             w = jax.lax.dynamic_slice(Wblk, (0, i), (N, 1))[:, 0]
-            q = _fp8_snap(_qdq_col(w, s, z, bits, sym))
+            q = _fp8_snap(_qdq_col(w, s, z, bits, sym, codebook))
             d = jax.lax.dynamic_slice(Ublk, (i, i), (1, 1))[0, 0]
             err = (w - q) / d
             # update remaining columns in panel
@@ -319,16 +340,42 @@ def gptq_layer_to_woq(kernel, H, cfg, bias=None) -> WOQLinear:
     """Full GPTQ on one kernel → packed WOQLinear."""
     K, N = kernel.shape
     G = cfg.group_size if cfg.group_size > 0 else K
-    B = min(cfg.block_size, K)
-    if K % B:  # fall back to a divisor panel size
-        B = G if K % G == 0 else K
+    G = min(G, K)
+    cfg_dtype = getattr(cfg, "weight_dtype", getattr(cfg, "dtype", "int"))
+    wdtype = cfg_dtype if cfg_dtype in FLOAT_CODE_DTYPES else "int"
     hybrid = bool(getattr(cfg, "hybrid_order", False))
     fp8_aware = bool(getattr(cfg, "fp8_aware", False))
+    if fp8_aware and wdtype != "int":
+        raise ValueError("fp8_aware GPTQ is an int/W4A8 flow; it cannot be "
+                         f"combined with codebook dtype {cfg_dtype!r}")
+    # ragged K: pad with dead input dims (H diag 0 → damped + weight zeroed
+    # inside the sweep) so groups and panels tile evenly, like the rest of
+    # the stack (ops.qtensor._grouped / ops.packing pad ragged K too).
+    pad = (-K) % G
+    if pad:
+        if hybrid:
+            raise ValueError(
+                f"hybrid_order (GAR) needs in_features ({K}) to be a "
+                f"multiple of group_size ({G}): the returned input "
+                "permutation must cover exactly the real input dims")
+        kernel = jnp.pad(kernel, ((0, pad), (0, 0)))
+        H = jnp.pad(H, ((0, pad), (0, pad)))
+    Kp = K + pad
+    B = min(cfg.block_size, Kp)
+    if Kp % B:  # fall back to a divisor panel size (G always divides Kp)
+        B = G
     Wq, s_all, z_all, gar_perm, fp8_scale = gptq_quantize_matrix(
-        kernel, H, bits=cfg.weight_bits, group_size=cfg.group_size,
+        kernel, H, bits=cfg.weight_bits, group_size=G,
         sym=cfg.use_sym, act_order=cfg.act_order, percdamp=cfg.percdamp,
         block_size=B, static_groups=cfg.static_groups, hybrid_order=hybrid,
-        fp8_aware=fp8_aware)
+        fp8_aware=fp8_aware, wdtype=wdtype)
+    Wq = Wq[:K]
+    if wdtype in FLOAT_CODE_DTYPES:
+        wg = _grouped(Wq, G)  # [n_groups, G, N] (re-pads ragged K)
+        codes = _codebook_nearest(wg / s_all[:, None, :],
+                                  CODEBOOKS[wdtype]).reshape(-1, N)[:K]
+        qt = QTensor(codes, s_all, None, wdtype, cfg.weight_bits, G, (K, N))
+        return WOQLinear.from_qtensor(qt, bias=bias)
     zeros = None if cfg.use_sym else z_all
     codes = quantize_with_scale(Wq, s_all, zeros, cfg.weight_bits, G,
                                 scheme=cfg.scheme)
@@ -484,14 +531,12 @@ def _maybe_quantize_lm_head(model, block_paths, last_inputs, cfg_by_name):
     kernel, bias = extract_linear(head)
     K = kernel.shape[0]
     xtx = jnp.zeros((K, K), jnp.float32)
-    count = 0.0
+    count = jnp.array(0.0, jnp.float32)
     for args, kwargs in last_inputs:
         out = last_block(*args, **kwargs)
         x = out[0] if isinstance(out, tuple) else out
-        x2 = tail_norm(x).reshape(-1, K).astype(jnp.float32)
-        xtx = xtx + x2.T @ x2
-        count += x2.shape[0]
-    H = 2.0 * xtx / max(count, 1.0)
+        xtx, count = _xtx_update(xtx, count, tail_norm(x))
+    H = 2.0 * xtx / jnp.maximum(count, 1.0)
     new = gptq_layer_to_woq(kernel, H, cfg, bias=bias)
     replace_module(model, path, new)
     logger.info("GPTQ quantized lm_head (%s)", path)

@@ -20,11 +20,9 @@ from ..layers.module_utils import get_module, named_modules, replace_module
 from ..layers.qlinear import StaticQuantLinear
 from . import register_algo
 from .awq import (
-    ABSORB_PATTERNS,
     ActStatObserver,
     _absorb_groups_for_block,
-    _norm_foldable,
-    _prev_foldable,
+    apply_absorb_fold,
 )
 from .calib_capture import CalibCaptureState, find_target_blocks, run_capture
 from .gptq import _as_next_input
@@ -109,10 +107,17 @@ def _convert(model, block_paths, captured, configs_mapping):
             for args, kwargs in inputs:
                 block(*args, **kwargs)
             stats = {}
-            for sub_path in targets:
+            for sub_path in list(targets):
                 obs = get_module(block, sub_path)
-                stats[sub_path] = (obs.amax[...], obs.sample())
+                sample = obs.sample()
                 replace_module(block, sub_path, obs.inner)
+                if sample is None:
+                    logger.warning(
+                        "SmoothQuant: %s.%s received no calibration "
+                        "batches — leaving it unquantized", bpath, sub_path)
+                    del targets[sub_path]
+                    continue
+                stats[sub_path] = (obs.amax[...], sample)
 
             any_cfg = next(iter(targets.values()))
             scale_of = {}
@@ -138,24 +143,10 @@ def _convert(model, block_paths, captured, configs_mapping):
                     s = xa**cfg.alpha / w_amax ** (1.0 - cfg.alpha)
                     s = jnp.clip(s, 1e-4, 1e4)
 
-                foldable = (
-                    (kind == "norm" and _norm_foldable(block, parent, s))
-                    or (kind == "prev_linear"
-                        and _prev_foldable(block, parent, s)))
-                if not foldable:
+                if not apply_absorb_fold(block, parent, children, members,
+                                         kind, s):
                     # W8A8 path has no runtime pre-scale; keep unsmoothed
                     s = jnp.ones_like(s)
-                elif kind == "norm":
-                    pm = get_module(block, parent)
-                    pm.weight[...] = pm.weight[...] / s.astype(pm.weight[...].dtype)
-                else:
-                    pm = get_module(block, parent)
-                    pk, pb = extract_linear(pm)
-                    pm.kernel[...] = (pk.astype(jnp.float32)
-                                      / s[None, :]).astype(pm.kernel[...].dtype)
-                    if pb is not None:
-                        pm.bias[...] = (pb.astype(jnp.float32) / s).astype(
-                            pm.bias[...].dtype)
                 for c in members:
                     scale_of[c] = s
 

@@ -24,8 +24,7 @@ from . import register_algo
 from .awq import (
     ActStatObserver,
     _absorb_groups_for_block,
-    _norm_foldable,
-    _prev_foldable,
+    apply_absorb_fold,
     _qdq,
 )
 from .calib_capture import CalibCaptureState, find_target_blocks, run_capture
@@ -121,10 +120,17 @@ def _convert(model, block_paths, captured, configs_mapping):
             for args, kwargs in inputs:
                 block(*args, **kwargs)
             stats = {}
-            for sub_path in targets:
+            for sub_path in list(targets):
                 obs = get_module(block, sub_path)
-                stats[sub_path] = (obs.amax[...], obs.sample())
+                sample = obs.sample()
                 replace_module(block, sub_path, obs.inner)
+                if sample is None:
+                    logger.warning(
+                        "TEQ: %s.%s received no calibration batches — "
+                        "leaving it unquantized", bpath, sub_path)
+                    del targets[sub_path]
+                    continue
+                stats[sub_path] = (obs.amax[...], sample)
 
             any_cfg = next(iter(targets.values()))
             scale_of = {}
@@ -144,20 +150,8 @@ def _convert(model, block_paths, captured, configs_mapping):
                     steps=cfg.train_steps, lr=cfg.lr)
 
                 pre_scale = None
-                if kind == "norm" and cfg.folding and _norm_foldable(
-                        block, parent, s):
-                    pm = get_module(block, parent)
-                    pm.weight[...] = pm.weight[...] / s.astype(pm.weight[...].dtype)
-                elif kind == "prev_linear" and cfg.folding and _prev_foldable(
-                        block, parent, s):
-                    pm = get_module(block, parent)
-                    pk, pb = extract_linear(pm)
-                    pm.kernel[...] = (pk.astype(jnp.float32)
-                                      / s[None, :]).astype(pm.kernel[...].dtype)
-                    if pb is not None:
-                        pm.bias[...] = (pb.astype(jnp.float32) / s).astype(
-                            pm.bias[...].dtype)
-                else:
+                if not (cfg.folding and apply_absorb_fold(
+                        block, parent, children, members, kind, s)):
                     pre_scale = s
                 for c in members:
                     scale_of[c] = (s, pre_scale)

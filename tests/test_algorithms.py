@@ -249,3 +249,66 @@ class TestComposable:
         assert isinstance(
             get_module(qm, "model.layers.0.self_attn.q_proj"), WOQLinear)
         assert getattr(qm, "kv_cache_quantized", False)
+
+
+class TestAbsorbFold:
+    """Scale-fold correctness across absorb groups (awq.apply_absorb_fold)."""
+
+    def test_partial_group_keeps_fp_child_exact(self, llama, ids, calib):
+        # k_proj stays fp while q/v quantize: the shared input_layernorm is
+        # folded by 1/s, so the fp child must be compensated by s — the
+        # elementwise product ln_w[k] * kernel[k, :] is the invariant.
+        from neural_compressor_tpu.algorithms.calib_capture import (
+            calibration_forward)
+        blk = llama.model.layers[0]
+        ln_w0 = blk.input_layernorm.weight[...].astype(jnp.float32)
+        p0 = ln_w0[:, None] * blk.self_attn.k_proj.kernel[...].astype(
+            jnp.float32)
+        cfg = nq.AWQConfig(dtype="int4", group_size=32, use_auto_clip=False)
+        cfg.set_local(r".*k_proj", nq.AWQConfig(dtype="fp32"))
+        qm = nq.quantize(llama, cfg,
+                         run_fn=lambda m: calibration_forward(m, calib))
+        blk = qm.model.layers[0]
+        assert isinstance(get_module(blk, "self_attn.q_proj"), WOQLinear)
+        assert not isinstance(get_module(blk, "self_attn.k_proj"), WOQLinear)
+        ln_w1 = blk.input_layernorm.weight[...].astype(jnp.float32)
+        # the fold fired (s != 1 on random calibration is guaranteed)
+        assert not np.allclose(np.asarray(ln_w0), np.asarray(ln_w1))
+        p1 = ln_w1[:, None] * blk.self_attn.k_proj.kernel[...].astype(
+            jnp.float32)
+        # bf16 param storage rounds each factor; the product must survive
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
+                                   rtol=2e-2, atol=1e-5)
+
+    def test_smoothquant_layernorm_model_smooths(self):
+        # nnx.LayerNorm exposes `scale`, not `weight`: the fold must fire
+        # (it used to silently no-op, leaving plain W8A8 with no migration)
+        from neural_compressor_tpu.algorithms.calib_capture import (
+            calibration_forward)
+        from neural_compressor_tpu.models.gpt2 import (GPT2Config,
+                                                       GPT2LMHeadModel)
+        g = GPT2LMHeadModel(
+            GPT2Config(vocab_size=128, n_embd=64, n_layer=2, n_head=4,
+                       n_positions=64), nnx.Rngs(0))
+        rng = np.random.default_rng(7)
+        calib = [jnp.asarray(rng.integers(0, 128, (2, 16)))
+                 for _ in range(2)]
+        ids = jnp.asarray(rng.integers(0, 128, (2, 8)))
+        y0 = g(ids).astype(jnp.float32)
+        scale0 = np.asarray(g.h[0].ln_1.scale[...])
+        qg = nq.quantize(g, nq.SmoothQuantConfig(alpha=0.5),
+                         run_fn=lambda m: calibration_forward(m, calib))
+        assert isinstance(get_module(qg, "h.0.attn.c_attn"),
+                          StaticQuantLinear)
+        scale1 = np.asarray(qg.h[0].ln_1.scale[...])
+        assert not np.allclose(scale0, scale1), "LayerNorm fold never fired"
+        assert _rel(y0, qg(ids)) < 0.3
+
+    def test_awq_unreplayed_target_stays_fp(self, llama, calib):
+        # a target that never sees a calibration batch must be skipped, not
+        # crash on an empty sample concatenation
+        from neural_compressor_tpu.algorithms.calib_capture import (
+            calibration_forward)
+        from neural_compressor_tpu.algorithms.awq import ActStatObserver
+        obs = ActStatObserver(lambda x: x, 8)
+        assert obs.sample() is None

@@ -218,3 +218,33 @@ def test_gptq_true_sequential():
     y1 = qm(ids).astype(jnp.float32)
     rel = float(jnp.linalg.norm(y0 - y1) / jnp.linalg.norm(y0))
     assert rel < 0.5
+
+
+def test_gptq_ragged_k_pads():
+    # K not a multiple of group_size used to crash the static-groups
+    # reshape; it now pads with dead input dims like the rest of the stack
+    from neural_compressor_tpu.algorithms.gptq import gptq_layer_to_woq
+    X, W, H = _correlated_problem(K=80, N=64, seed=3)
+    cfg = nq.GPTQConfig(dtype="int4", group_size=32)
+    lin = gptq_layer_to_woq(W, H, cfg)
+    assert isinstance(lin, WOQLinear)
+    y = lin(X).astype(jnp.float32)
+    ref = X @ W
+    assert float(jnp.linalg.norm(ref - y) / jnp.linalg.norm(ref)) < 0.2
+
+
+@pytest.mark.parametrize("wdtype", ["nf4", "fp4"])
+def test_gptq_codebook_dtype(wdtype):
+    # nf4/fp4 configs used to silently run the int sweep; the codebook now
+    # drives the column QDQ, and error feedback must beat codebook RTN
+    from neural_compressor_tpu.algorithms.gptq import gptq_layer_to_woq
+    X, W, H = _correlated_problem(seed=4)
+    cfg = nq.GPTQConfig(dtype=wdtype, group_size=32)
+    lin = gptq_layer_to_woq(W, H, cfg)
+    assert lin.wdtype == wdtype
+    ref = X @ W
+    err_gptq = float(jnp.linalg.norm(ref - lin(X).astype(jnp.float32))
+                     / jnp.linalg.norm(ref))
+    Wr = qdq_tensor(W, group_size=32, dtype=wdtype)
+    err_rtn = float(jnp.linalg.norm(X @ (W - Wr)) / jnp.linalg.norm(ref))
+    assert err_gptq < err_rtn
