@@ -43,13 +43,25 @@ def export_compressed_tensors(model, output_dir: str,
     os.makedirs(output_dir, exist_ok=True)
     tensors: dict = {}
     modules = []
-    bits = group_size = None
-    sym = True
+    groups_seen: set = set()
     for path, mod in named_modules(model):
         if not isinstance(mod, WOQLinear) or mod.wdtype != "int":
             continue
+        if getattr(mod, "pre_scale", None) is not None:
+            raise ValueError(
+                f"{path} carries a runtime pre_scale (unfolded AWQ/TEQ "
+                "smoothing); compressed-tensors has no field for it and "
+                "exporting would silently change numerics. Save with the "
+                "default format instead, or re-quantize with foldable "
+                "absorb scales.")
+        if mod.packed_weight().perm is not None:
+            raise ValueError(
+                f"{path} stores rows in a permuted (act-order/GAR) layout; "
+                "compressed-tensors has no g_idx to carry the permutation. "
+                "Export with save(..., format='gptq') instead.")
         bits, group_size = mod.bits, mod.group_size
         sym = mod.zeros is None
+        groups_seen.add((bits, group_size, sym))
         codes = np.asarray(jax.device_get(unpack_to_codes(mod.packed_weight())))
         half = 1 << (bits - 1)
         unsigned = (codes.astype(np.int32) + half).astype(np.uint8)
@@ -68,6 +80,18 @@ def export_compressed_tensors(model, output_dir: str,
             tensors[f"{path}.bias"] = np.asarray(
                 jax.device_get(mod.bias[...])).astype(np.float16)
         modules.append(path)
+    if not modules:
+        raise ValueError(
+            "no int-quantized WOQLinear modules to export (codebook dtypes "
+            "like nf4/fp4 have no compressed-tensors pack-quantized "
+            "encoding — use the default save format)")
+    if len(groups_seen) > 1:
+        raise ValueError(
+            "compressed-tensors pack-quantized declares ONE uniform "
+            f"(bits, group_size, sym) group but the model has {sorted(groups_seen)}; "
+            "a mixed-precision checkpoint would be unpacked as garbage by "
+            "consumers. Use the default save format for mixed models.")
+    bits, group_size, sym = next(iter(groups_seen))
     save_file(tensors, os.path.join(output_dir, "model.safetensors"))
 
     qcfg = {

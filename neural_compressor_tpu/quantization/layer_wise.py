@@ -51,6 +51,68 @@ from .save_load import CONFIG_NAME, _module_meta, _module_tensors, _store
 FP_NAME = "fp_tensors.safetensors"
 
 
+class _ShardWriter:
+    """Bounded-memory safetensors writer: buffers tensors up to
+    ``max_bytes``, flushes numbered shards to disk, and on ``finish()``
+    either keeps the canonical single-file name or writes an HF-style
+    ``<base>.index.json`` — so the streaming quantizers' peak host memory
+    is one shard buffer, not the whole output (the module's >RAM
+    contract)."""
+
+    def __init__(self, out_dir: str, base_name: str,
+                 max_bytes: int = 1 << 30):
+        self.out_dir = out_dir
+        self.base = base_name
+        self.max_bytes = max_bytes
+        self._buf: dict = {}
+        self._buf_bytes = 0
+        self._shards: list[tuple[str, list[str]]] = []
+
+    def add(self, name: str, arr) -> None:
+        arr = np.asarray(arr)
+        self._buf[name] = arr
+        self._buf_bytes += arr.nbytes
+        if self._buf_bytes >= self.max_bytes:
+            self._flush()
+
+    __setitem__ = add  # dict-compatible for save_load._store
+
+    def _flush(self) -> None:
+        if not self._buf:
+            return
+        from safetensors.numpy import save_file
+
+        tmp = f"{self.base}.shard{len(self._shards):05d}"
+        save_file(self._buf, os.path.join(self.out_dir, tmp))
+        self._shards.append((tmp, list(self._buf)))
+        self._buf = {}
+        self._buf_bytes = 0
+
+    def finish(self) -> None:
+        self._flush()
+        if len(self._shards) <= 1:
+            from safetensors.numpy import save_file
+
+            if not self._shards:
+                save_file({}, os.path.join(self.out_dir, self.base))
+            else:
+                os.replace(os.path.join(self.out_dir, self._shards[0][0]),
+                           os.path.join(self.out_dir, self.base))
+            return
+        n = len(self._shards)
+        stem = self.base.removesuffix(".safetensors")
+        weight_map = {}
+        for i, (tmp, names) in enumerate(self._shards):
+            final = f"{stem}-{i + 1:05d}-of-{n:05d}.safetensors"
+            os.replace(os.path.join(self.out_dir, tmp),
+                       os.path.join(self.out_dir, final))
+            for nm in names:
+                weight_map[nm] = final
+        with open(os.path.join(self.out_dir, f"{self.base}.index.json"),
+                  "w") as f:
+            json.dump({"metadata": {}, "weight_map": weight_map}, f)
+
+
 # Quantizable projection suffixes per architecture (torch Linear stores
 # [out, in] -> transpose; GPT-2's Conv1D already stores [in, out]).
 _PROJ_SUFFIXES: dict[str, tuple] = {
@@ -132,27 +194,40 @@ def quantize_hf_checkpoint_streaming(model_dir: str, quant_config,
     configs) — any of the supported architectures; peak memory is one
     tensor. For calibrated streaming GPTQ see
     ``gptq_quantize_checkpoint_streaming``."""
+    from .config import LM_HEAD_NAMES
+
     arch = detect_architecture(model_dir)
     assert arch in _PROJ_SUFFIXES, f"unsupported streaming arch {arch!r}"
     transpose = arch not in _NO_TRANSPOSE_ARCHS
     # the llama family may carry phi-3-style fused qkv — splitting it
     # needs the head counts
     split_cfg = llama_config_from_hf(model_dir) if arch == "llama" else None
+    with open(os.path.join(model_dir, "config.json")) as f:
+        chatglm = json.load(f).get("model_type") == "chatglm"
+    if chatglm:
+        # THUDM layout: remap names onto the llama tree first, exactly
+        # like the in-memory import (hf_import.chatglm_remap_tensor)
+        from ..models.hf_import import chatglm_remap_tensor
     os.makedirs(output_dir, exist_ok=True)
-    from safetensors.numpy import save_file
 
-    q_tensors: dict = {}
-    fp_tensors: dict = {}
+    q_tensors = _ShardWriter(output_dir, "quant_model.safetensors")
+    fp_tensors = _ShardWriter(output_dir, "model.safetensors")
     metas: dict = {}
     bias_map: dict = {}
     n_q = 0
     for raw_name, raw_arr in _iter_checkpoint_tensors(model_dir):
-      for name, arr in _remap_stream_tensor(raw_name, raw_arr, split_cfg):
+      pieces = (chatglm_remap_tensor(raw_name, raw_arr, split_cfg)
+                if chatglm else [(raw_name, raw_arr)])
+      for piece_name, piece_arr in pieces:
+       for name, arr in _remap_stream_tensor(piece_name, piece_arr,
+                                             split_cfg):
         mpath = _module_path_for(name, arch)
-        quantizable = (
-            mpath is not None
-            and not (not quant_config.quant_lm_head
-                     and any(h in name for h in ("lm_head",))))
+        if (mpath is None and quant_config.quant_lm_head
+                and name.endswith(".weight")
+                and name[: -len(".weight")].rsplit(".", 1)[-1]
+                in LM_HEAD_NAMES):
+            mpath = _model_path(name[: -len(".weight")], arch)
+        quantizable = mpath is not None
         if quantizable:
             w = _to_jnp(arr, jnp.float32)
             if transpose:
@@ -183,8 +258,8 @@ def quantize_hf_checkpoint_streaming(model_dir: str, quant_config,
             _store(q_tensors, mpath, "bias", b)
         else:  # e.g. unquantized lm_head bias
             fp_tensors[orig_name] = b
-    save_file(q_tensors, os.path.join(output_dir, "quant_model.safetensors"))
-    save_file(fp_tensors, os.path.join(output_dir, "model.safetensors"))
+    q_tensors.finish()
+    fp_tensors.finish()
     with open(os.path.join(output_dir, CONFIG_NAME), "w") as f:
         json.dump({"format": "default", "modules": metas}, f, indent=2)
     shutil.copy(os.path.join(model_dir, "config.json"),
@@ -395,9 +470,15 @@ def gptq_quantize_checkpoint_streaming(model_dir: str, quant_config,
     arch = detect_architecture(model_dir)
     archs = _stream_archs()
     assert arch in archs, f"unsupported streaming-GPTQ arch {arch!r}"
+    with open(os.path.join(model_dir, "config.json")) as f:
+        if json.load(f).get("model_type") == "chatglm":
+            raise ValueError(
+                "streaming GPTQ does not handle the THUDM chatglm tensor "
+                "layout (transformer.encoder.*); convert with the "
+                "calibration-free quantize_hf_checkpoint_streaming (which "
+                "remaps it) or import in-memory via from_pretrained")
     ad = archs[arch]
     os.makedirs(output_dir, exist_ok=True)
-    from safetensors.numpy import save_file
 
     cfg = ad["cfg"](model_dir, dtype=dtype)
     reader = _CheckpointReader(model_dir)
@@ -409,8 +490,8 @@ def gptq_quantize_checkpoint_streaming(model_dir: str, quant_config,
     mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
     aux = ad["aux"](cfg, positions, mask)
 
-    q_tensors: dict = {}
-    fp_tensors: dict = {}
+    q_tensors = _ShardWriter(output_dir, "quant_model.safetensors")
+    fp_tensors = _ShardWriter(output_dir, "model.safetensors")
     metas: dict = {}
     quantized_names: set = set()
     rngs = nnx.Rngs(0)
@@ -469,8 +550,8 @@ def gptq_quantize_checkpoint_streaming(model_dir: str, quant_config,
         else:
             for n2, a2 in keep:  # un-quantized remainder of a fused tensor
                 fp_tensors[n2] = np.asarray(a2)
-    save_file(q_tensors, os.path.join(output_dir, "quant_model.safetensors"))
-    save_file(fp_tensors, os.path.join(output_dir, "model.safetensors"))
+    q_tensors.finish()
+    fp_tensors.finish()
     with open(os.path.join(output_dir, CONFIG_NAME), "w") as f:
         json.dump({"format": "default", "modules": metas}, f, indent=2)
     shutil.copy(os.path.join(model_dir, "config.json"),
@@ -506,7 +587,12 @@ def load_quantized_checkpoint(ckpt_dir: str, dtype=jnp.bfloat16,
     arch = detect_architecture(ckpt_dir)
     if streaming is None:
         streaming = arch == "llama"
-    if streaming and arch == "llama":
+    elif streaming and arch != "llama":
+        raise ValueError(
+            f"streaming load is implemented for the llama family only "
+            f"(checkpoint is {arch!r}); pass streaming=False to accept a "
+            "full in-memory skeleton build")
+    if streaming:
         return _load_quantized_llama_streaming(ckpt_dir, dtype)
     model = load_hf_model(ckpt_dir, dtype=dtype)
     return load_quant(ckpt_dir, model)
@@ -517,33 +603,26 @@ def _load_quantized_llama_streaming(ckpt_dir: str, dtype):
     import dataclasses
 
     from flax import nnx
-    from safetensors.numpy import load_file
 
     from ..layers.module_utils import replace_module
     from ..models.hf_import import _assign_llama_param
     from ..models.llama import LlamaDecoderLayer, LlamaForCausalLM
-    from .save_load import (CONFIG_NAME as QCFG, WEIGHTS_NAME, _rebuild,
-                            _restore_array)
+    from .save_load import (CONFIG_NAME as QCFG, WEIGHTS_NAME,
+                            _drop_dead_split_projections, _rebuild,
+                            _restore_array, load_tensor_file)
 
     cfg = llama_config_from_hf(ckpt_dir, dtype=dtype)
     with open(os.path.join(ckpt_dir, QCFG)) as f:
         qcfg = json.load(f)
     per_module: dict[str, dict] = {}
-    for key, arr in load_file(os.path.join(ckpt_dir, WEIGHTS_NAME)).items():
+    for key, arr in load_tensor_file(ckpt_dir, WEIGHTS_NAME).items():
         path, name = key.rsplit("/", 1)
         name = name.split(":", 1)[0]
         per_module.setdefault(path, {})[name] = _restore_array(key, arr)
 
     def swap_in(model, path, meta):
         replace_module(model, path, _rebuild(meta, per_module.get(path, {})))
-        if path.endswith(".qkv_proj"):
-            parent = path.rsplit(".", 1)[0]
-            for dead in ("q_proj", "k_proj", "v_proj"):
-                replace_module(model, f"{parent}.{dead}", None)
-        elif path.endswith(".gate_up_proj"):
-            parent = path.rsplit(".", 1)[0]
-            for dead in ("gate_proj", "up_proj"):
-                replace_module(model, f"{parent}.{dead}", None)
+        _drop_dead_split_projections(model, path)
 
     reader = _CheckpointReader(ckpt_dir)
     model = LlamaForCausalLM(

@@ -100,6 +100,22 @@ def save(model, output_dir: str, format: str = "default") -> None:
     logger.info("Saved %d quantized modules to %s", len(metas), output_dir)
 
 
+def load_tensor_file(input_dir: str, base: str = WEIGHTS_NAME) -> dict:
+    """Read a safetensors file that may have been shard-split by the
+    streaming quantizers' bounded-memory writer (``<base>.index.json``)."""
+    from safetensors.numpy import load_file
+
+    index = os.path.join(input_dir, f"{base}.index.json")
+    if os.path.exists(index):
+        with open(index) as f:
+            weight_map = json.load(f)["weight_map"]
+        out: dict = {}
+        for shard in sorted(set(weight_map.values())):
+            out.update(load_file(os.path.join(input_dir, shard)))
+        return out
+    return load_file(os.path.join(input_dir, base))
+
+
 def _restore_array(key: str, arr: np.ndarray):
     if ":" in key.rsplit("/", 1)[-1]:
         _, tag = key.rsplit(":", 1)
@@ -181,7 +197,7 @@ def load(input_dir: str, model):
         cfg = json.load(f)
     if cfg.get("format") == "gptq":
         return _load_gptq(input_dir, model, cfg)
-    raw = load_file(os.path.join(input_dir, WEIGHTS_NAME))
+    raw = load_tensor_file(input_dir, WEIGHTS_NAME)
     per_module: dict[str, dict] = {}
     for key, arr in raw.items():
         path, name = key.rsplit("/", 1)
@@ -191,18 +207,24 @@ def load(input_dir: str, model):
     for path, meta in cfg["modules"].items():
         new = _rebuild(meta, per_module.get(path, {}))
         replace_module(model, path, new)
-        # fused checkpoints: drop the skeleton's now-dead split projections
-        if path.endswith(".qkv_proj"):
-            parent = path.rsplit(".", 1)[0]
-            for dead in ("q_proj", "k_proj", "v_proj"):
-                replace_module(model, f"{parent}.{dead}", None)
-        elif path.endswith(".gate_up_proj"):
-            parent = path.rsplit(".", 1)[0]
-            for dead in ("gate_proj", "up_proj"):
-                replace_module(model, f"{parent}.{dead}", None)
+        _drop_dead_split_projections(model, path)
         n += 1
     logger.info("Loaded %d quantized modules from %s", n, input_dir)
     return model
+
+
+def _drop_dead_split_projections(model, path: str) -> None:
+    """Fused checkpoints: drop the skeleton's now-dead split projections so
+    the fp q/k/v (or gate/up) weights don't stay resident next to the fused
+    quantized module."""
+    if path.endswith(".qkv_proj"):
+        parent = path.rsplit(".", 1)[0]
+        for dead in ("q_proj", "k_proj", "v_proj"):
+            replace_module(model, f"{parent}.{dead}", None)
+    elif path.endswith(".gate_up_proj"):
+        parent = path.rsplit(".", 1)[0]
+        for dead in ("gate_proj", "up_proj"):
+            replace_module(model, f"{parent}.{dead}", None)
 
 
 # ---------------------------------------------------------------------------
@@ -214,9 +236,27 @@ def _save_gptq(model, output_dir: str) -> None:
 
     tensors: dict = {}
     metas: dict = {}
+    unexportable = []
     for path, mod in named_modules(model):
-        if not isinstance(mod, WOQLinear):
+        tname = type(mod).__name__
+        if not path or tname not in _QUANT_TYPES:
             continue
+        if not isinstance(mod, WOQLinear):
+            if tname == "HalfPrecisionLinear":
+                # a precision hint, not quantized state — the fp skeleton
+                # recreates it losslessly enough; just note it
+                logger.warning("GPTQ save: %s (%s) is not carried by the "
+                               "optimum layout; it reloads as the "
+                               "skeleton's fp module", path, tname)
+            else:
+                unexportable.append((path, tname))
+            continue
+        if getattr(mod, "pre_scale", None) is not None:
+            raise ValueError(
+                f"{path} carries a runtime pre_scale (unfolded AWQ/TEQ "
+                "smoothing); the GPTQ/optimum layout has no field for it "
+                "and the reloaded model would be silently wrong. Save "
+                "with the default format instead.")
         gl = to_gptq_layout(mod.packed_weight())
         for name, arr in gl.items():
             tensors[f"{path}.{name}"] = arr
@@ -227,6 +267,12 @@ def _save_gptq(model, output_dir: str) -> None:
                        "sym": mod.zeros is None,
                        "in_features": mod.in_features,
                        "out_features": mod.out_features}
+    if unexportable:
+        raise ValueError(
+            "GPTQ/optimum layout only carries weight-only (WOQLinear) "
+            f"modules; the model also has {unexportable[:5]} — a round-trip "
+            "would silently revert them to fp. Save with the default "
+            "format instead.")
     save_file(tensors, os.path.join(output_dir, "model.safetensors"))
     with open(os.path.join(output_dir, CONFIG_NAME), "w") as f:
         json.dump({"format": "gptq", "modules": metas}, f, indent=2)
@@ -247,8 +293,11 @@ def _load_gptq(input_dir: str, model, cfg: dict):
         bias = raw.get(f"{path}.bias")
         bias = jnp.asarray(bias.astype(np.float32)) if bias is not None else None
         replace_module(model, path, WOQLinear(pw, bias=bias))
+        _drop_dead_split_projections(model, path)
         n += 1
-    logger.info("Loaded %d GPTQ-layout modules from %s", n, input_dir)
+    logger.info("Loaded %d GPTQ-layout modules from %s (serving upgrades "
+                "like W4A8/s4 are layout-local: re-apply to_w4a8_serving "
+                "after loading)", n, input_dir)
     return model
 
 

@@ -258,3 +258,149 @@ def test_streaming_gptq_phi3(tmp_path):
     np.testing.assert_allclose(
         np.asarray(m_stream(probe), dtype=np.float32),
         np.asarray(qm(probe), dtype=np.float32), atol=2e-3)
+
+
+def test_streaming_quant_lm_head(hf_dir, tmp_path):
+    """quant_lm_head=True must quantize the head in the streaming path the
+    same way the in-memory RTN path does (it used to be silently dead)."""
+    from neural_compressor_tpu.layers.woq_linear import WOQLinear
+
+    out = str(tmp_path / "head_q")
+    quantize_hf_checkpoint_streaming(
+        hf_dir, nq.RTNConfig(dtype="int4", group_size=32,
+                             quant_lm_head=True), out, dtype=jnp.float32)
+    import json
+    import os
+    with open(os.path.join(out, "quant_config.json")) as f:
+        modules = json.load(f)["modules"]
+    assert "lm_head" in modules, sorted(modules)
+    m_stream = load_quantized_checkpoint(out, dtype=jnp.float32)
+    assert isinstance(m_stream.lm_head, WOQLinear)
+    m_direct = nq.quantize(
+        load_hf_llama(hf_dir, dtype=jnp.float32),
+        nq.RTNConfig(dtype="int4", group_size=32, quant_lm_head=True))
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 256, (2, 12)))
+    np.testing.assert_allclose(
+        np.asarray(m_stream(ids), dtype=np.float32),
+        np.asarray(m_direct(ids), dtype=np.float32), atol=1e-3)
+
+
+def test_streaming_sharded_output_roundtrip(hf_dir, tmp_path, monkeypatch):
+    """With a tiny shard budget the writer splits both outputs into
+    indexed shards and the loaders read them back transparently."""
+    import json
+    import os
+
+    from neural_compressor_tpu.quantization import layer_wise
+
+    orig = layer_wise._ShardWriter.__init__
+    monkeypatch.setattr(
+        layer_wise._ShardWriter, "__init__",
+        lambda self, d, b, max_bytes=16384: orig(self, d, b, max_bytes))
+    out = str(tmp_path / "sharded_q")
+    quantize_hf_checkpoint_streaming(
+        hf_dir, nq.RTNConfig(dtype="int4", group_size=32), out,
+        dtype=jnp.float32)
+    assert os.path.exists(
+        os.path.join(out, "quant_model.safetensors.index.json"))
+    assert os.path.exists(
+        os.path.join(out, "model.safetensors.index.json"))
+    m_stream = load_quantized_checkpoint(out, dtype=jnp.float32)
+    m_direct = nq.quantize(load_hf_llama(hf_dir, dtype=jnp.float32),
+                           nq.RTNConfig(dtype="int4", group_size=32))
+    ids = jnp.asarray(np.random.default_rng(4).integers(0, 256, (2, 12)))
+    np.testing.assert_allclose(
+        np.asarray(m_stream(ids), dtype=np.float32),
+        np.asarray(m_direct(ids), dtype=np.float32), atol=1e-3)
+
+
+def test_streaming_load_strict_arch(tmp_path):
+    """An explicit streaming=True on a non-llama checkpoint must raise,
+    not silently materialize the full fp skeleton."""
+    import transformers
+
+    cfg = transformers.OPTConfig(
+        vocab_size=128, hidden_size=64, ffn_dim=128, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=64)
+    d = str(tmp_path / "opt")
+    transformers.OPTForCausalLM(cfg).eval().float().save_pretrained(
+        d, safe_serialization=True)
+    out = str(tmp_path / "opt_q")
+    quantize_hf_checkpoint_streaming(
+        d, nq.RTNConfig(dtype="int4", group_size=32), out,
+        dtype=jnp.float32)
+    with pytest.raises(ValueError, match="llama family only"):
+        load_quantized_checkpoint(out, dtype=jnp.float32, streaming=True)
+
+
+def test_streaming_chatglm_thudm_layout(tmp_path):
+    """THUDM chatglm2/3 tensor names are remapped during streaming RTN the
+    same way the in-memory import does (it used to quantize nothing)."""
+    import json
+
+    import torch
+    import transformers
+    from safetensors.torch import save_file
+
+    from neural_compressor_tpu.models.hf_import import load_hf_model
+
+    torch.manual_seed(0)
+    cfg = transformers.GlmConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, partial_rotary_factor=0.5, attention_bias=True,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=1)
+    sd = transformers.GlmForCausalLM(cfg).eval().float().state_dict()
+    out = {
+        "transformer.embedding.word_embeddings.weight":
+            sd["model.embed_tokens.weight"],
+        "transformer.encoder.final_layernorm.weight":
+            sd["model.norm.weight"],
+        "transformer.output_layer.weight": sd["lm_head.weight"],
+    }
+    for li in range(2):
+        s, d2 = f"model.layers.{li}.", f"transformer.encoder.layers.{li}."
+        for kind in ("weight", "bias"):
+            out[f"{d2}self_attention.query_key_value.{kind}"] = torch.cat(
+                [sd[f"{s}self_attn.{p}_proj.{kind}"] for p in "qkv"], dim=0)
+        out[f"{d2}self_attention.dense.weight"] = \
+            sd[f"{s}self_attn.o_proj.weight"]
+        out[f"{d2}mlp.dense_h_to_4h.weight"] = \
+            sd[f"{s}mlp.gate_up_proj.weight"]
+        out[f"{d2}mlp.dense_4h_to_h.weight"] = \
+            sd[f"{s}mlp.down_proj.weight"]
+        for nm in ("input_layernorm.weight",
+                   "post_attention_layernorm.weight"):
+            out[d2 + nm] = sd[s + nm]
+    d = tmp_path / "chatglm"
+    d.mkdir()
+    save_file({k: v.contiguous() for k, v in out.items()},
+              str(d / "model.safetensors"))
+    with open(d / "config.json", "w") as f:
+        json.dump({
+            "model_type": "chatglm",
+            "architectures": ["ChatGLMForConditionalGeneration"],
+            "padded_vocab_size": 128, "hidden_size": 64,
+            "ffn_hidden_size": 128, "num_layers": 2,
+            "num_attention_heads": 4, "multi_query_attention": True,
+            "multi_query_group_num": 2, "kv_channels": 16,
+            "seq_length": 64, "layernorm_epsilon": 1e-5,
+            "add_qkv_bias": True, "rope_ratio": 1.0,
+        }, f)
+
+    outdir = str(tmp_path / "chatglm_q")
+    quantize_hf_checkpoint_streaming(
+        str(d), nq.RTNConfig(dtype="int4", group_size=32), outdir,
+        dtype=jnp.float32)
+    import os
+    with open(os.path.join(outdir, "quant_config.json")) as f:
+        modules = json.load(f)["modules"]
+    assert len(modules) == 14, sorted(modules)  # 7 projections x 2 layers
+    m_stream = load_quantized_checkpoint(outdir, dtype=jnp.float32)
+    m_direct = nq.quantize(load_hf_model(str(d), dtype=jnp.float32),
+                           nq.RTNConfig(dtype="int4", group_size=32))
+    ids = jnp.asarray(np.random.default_rng(6).integers(0, 128, (2, 10)))
+    np.testing.assert_allclose(
+        np.asarray(m_stream(ids), dtype=np.float32),
+        np.asarray(m_direct(ids), dtype=np.float32), atol=2e-3)

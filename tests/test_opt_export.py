@@ -157,3 +157,89 @@ def test_awq_checkpoint_import(tmp_path):
     ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (2, 10)))
     logits = model(ids)
     assert logits.shape == (2, 10, 128)
+
+
+class TestExportGuards:
+    """compressed-tensors export must refuse states its format cannot
+    carry instead of writing silently-corrupt checkpoints."""
+
+    def _quantized_llama(self):
+        from neural_compressor_tpu.models import LlamaForCausalLM
+
+        m = LlamaForCausalLM.from_preset("llama-test")
+        return nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+
+    def test_rejects_pre_scale(self, tmp_path):
+        import jax.numpy as jnp
+        import pytest
+
+        from neural_compressor_tpu.layers.module_utils import get_module
+        from neural_compressor_tpu.quantization.export_hf import (
+            export_compressed_tensors,
+        )
+        from flax import nnx
+
+        from neural_compressor_tpu.layers.module_utils import (
+            replace_module,
+        )
+        from neural_compressor_tpu.layers.woq_linear import WOQLinear
+
+        qm = self._quantized_llama()
+        path = "model.layers.0.self_attn.q_proj"
+        mod = get_module(qm, path)
+        replace_module(qm, path, WOQLinear(
+            mod.packed_weight(),
+            pre_scale=jnp.full((mod.in_features,), 2.0)))
+        with pytest.raises(ValueError, match="pre_scale"):
+            export_compressed_tensors(qm, str(tmp_path / "ct"))
+
+    def test_rejects_mixed_groups(self, tmp_path):
+        import pytest
+
+        from neural_compressor_tpu.quantization.export_hf import (
+            export_compressed_tensors,
+        )
+        from neural_compressor_tpu.models import LlamaForCausalLM
+
+        m = LlamaForCausalLM.from_preset("llama-test")
+        cfg = nq.RTNConfig(dtype="int4", group_size=32)
+        cfg.set_local(r".*down_proj", nq.RTNConfig(dtype="int8",
+                                                   group_size=32))
+        qm = nq.quantize(m, cfg)
+        with pytest.raises(ValueError, match="uniform"):
+            export_compressed_tensors(qm, str(tmp_path / "ct"))
+
+    def test_rejects_empty(self, tmp_path):
+        import pytest
+
+        from neural_compressor_tpu.quantization.export_hf import (
+            export_compressed_tensors,
+        )
+        from neural_compressor_tpu.models import LlamaForCausalLM
+
+        m = LlamaForCausalLM.from_preset("llama-test")
+        qm = nq.quantize(m, nq.RTNConfig(dtype="nf4", group_size=32))
+        with pytest.raises(ValueError, match="no int-quantized"):
+            export_compressed_tensors(qm, str(tmp_path / "ct"))
+
+    def test_gptq_save_rejects_pre_scale(self, tmp_path):
+        import jax.numpy as jnp
+        import pytest
+        from flax import nnx
+
+        from neural_compressor_tpu.layers.module_utils import get_module
+        from neural_compressor_tpu.quantization.save_load import save
+
+        from neural_compressor_tpu.layers.module_utils import (
+            replace_module,
+        )
+        from neural_compressor_tpu.layers.woq_linear import WOQLinear
+
+        qm = self._quantized_llama()
+        path = "model.layers.0.self_attn.q_proj"
+        mod = get_module(qm, path)
+        replace_module(qm, path, WOQLinear(
+            mod.packed_weight(),
+            pre_scale=jnp.full((mod.in_features,), 2.0)))
+        with pytest.raises(ValueError, match="pre_scale"):
+            save(qm, str(tmp_path / "g"), format="gptq")
