@@ -151,6 +151,7 @@ def loglikelihood_from_ids(model, pairs, batch_size: int = 8,
     lens = [len(c) + len(t) for c, t in pairs]
     L = max_len or max(lens)
     results = []
+    state, logits_fn = _split_fn(model)  # one jit cache for every batch
     for i in range(0, len(pairs), batch_size):
         chunk = pairs[i:i + batch_size]
         B = len(chunk)
@@ -160,9 +161,11 @@ def loglikelihood_from_ids(model, pairs, batch_size: int = 8,
             seq = list(ctx) + list(cont)
             seq = seq[-L:]
             ids[r, :len(seq)] = seq
-            start = len(seq) - len(cont)
+            # a continuation longer than L is itself left-truncated (the
+            # lm-eval HF adapter's convention); clamp so the mask can't
+            # wrap around to the sequence tail
+            start = max(len(seq) - len(cont), 0)
             cont_mask[r, start:len(seq)] = 1.0
-        state, logits_fn = _split_fn(model)
         logits = logits_fn(state, jnp.asarray(ids))[:, :-1]
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         tgt = jnp.asarray(ids[:, 1:])
@@ -175,9 +178,16 @@ def loglikelihood_from_ids(model, pairs, batch_size: int = 8,
     return results
 
 
-class LMEvalAdapter:
+try:  # subclass the real harness LM so simple_evaluate's isinstance passes
+    from lm_eval.api.model import LM as _LMBase  # type: ignore
+except Exception:  # harness not installed: plain duck-typed adapter
+    _LMBase = object
+
+
+class LMEvalAdapter(_LMBase):
     """Adapter for EleutherAI lm-eval-harness (when installed): implements
-    the ``LM`` interface over this framework's models + a HF tokenizer.
+    the ``LM`` interface (loglikelihood / loglikelihood_rolling /
+    generate_until) over this framework's models + a HF tokenizer.
 
     >>> import lm_eval
     >>> lm = LMEvalAdapter(qmodel, tokenizer)
@@ -186,35 +196,80 @@ class LMEvalAdapter:
 
     def __init__(self, model, tokenizer, batch_size: int = 8,
                  max_length: int = 2048):
+        if _LMBase is not object:
+            super().__init__()
         self.model = model
         self.tokenizer = tokenizer
         self.batch_size = batch_size
         self.max_length = max_length
 
+    def _encode(self, text: str):
+        return self.tokenizer(text, add_special_tokens=False)["input_ids"]
+
     def _encode_pair(self, context: str, continuation: str):
-        whole = self.tokenizer(context + continuation,
-                               add_special_tokens=False)["input_ids"]
-        ctx = self.tokenizer(context, add_special_tokens=False)["input_ids"]
+        whole = self._encode(context + continuation)
+        ctx = self._encode(context)
         return ctx, whole[len(ctx):]
+
+    @property
+    def _prefix_token_id(self) -> int:
+        tid = getattr(self.tokenizer, "bos_token_id", None)
+        if tid is None:
+            tid = getattr(self.tokenizer, "eos_token_id", None)
+        return 0 if tid is None else int(tid)
 
     def loglikelihood(self, requests):
         pairs = []
         for req in requests:
             ctx, cont = (req.args if hasattr(req, "args") else req)
-            pairs.append(self._encode_pair(ctx, cont))
+            if ctx:
+                pairs.append(self._encode_pair(ctx, cont))
+            else:  # unconditional ll: score from the prefix token
+                pairs.append(([self._prefix_token_id], self._encode(cont)))
         return loglikelihood_from_ids(self.model, pairs,
                                       batch_size=self.batch_size,
                                       max_len=self.max_length)
+
+    def loglikelihood_rolling(self, requests):
+        """Full-text loglikelihood (wikitext-style ppl tasks): the text is
+        scored over disjoint windows of ``max_length`` with one token of
+        left context each (the harness's rolling-window convention)."""
+        lls = []
+        for req in requests:
+            args = req.args if hasattr(req, "args") else (req,)
+            toks = self._encode(args[0])
+            step = self.max_length - 1
+            pairs = []
+            for i in range(0, len(toks), step):
+                ctx = [self._prefix_token_id] if i == 0 else [toks[i - 1]]
+                pairs.append((ctx, toks[i:i + step]))
+            window_lls = loglikelihood_from_ids(
+                self.model, pairs, batch_size=self.batch_size,
+                max_len=self.max_length)
+            lls.append(float(sum(ll for ll, _g in window_lls)))
+        return lls
 
     def generate_until(self, requests):
         from ..generation import greedy_search
 
         outs = []
+        eos = getattr(self.tokenizer, "eos_token_id", None)
         for req in requests:
             ctx, kwargs = (req.args if hasattr(req, "args") else req)
+            kwargs = dict(kwargs or {})
+            until = kwargs.get("until") or []
+            if isinstance(until, str):
+                until = [until]
             ids = self.tokenizer(ctx, return_tensors="np")["input_ids"]
-            out = greedy_search(self.model, jnp.asarray(ids),
-                                max_new_tokens=kwargs.get("max_gen_toks", 64))
-            outs.append(self.tokenizer.decode(
-                np.asarray(out)[0, ids.shape[1]:]))
+            out = greedy_search(
+                self.model, jnp.asarray(ids),
+                max_new_tokens=int(kwargs.get("max_gen_toks", 256)),
+                eos_token_id=eos)
+            text = self.tokenizer.decode(np.asarray(out)[0, ids.shape[1]:],
+                                         skip_special_tokens=True)
+            # honor the task's stop sequences
+            for stop in until:
+                if stop:
+                    text = text.split(stop)[0]
+            outs.append(text)
         return outs

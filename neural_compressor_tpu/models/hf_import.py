@@ -43,6 +43,28 @@ def _iter_checkpoint_tensors(model_dir: str):
                 yield name, f.get_tensor(name)
 
 
+
+# torch-side buffers that legitimately have no parameter here
+_DROPPABLE_BUFFER_MARKERS = (
+    "rotary_emb.inv_freq", "rotary_pos_emb", ".attn.masked_bias",
+    ".attn.bias", ".attention.bias", ".attention.masked_bias",
+    "embed_positions.weights",  # gptj sinusoid buffer
+)
+
+
+def _note_dropped(name: str) -> int:
+    """Record an unmapped checkpoint tensor. Known torch buffers are
+    expected; anything else means some module keeps its RANDOM INIT, so
+    say it loudly instead of importing 'successfully' with garbage."""
+    if any(s in name for s in _DROPPABLE_BUFFER_MARKERS):
+        logger.debug("skipping checkpoint buffer %s", name)
+    else:
+        logger.warning(
+            "import: checkpoint tensor %r was NOT mapped to any module — "
+            "the target parameter keeps its random initialization", name)
+    return 0
+
+
 def _to_jnp(arr: np.ndarray, dtype) -> jnp.ndarray:
     if arr.dtype == np.uint16:  # bf16 stored raw
         return jnp.asarray(arr).view(jnp.bfloat16).astype(dtype)
@@ -56,7 +78,8 @@ def llama_config_from_hf(model_dir: str, dtype=jnp.bfloat16) -> LlamaConfig:
         hf = _chatglm_hf_keys(hf)
     rope_scaling = None
     rs = hf.get("rope_scaling")
-    if rs and rs.get("type", rs.get("rope_type")) in ("longrope", "su"):
+    rs_type = rs.get("type", rs.get("rope_type")) if rs else None
+    if rs_type in ("longrope", "su"):
         # HF phi-3 keeps original_max_position_embeddings at the top level
         rope_scaling = dict(
             type="longrope",
@@ -65,6 +88,23 @@ def llama_config_from_hf(model_dir: str, dtype=jnp.bfloat16) -> LlamaConfig:
             original_max_position_embeddings=int(
                 rs.get("original_max_position_embeddings")
                 or hf["original_max_position_embeddings"]))
+    elif rs_type == "llama3":  # Llama-3.1/3.2 frequency-band rescale
+        rope_scaling = dict(
+            type="llama3",
+            factor=float(rs["factor"]),
+            low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
+            high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+            original_max_position_embeddings=int(
+                rs["original_max_position_embeddings"]))
+    elif rs_type == "linear":
+        rope_scaling = dict(type="linear", factor=float(rs["factor"]))
+    elif rs_type == "default":
+        rope_scaling = None  # explicit no-op scaling in some configs
+    elif rs_type is not None:
+        raise ValueError(
+            f"unsupported rope_scaling type {rs_type!r} — silently loading "
+            "without it would rescale attention wrongly at every position. "
+            "Supported: longrope/su, llama3, linear.")
     return LlamaConfig(
         vocab_size=hf["vocab_size"],
         hidden_size=hf["hidden_size"],
@@ -236,8 +276,7 @@ def _assign_llama_param(model, name: str, arr: np.ndarray, dtype) -> int:
         if rest == "post_attention_layernorm.weight":
             layer.post_attention_layernorm.weight[...] = t.astype(jnp.float32)
             return 1
-    logger.debug("skipping unknown HF tensor %s", name)
-    return 0
+    return _note_dropped(name)
 
 
 def mixtral_config_from_hf(model_dir: str, dtype=jnp.bfloat16) -> MixtralConfig:
@@ -296,8 +335,10 @@ def load_hf_mixtral(model_dir: str, dtype=jnp.bfloat16) -> MixtralForCausalLM:
                 getattr(expert, ep[3]).kernel[...] = t.T
             else:
                 n -= 1
+                _note_dropped(name)
         else:
             n -= 1
+            _note_dropped(name)
         n += 1
     logger.info("Loaded %d HF tensors from %s", n, model_dir)
     return model
@@ -360,8 +401,10 @@ def load_hf_gpt2(model_dir: str, dtype=jnp.bfloat16) -> GPT2LMHeadModel:
                 blk.ln_2.bias[...] = t.astype(jnp.float32)
             else:
                 n -= 1
+                _note_dropped(name)
         else:
             n -= 1
+            _note_dropped(name)
     logger.info("Loaded %d HF tensors from %s", n, model_dir)
     return model
 
@@ -371,6 +414,12 @@ def opt_config_from_hf(model_dir: str, dtype=jnp.bfloat16):
 
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
+    proj_dim = hf.get("word_embed_proj_dim", hf["hidden_size"])
+    if proj_dim != hf["hidden_size"]:
+        raise ValueError(
+            f"OPT word_embed_proj_dim ({proj_dim}) != hidden_size "
+            f"({hf['hidden_size']}): the project_in/project_out variant "
+            "(opt-350m) is not mapped and would crash/garble the load")
     return OPTConfig(
         vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
         ffn_dim=hf["ffn_dim"], num_hidden_layers=hf["num_hidden_layers"],
@@ -414,8 +463,10 @@ def load_hf_opt(model_dir: str, dtype=jnp.bfloat16):
                 "final_layer_norm": layer.final_layer_norm,
             }):
                 n -= 1
+                _note_dropped(name)
         else:
             n -= 1
+            _note_dropped(name)
     logger.info("Loaded %d HF tensors from %s", n, model_dir)
     return model
 
@@ -484,8 +535,10 @@ def load_hf_gptj(model_dir: str, dtype=jnp.bfloat16):
                 "mlp.fc_out": blk.mlp.fc_out,
             }, {"ln_1": blk.ln_1}):
                 n -= 1
+                _note_dropped(name)
         else:
             n -= 1
+            _note_dropped(name)
     logger.info("Loaded %d HF tensors from %s", n, model_dir)
     return model
 
@@ -539,8 +592,10 @@ def load_hf_bloom(model_dir: str, dtype=jnp.bfloat16):
                 "post_attention_layernorm": blk.post_attention_layernorm,
             }):
                 n -= 1
+                _note_dropped(name)
         else:
             n -= 1
+            _note_dropped(name)
     logger.info("Loaded %d HF tensors from %s", n, model_dir)
     return model
 
@@ -550,12 +605,18 @@ def falcon_config_from_hf(model_dir: str, dtype=jnp.bfloat16):
 
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
+    if hf.get("new_decoder_architecture", False):
+        raise ValueError(
+            "falcon new_decoder_architecture (40b/180b) is not mapped: its "
+            "group-interleaved query_key_value layout and ln_attn/ln_mlp "
+            "norms differ from the 7b graph and would load as garbage; "
+            "falcon-7b-style checkpoints (multi_query) are supported")
     return FalconConfig(
         vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
         num_hidden_layers=hf.get("num_hidden_layers", hf.get("n_layer")),
         num_attention_heads=hf.get("num_attention_heads", hf.get("n_head")),
-        num_kv_heads=(hf.get("num_kv_heads", 1)
-                      if not hf.get("multi_query", True) else 1),
+        num_kv_heads=(1 if hf.get("multi_query", True)
+                      else hf.get("num_kv_heads", hf.get("n_head_kv", 1))),
         parallel_attn=hf.get("parallel_attn", True), dtype=dtype)
 
 
@@ -594,8 +655,10 @@ def load_hf_falcon(model_dir: str, dtype=jnp.bfloat16):
                 "mlp.dense_4h_to_h": blk.mlp.dense_4h_to_h,
             }, norms):
                 n -= 1
+                _note_dropped(name)
         else:
             n -= 1
+            _note_dropped(name)
     if not saw_lm_head:  # tied embeddings (falcon default)
         model.lm_head.kernel[...] = model.word_embeddings.embedding[...].T
     logger.info("Loaded %d HF tensors from %s", n, model_dir)
@@ -652,9 +715,11 @@ def load_hf_gptneox(model_dir: str, dtype=jnp.bfloat16):
                 "input_layernorm": blk.input_layernorm,
                 "post_attention_layernorm": blk.post_attention_layernorm,
             }):
-                n -= 1  # rotary inv_freq / attention.bias buffers
+                n -= 1
+                _note_dropped(name)
         else:
             n -= 1
+            _note_dropped(name)
     logger.info("Loaded %d HF tensors from %s", n, model_dir)
     return model
 
@@ -706,8 +771,10 @@ def load_hf_phi(model_dir: str, dtype=jnp.bfloat16):
                 "mlp.fc2": blk.mlp.fc2,
             }, {"input_layernorm": blk.input_layernorm}):
                 n -= 1
+                _note_dropped(name)
         else:
             n -= 1
+            _note_dropped(name)
     logger.info("Loaded %d HF tensors from %s", n, model_dir)
     return model
 
@@ -766,6 +833,15 @@ def detect_architecture(model_dir: str) -> str:
 
     if has("Mixtral") or mt == "mixtral":
         return "mixtral"
+    # guard BEFORE the substring matches below: Qwen2Moe/Qwen2VL/LlamaVision
+    # contain "Qwen2"/"Llama" but have expert/vision tensors the dense
+    # llama loader would silently drop (random-init MLPs, garbage logits)
+    if (has("Qwen2Moe") or has("Qwen2VL") or has("VisionText")
+            or mt in ("qwen2_moe", "qwen2_vl", "mllama")):
+        raise ValueError(
+            f"unsupported architecture {archs or mt!r}: MoE/vision "
+            "variants need loaders for their expert/vision tensors and "
+            "cannot be routed onto the dense llama stack")
     if (has("Llama") or has("Mistral") or has("Qwen2")
             or mt in ("llama", "mistral", "qwen2")):
         return "llama"

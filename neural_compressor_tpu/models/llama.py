@@ -461,6 +461,22 @@ def _rope(positions: jax.Array, head_dim: int, theta: float,
         # is one scalar-predicated vector select inside jit
         is_long = (jnp.max(positions) + 1) > orig_max
         inv_freq = inv_freq / jnp.where(is_long, long, short)
+    elif scaling and scaling.get("type") == "llama3":
+        # HF _compute_llama3_parameters: low-frequency bands are divided
+        # by `factor`, high-frequency bands pass through, the middle is a
+        # smooth interpolation over wavelength
+        import math
+
+        factor = float(scaling["factor"])
+        low_ff = float(scaling.get("low_freq_factor", 1.0))
+        high_ff = float(scaling.get("high_freq_factor", 4.0))
+        orig_max = float(scaling["original_max_position_embeddings"])
+        wavelen = 2.0 * math.pi / inv_freq
+        smooth = (orig_max / wavelen - low_ff) / (high_ff - low_ff)
+        smooth = jnp.clip(smooth, 0.0, 1.0)
+        inv_freq = ((1.0 - smooth) * inv_freq / factor + smooth * inv_freq)
+    elif scaling and scaling.get("type") == "linear":
+        inv_freq = inv_freq / float(scaling["factor"])
     angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B,S,rd/2]
     return jnp.cos(angles) * mscale, jnp.sin(angles) * mscale
 
