@@ -90,6 +90,9 @@ class BaseConfig:
 
     def __init__(self, white_list: Sequence[str] | str | None = DEFAULT_WHITE_LIST):
         self._local_configs: dict[str, BaseConfig] = {}
+        if isinstance(white_list, str) and white_list != DEFAULT_WHITE_LIST:
+            # a bare string would be iterated character-by-character below
+            white_list = [white_list]
         self.white_list = white_list
 
     # -------------------------------------------------- local overrides
@@ -137,11 +140,23 @@ class BaseConfig:
     def to_json_string(self, use_diff: bool = False) -> str:
         return json.dumps(self.to_dict(), indent=2, default=str)
 
+    def identity(self) -> dict:
+        """Full identity of this config — class, white_list AND params —
+        for equality and tuning-resume keys (``to_dict`` alone omits the
+        class and white_list, so distinct configs would collide)."""
+        return {"class": type(self).__name__,
+                "white_list": self.white_list,
+                "params": self.to_dict()}
+
+    def identity_json(self) -> str:
+        return json.dumps(self.identity(), sort_keys=True, default=str)
+
     def __repr__(self) -> str:
         return f"{type(self).__name__}({self.to_dict()})"
 
     def __eq__(self, other) -> bool:
-        return type(self) is type(other) and self.to_dict() == other.to_dict()
+        return (isinstance(other, BaseConfig)
+                and self.identity() == other.identity())
 
     # -------------------------------------------------- composition
     def __add__(self, other: "BaseConfig") -> "ComposableConfig":
@@ -180,14 +195,23 @@ class BaseConfig:
         return ("Linear",)
 
     def _match(self, pattern: str, op_name: str, op_type: str) -> bool:
-        if pattern == op_type:
+        """Pattern semantics: exact op-type name, exact op name, regex
+        fullmatch, or a regex match spanning whole dotted segments —
+        ``"layers.1"`` matches ``model.layers.1.mlp.up_proj`` but NOT
+        ``model.layers.10...`` (plain ``re.search`` would)."""
+        if pattern == op_type or pattern == op_name:
             return True
         try:
-            if re.fullmatch(pattern, op_name) or re.search(pattern, op_name):
+            if re.fullmatch(pattern, op_name):
                 return True
+            for m in re.finditer(pattern, op_name):
+                at_start = m.start() == 0 or op_name[m.start() - 1] == "."
+                at_end = m.end() == len(op_name) or op_name[m.end()] == "."
+                if at_start and at_end and m.end() > m.start():
+                    return True
         except re.error:
             pass
-        return pattern == op_name
+        return False
 
     def to_config_mapping(
         self, model_info: Sequence[tuple[str, str]]
@@ -202,8 +226,10 @@ class BaseConfig:
         for op_name, op_type in model_info:
             if op_type not in self.supported_op_types():
                 continue
-            if self.white_list != DEFAULT_WHITE_LIST and self.white_list is not None:
-                if not any(self._match(p, op_name, op_type) for p in self.white_list):
+            wl = self.white_list
+            if (wl is not None and wl != DEFAULT_WHITE_LIST
+                    and DEFAULT_WHITE_LIST not in wl):  # ["*"] = no filter
+                if not any(self._match(p, op_name, op_type) for p in wl):
                     continue
             cfg: BaseConfig = self
             for pattern, local in self._local_configs.items():
@@ -235,6 +261,12 @@ class ComposableConfig(BaseConfig):
 
     def to_dict(self) -> dict[str, Any]:
         return {cfg.name: cfg.to_dict() for cfg in self.config_list}
+
+    def identity(self) -> dict:
+        # a dict keyed by cfg.name would silently drop same-algorithm
+        # members (e.g. two RTN configs over disjoint white_lists)
+        return {"class": "ComposableConfig",
+                "members": [cfg.identity() for cfg in self.config_list]}
 
     def expand(self) -> list[BaseConfig]:
         expanded = [cfg.expand() for cfg in self.config_list]

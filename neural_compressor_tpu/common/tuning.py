@@ -10,6 +10,7 @@ Framework-agnostic; re-implemented from scratch.
 from __future__ import annotations
 
 import copy
+import math
 import uuid
 from typing import Any, Callable, Iterator, Sequence
 
@@ -187,19 +188,30 @@ class TuningMonitor:
                         len(self._resumed), self._history_path)
 
     def lookup_resumed(self, quant_config) -> float | None:
-        return self._resumed.get(quant_config.to_json_string())
+        """Prior result for this exact config (class+white_list+params), or
+        None. A recorded failure (non-finite score) also returns None so an
+        environmental failure in one session doesn't permanently exclude
+        the config from the search."""
+        prior = self._resumed.get(quant_config.identity_json())
+        if prior is None or not math.isfinite(prior):
+            return None
+        return prior
 
     def _persist(self) -> None:
         if self._history_path is None:
             return
         import json as _json
 
+        # merge: resumed entries not re-encountered this session must
+        # survive an interrupted/reordered resume run
+        merged = dict(self._resumed)
+        for r in self.trial_records:
+            merged[r.quant_config.identity_json()] = r.trial_result
         data = {
             "baseline": self.baseline,
             "trials": [
-                {"trial": r.trial_index, "result": r.trial_result,
-                 "config": r.quant_config.to_json_string()}
-                for r in self.trial_records
+                {"result": res, "config": key}
+                for key, res in merged.items()
             ],
         }
         with open(self._history_path, "w") as f:
@@ -225,8 +237,14 @@ class TuningMonitor:
         return len(self.trial_records)
 
     def get_best_trial_record(self) -> _TrialRecord:
+        """Best FINITE-scoring trial (a NaN eval in the first trial would
+        otherwise win ``max`` — NaN comparisons are always False)."""
         assert self.trial_records, "no trials recorded"
-        return max(self.trial_records, key=lambda r: r.trial_result)
+        finite = [r for r in self.trial_records
+                  if math.isfinite(r.trial_result)]
+        if not finite:
+            return max(self.trial_records, key=lambda r: r.trial_result)
+        return max(finite, key=lambda r: r.trial_result)
 
     def get_best_quant_config(self) -> BaseConfig:
         return self.get_best_trial_record().quant_config

@@ -91,13 +91,20 @@ def autotune(model, tune_config: TuningConfig, eval_fn: Callable,
             continue
         tuning_logger.execution_start()
         logger.info("quant config: %r", quant_config)
+        # free the previous trial's quantized model BEFORE building this
+        # one: device memory must hold one working model at a time (the
+        # _HostSnapshot invariant — two 7B models OOM a v5e)
+        last_model = last_trial = q_model = None
         try:
             q_model = quantize(snapshot.fresh(), quant_config,
                                run_fn=run_fn, run_args=run_args,
                                example_inputs=example_inputs)
             tuning_logger.execution_end()
             tuning_logger.evaluation_start()
-            eval_result = eval_fn(q_model)
+            eval_result = float(eval_fn(q_model))
+            if not np.isfinite(eval_result):
+                raise ValueError(
+                    f"eval_fn returned a non-finite score {eval_result!r}")
             tuning_logger.evaluation_end()
         except Exception as e:
             # trial-failure recovery (the reference's loop aborts here —
@@ -124,7 +131,7 @@ def autotune(model, tune_config: TuningConfig, eval_fn: Callable,
     tuning_logger.tuning_end()
     best_record = (tuning_monitor.get_best_trial_record()
                    if tuning_monitor.trial_records else None)
-    if best_record is None or best_record.trial_result == float("-inf"):
+    if best_record is None or not np.isfinite(best_record.trial_result):
         logger.warning("autotune produced no model (empty config set or "
                        "every trial failed)")
         return None

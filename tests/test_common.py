@@ -155,3 +155,102 @@ class TestUtility:
     def test_options_seed(self):
         options.random_seed = 42
         assert options.random_seed == 42
+
+
+class TestConfigMatching:
+    """Pattern/white_list semantics fixed in round 2."""
+
+    def test_string_white_list_not_char_iterated(self):
+        from neural_compressor_tpu.common.config import BaseConfig
+
+        class C(BaseConfig):
+            params_list = ()
+
+        cfg = C(white_list="lm_head")
+        info = [("lm_head", "Linear"),
+                ("model.layers.0.self_attn.q_proj", "Linear")]
+        mapping = cfg.to_config_mapping(info)
+        assert list(mapping) == [("lm_head", "Linear")]
+
+    def test_star_in_list_means_no_filter(self):
+        from neural_compressor_tpu.common.config import BaseConfig
+
+        class C(BaseConfig):
+            params_list = ()
+
+        mapping = C(white_list=["*"]).to_config_mapping(
+            [("a.b", "Linear"), ("c.d", "Linear")])
+        assert len(mapping) == 2
+
+    def test_segment_boundary_match(self):
+        from neural_compressor_tpu.common.config import BaseConfig
+
+        class C(BaseConfig):
+            params_list = ()
+
+        cfg = C()
+        # "layers.1" must match layer 1's subtree but not layers.10+
+        assert cfg._match("layers.1", "model.layers.1.mlp.up_proj", "Linear")
+        assert not cfg._match("layers.1", "model.layers.10.mlp.up_proj",
+                              "Linear")
+        assert cfg._match("self_attn.q_proj",
+                          "model.layers.3.self_attn.q_proj", "Linear")
+
+    def test_identity_distinguishes_white_list(self):
+        import neural_compressor_tpu as nq
+
+        a = nq.RTNConfig(bits=4, white_list=["attn"])
+        b = nq.RTNConfig(bits=4, white_list=["mlp"])
+        assert a != b
+        assert a.identity_json() != b.identity_json()
+        # composable identity keeps same-algorithm members apart
+        c1 = nq.RTNConfig(dtype="int4") + nq.RTNConfig(dtype="int8")
+        c2 = nq.RTNConfig(dtype="int8") + nq.RTNConfig(dtype="int8")
+        assert c1 != c2
+
+
+class TestTuningRobustness:
+    def test_nan_trial_does_not_win(self):
+        from neural_compressor_tpu.common.tuning import (TuningConfig,
+                                                         TuningMonitor)
+        import neural_compressor_tpu as nq
+
+        mon = TuningMonitor(TuningConfig(config_set=[], max_trials=5))
+        mon.add_trial_result(1, float("nan"), nq.RTNConfig(dtype="int4"))
+        mon.add_trial_result(2, 0.99, nq.RTNConfig(dtype="int8"))
+        best = mon.get_best_trial_record()
+        assert best.trial_result == 0.99
+
+    def test_resume_retries_failed_trials(self, tmp_path):
+        from neural_compressor_tpu.common.tuning import (TuningConfig,
+                                                         TuningMonitor)
+        import neural_compressor_tpu as nq
+
+        cfg = nq.RTNConfig(dtype="int4")
+        mon = TuningMonitor(TuningConfig(config_set=[], max_trials=5))
+        mon.attach_workspace(str(tmp_path))
+        mon.add_trial_result(1, float("-inf"), cfg)
+        mon2 = TuningMonitor(TuningConfig(config_set=[], max_trials=5))
+        mon2.attach_workspace(str(tmp_path), resume=True)
+        assert mon2.lookup_resumed(cfg) is None  # failed -> retry
+
+    def test_persist_merges_resumed(self, tmp_path):
+        from neural_compressor_tpu.common.tuning import (TuningConfig,
+                                                         TuningMonitor)
+        import neural_compressor_tpu as nq
+
+        a = nq.RTNConfig(dtype="int4")
+        b = nq.RTNConfig(dtype="int8")
+        mon = TuningMonitor(TuningConfig(config_set=[], max_trials=5))
+        mon.attach_workspace(str(tmp_path))
+        mon.add_trial_result(1, 0.5, a)
+        mon.add_trial_result(2, 0.7, b)
+        # session 2: resumes, re-records only `a`, then "dies"
+        mon2 = TuningMonitor(TuningConfig(config_set=[], max_trials=5))
+        mon2.attach_workspace(str(tmp_path), resume=True)
+        mon2.add_trial_result(1, 0.5, a)
+        # session 3 must still see BOTH results
+        mon3 = TuningMonitor(TuningConfig(config_set=[], max_trials=5))
+        mon3.attach_workspace(str(tmp_path), resume=True)
+        assert mon3.lookup_resumed(a) == 0.5
+        assert mon3.lookup_resumed(b) == 0.7
