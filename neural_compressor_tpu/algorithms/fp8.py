@@ -39,7 +39,12 @@ def save_measurements(model, path: str) -> int:
 
 
 def load_measurements(model, path: str) -> int:
-    """Fill attached observers from a measurement file (skips calibration)."""
+    """Fill attached observers from a measurement file (skips calibration).
+
+    Raises if the file doesn't cover every attached observer — a partial
+    match means the stats came from a different model/op-mapping, and the
+    uncovered ops would silently run with act_scale=1.0 (amax 0 hits the
+    round_scale guard)."""
     import json
 
     import jax.numpy as jnp
@@ -47,10 +52,21 @@ def load_measurements(model, path: str) -> int:
     with open(path) as f:
         stats = json.load(f)["amax"]
     n = 0
+    missing = []
     for name, mod in named_modules(model):
-        if isinstance(mod, ObservedLinear) and name in stats:
+        if not isinstance(mod, ObservedLinear):
+            continue
+        if name in stats:
             mod.act_observer.amax[...] = jnp.float32(stats[name])
             n += 1
+        else:
+            missing.append(name)
+    if missing:
+        raise ValueError(
+            f"FP8 measurement file {path} covers {n} ops but is missing "
+            f"{len(missing)} attached observer(s) (first few: "
+            f"{missing[:5]}) — it was measured on a different model or "
+            "op mapping; re-run calibration")
     logger.info("Loaded %d FP8 measurement(s) from %s", n, path)
     return n
 
@@ -60,15 +76,27 @@ def _stats_file(config) -> str | None:
     return f"{base}_maxabs.json" if base else None
 
 
+def _observed_modules(model) -> list:
+    return [m for _n, m in named_modules(model)
+            if isinstance(m, ObservedLinear)]
+
+
 def _observers_empty(model) -> bool:
     """True if no attached observer saw any data (every amax == 0)."""
-    saw = False
-    for _name, mod in named_modules(model):
-        if isinstance(mod, ObservedLinear):
-            saw = True
-            if float(mod.act_observer.amax[...]) > 0:
-                return False
-    return saw
+    obs = _observed_modules(model)
+    return bool(obs) and all(
+        float(m.act_observer.amax[...]) <= 0 for m in obs)
+
+
+def _needs_act_calibration(configs_mapping) -> bool:
+    """Dynamic-activation methods compute scales per call; only static
+    methods need measured amax."""
+    from . import fp8_scales
+
+    return any(
+        not fp8_scales.resolve(
+            getattr(cfg, "scale_method", "maxabs_hw")).act_dynamic
+        for (_n, _t), cfg in configs_mapping.items())
 
 
 @register_algo("fp8_quant")
@@ -85,7 +113,12 @@ def fp8_entry(model, configs_mapping, mode="quantize", run_fn=None,
         if mode == "prepare":
             return model
         stats_path = _stats_file(config)
-        if run_fn is None and stats_path and os.path.exists(stats_path):
+        if not _needs_act_calibration(configs_mapping):
+            # fully dynamic activation scaling: weight scales come from
+            # the kernels, nothing to measure
+            if run_fn is not None:
+                run_user_calibration(model, run_fn, run_args)
+        elif run_fn is None and stats_path and os.path.exists(stats_path):
             # measurement reuse: quantize without re-calibrating
             load_measurements(model, stats_path)
         elif run_fn is None:
@@ -100,20 +133,27 @@ def fp8_entry(model, configs_mapping, mode="quantize", run_fn=None,
                 save_measurements(model, stats_path)
 
     if mode == "convert":
-        stats_path = _stats_file(config)
-        if stats_path:
-            if _observers_empty(model) and os.path.exists(stats_path):
-                # prepare->convert without a calibration run in between:
-                # REUSE the saved measurements — overwriting them with
-                # zeros would both mis-scale this model and destroy the
-                # previous calibration
-                load_measurements(model, stats_path)
-            else:
-                save_measurements(model, stats_path)
-        if _observers_empty(model):
+        if not _observed_modules(model):
             raise ValueError(
-                "FP8 convert found all-zero activation observers — run "
-                "the calibration function between prepare() and convert()")
+                "FP8 convert: the model has no prepared (ObservedLinear) "
+                "modules — call prepare() first (or it was already "
+                "converted)")
+        stats_path = _stats_file(config)
+        if _needs_act_calibration(configs_mapping):
+            if _observers_empty(model):
+                if stats_path and os.path.exists(stats_path):
+                    # prepare->convert without a calibration run in
+                    # between: REUSE the saved measurements — overwriting
+                    # them with zeros would both mis-scale this model and
+                    # destroy the previous calibration
+                    load_measurements(model, stats_path)
+                else:
+                    raise ValueError(
+                        "FP8 convert found all-zero activation observers "
+                        "— run the calibration function between "
+                        "prepare() and convert()")
+            elif stats_path:
+                save_measurements(model, stats_path)
 
     n = 0
     for (name, _t), cfg in configs_mapping.items():

@@ -65,15 +65,32 @@ METHODS: dict[str, ScaleMethod] = {
 def resolve(name: str) -> ScaleMethod:
     if name in METHODS:
         return METHODS[name]
-    # heuristic fallback for unlisted names (reference behaviour: pattern
-    # match on substrings)
+    # heuristic fallback for unlisted names. The reference naming grammar
+    # is "act_<...act section...>_weight_<...weight section...>" — a
+    # granularity token must be read from ITS OWN section ("pcs" in
+    # "act_maxabs_pcs_dyn" means per-channel/per-token ACTIVATIONS, not
+    # per-channel weights).
+    act_part, has_w, weight_part = name.partition("weight_")
+    if has_w:
+        w_gran = "pcs" if "pcs" in weight_part else "pts"
+        a_gran = "pcs" if "pcs" in act_part else "pts"
+        opt = "opt" in weight_part
+    elif name.startswith("act_"):
+        w_gran = "pts"
+        a_gran = "pcs" if "pcs" in name else "pts"
+        opt = False
+    else:
+        w_gran = "pcs" if "pcs" in name else "pts"
+        a_gran = "pts"
+        opt = "opt" in name
     return ScaleMethod(
-        weight_granularity="pcs" if "pcs" in name else "pts",
+        weight_granularity=w_gran,
+        act_granularity=a_gran,
         rounding=("unit" if "unit" in name else
                   "hw" if "hw" in name else
                   "pow2" if "pow2" in name else "arbitrary"),
         act_dynamic="dyn" in name,
-        opt_weight="opt" in name,
+        opt_weight=opt,
     )
 
 

@@ -36,20 +36,26 @@ def _attention_modules(model):
 @register_algo("kv_cache")
 def kv_cache_entry(model, configs_mapping, mode="quantize", run_fn=None,
                    run_args=None, example_inputs=None, config=None):
-    # the mapping's config decides the cache code format
-    fmt, per_channel = "int8", False
+    # the mapping's config decides the cache code format; the cache is ONE
+    # model-level allocation, so heterogeneous per-op KV configs cannot be
+    # honored — reject them instead of silently using whichever op
+    # iterates first
+    variants = set()
     for (_name, _t), cfg in configs_mapping.items():
         dt = getattr(cfg, "dtype", "int8")
         if dt in ("fp8", "fp8_e4m3", "float8_e4m3"):
-            fmt = "fp8_e4m3"
-        elif dt == "int4":
-            fmt = "int4"
-        elif dt not in _KV_FORMATS:
+            dt = "fp8_e4m3"
+        if dt not in _KV_FORMATS:
             raise ValueError(
                 f"KVCacheQuantConfig.dtype={dt!r} unsupported; "
                 f"expected one of {_KV_FORMATS}")
-        per_channel = bool(getattr(cfg, "per_channel_k", False))
-        break
+        variants.add((dt, bool(getattr(cfg, "per_channel_k", False))))
+    if len(variants) > 1:
+        raise ValueError(
+            "KV-cache quantization is model-global (one cache format); the "
+            f"config mapping asks for {sorted(variants)} — per-op KV "
+            "granularity is unsupported, use one (dtype, per_channel_k)")
+    fmt, per_channel = variants.pop() if variants else ("int8", False)
     if per_channel and fmt != "int4":
         raise ValueError("per_channel_k applies to dtype='int4' only "
                          "(int8/fp8 per-token scales are already lossless)")
@@ -60,12 +66,13 @@ def kv_cache_entry(model, configs_mapping, mode="quantize", run_fn=None,
             mod.kv_k_amax = nnx.Variable(jnp.zeros((hkv, d), jnp.float32))
             mod.kv_observe = True
         if mode == "quantize":
-            from ..quantization.quantize import run_calibration
+            from .quantize_helpers import run_user_calibration
 
-            assert run_fn is not None, (
-                "per_channel_k needs a calibration run_fn (or use "
-                "prepare/convert)")
-            run_calibration(model, run_fn, run_args)
+            if run_fn is None:
+                raise ValueError(
+                    "per_channel_k needs a calibration run_fn (or use "
+                    "prepare/convert)")
+            run_user_calibration(model, run_fn, run_args)
     if mode == "prepare":
         return model
 
@@ -73,10 +80,11 @@ def kv_cache_entry(model, configs_mapping, mode="quantize", run_fn=None,
     for mod in _attention_modules(model):
         if per_channel:
             amax = mod.kv_k_amax[...]
-            assert float(jnp.max(amax)) > 0, (
-                "per_channel_k: no calibration data reached the attention "
-                "observers — run the calibration function between "
-                "prepare() and convert()")
+            if float(jnp.max(amax)) <= 0:
+                raise ValueError(
+                    "per_channel_k: no calibration data reached the "
+                    "attention observers — run the calibration function "
+                    "between prepare() and convert()")
             mod.kv_k_scale = nnx.Variable(
                 jnp.where(amax <= 0, 1.0, amax / 7.0))
             mod.kv_observe = False

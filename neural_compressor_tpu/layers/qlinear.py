@@ -84,12 +84,19 @@ class StaticQuantLinear(nnx.Module):
             wf = wf * act_scale[:, None]
         w_scale = jnp.max(jnp.abs(wf), axis=0) / 127.0
         w_scale = jnp.where(w_scale <= 0, 1.0, w_scale)
-        self.w_int8 = nnx.Param(
-            jnp.clip(jnp.round(wf / w_scale[None, :]), -128, 127).astype(jnp.int8))
+        w_int8 = jnp.clip(jnp.round(wf / w_scale[None, :]),
+                          -128, 127).astype(jnp.int8)
+        self.w_int8 = nnx.Param(w_int8)
         self.w_scale = nnx.Param(w_scale)
         self.act_scale = nnx.Param(act_scale)
         self.act_zp = (nnx.Param(jnp.asarray(act_zero_point, dtype=jnp.float32))
                        if act_zero_point is not None else None)
+        # zero-point correction needs Σ_k w_int8 — a K·N reduction over
+        # constant data; precomputed so decode doesn't re-read the whole
+        # int8 weight from HBM a second time every call
+        self.w_colsum = (nnx.Variable(jnp.sum(
+            w_int8.astype(jnp.int32), axis=0).astype(jnp.float32))
+            if act_zero_point is not None else None)
         self.bias = nnx.Param(bias) if bias is not None else None
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -106,8 +113,7 @@ class StaticQuantLinear(nnx.Module):
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
         if self.act_zp is not None:
-            zp_corr = self.act_zp[...] * jnp.sum(
-                self.w_int8[...].astype(jnp.int32), axis=0).astype(jnp.float32)
+            zp_corr = self.act_zp[...] * self.w_colsum[...]
             acc = acc - zp_corr[None, :]
         if self.act_per_channel:
             y = acc * self.w_scale[...][None, :]  # act scales live in W

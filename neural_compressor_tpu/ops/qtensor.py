@@ -343,6 +343,7 @@ def quantize_act_per_tensor(x: jax.Array, bits: int = 8,
     """Per-tensor symmetric activation quantization. If ``scale`` is None the
     scale is computed dynamically from the batch (dynamic quantization)."""
     qmax = 2 ** (bits - 1) - 1
+    x = x.astype(jnp.float32)  # bf16 scale/round noise rivals the int8 step
     if scale is None:
         scale = jnp.max(jnp.abs(x)) / qmax
         scale = jnp.where(scale <= 0, 1.0, scale)
@@ -354,6 +355,7 @@ def quantize_act_per_tensor(x: jax.Array, bits: int = 8,
 def quantize_act_per_token(x: jax.Array, bits: int = 8):
     """Per-token (row-wise) symmetric dynamic activation quantization."""
     qmax = 2 ** (bits - 1) - 1
+    x = x.astype(jnp.float32)
     scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / qmax
     scale = jnp.where(scale <= 0, 1.0, scale)
     q = jnp.clip(jnp.round(x / scale), -qmax - 1, qmax).astype(jnp.int8)

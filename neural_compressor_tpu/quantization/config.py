@@ -335,6 +335,24 @@ class FP8Config(BaseConfig):
     def supported_op_types(cls):
         return LINEAR_TYPES
 
+    def to_config_mapping(self, model_info):
+        """Honor allowlist/blocklist (reference quant_config.py semantics:
+        name substrings + exact type names; blocklist wins)."""
+        mapping = super().to_config_mapping(model_info)
+        al_names = self.allowlist.get("names") or []
+        al_types = self.allowlist.get("types") or []
+        bl_names = self.blocklist.get("names") or []
+        bl_types = self.blocklist.get("types") or []
+
+        def keep(name, t):
+            if any(s in name for s in bl_names) or t in bl_types:
+                return False
+            if al_names or al_types:
+                return any(s in name for s in al_names) or t in al_types
+            return True
+
+        return {(n, t): c for (n, t), c in mapping.items() if keep(n, t)}
+
     @property
     def dtype_name(self) -> str:
         return "fp8_e4m3" if self.fp8_config.upper() == "E4M3" else "fp8_e5m2"
@@ -412,8 +430,17 @@ class KVCacheQuantConfig(BaseConfig):
         return None  # matched by type suffix below
 
     def to_config_mapping(self, model_info):
-        return {(n, t): self for n, t in model_info
-                if t.endswith("Attention") or t.endswith("KVCache")}
+        mapping = {}
+        for n, t in model_info:
+            if not (t.endswith("Attention") or t.endswith("KVCache")):
+                continue
+            cfg = self
+            for pattern, local in self._local_configs.items():
+                if self._match(pattern, n, t):
+                    cfg = local
+                    break
+            mapping[(n, t)] = cfg
+        return mapping
 
 
 @register_config("hybrid_gptq", priority=7)

@@ -82,17 +82,8 @@ def quantize(model, quant_config: BaseConfig, run_fn: Callable | None = None,
                      run_args=run_args, example_inputs=example_inputs)
 
 
-def run_calibration(model, run_fn: Callable | None, run_args=None) -> None:
-    if run_fn is None:
-        return
-    if run_args is None:
-        run_fn(model)
-    elif isinstance(run_args, dict):
-        run_fn(model, **run_args)
-    elif isinstance(run_args, (list, tuple)):
-        run_fn(model, *run_args)
-    else:
-        run_fn(model, run_args)
+# single source of truth for the run_fn/run_args dispatch shape
+from ..algorithms.quantize_helpers import run_user_calibration as run_calibration  # noqa: E402,F401
 
 
 def prepare_qat(model, quant_config, example_inputs=None):

@@ -157,6 +157,12 @@ def _rebuild(meta: dict, tensors: dict):
             act_zero_point=tensors.get("act_zp"))
         obj.w_int8[...] = tensors["w_int8"]
         obj.w_scale[...] = tensors["w_scale"]
+        if obj.w_colsum is not None:
+            # the placeholder kernel was zeros; refresh from the real codes
+            obj.w_colsum[...] = tensors.get(
+                "w_colsum",
+                jnp.sum(jnp.asarray(tensors["w_int8"]).astype(jnp.int32),
+                        axis=0).astype(jnp.float32))
         return obj
     if t == "FP8Linear":
         obj = FP8Linear(zeros_k, jnp.ones_like(tensors["act_scale"]),

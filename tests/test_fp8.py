@@ -167,3 +167,129 @@ def test_quantize_without_calibration_errors(tmp_path):
         nq.quantize(m, nq.FP8Config(
             dump_stats_path=str(tmp_path / "none")), run_fn=None)
     assert not (tmp_path / "none_maxabs.json").exists()
+
+
+def test_dynamic_act_needs_no_calibration():
+    """act_*_dyn methods compute activation scales per call — quantize()
+    must work without run_fn or a stats file (it used to demand a dummy
+    calibration run whose result was then ignored)."""
+    m = LlamaForCausalLM.from_preset("llama-test")
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 256, (2, 8)))
+    y0 = np.asarray(m(ids), np.float32)
+    qm = nq.quantize(m, nq.FP8Config(scale_method="act_maxabs_pts_dyn",
+                                     dump_stats_path=None), run_fn=None)
+    mod = get_module(qm, "model.layers.0.self_attn.q_proj")
+    assert isinstance(mod, FP8Linear) and mod.act_dynamic
+    y1 = np.asarray(qm(ids), np.float32)
+    assert np.linalg.norm(y0 - y1) / np.linalg.norm(y0) < 0.2
+
+
+def test_convert_unprepared_raises_and_keeps_stats(tmp_path, calib):
+    """convert() on a never-prepared model must raise — it used to
+    overwrite the measurement file with an empty amax dict and log
+    success."""
+    import json
+
+    from neural_compressor_tpu.quantization import convert, prepare
+
+    stats = str(tmp_path / "s")
+    m = LlamaForCausalLM.from_preset("llama-test")
+    nq.quantize(m, nq.FP8Config(dump_stats_path=stats), run_fn=calib)
+    with open(f"{stats}_maxabs.json") as f:
+        saved = json.load(f)["amax"]
+    assert saved and all(v > 0 for v in saved.values())
+
+    fresh = LlamaForCausalLM.from_preset("llama-test")
+    with pytest.raises(ValueError, match="no prepared"):
+        convert(fresh, nq.FP8Config(dump_stats_path=stats))
+    with open(f"{stats}_maxabs.json") as f:
+        assert json.load(f)["amax"] == saved  # file untouched
+
+
+def test_measurement_file_coverage_mismatch_raises(tmp_path, calib):
+    """A stats file that doesn't cover every attached observer came from a
+    different model/mapping — loading it must raise, not leave amax=0
+    (scale silently snapping to 1.0)."""
+    import json
+
+    stats = str(tmp_path / "s")
+    m = LlamaForCausalLM.from_preset("llama-test")
+    nq.quantize(m, nq.FP8Config(dump_stats_path=stats), run_fn=calib)
+    path = f"{stats}_maxabs.json"
+    with open(path) as f:
+        d = json.load(f)
+    d["amax"].pop(sorted(d["amax"])[0])  # drop one op
+    with open(path, "w") as f:
+        json.dump(d, f)
+    fresh = LlamaForCausalLM.from_preset("llama-test")
+    with pytest.raises(ValueError, match="missing"):
+        nq.quantize(fresh, nq.FP8Config(dump_stats_path=stats), run_fn=None)
+
+
+def test_blocklist_allowlist_honored(calib):
+    m = LlamaForCausalLM.from_preset("llama-test")
+    qm = nq.quantize(
+        m, nq.FP8Config(blocklist={"names": ["down_proj"], "types": []}),
+        run_fn=calib)
+    assert isinstance(get_module(qm, "model.layers.0.self_attn.q_proj"),
+                      FP8Linear)
+    assert not isinstance(get_module(qm, "model.layers.0.mlp.down_proj"),
+                          FP8Linear)
+    m2 = LlamaForCausalLM.from_preset("llama-test")
+    qm2 = nq.quantize(
+        m2, nq.FP8Config(allowlist={"names": ["q_proj"], "types": []}),
+        run_fn=calib)
+    assert isinstance(get_module(qm2, "model.layers.0.self_attn.q_proj"),
+                      FP8Linear)
+    assert not isinstance(get_module(qm2, "model.layers.0.self_attn.k_proj"),
+                          FP8Linear)
+
+
+def test_scale_method_fallback_sections():
+    """Granularity tokens resolve against their own name section."""
+    from neural_compressor_tpu.algorithms.fp8_scales import resolve
+
+    sm = resolve("act_maxabs_pcs_pow2_dyn")  # unlisted name
+    assert sm.act_granularity == "pcs"
+    assert sm.weight_granularity == "pts"
+    assert sm.act_dynamic and sm.rounding == "pow2"
+    sm2 = resolve("act_maxabs_pts_pow2_weight_opt_pcs_hw")
+    assert sm2.weight_granularity == "pcs" and sm2.opt_weight
+    assert sm2.act_granularity == "pts" and sm2.rounding == "hw"
+
+
+def test_kv_cache_heterogeneous_config_rejected():
+    m = LlamaForCausalLM.from_preset("llama-test")
+    cfg = nq.KVCacheQuantConfig(dtype="int8")
+    cfg.set_local(r".*layers\.1.*", nq.KVCacheQuantConfig(dtype="int4"))
+    with pytest.raises(ValueError, match="model-global"):
+        nq.quantize(m, cfg)
+
+
+def test_static_asym_save_load_zp_correction(tmp_path):
+    """Asymmetric StaticQuantLinear round-trips the zero-point correction
+    (the precomputed column sum used to be rebuilt from a zeros
+    placeholder on load)."""
+    from neural_compressor_tpu.layers.qlinear import StaticQuantLinear
+    from neural_compressor_tpu.quantization.save_load import load, save
+
+    rng = np.random.default_rng(3)
+    K, N = 32, 16
+
+    class M(nnx.Module):
+        def __init__(self, kernel, zp):
+            self.fc = StaticQuantLinear(kernel, jnp.float32(0.05),
+                                        act_zero_point=zp)
+        def __call__(self, x):
+            return self.fc(x)
+
+    kernel = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    m = M(kernel, jnp.float32(3.0))
+    x = jnp.asarray(rng.standard_normal((4, K)) * 0.1 + 0.15, jnp.float32)
+    y0 = np.asarray(m(x), np.float32)
+    d = str(tmp_path / "sq")
+    save(m, d)
+    m2 = M(jnp.zeros((K, N), jnp.float32), jnp.float32(0.0))
+    load(d, m2)
+    np.testing.assert_allclose(np.asarray(m2(x), np.float32), y0,
+                               rtol=1e-5, atol=1e-6)
