@@ -65,7 +65,7 @@ def _decode_attn_impl(pos, q, k_new, v_new, k_cache, v_cache, interpret):
     qr = q.reshape(B, Hkv, rep, D)
     # Mosaic compiles sublane-unaligned (1 < rep < 8) q blocks pathologically
     # slowly (~40 s/call site); pad the query group to 8 rows.
-    rep_p = rep if rep == 1 else max(rep, 8)
+    rep_p = rep if rep == 1 else -(-rep // 8) * 8  # ceil to sublane multiple
     if rep_p != rep:
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
     scale = 1.0 / (D ** 0.5)
@@ -149,7 +149,7 @@ def _decode_attn_quant_impl(pos, q, k_new, v_new, k_codes, k_scale, v_codes,
     pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
     rep = q.shape[1] // Hkv
     qr = q.reshape(B, Hkv, rep, D)
-    rep_p = rep if rep == 1 else max(rep, 8)
+    rep_p = rep if rep == 1 else -(-rep // 8) * 8  # ceil to sublane multiple
     if rep_p != rep:
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
     scale = 1.0 / (D ** 0.5)
@@ -259,7 +259,7 @@ def _decode_attn_ro_impl(pos, q, k_new, v_new, k_cache, v_cache, interpret):
     pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
     rep = q.shape[1] // Hkv
     qr = q.reshape(B, Hkv, rep, D)
-    rep_p = rep if rep == 1 else max(rep, 8)
+    rep_p = rep if rep == 1 else -(-rep // 8) * 8  # ceil to sublane multiple
     if rep_p != rep:
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
     scale = 1.0 / (D ** 0.5)
@@ -326,7 +326,7 @@ def _decode_attn_quant_ro_impl(pos, q, k_new, v_new, k_codes, k_scale,
     pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
     rep = q.shape[1] // Hkv
     qr = q.reshape(B, Hkv, rep, D)
-    rep_p = rep if rep == 1 else max(rep, 8)
+    rep_p = rep if rep == 1 else -(-rep // 8) * 8  # ceil to sublane multiple
     if rep_p != rep:
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
     scale = 1.0 / (D ** 0.5)
@@ -443,6 +443,6 @@ def decode_attention(q, k_new, v_new, k_cache, v_cache, pos):
     B, H, S, D = q.shape
     assert S == 1, "decode kernel is single-token"
     k2, v2, out = _decode_attn_impl(
-        pos, q[:, :, 0], k_new.transpose(0, 1, 2, 3), v_new, k_cache,
+        pos, q[:, :, 0], k_new, v_new, k_cache,
         v_cache, interpret=not _on_tpu())
     return out, k2, v2

@@ -579,9 +579,13 @@ class LlamaAttention(nnx.Module):
             return self.o_proj(out.reshape(B, S, H * D)), new_cache
         if isinstance(cache, QuantKVCache):
             if (S == 1 and tp_mesh is None and fused_ok
-                    and cache.fmt != "int4"):
+                    and cache.fmt != "int4"
+                    and not getattr(self, "fp8_sdpa", False)):
                 # the fused kernel consumes element-width codes; int4
-                # packed caches take the grouped code-domain path below
+                # packed caches take the grouped code-domain path below.
+                # fp8_sdpa models skip it: its score/prob math is bf16,
+                # which would silently mix numerics with the patched
+                # _fp8_dot path the rest of the model runs
                 from ..kernels.decode_attention import decode_attention_quant
 
                 out, new_cache = decode_attention_quant(q, k, v, cache,

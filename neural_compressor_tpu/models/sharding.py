@@ -29,7 +29,10 @@ from ..common import logger
 # (regex over dotted param path) -> (spec for 2D kernels, handled below)
 COLUMN_PAR = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "lm_head",
               "c_attn", "c_fc", "fc1", "w1", "w3", "query_key_value",
-              "fc_in", "dense_h_to_4h", "embed_out")
+              "fc_in", "dense_h_to_4h", "embed_out",
+              # serving-fused projections (quantization/fuse.py) — missing
+              # these silently REPLICATED most of a fused model's bytes
+              "qkv_proj", "gate_up_proj")
 ROW_PAR = ("o_proj", "down_proj", "c_proj", "fc2", "w2", "out_proj",
            "fc_out", "dense_4h_to_h", "dense")
 
@@ -39,6 +42,24 @@ _WEIGHT_LEAVES = ("kernel", "packed", "scales", "zeros", "w_int8", "w_fp8")
 
 def llama_partition_rules():  # kept as a named export for docs/tests
     return {"column": COLUMN_PAR, "row": ROW_PAR}
+
+
+def _fused_segments_divide(model, path: str, leaf: str, mod, tp: int) -> bool:
+    """True iff every N-segment of a fused projection divides ``tp``
+    (qkv: q|k|v by head counts from the parent attention's cfg;
+    gate_up: two equal halves)."""
+    if leaf == "gate_up_proj":
+        return (mod.out_features // 2) % tp == 0
+    from ..layers.module_utils import get_module
+
+    parent_path = path.rsplit(".", 1)[0]
+    parent = get_module(model, parent_path) if parent_path else model
+    cfg = getattr(parent, "cfg", None)
+    if cfg is None:
+        return False
+    d = cfg.head_dim
+    return all((h * d) % tp == 0 for h in (cfg.num_attention_heads,
+                                           cfg.num_key_value_heads))
 
 
 def enable_tp_serving(model: nnx.Module, mesh: Mesh, axis: str = "model",
@@ -63,12 +84,17 @@ def enable_tp_serving(model: nnx.Module, mesh: Mesh, axis: str = "model",
         # enable_tp_serving BEFORE to_w4a8_serving, which then skips the
         # s4 conversion for TP-tagged modules)
         if type(mod) is W4A8Linear:
-            if mod.layout != "tpu_strided" or mod.perm is not None:
+            if (mod.layout != "tpu_strided" or mod.perm is not None
+                    or mod.zeros is not None):
+                # the per-shard int8-MXU kernels are symmetric
+                # tpu_strided only (tp_matmul.py asserts) — warn-and-skip
+                # instead of crashing at first forward
                 logger.warning(
-                    "enable_tp_serving: skipping %s (layout=%s, perm=%s) — "
-                    "convert with to_w4a8_serving(s4=False) or call "
-                    "enable_tp_serving before to_w4a8_serving",
-                    path, mod.layout, mod.perm is not None)
+                    "enable_tp_serving: skipping %s (layout=%s, perm=%s, "
+                    "asym=%s) — convert with to_w4a8_serving(s4=False) or "
+                    "call enable_tp_serving before to_w4a8_serving",
+                    path, mod.layout, mod.perm is not None,
+                    mod.zeros is not None)
                 continue
         elif type(mod) is not WOQLinear:
             continue
@@ -77,8 +103,15 @@ def enable_tp_serving(model: nnx.Module, mesh: Mesh, axis: str = "model",
         leaf = path.rsplit(".", 1)[-1]
         K, N = mod.in_features, mod.out_features
         G = mod.group_size if mod.group_size > 0 else K
-        if (leaf in COLUMN_PAR or leaf in ("qkv_proj", "gate_up_proj")) \
-                and N % tp == 0:
+        if leaf in ("qkv_proj", "gate_up_proj"):
+            # the fused segments must EACH divide tp, or every decode step
+            # pays a reshard collective when the attention re-splits them
+            if not _fused_segments_divide(model, path, leaf, mod, tp):
+                logger.warning(
+                    "enable_tp_serving: skipping %s — its fused segments "
+                    "don't each divide the tp axis (%d)", path, tp)
+                continue
+        if leaf in COLUMN_PAR and N % tp == 0:
             mod.tp_role = ("column", axis, data_axis)
             mod.tp_mesh = mesh
             n += 1
@@ -125,7 +158,7 @@ def _spec_for(path: tuple, value) -> P:
     is_row = any(m in parts for m in ROW_PAR)
 
     # stacked MoE experts [E, ...]: shard the EXPERT axis (EP)
-    if ndim == 3 and (leaf.endswith("s") or leaf.endswith("s_scales")) \
+    if ndim == 3 and leaf.endswith("s") \
             and any(leaf.startswith(w) for w in ("w1", "w2", "w3")):
         return P("model", None, None)
     if leaf in _WEIGHT_LEAVES and ndim == 2:

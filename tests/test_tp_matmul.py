@@ -219,3 +219,62 @@ def test_fuse_preserves_tp_role(eight_device_mesh):
     qkv = get_module(qm, "model.layers.0.self_attn.qkv_proj")
     assert qkv.layout == "tpu_strided"  # TP modules must never go s4
     assert qkv.tp_role is not None
+
+
+def test_fused_projections_shard_not_replicate():
+    """qkv_proj/gate_up_proj must column-shard under shard_model — they
+    used to match no rule and silently replicate most of the model."""
+    import jax
+    import numpy as np
+
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.models import (LlamaForCausalLM, make_mesh,
+                                              shard_model)
+    from neural_compressor_tpu.quantization.fuse import fuse_for_serving
+
+    m = LlamaForCausalLM.from_preset("llama-test")
+    qm = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+    fuse_for_serving(qm)
+    mesh = make_mesh((1, 8))
+    shard_model(qm, mesh)
+    att = qm.model.layers[0].self_attn
+    packed = att.qkv_proj.packed[...]
+    spec = packed.sharding.spec
+    assert tuple(spec) == (None, "model"), spec
+    gu = qm.model.layers[0].mlp.gate_up_proj.packed[...]
+    assert tuple(gu.sharding.spec) == (None, "model")
+    # forward still correct under the mesh
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 8)))
+    y = qm(ids)
+    assert np.isfinite(np.asarray(y, dtype=np.float32)).all()
+
+
+def test_enable_tp_serving_skips_asym_w4a8():
+    """Asymmetric W4A8 modules must be warn-skipped, not tagged onto the
+    symmetric-only per-shard kernels (AssertionError at first forward)."""
+    import numpy as np
+    from flax import nnx
+
+    from neural_compressor_tpu.layers.woq_linear import W4A8Linear
+    from neural_compressor_tpu.models import make_mesh
+    from neural_compressor_tpu.models.sharding import enable_tp_serving
+
+    rng = np.random.default_rng(1)
+    W = jnp.asarray(rng.standard_normal((64, 64)) + 0.5, jnp.float32)
+    qt = quantize_tensor(W, bits=4, group_size=32, scheme="asym")
+    pw = pack_qtensor(qt)
+
+    class M(nnx.Module):
+        def __init__(self):
+            self.q_proj = W4A8Linear(pw)
+
+        def __call__(self, x):
+            return self.q_proj(x)
+
+    m = M()
+    mesh = make_mesh((1, 8))
+    enable_tp_serving(m, mesh)
+    assert getattr(m.q_proj, "tp_role", None) is None
+    x = jnp.asarray(rng.standard_normal((2, 64)), jnp.float32)
+    y = m(x)  # must not assert on the symmetric-only TP kernels
+    assert np.isfinite(np.asarray(y, dtype=np.float32)).all()
