@@ -7,9 +7,14 @@ class-swap mixins layers_static.py:438-770, MinMaxObserver calibration).
 TPU redesign: no class swapping. Weight-only configs QDQ the Dense /
 EinsumDense kernels **in place** (the model remains a plain Keras model —
 saving, serving, and `keras.export` work untouched). Static W8A8 runs a
-functional calibration pass (record per-layer input maxabs by wrapping
+functional calibration pass (record per-layer input stats by wrapping
 ``layer.call``) and swaps in a serving-math QDQ closure, mirroring the
 reference's ``call_int8`` path.
+
+Calibration is EAGER: ``calib_function`` must call the model directly
+(``lambda m: m(x)``) — Keras's ``predict``/``fit`` trace the forward on the
+JAX backend, where host-side stat capture is impossible (a clear error is
+raised instead of a cryptic tracer crash).
 """
 
 from __future__ import annotations
@@ -20,6 +25,10 @@ import numpy as np
 
 from ..common import logger
 from ..common.config import BaseConfig
+
+# static log2 histogram for percentile/mse act calibration (np mirror of
+# layers.observers.HistogramObserver — calibration here is eager/host-side)
+_LOG2_MIN, _LOG2_MAX, _N_BINS = -24.0, 24.0, 512
 
 
 def _dense_layers(model):
@@ -32,6 +41,69 @@ def _dense_layers(model):
     return out
 
 
+def _mapped_layers(model, quant_config):
+    """Resolve per-layer configs through the standard op-mapping machinery
+    (white_list, set_local overrides, quant_lm_head all apply)."""
+    layers = _dense_layers(model)
+    info = [(getattr(l, "path", None) or l.name, type(l).__name__)
+            for l in layers]
+    mapping = quant_config.to_config_mapping(info)
+    out = []
+    for layer, key in zip(layers, info):
+        cfg = mapping.get(key)
+        if cfg is not None:
+            out.append((layer, cfg))
+    return out
+
+
+class _ActStats:
+    """Running amax + log2-magnitude histogram of one layer's inputs."""
+
+    def __init__(self):
+        self.amax = 0.0
+        self.counts = np.zeros((_N_BINS,), np.int64)
+
+    def update(self, x: np.ndarray) -> None:
+        xf = np.abs(np.asarray(x, np.float32)).reshape(-1)
+        if xf.size == 0:
+            return
+        self.amax = max(self.amax, float(xf.max()))
+        lg = np.log2(np.maximum(xf, 2.0 ** _LOG2_MIN))
+        width = (_LOG2_MAX - _LOG2_MIN) / _N_BINS
+        idx = np.clip(((lg - _LOG2_MIN) / width).astype(np.int64),
+                      0, _N_BINS - 1)
+        self.counts += np.bincount(idx, minlength=_N_BINS)
+
+    def _bin_uppers(self):
+        width = (_LOG2_MAX - _LOG2_MIN) / _N_BINS
+        return np.exp2(_LOG2_MIN + width * (np.arange(_N_BINS) + 1.0))
+
+    def clip_amax(self, algo: str, percentile: float, bits: int = 8):
+        if algo in ("minmax", "maxabs", "max") or self.counts.sum() == 0:
+            return self.amax
+        uppers = self._bin_uppers()
+        if algo == "percentile":
+            cdf = np.cumsum(self.counts) / max(self.counts.sum(), 1)
+            covered = np.nonzero(cdf >= percentile / 100.0)[0]
+            clip = uppers[covered[0]] if covered.size else self.amax
+            return min(float(clip), self.amax)
+        if algo == "mse":
+            qmax = 2.0 ** (bits - 1) - 1
+            nz = self.counts > 0
+            cand = np.concatenate([uppers[nz][-40:], [max(self.amax, 1e-12)]])
+            best, best_err = cand[-1], np.inf
+            for c in cand:
+                step = c / qmax
+                inside = np.minimum(uppers, c)
+                err = float(np.sum(self.counts * (step * step / 12.0
+                                                  + (uppers - inside) ** 2)))
+                if err < best_err:
+                    best, best_err = c, err
+            return float(best)
+        raise ValueError(f"unknown act_algo {algo!r}; expected "
+                         "minmax | percentile | mse")
+
+
 def quantize_model(model, quant_config: BaseConfig,
                    calib_function: Callable | None = None,
                    inplace: bool = True):
@@ -39,8 +111,10 @@ def quantize_model(model, quant_config: BaseConfig,
 
     Weight-only configs (RTNConfig/...) QDQ the kernels in place. Static
     INT8 config additionally calibrates activations via ``calib_function``
-    and swaps each layer's ``call`` to the W8A8 serving math.
+    (an EAGER forward: ``lambda m: m(x)``) and swaps each layer's ``call``
+    to the W8A8 serving math.
     """
+    import jax
     import jax.numpy as jnp
     import keras
 
@@ -49,20 +123,23 @@ def quantize_model(model, quant_config: BaseConfig,
 
     assert keras.backend.backend() == "jax", "set KERAS_BACKEND=jax"
     if not inplace:
+        weights = model.get_weights()
         model = keras.models.clone_model(model)
+        model.set_weights(weights)  # clone_model re-initializes params
 
-    layers = _dense_layers(model)
+    targets = _mapped_layers(model, quant_config)
     if isinstance(quant_config, _WOQBase):
         n = 0
-        for layer in layers:
+        for layer, cfg in targets:
             k = layer.kernel
             w = jnp.asarray(np.asarray(k))
             shape = w.shape
             w2 = w.reshape(-1, shape[-1]) if w.ndim > 2 else w
-            wq = qdq_tensor(w2, bits=quant_config.weight_bits,
-                            group_size=quant_config.group_size,
-                            scheme=quant_config.scheme,
-                            dtype=quant_config.weight_dtype)
+            wq = qdq_tensor(w2, bits=cfg.weight_bits,
+                            group_size=cfg.group_size,
+                            scheme=cfg.scheme,
+                            dtype=cfg.weight_dtype,
+                            full_range=getattr(cfg, "use_full_range", False))
             layer.kernel.assign(np.asarray(wq.reshape(shape)))
             n += 1
         logger.info("Keras: QDQ'd %d Dense kernels (%s)", n,
@@ -70,37 +147,54 @@ def quantize_model(model, quant_config: BaseConfig,
         return model
 
     if isinstance(quant_config, INT8StaticQuantConfig):
-        # calibration: wrap call to record input amax
-        stats = {}
+        if calib_function is None:
+            raise ValueError("static quant needs a calib_function "
+                             "(an eager forward: lambda m: m(x))")
+        # calibration: wrap call to record input stats
+        stats: dict[int, _ActStats] = {}
         originals = {}
 
         def make_observer(layer):
             def observed(x, *a, **kw):
-                amax = float(np.max(np.abs(np.asarray(x))))
-                stats[id(layer)] = max(stats.get(id(layer), 0.0), amax)
+                if isinstance(x, jax.core.Tracer):
+                    raise RuntimeError(
+                        "Keras static-quant calibration must run EAGERLY: "
+                        "call the model directly (calib_function="
+                        "lambda m: m(x)); model.predict/fit trace the "
+                        "forward on the JAX backend, where input stats "
+                        "cannot be captured")
+                stats.setdefault(id(layer), _ActStats()).update(x)
                 return originals[id(layer)](x, *a, **kw)
 
             return observed
 
-        for layer in layers:
+        layer_cfgs = dict((id(l), c) for l, c in targets)
+        wrapped = [l for l, _c in targets]
+        for layer in wrapped:
             originals[id(layer)] = layer.call
             layer.call = make_observer(layer)
-        assert calib_function is not None, "static quant needs calibration"
-        calib_function(model)
-        for layer in layers:
-            layer.call = originals[id(layer)]
+        try:
+            calib_function(model)
+        finally:
+            # never leave observer closures on the (in-place) model
+            for layer in wrapped:
+                layer.call = originals[id(layer)]
 
         # convert: per-channel int8 weights + per-tensor act scale closure
         n = 0
-        for layer in layers:
+        for layer in wrapped:
             if id(layer) not in stats or not isinstance(
                     layer, keras.layers.Dense):
                 continue
+            cfg = layer_cfgs[id(layer)]
             w = np.asarray(layer.kernel)
             w_scale = np.maximum(np.abs(w).max(axis=0) / 127.0, 1e-12)
             w_int = np.clip(np.round(w / w_scale), -128, 127)
             layer.kernel.assign((w_int * w_scale).astype(w.dtype))
-            a_scale = max(stats[id(layer)] / 127.0, 1e-12)
+            amax = stats[id(layer)].clip_amax(
+                getattr(cfg, "act_algo", "minmax"),
+                getattr(cfg, "percentile", 99.99))
+            a_scale = max(amax / 127.0, 1e-12)
             _orig = originals[id(layer)]
 
             def call_int8(x, _l=layer, _s=a_scale, _o=_orig):
@@ -111,7 +205,9 @@ def quantize_model(model, quant_config: BaseConfig,
 
             layer.call = call_int8
             n += 1
-        logger.info("Keras: static-int8 converted %d Dense layers", n)
+        logger.info("Keras: static-int8 converted %d Dense layers (%s act "
+                    "calibration)", n,
+                    getattr(quant_config, "act_algo", "minmax"))
         return model
 
     raise TypeError(f"unsupported config for the Keras adapter: "

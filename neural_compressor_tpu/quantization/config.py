@@ -20,7 +20,9 @@ ROUTER_SUFFIXES = (".gate",)
 # Op type names treated as Linear-like across the model zoo / user models.
 # ObservedLinear included so convert() after prepare() still maps the ops.
 LINEAR_TYPES = ("Linear", "WOQLinear", "QDQLinear", "Einsum", "LoRALinear",
-                "ObservedLinear", "FakeQuantLinear")
+                "ObservedLinear", "FakeQuantLinear",
+                # Keras-3 frontend layer types (keras_api/quantize.py)
+                "Dense", "EinsumDense")
 
 
 def _lm_head_filter(mapping, quant_lm_head: bool):
@@ -451,6 +453,17 @@ class HybridGPTQConfig(GPTQConfig):
 
     def __init__(self, dtype="int4", bits=4, use_sym=True, group_size=128,
                  act_dtype="int8", **kw):
+        if dtype not in ("int4", "int") or bits != 4:
+            raise ValueError(
+                f"HybridGPTQConfig is the sym-int4 W4A8 flow; dtype="
+                f"{dtype!r}/bits={bits} would only downgrade the modules "
+                "off the int8-MXU kernel onto the XLA fallback — use "
+                "GPTQConfig for other dtypes")
+        if not use_sym:
+            raise ValueError(
+                "HybridGPTQConfig requires use_sym=True: the W4A8 int8-MXU "
+                "and TP kernels are symmetric-only (zero points would be "
+                "silently dropped)")
         super().__init__(dtype=dtype, bits=bits, use_sym=True,
                          group_size=group_size, **kw)
         self.act_dtype = act_dtype

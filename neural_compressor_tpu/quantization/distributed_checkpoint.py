@@ -47,19 +47,50 @@ def load_sharded(path: str, model, mesh=None):
     state = nnx.state(model)
     pure = nnx.to_pure_dict(state)
     if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
         flat = state.flat_state()
+
+        def spec_with_fallback(pth, v):
+            # mirror shard_model's replicate-and-warn behavior for dims
+            # that don't divide the mesh axis, instead of crashing the
+            # orbax restore
+            spec = _spec_for(pth, v)
+            for dim, axis in enumerate(spec):
+                if axis is None:
+                    continue
+                if v.shape[dim] % mesh.shape[axis] != 0:
+                    logger.warning(
+                        "load_sharded: %s dim %d (%d) does not divide mesh "
+                        "axis %r (%d) — restoring REPLICATED",
+                        ".".join(str(p) for p in pth), dim, v.shape[dim],
+                        axis, mesh.shape[axis])
+                    return P()
+            return spec
+
         sharding_by_path = {
-            tuple(str(p) for p in pth): NamedSharding(mesh, _spec_for(pth, v[...]))
+            tuple(str(p) for p in pth):
+                NamedSharding(mesh, spec_with_fallback(pth, v[...]))
             for pth, v in flat
         }
+        unmatched: list = []
 
         def to_abstract(path_tuple, leaf):
             key = tuple(str(getattr(p, "key", getattr(p, "idx", p)))
                         for p in path_tuple)
             sh = sharding_by_path.get(key)
+            if sh is None:
+                unmatched.append(key)
+                sh = NamedSharding(mesh, P())
             return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=sh)
 
         abstract = jax.tree_util.tree_map_with_path(to_abstract, pure)
+        if unmatched:
+            logger.warning(
+                "load_sharded: %d leaf path(s) did not match the model's "
+                "flat state (restored replicated): %s%s", len(unmatched),
+                [".".join(k) for k in unmatched[:5]],
+                " …" if len(unmatched) > 5 else "")
     else:
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), pure)

@@ -46,14 +46,18 @@ def _resolve_calib_ids(model, quantization_config, calib_dataset, tokenizer,
         if isinstance(calib_dataset, (list, tuple)) and calib_dataset and \
                 isinstance(calib_dataset[0], str):
             assert tokenizer is not None, "text calib data needs a tokenizer"
-            ids = [tokenizer(t, truncation=True,
-                             max_length=max_seq_length)["input_ids"]
-                   for t in calib_dataset]
-            L = min(max(len(i) for i in ids), max_seq_length)
-            out = np.zeros((len(ids), L), dtype=np.int64)
-            for r, i in enumerate(ids):
-                out[r, :min(len(i), L)] = i[:L]
-            return out
+            # concatenate and chunk into FULL windows (the reference chunks
+            # pile-10k the same way) — zero-padding ragged rows would feed
+            # pad-position activations into the amax/Hessian observers
+            stream: list[int] = []
+            for t in calib_dataset:
+                stream.extend(tokenizer(t, truncation=True,
+                                        max_length=max_seq_length)
+                              ["input_ids"])
+            L = min(len(stream), max_seq_length)
+            n_rows = max(len(stream) // L, 1)
+            return np.asarray(stream[: n_rows * L],
+                              dtype=np.int64).reshape(n_rows, L)
         return np.asarray(calib_dataset)
     vocab = getattr(getattr(model, "cfg", None), "vocab_size", 32000)
     logger.warning(
@@ -93,21 +97,31 @@ class AutoModelForCausalLM:
         low_bit_cfg = os.path.join(path, "quant_config.json")
         if os.path.exists(low_bit_cfg) and quantization_config is None:
             return load_low_bit(path, dtype=dtype)
-        if quantization_config is None:
-            # pre-quantized HF-ecosystem checkpoints (reference
-            # modeling_auto.py:337 routes on quant_method the same way)
-            import json as _json
+        # pre-quantized HF-ecosystem checkpoints route on the CHECKPOINT's
+        # quant_method regardless of a passed config (reference
+        # modeling_auto.py:337) — there are no fp tensors to re-quantize
+        import json as _json
 
-            with open(os.path.join(path, "config.json")) as f:
-                qc = _json.load(f).get("quantization_config") or {}
-            if qc.get("quant_method") == "awq":
-                from ..quantization.save_load import load_hf_awq_checkpoint
+        with open(os.path.join(path, "config.json")) as f:
+            qc = _json.load(f).get("quantization_config") or {}
+        if qc.get("quant_method") == "awq":
+            from ..quantization.save_load import load_hf_awq_checkpoint
 
-                return load_hf_awq_checkpoint(path, dtype=dtype)
-            if qc.get("quant_method") == "gptq":
-                from ..quantization.save_load import load_hf_gptq_checkpoint
+            if quantization_config is not None:
+                logger.warning(
+                    "from_pretrained: %s is already AWQ-quantized — "
+                    "loading its tensors as-is, ignoring the passed "
+                    "quantization_config", path)
+            return load_hf_awq_checkpoint(path, dtype=dtype)
+        if qc.get("quant_method") == "gptq":
+            from ..quantization.save_load import load_hf_gptq_checkpoint
 
-                return load_hf_gptq_checkpoint(path, dtype=dtype)
+            if quantization_config is not None:
+                logger.warning(
+                    "from_pretrained: %s is already GPTQ-quantized — "
+                    "loading its tensors as-is, ignoring the passed "
+                    "quantization_config", path)
+            return load_hf_gptq_checkpoint(path, dtype=dtype)
         model = load_hf_model(path, dtype=dtype)
         if quantization_config is not None:
             model = convert_to_quantized_model(

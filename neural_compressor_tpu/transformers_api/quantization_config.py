@@ -68,12 +68,21 @@ class GPTQConfig(_HFQuantBase):
 @dataclasses.dataclass
 class AwqConfig(_HFQuantBase):
     quant_method: str = "awq"
+    # AutoAWQ convention: zero_point=True means ASYMMETRIC quantization —
+    # so this class's `sym` default flips to False to stay consistent
+    sym: bool = False
     zero_point: bool = True
     auto_scale: bool = True
     auto_clip: bool = True
 
     def to_internal(self):
-        return iq.AWQConfig(dtype=self._dtype(), use_sym=not self.zero_point,
+        if self.sym == self.zero_point:
+            raise ValueError(
+                f"AwqConfig: sym={self.sym} contradicts zero_point="
+                f"{self.zero_point} (zero_point means asymmetric); "
+                "set sym=True with zero_point=False, or leave both at "
+                "their defaults")
+        return iq.AWQConfig(dtype=self._dtype(), use_sym=self.sym,
                             group_size=self.group_size,
                             use_auto_scale=self.auto_scale,
                             use_auto_clip=self.auto_clip)

@@ -40,3 +40,101 @@ def test_static_int8():
                         calib_function=lambda mm: mm(x))
     y1 = np.asarray(qm(x))
     assert np.linalg.norm(y0 - y1) / np.linalg.norm(y0) < 0.05
+
+
+def test_inplace_false_keeps_weights():
+    """clone_model() re-initializes weights — the non-inplace path must
+    copy them before quantizing (it used to return quantized garbage)."""
+    import keras
+    import numpy as np
+
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.keras_api import quantize_model
+
+    keras.utils.set_random_seed(0)
+    m = keras.Sequential([keras.layers.Input((16,)),
+                          keras.layers.Dense(32, activation="relu"),
+                          keras.layers.Dense(8)])
+    x = np.random.default_rng(0).standard_normal((4, 16)).astype("float32")
+    y0 = np.asarray(m(x))
+    qm = quantize_model(m, nq.RTNConfig(dtype="int8", group_size=16),
+                        inplace=False)
+    y1 = np.asarray(qm(x))
+    rel = np.linalg.norm(y0 - y1) / np.linalg.norm(y0)
+    assert rel < 0.05, rel
+    # and the source model is untouched
+    np.testing.assert_array_equal(np.asarray(m(x)), y0)
+
+
+def test_static_calibration_failure_restores_calls():
+    """A failing calib_function must not leave observer closures on the
+    in-place model."""
+    import keras
+    import numpy as np
+    import pytest
+
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.keras_api import quantize_model
+
+    m = keras.Sequential([keras.layers.Input((8,)),
+                          keras.layers.Dense(8)])
+    dense = m.layers[0]
+    with pytest.raises(RuntimeError, match="boom"):
+        quantize_model(m, nq.INT8StaticQuantConfig(),
+                       calib_function=lambda mm: (_ for _ in ()).throw(
+                           RuntimeError("boom")))
+    assert getattr(dense.call, "__name__", "") != "observed"
+    with pytest.raises(ValueError, match="calib_function"):
+        quantize_model(m, nq.INT8StaticQuantConfig())
+    assert getattr(dense.call, "__name__", "") != "observed"
+
+
+def test_white_list_respected():
+    import keras
+    import numpy as np
+
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.keras_api import quantize_model
+
+    keras.utils.set_random_seed(1)
+    m = keras.Sequential([keras.layers.Input((16,)),
+                          keras.layers.Dense(16, name="inner"),
+                          keras.layers.Dense(4, name="head")])
+    w_head0 = np.asarray(m.get_layer("head").kernel)
+    quantize_model(m, nq.RTNConfig(dtype="int4", group_size=16,
+                                   white_list=[".*inner.*"]))
+    np.testing.assert_array_equal(np.asarray(m.get_layer("head").kernel),
+                                  w_head0)  # untouched
+    w_in = np.asarray(m.get_layer("inner").kernel)
+    assert not np.allclose(w_in, 0)
+
+
+def test_static_percentile_act_algo():
+    """percentile act calibration clips below an injected outlier."""
+    import keras
+    import numpy as np
+
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.keras_api import quantize_model
+
+    keras.utils.set_random_seed(2)
+    m = keras.Sequential([keras.layers.Input((32,)),
+                          keras.layers.Dense(8)])
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((64, 32)).astype("float32")
+    x[0, 0] = 1e4  # outlier that minmax would chase
+    qm = quantize_model(m, nq.INT8StaticQuantConfig(act_algo="percentile",
+                                                    percentile=99.0),
+                        calib_function=lambda mm: mm(x))
+    xt = rng.standard_normal((4, 32)).astype("float32")
+    y = np.asarray(qm(xt))
+    assert np.isfinite(y).all()
+    # minmax chases the 1e4 outlier: its act scale (~78.7) rounds every
+    # normal-range input to 0 -> output exactly 0. Percentile must not.
+    m2 = keras.Sequential([keras.layers.Input((32,)),
+                           keras.layers.Dense(8)])
+    m2.set_weights(m.get_weights())
+    qm2 = quantize_model(m2, nq.INT8StaticQuantConfig(act_algo="minmax"),
+                         calib_function=lambda mm: mm(x))
+    y_minmax = np.asarray(qm2(xt))
+    assert np.abs(y).mean() > 10 * max(np.abs(y_minmax).mean(), 1e-12)
