@@ -415,7 +415,7 @@ def decode_attention_tp(q, k_new, v_new, k_cache, v_cache, pos, mesh,
     heads; no collective is needed — the output stays head-sharded and the
     row-parallel o_proj consumes it. Set up by
     ``models.sharding.enable_tp_serving``."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     B = q.shape[0]
@@ -427,7 +427,7 @@ def decode_attention_tp(q, k_new, v_new, k_cache, v_cache, pos, mesh,
         mesh=mesh,
         in_specs=(spec4, spec4, spec4, spec4, spec4, P(data_axis)),
         out_specs=(spec4, spec4, spec4),
-        check_rep=False,
+        check_vma=False,
     )(q, k_new, v_new, k_cache, v_cache, pos_arr)
     return out, k2, v2
 

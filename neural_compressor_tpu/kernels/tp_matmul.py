@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.packing import PackedWeight, resolve_double_quant
@@ -62,7 +62,7 @@ def tp_woq_matmul_column(x: jax.Array, pw: PackedWeight, mesh: Mesh,
         local, mesh=mesh,
         in_specs=(_x_spec(x.ndim, data_axis, None), spec_w, spec_w, spec_w),
         out_specs=_x_spec(x.ndim, data_axis, axis),
-        check_rep=False,
+        check_vma=False,
     )(x, pw.packed, pw.scales, zeros)
 
 
@@ -98,7 +98,7 @@ def tp_woq_matmul_row(x: jax.Array, pw: PackedWeight, mesh: Mesh,
         local, mesh=mesh,
         in_specs=(_x_spec(x.ndim, data_axis, axis), spec_w, spec_w, spec_w),
         out_specs=_x_spec(x.ndim, data_axis, None),
-        check_rep=False,
+        check_vma=False,
     )(x, pw.packed, pw.scales, zeros)
 
 
@@ -135,7 +135,7 @@ def tp_w4a8_matmul_column(x: jax.Array, pw: PackedWeight, mesh: Mesh,
         local, mesh=mesh,
         in_specs=(_x_spec(x.ndim, data_axis, None), spec_w, spec_w),
         out_specs=_x_spec(x.ndim, data_axis, axis),
-        check_rep=False,
+        check_vma=False,
     )(x, pw.packed, pw.scales)
 
 
@@ -174,5 +174,5 @@ def tp_w4a8_matmul_row(x: jax.Array, pw: PackedWeight, mesh: Mesh,
         local, mesh=mesh,
         in_specs=(_x_spec(x.ndim, data_axis, axis), spec_w, spec_w),
         out_specs=_x_spec(x.ndim, data_axis, None),
-        check_rep=False,
+        check_vma=False,
     )(x, pw.packed, pw.scales)
