@@ -18,6 +18,7 @@ read-back (block_until_ready does not synchronize over the axon tunnel).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -36,7 +37,9 @@ from neural_compressor_tpu.quantization.fuse import s4_prepare as _s4_prepare
 def build_decode_fn(model, batch: int):
     graphdef, state = nnx.split(model)
 
-    @jax.jit
+    # donate the caches: without it the jit keeps input AND output cache
+    # buffers live (2x KV memory), which OOMs batched bf16-cache runs
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def decode(state, caches, token, pos, steps):
         m = nnx.merge(graphdef, state)
         _s4_prepare(m)
@@ -58,13 +61,14 @@ def build_decode_fn(model, batch: int):
 
 def measure_decode(model, batch=1, max_len=256, steps=64, label=""):
     cfg = model.cfg
-    caches = init_kv_cache(cfg, batch, max_len)
     state, decode = build_decode_fn(model, batch)
     tok = jnp.zeros((batch, 1), dtype=jnp.int32)
     t0 = time.time()
-    _, caches2, acc = decode(state, caches, tok, 0, 4)  # compile + warm
+    caches = init_kv_cache(cfg, batch, max_len)  # donated by the warm call
+    _, _, acc = decode(state, caches, tok, 0, 4)  # compile + warm
     _ = np.asarray(acc)
     compile_s = time.time() - t0
+    caches = init_kv_cache(cfg, batch, max_len)
     t0 = time.time()
     _, _, acc = decode(state, caches, tok, 0, steps)
     _ = np.asarray(acc)
