@@ -119,13 +119,16 @@ def main():
         LlamaConfig(**params),
         nq.RTNConfig(dtype="int4", group_size=128,
                      quant_lm_head=not args.fp_lm_head))
-    from neural_compressor_tpu.quantization.fuse import (fuse_for_serving,
+    from neural_compressor_tpu.quantization.fuse import (enable_fused_decode,
+                                                         fuse_for_serving,
                                                          to_w4a8_serving)
 
     nf = fuse_for_serving(qmodel)
     nw = 0 if args.no_w4a8 else to_w4a8_serving(qmodel)
+    nfd = 0 if args.no_w4a8 else enable_fused_decode(qmodel)
     print(f"  build+quantize took {time.time()-t0:.1f}s "
-          f"({nf} fused groups, {nw} W4A8 modules)", file=sys.stderr)
+          f"({nf} fused groups, {nw} W4A8 modules, {nfd} fused-decode "
+          "layers)", file=sys.stderr)
 
     # one retry: the tunnel occasionally drops a compile/transfer
     # ("response body closed") — a transient, not a result

@@ -34,7 +34,34 @@ _FLOAT_SKIP = ("fp32", "bf16", "fp16", "float32", "bfloat16", "float16")
 
 # Declarative absorb maps: (parent_path, [children sharing the scaled input],
 # kind). kind "norm": divide the norm weight by s; "prev_linear": divide the
-# parent linear's output columns by s. Matches the reference's absorb dicts.
+# parent linear's output columns by s. Matches the reference's absorb dicts
+# (weight_only/utility.py:728-986 discovers the same pairs by jit trace).
+#
+# Every child consuming the scaled input MUST be listed — apply_absorb_fold
+# compensates unquantized siblings — so parallel-residual blocks (gptj,
+# phi, falcon-parallel) list the MLP entry linear alongside q/k/v. A map
+# value may be a callable(block) -> patterns for config-dependent wiring.
+#
+# MLP down-projections: llama-style gated MLPs absorb into up_proj
+# (silu(g)*u is linear in u) and ReLU MLPs (opt) absorb through the
+# positively-homogeneous activation, but gelu MLPs (gpt2/bloom/falcon/
+# gptj/neox/phi) cannot absorb fc -> proj through the nonlinearity — the
+# reference finds none there either; those fall back to pre_scale (AWQ)
+# or stay unsmoothed (SmoothQuant).
+
+
+def _falcon_patterns(block):
+    if getattr(block.cfg, "parallel_attn", True):
+        # ONE norm feeds attention AND the MLP (parallel residual)
+        return [("input_layernorm",
+                 ["self_attention.query_key_value", "mlp.dense_h_to_4h"],
+                 "norm")]
+    return [
+        ("input_layernorm", ["self_attention.query_key_value"], "norm"),
+        ("post_attention_layernorm", ["mlp.dense_h_to_4h"], "norm"),
+    ]
+
+
 ABSORB_PATTERNS = {
     "LlamaDecoderLayer": [
         ("input_layernorm",
@@ -47,7 +74,66 @@ ABSORB_PATTERNS = {
         ("ln_1", ["attn.c_attn"], "norm"),
         ("ln_2", ["mlp.c_fc"], "norm"),
     ],
+    "OPTDecoderLayer": [
+        ("self_attn_layer_norm",
+         ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"],
+         "norm"),
+        ("self_attn.v_proj", ["self_attn.out_proj"], "prev_linear"),
+        ("final_layer_norm", ["fc1"], "norm"),
+        # OPT's MLP is ReLU, which is positively homogeneous
+        # (relu(z)/s == relu(z/s) for s > 0), so fc2's input scale absorbs
+        # through the activation into fc1's output columns
+        ("fc1", ["fc2"], "prev_linear"),
+    ],
+    "BloomBlock": [
+        # qkv is head-fused ([H, 3, D] columns): norm absorb is safe (all
+        # columns share the input); v->dense is not (v rows interleaved)
+        ("input_layernorm", ["self_attention.query_key_value"], "norm"),
+        ("post_attention_layernorm", ["mlp.dense_h_to_4h"], "norm"),
+    ],
+    "FalconDecoderLayer": _falcon_patterns,
+    "GPTJBlock": [
+        # parallel residual: ln_1 feeds q/k/v AND fc_in
+        ("ln_1", ["attn.q_proj", "attn.k_proj", "attn.v_proj", "mlp.fc_in"],
+         "norm"),
+        ("attn.v_proj", ["attn.out_proj"], "prev_linear"),
+    ],
+    "GPTNeoXBlock": [
+        ("input_layernorm", ["attention.query_key_value"], "norm"),
+        ("post_attention_layernorm", ["mlp.dense_h_to_4h"], "norm"),
+    ],
+    "PhiBlock": [
+        # one norm feeds both branches (parallel residual)
+        ("input_layernorm",
+         ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+          "mlp.fc1"], "norm"),
+        ("self_attn.v_proj", ["self_attn.dense"], "prev_linear"),
+    ],
+    "MixtralDecoderLayer": lambda block: _mixtral_patterns(block),
 }
+
+
+def _mixtral_patterns(block):
+    pats = [
+        ("input_layernorm",
+         ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"],
+         "norm"),
+        ("self_attn.v_proj", ["self_attn.o_proj"], "prev_linear"),
+    ]
+    moe = block.block_sparse_moe
+    if type(moe).__name__ != "MixtralSparseMoeBlock":
+        return pats  # stacked serving form: scales live inside the stack
+    n_exp = len(moe.experts)
+    # the post norm feeds the router gate AND every expert's w1/w3
+    pats.append((
+        "post_attention_layernorm",
+        ["block_sparse_moe.gate"] + [
+            f"block_sparse_moe.experts.{e}.{w}"
+            for e in range(n_exp) for w in ("w1", "w3")], "norm"))
+    pats += [(f"block_sparse_moe.experts.{e}.w3",
+              [f"block_sparse_moe.experts.{e}.w2"], "prev_linear")
+             for e in range(n_exp)]
+    return pats
 
 
 @jax.jit
@@ -182,6 +268,8 @@ def _absorb_groups_for_block(block, block_path, cfg):
     else one singleton group per linear (runtime pre_scale)."""
     btype = type(block).__name__
     patterns = cfg.absorb_layer_dict.get(btype) or ABSORB_PATTERNS.get(btype)
+    if callable(patterns):
+        patterns = patterns(block)
     groups = []
     used = set()
     if patterns:

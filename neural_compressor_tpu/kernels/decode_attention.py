@@ -433,15 +433,32 @@ def decode_attention_tp(q, k_new, v_new, k_cache, v_cache, pos, mesh,
 
 
 def decode_attention(q, k_new, v_new, k_cache, v_cache, pos):
-    """Fused single-token attention with in-place cache update.
+    """Fused single-token attention with cache update.
 
     q: [B, H, 1, D]; k_new/v_new: [B, Hkv, 1, D] (rope already applied);
     caches: [B, Hkv, T, D]. ``pos`` is a scalar or a per-batch [B] array
     (per-slot positions for continuous batching).
     Returns (out [B, H, 1, D], k_cache, v_cache).
+
+    Write modes (``set_cache_write_mode``): "outside" (default) runs the
+    READ-ONLY kernel and writes the new row with an XLA
+    dynamic_update_slice — in-place on the donated loop carry. The
+    round-1/2 aliased in-kernel write ("kernel") rewrites the full [T, D]
+    cache block to HBM every step AND defeats XLA's loop-carry aliasing
+    analysis in the full model: the round-3 B=1 trace shows one full
+    8 MB cache copy per layer per step (~0.9 ms/step) plus ~37 us/layer
+    kernel time vs the ~18 us read roofline.
     """
     B, H, S, D = q.shape
     assert S == 1, "decode kernel is single-token"
+    if _WRITE_MODE == "outside":
+        from ..models.llama import _update_rows
+
+        out = _decode_attn_ro_impl(pos, q[:, :, 0], k_new, v_new, k_cache,
+                                   v_cache, interpret=not _on_tpu())
+        k2 = _update_rows(k_cache, k_new, pos)
+        v2 = _update_rows(v_cache, v_new, pos)
+        return out, k2, v2
     k2, v2, out = _decode_attn_impl(
         pos, q[:, :, 0], k_new, v_new, k_cache,
         v_cache, interpret=not _on_tpu())

@@ -141,7 +141,12 @@ class W4A8Linear(WOQLinear):
         M = 1
         for d in x.shape[:-1]:
             M *= d
-        if self.layout == "s4_rowpack":
+        if self.layout == "u4_kpack":
+            # in-kernel bitcast unpack + in-kernel act quant at M == 1
+            from ..kernels.fused_matvec import u4k_matmul
+
+            y = u4k_matmul(x, self.packed_weight())
+        elif self.layout == "s4_rowpack":
             # native-int4 serving layout (Mosaic hardware unpack)
             y = s4_matmul(x, self.packed_weight())
         elif M >= self.M_INT8_THRESHOLD:

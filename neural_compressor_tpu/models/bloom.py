@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
+from .sdpa import sdpa
 from .llama import KVCache, _update_rows, update_cache
 
 
@@ -90,17 +91,12 @@ class BloomAttention(nnx.Module):
             k, v, new_cache = update_cache(cache, k, v, cache_pos, x.dtype)
 
         T = k.shape[2]
-        scores = jnp.einsum("bhsd,bhtd->bhst", q, k,
-                            preferred_element_type=jnp.float32) / jnp.sqrt(D)
         # ALiBi: bias_j = slope_h * key_pos_j (shift-invariant per softmax
         # row == the -slope*(i-j) distance form of the paper)
         key_pos = jnp.arange(T, dtype=jnp.float32)
-        scores = scores + (self.slopes[...][:, None, None]
-                           * key_pos[None, None, :])[None]
-        scores = jnp.where(mask, scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhst,bhtd->bhsd", probs, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+        alibi = (self.slopes[...][:, None, None]
+                 * key_pos[None, None, :])[None]
+        out = sdpa(q, k, v, mask, module=self, bias=alibi, out_dtype=x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, S, E)
         return self.dense(out), new_cache
 

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from .sdpa import sdpa
 from .llama import KVCache, _rope, _update_rows, apply_rope, update_cache
 
 
@@ -84,15 +85,7 @@ class FalconAttention(nnx.Module):
         if cache is not None:
             k, v, new_cache = update_cache(cache, k, v, cache_pos, x.dtype)
 
-        rep = H // Hkv
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
-        scores = jnp.einsum("bhsd,bhtd->bhst", q, k,
-                            preferred_element_type=jnp.float32) / jnp.sqrt(D)
-        scores = jnp.where(mask, scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhst,bhtd->bhsd", probs, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = sdpa(q, k, v, mask, module=self, out_dtype=x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
         return self.dense(out), new_cache
 

@@ -360,23 +360,6 @@ def _grouped_attention_int4(q, k_packed, v_packed, mask, D,
     return out.reshape(B, H, S, D).astype(q.dtype)
 
 
-_FP8_MAX = 448.0  # e4m3
-
-
-def _fp8_dot(a, b, spec: str) -> jax.Array:
-    """einsum on e4m3-cast operands with dynamic per-tensor scales and f32
-    accumulation (XLA-native fp8 dot on TPU v5+; numerically-equivalent
-    emulation elsewhere)."""
-    af = a.astype(jnp.float32)
-    bf = b.astype(jnp.float32)
-    sa = jnp.maximum(jnp.max(jnp.abs(af)), 1e-6) / _FP8_MAX
-    sb = jnp.maximum(jnp.max(jnp.abs(bf)), 1e-6) / _FP8_MAX
-    a8 = jnp.clip(af / sa, -_FP8_MAX, _FP8_MAX).astype(jnp.float8_e4m3fn)
-    b8 = jnp.clip(bf / sb, -_FP8_MAX, _FP8_MAX).astype(jnp.float8_e4m3fn)
-    return jnp.einsum(spec, a8, b8,
-                      preferred_element_type=jnp.float32) * (sa * sb)
-
-
 def update_cache(cache, k, v, cache_pos, dtype):
     """Write new K/V rows [B, H, S, D] into a ``KVCache`` or ``QuantKVCache``
     (quantizing per token-head) and return ``(k_all, v_all, new_cache)``
@@ -551,6 +534,19 @@ class LlamaAttention(nnx.Module):
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
+        out, new_cache = self._attend(x.dtype, q, k, v, mask, cache,
+                                      cache_pos)
+        return self.o_proj(out), new_cache
+
+    def _attend(self, x_dtype, q, k, v, mask, cache, cache_pos):
+        """Cache update + attention on head-major q/k/v; returns the
+        flattened attention output [B, S, H*D] (pre-o_proj) and the new
+        cache. Shared by the modular forward above and the fused decode
+        layer (quantization/fuse.enable_fused_decode)."""
+        cfg = self.cfg
+        B, S = q.shape[0], q.shape[2]
+        H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                     cfg.head_dim)
 
         if getattr(self, "kv_observe", False):
             # KV calibration (KVCacheQuantConfig per_channel_k): running
@@ -575,12 +571,13 @@ class LlamaAttention(nnx.Module):
             new_cache = _paged_write_row(cache, k, v, pos_b)
             lengths = pos_b + 1
             out = paged_decode_attention(q, new_cache, lengths)
-            out = out.astype(x.dtype).transpose(0, 2, 1, 3)
-            return self.o_proj(out.reshape(B, S, H * D)), new_cache
+            out = out.astype(x_dtype).transpose(0, 2, 1, 3)
+            return out.reshape(B, S, H * D), new_cache
         if isinstance(cache, QuantKVCache):
             if (S == 1 and tp_mesh is None and fused_ok
                     and cache.fmt != "int4"
-                    and not getattr(self, "fp8_sdpa", False)):
+                    and not getattr(self, "fp8_sdpa", False)
+                    and not getattr(self, "fp8_softmax", False)):
                 # the fused kernel consumes element-width codes; int4
                 # packed caches take the grouped code-domain path below.
                 # fp8_sdpa models skip it: its score/prob math is bf16,
@@ -590,8 +587,8 @@ class LlamaAttention(nnx.Module):
 
                 out, new_cache = decode_attention_quant(q, k, v, cache,
                                                         cache_pos)
-                out = out.astype(x.dtype).transpose(0, 2, 1, 3)
-                return self.o_proj(out.reshape(B, S, H * D)), new_cache
+                out = out.astype(x_dtype).transpose(0, 2, 1, 3)
+                return out.reshape(B, S, H * D), new_cache
             k_ch = (self.kv_k_scale[...]
                     if getattr(self, "kv_k_scale", None) is not None
                     and cache.fmt == "int4" else None)
@@ -613,7 +610,8 @@ class LlamaAttention(nnx.Module):
             v_codes = _update_rows(cache.v_codes, vc, cache_pos)
             v_scale = _update_rows(cache.v_scale, vs, cache_pos)
             new_cache = QuantKVCache(k_codes, k_scale, v_codes, v_scale)
-            if not getattr(self, "fp8_sdpa", False):
+            if not (getattr(self, "fp8_sdpa", False)
+                    or getattr(self, "fp8_softmax", False)):
                 # attention straight on the cache codes: the convert fuses
                 # into the QK^T/PV fusions so the cache streams from HBM at
                 # code width, and GQA grouping avoids materializing the
@@ -625,15 +623,17 @@ class LlamaAttention(nnx.Module):
                                                   mask, D, k_scale, v_scale,
                                                   k_channel_scale=k_ch)
                 else:
-                    out = _grouped_attention(q, k_codes.astype(x.dtype),
-                                             v_codes.astype(x.dtype),
+                    out = _grouped_attention(q, k_codes.astype(x_dtype),
+                                             v_codes.astype(x_dtype),
                                              mask, D, k_scale, v_scale)
                 out = out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
-                return self.o_proj(out), new_cache
-            k = _kv_dequant(k_codes, k_scale, x.dtype)
-            v = _kv_dequant(v_codes, v_scale, x.dtype)
+                return out, new_cache
+            k = _kv_dequant(k_codes, k_scale, x_dtype)
+            v = _kv_dequant(v_codes, v_scale, x_dtype)
         elif cache is not None:
-            if S == 1 and fused_ok:
+            if (S == 1 and fused_ok
+                    and not getattr(self, "fp8_softmax", False)
+                    and not getattr(self, "fp8_sdpa", False)):
                 # fused decode kernel: in-place cache update + attention in
                 # one pallas call (per-op overhead dominates decode);
                 # under a TP mesh it runs per head-shard via shard_map
@@ -650,32 +650,25 @@ class LlamaAttention(nnx.Module):
                         q, k.astype(cache.k.dtype), v.astype(cache.v.dtype),
                         cache.k, cache.v, cache_pos)
                 new_cache = KVCache(k_all, v_all)
-                out = out.astype(x.dtype).transpose(0, 2, 1, 3)
-                return self.o_proj(out.reshape(B, S, H * D)), new_cache
+                out = out.astype(x_dtype).transpose(0, 2, 1, 3)
+                return out.reshape(B, S, H * D), new_cache
             k_all = _update_rows(cache.k, k, cache_pos)
             v_all = _update_rows(cache.v, v, cache_pos)
             new_cache = KVCache(k_all, v_all)
-            k, v = k_all.astype(x.dtype), v_all.astype(x.dtype)
+            k, v = k_all.astype(x_dtype), v_all.astype(x_dtype)
 
-        if getattr(self, "fp8_sdpa", False):
-            rep = H // Hkv
-            if rep > 1:
-                k = jnp.repeat(k, rep, axis=1)
-                v = jnp.repeat(v, rep, axis=1)
-            # fp8 SDPA (reference PatchedModuleFusedSDPA / fp8 matmul +
-            # softmax patches, helper_modules.py:1450,1579): QK^T and PV
-            # run on e4m3 operands with dynamic per-tensor scales, f32
-            # accumulation; probs are cast through e4m3 like the patched
-            # softmax.
-            scores = _fp8_dot(q, k, "bhsd,bhtd->bhst")
-            scores = scores / jnp.sqrt(D).astype(jnp.float32)
-            scores = jnp.where(mask, scores, -1e30)
-            probs = jax.nn.softmax(scores, axis=-1)
-            out = _fp8_dot(probs, v, "bhst,bhtd->bhsd").astype(x.dtype)
+        if (getattr(self, "fp8_sdpa", False)
+                or getattr(self, "fp8_softmax", False)):
+            # fp8 SDPA / fp8 softmax (reference PatchedModuleFusedSDPA /
+            # PatchedSoftmax, helper_modules.py:1450,1579) — shared zoo
+            # implementation
+            from .sdpa import sdpa
+
+            out = sdpa(q, k, v, mask, module=self, out_dtype=x_dtype)
         else:
             out = _grouped_attention(q, k, v, mask, D)
         out = out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
-        return self.o_proj(out), new_cache
+        return out, new_cache
 
 
 class LlamaMLP(nnx.Module):
@@ -704,11 +697,70 @@ class LlamaDecoderLayer(nnx.Module):
         self.mlp = LlamaMLP(cfg, rngs)
 
     def __call__(self, x, cos, sin, mask, cache=None, cache_pos=None):
+        if (getattr(self, "fused_decode", False) and x.shape[0] == 1
+                and x.shape[1] == 1 and cache is not None):
+            r = self._fused_call(x, cos, sin, mask, cache, cache_pos)
+            if r is not None:
+                return r
         h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin, mask,
                                       cache, cache_pos)
         x = x + h
         x = x + self.mlp(self.post_attention_layernorm(x))
         return x, new_cache
+
+    def _fused_call(self, x, cos, sin, mask, cache, cache_pos):
+        """Fused B=1 decode: each projection is ONE pallas call that also
+        performs the adjacent glue (kernels/fused_matvec.py — RMSNorm by
+        scale invariance, act quant, silu(g)*u, residual adds). Enabled by
+        ``quantization.fuse.enable_fused_decode``; returns None to fall
+        back to the modular path (off-TPU, ineligible weights)."""
+        from ..kernels.fused_matvec import fused_matvec
+
+        attn, mlp = self.self_attn, self.mlp
+        cfg = attn.cfg
+        B, S, _ = x.shape
+        H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                     cfg.head_dim)
+        qkv_m, gu_m = attn.qkv_proj, mlp.gate_up_proj
+        if qkv_m is None or gu_m is None:
+            return None
+        for m in (qkv_m, attn.o_proj, gu_m, mlp.down_proj):
+            if getattr(m, "pre_scale", None) is not None or \
+                    getattr(m, "tp_role", None) is not None:
+                return None
+        qkv = fused_matvec(
+            x, qkv_m.packed_weight(),
+            rms_w=self.input_layernorm.weight[...],
+            eps=self.input_layernorm.eps,
+            bias=None if qkv_m.bias is None else qkv_m.bias[...],
+            out_dtype=x.dtype)
+        if qkv is None:
+            return None
+        q, k, v = jnp.split(qkv, [H * D, (H + Hkv) * D], axis=-1)
+        q = apply_rope(q.reshape(B, S, H, D), cos, sin, cfg.rope_style)
+        k = apply_rope(k.reshape(B, S, Hkv, D), cos, sin, cfg.rope_style)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+        out, new_cache = attn._attend(x.dtype, q, k, v, mask, cache,
+                                      cache_pos)
+        x1 = fused_matvec(out, attn.o_proj.packed_weight(), residual=x,
+                          bias=None if attn.o_proj.bias is None
+                          else attn.o_proj.bias[...], out_dtype=x.dtype)
+        if x1 is None:
+            return None
+        h = fused_matvec(
+            x1, gu_m.packed_weight(),
+            rms_w=self.post_attention_layernorm.weight[...],
+            eps=self.post_attention_layernorm.eps,
+            silu_gate=True, out_dtype=x.dtype)
+        if h is None:
+            return None
+        x2 = fused_matvec(h, mlp.down_proj.packed_weight(), residual=x1,
+                          out_dtype=x.dtype)
+        if x2 is None:
+            return None
+        return x2, new_cache
 
 
 class LlamaModel(nnx.Module):
@@ -746,6 +798,11 @@ class LlamaModel(nnx.Module):
             x, nc = layer(x, cos, sin, mask, cache, cache_pos)
             if new_caches is not None:
                 new_caches.append(nc)
+        if getattr(self, "norm_in_head", False):
+            # fused decode folds the final norm into the lm_head kernel
+            # (quantization.fuse.enable_fused_decode); the CausalLM wrapper
+            # applies self.norm itself when it cannot fuse
+            return x, new_caches
         return self.norm(x), new_caches
 
 
@@ -762,10 +819,25 @@ class LlamaForCausalLM(nnx.Module):
 
     def __call__(self, input_ids, positions=None, caches=None, cache_pos=None):
         x, new_caches = self.model(input_ids, positions, caches, cache_pos)
-        if self.lm_head is not None:
-            logits = self.lm_head(x)
-        else:
-            logits = self.model.embed_tokens.attend(x)
+        logits = None
+        if getattr(self.model, "norm_in_head", False):
+            if (self.lm_head is not None and x.shape[0] == 1
+                    and x.shape[1] == 1
+                    and hasattr(self.lm_head, "packed_weight")
+                    and getattr(self.lm_head, "pre_scale", None) is None):
+                from ..kernels.fused_matvec import fused_matvec
+
+                logits = fused_matvec(
+                    x, self.lm_head.packed_weight(),
+                    rms_w=self.model.norm.weight[...],
+                    eps=self.model.norm.eps, out_dtype=x.dtype)
+            if logits is None:
+                x = self.model.norm(x)
+        if logits is None:
+            if self.lm_head is not None:
+                logits = self.lm_head(x)
+            else:
+                logits = self.model.embed_tokens.attend(x)
         if caches is None:
             return logits
         return logits, new_caches

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from .sdpa import sdpa
 from .llama import KVCache, _update_rows, update_cache
 
 
@@ -67,12 +68,7 @@ class OPTAttention(nnx.Module):
         new_cache = None
         if cache is not None:
             k, v, new_cache = update_cache(cache, k, v, cache_pos, x.dtype)
-        scores = jnp.einsum("bhsd,bhtd->bhst", q, k,
-                            preferred_element_type=jnp.float32) / jnp.sqrt(D)
-        scores = jnp.where(mask, scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhst,bhtd->bhsd", probs, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = sdpa(q, k, v, mask, module=self, out_dtype=x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, S, E)
         return self.out_proj(out), new_cache
 

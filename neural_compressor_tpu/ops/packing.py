@@ -176,6 +176,53 @@ def to_s4_rowpack(pw: PackedWeight) -> PackedWeight:
     return pw._replace(packed=pack_codes_s4(codes), layout="s4_rowpack")
 
 
+@jax.jit
+def pack_codes_u4k(codes: jax.Array) -> jax.Array:
+    """Pack SIGNED int4 codes [K, N] -> uint32 [K/8, N] in "u4_kpack"
+    layout: word (r, n) holds the 8 CONSECUTIVE input rows 8r..8r+7 of
+    output column n, nibble j = row 8r+j, two's complement.
+
+    This matches Mosaic's packed int4 register layout ((8, 1) sublane
+    subtiling: 8 consecutive sublanes share one 32-bit container), so an
+    IN-KERNEL ``pltpu.bitcast(w_ref[...], int4)`` reinterprets the loaded
+    u32 tile as int4 [8r, n] with no XLA-level int4 array at all — no
+    zero-copy view to hoist, no layout copy for XLA to rematerialize
+    inside the decode loop (round-3 profile: the s4_view materialization
+    cost ~0.7 ms/step in the full model), and the buffer shards under TP
+    shard_map like any u32 array (experiments/bitcast_matvec.log:
+    nibble-order probe MATCH for low-first, 460-590 GB/s)."""
+    K, N = codes.shape
+    c = codes.astype(jnp.uint32) & 0xF
+    c = c.reshape(K // 8, 8, N)
+    packed = jnp.zeros((K // 8, N), dtype=jnp.uint32)
+    for j in range(8):
+        packed = packed | (c[:, j, :] << (4 * j))
+    return packed
+
+
+@functools.partial(jax.jit, static_argnames=("K", "N"))
+def unpack_codes_u4k(packed: jax.Array, K: int, N: int) -> jax.Array:
+    """Inverse of ``pack_codes_u4k`` without int4 dtypes (CPU-safe):
+    uint32 [K/8, N] -> signed int8 codes [K, N]."""
+    planes = [((packed >> (4 * j)) & 0xF).astype(jnp.int32)
+              for j in range(8)]
+    c = jnp.stack(planes, axis=1).reshape(K, N)
+    return jnp.where(c >= 8, c - 16, c).astype(jnp.int8)
+
+
+def to_u4_kpack(pw: PackedWeight) -> PackedWeight:
+    """Convert a sym-int4 PackedWeight to the "u4_kpack" serving layout
+    (see ``pack_codes_u4k``). Requires sym int, bits=4, K % 8 == 0.
+    Double-quantized scale meta survives unchanged."""
+    K, N = pw.orig_shape
+    if not (pw.bits == 4 and pw.dtype == "int" and pw.zeros is None
+            and K % 8 == 0 and pw.layout in ("tpu_strided", "s4_rowpack")):
+        raise ValueError(f"not u4_kpack-convertible: bits={pw.bits} "
+                         f"dtype={pw.dtype} layout={pw.layout} K={K}")
+    codes = unpack_to_codes(pw)
+    return pw._replace(packed=pack_codes_u4k(codes), layout="u4_kpack")
+
+
 def pack_qtensor(qt: QTensor, force_int8: bool = False,
                  perm: jax.Array | None = None) -> PackedWeight:
     """QTensor -> PackedWeight in the best available layout.
@@ -281,6 +328,8 @@ def unpack_to_codes(pw: PackedWeight) -> jax.Array:
         if pw.packed.dtype == jnp.uint32:
             return unpack_codes_s4(pw.packed, K, N)
         return pw.packed.astype(jnp.int8)  # prepared int4 view
+    if pw.layout == "u4_kpack":
+        return unpack_codes_u4k(pw.packed, K, N)
     return pw.packed.astype(jnp.int8)
 
 
@@ -299,6 +348,9 @@ def _dequantize_packed_arrays(packed, scales, zeros, bits, group_size, dtype,
             codes = unpack_codes_s4(packed, K, packed.shape[-1] * 8)
         else:
             codes = packed.astype(jnp.int8)  # prepared int4 view
+    elif layout == "u4_kpack":
+        codes = unpack_codes_u4k(packed, packed.shape[0] * 8,
+                                 packed.shape[-1])
     else:
         codes = packed.astype(jnp.int8)
     N = codes.shape[-1]

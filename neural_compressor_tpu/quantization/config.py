@@ -319,9 +319,15 @@ class FP8Config(BaseConfig):
     def __init__(self, fp8_config="E4M3", scale_method="maxabs_hw",
                  observer="maxabs", mode="AUTO", allowlist=None,
                  blocklist=None, dump_stats_path="./fp8_stats",
-                 quantize_attention=False, measure_on_hpu=None,
+                 quantize_attention=False, quantize_softmax=False,
+                 measure_on_hpu=None,
                  white_list=DEFAULT_WHITE_LIST):
         super().__init__(white_list=white_list)
+        from ..algorithms import fp8_scales
+
+        for m in ([scale_method] if isinstance(scale_method, str)
+                  else scale_method):
+            fp8_scales.resolve(m)  # typo'd names raise here, not at serve
         self.fp8_config = fp8_config
         self.scale_method = scale_method
         self.observer = observer
@@ -332,6 +338,10 @@ class FP8Config(BaseConfig):
         # fp8 SDPA: run attention QK^T/PV on e4m3 operands (reference
         # PatchedModuleFusedSDPA / fp8 matmul+softmax patches)
         self.quantize_attention = quantize_attention
+        # PatchedSoftmax analog: QDQ the attention probabilities through
+        # e4m3 (helper_modules.py:1450); implies nothing without
+        # quantize_attention-eligible modules but is honored zoo-wide
+        self.quantize_softmax = quantize_softmax
 
     @classmethod
     def supported_op_types(cls):

@@ -93,26 +93,36 @@ def to_w4a8_serving(model, s4: bool | str = "auto") -> int:
     int8 at runtime (reference HPUMixedPrecisionLinear,
     mixed_low_precision/modules.py:31), so no calibration is needed.
 
-    ``s4``: convert eligible sym-int4 weights to the "s4_rowpack" native-
-    int4 layout (kernels/s4_matmul.py — Mosaic hardware unpack, measured
-    1.3-1.6x the shift-plane kernel at decode). "auto" = only on a TPU
-    backend; multi-chip TP serving repacks back to "tpu_strided"
-    (models/sharding.enable_tp_serving).
+    ``s4``: serving-layout selector for eligible sym-int4 weights.
+      * "auto"/"u4k" (default on TPU): "u4_kpack" — u32 words holding 8
+        K-direction nibbles, unpacked IN-KERNEL via pltpu.bitcast
+        (kernels/fused_matvec.py). No XLA-level int4 view exists, so
+        nothing gets re-materialized inside the decode loop and the
+        buffer shards under TP shard_map.
+      * "s4": the round-2 "s4_rowpack" zero-copy-view layout
+        (kernels/s4_matmul.py), kept for comparison.
+      * False: keep "tpu_strided" (shift-plane kernels).
     Returns the number of modules converted."""
     import jax as _jax
 
     from ..layers.module_utils import replace_module
     from ..layers.woq_linear import W4A8Linear
-    from ..ops.packing import to_s4_rowpack
+    from ..ops.packing import to_s4_rowpack, to_u4_kpack
 
     if s4 == "auto":
-        s4 = _jax.default_backend() == "tpu"
+        s4 = "u4k" if _jax.default_backend() == "tpu" else False
+    elif s4 is True:
+        s4 = "s4"
 
     def _maybe_s4(pw):
         if (s4 and pw.layout == "tpu_strided" and pw.bits == 4
-                and pw.dtype == "int" and pw.zeros is None
-                and pw.orig_shape[1] % 256 == 0):
-            return to_s4_rowpack(pw), 1
+                and pw.dtype == "int" and pw.zeros is None):
+            if s4 == "u4k":
+                if pw.orig_shape[0] % 8 == 0 and pw.orig_shape[1] % 128 == 0:
+                    return to_u4_kpack(pw), 1
+                return pw, 0
+            if pw.orig_shape[1] % 256 == 0:
+                return to_s4_rowpack(pw), 1
         return pw, 0
 
     def _w4a8_eligible(pw):
@@ -149,8 +159,7 @@ def to_w4a8_serving(model, s4: bool | str = "auto") -> int:
         elif (type(mod) is W4A8Linear and mod.layout == "tpu_strided"
                 and mod.tp_role is None):
             # e.g. hybrid_gptq already produced W4A8 modules — upgrade the
-            # storage layout in place (TP-tagged modules must stay
-            # tpu_strided: the per-shard kernels cannot hoist the s4 view)
+            # storage layout in place
             pw, up = _maybe_s4(mod.packed_weight())
             if up:
                 mod.packed = type(mod.packed)(pw.packed)
@@ -162,6 +171,50 @@ def to_w4a8_serving(model, s4: bool | str = "auto") -> int:
                     "their WOQLinear kernels", n_skip)
     logger.info("Converted %d modules to W4A8 serving (%d native-int4)",
                 n, n_s4)
+    return n
+
+
+def enable_fused_decode(model) -> int:
+    """Flag llama decoder layers (and the lm_head) for the fused B=1
+    decode path (models/llama.LlamaDecoderLayer._fused_call): one pallas
+    call per projection subsuming RMSNorm, act quant, silu and residual
+    glue (kernels/fused_matvec.py). Requires the fused qkv/gate_up
+    projections on "u4_kpack" W4A8 modules. Run AFTER fuse_for_serving +
+    to_w4a8_serving. Returns the number of layers flagged."""
+    from ..layers.woq_linear import W4A8Linear
+
+    def _ok(m):
+        return (type(m) is W4A8Linear and m.layout == "u4_kpack"
+                and m.pre_scale is None and m.perm is None
+                and m.tp_role is None and m.group_size % 128 == 0)
+
+    inner = getattr(model, "model", None)
+    layers = getattr(inner, "layers", None)
+    if layers is None:
+        return 0
+    n = n_layers = 0
+    for layer in layers:
+        if type(layer).__name__ != "LlamaDecoderLayer":
+            continue
+        n_layers += 1
+        attn, mlp = layer.self_attn, layer.mlp
+        if (attn.qkv_proj is not None and mlp.gate_up_proj is not None
+                and _ok(attn.qkv_proj) and _ok(attn.o_proj)
+                and _ok(mlp.gate_up_proj) and _ok(mlp.down_proj)
+                and type(layer.input_layernorm).__name__ == "RMSNorm"
+                and type(layer.post_attention_layernorm).__name__
+                == "RMSNorm"):
+            layer.fused_decode = True
+            n += 1
+    head = getattr(model, "lm_head", None)
+    if (n and head is not None and _ok(head)
+            and type(inner.norm).__name__ == "RMSNorm"):
+        # fold the final norm into the quantized lm_head kernel; the
+        # CausalLM forward applies the norm itself whenever it cannot fuse
+        inner.norm_in_head = True
+    logger.info("Fused decode enabled on %d/%d layer(s)%s", n, n_layers,
+                " + lm_head" if getattr(inner, "norm_in_head", False)
+                else "")
     return n
 
 
