@@ -126,13 +126,22 @@ class W4A8Linear(WOQLinear):
 
         if self.pre_scale is not None:
             x = x / self.pre_scale[...].astype(x.dtype)
-        if self.tp_role is not None and self.layout == "tpu_strided":
+        if self.tp_role is not None and self.layout in ("tpu_strided",
+                                                        "u4_kpack"):
             from ..kernels.tp_matmul import (tp_w4a8_matmul_column,
-                                             tp_w4a8_matmul_row)
+                                             tp_w4a8_matmul_row,
+                                             tp_woq_matmul_column,
+                                             tp_woq_matmul_row)
 
             kind, axis, data_axis = self.tp_role
-            fn = (tp_w4a8_matmul_column if kind == "column"
-                  else tp_w4a8_matmul_row)
+            if self.zeros is not None:
+                # asym weights keep their zero points on the dequant
+                # kernels (the integer-MXU TP kernels are symmetric-only)
+                fn = (tp_woq_matmul_column if kind == "column"
+                      else tp_woq_matmul_row)
+            else:
+                fn = (tp_w4a8_matmul_column if kind == "column"
+                      else tp_w4a8_matmul_row)
             y = fn(x, self.packed_weight(), self.tp_mesh, axis=axis,
                    data_axis=data_axis)
             if self.bias is not None:

@@ -728,9 +728,11 @@ class LlamaDecoderLayer(nnx.Module):
             if getattr(m, "pre_scale", None) is not None or \
                     getattr(m, "tp_role", None) is not None:
                 return None
+        fold_norms = getattr(self, "fused_fold_norms", True)
         qkv = fused_matvec(
-            x, qkv_m.packed_weight(),
-            rms_w=self.input_layernorm.weight[...],
+            x if fold_norms else self.input_layernorm(x),
+            qkv_m.packed_weight(),
+            rms_w=(self.input_layernorm.weight[...] if fold_norms else None),
             eps=self.input_layernorm.eps,
             bias=None if qkv_m.bias is None else qkv_m.bias[...],
             out_dtype=x.dtype)
@@ -750,8 +752,10 @@ class LlamaDecoderLayer(nnx.Module):
         if x1 is None:
             return None
         h = fused_matvec(
-            x1, gu_m.packed_weight(),
-            rms_w=self.post_attention_layernorm.weight[...],
+            x1 if fold_norms else self.post_attention_layernorm(x1),
+            gu_m.packed_weight(),
+            rms_w=(self.post_attention_layernorm.weight[...]
+                   if fold_norms else None),
             eps=self.post_attention_layernorm.eps,
             silu_gate=True, out_dtype=x.dtype)
         if h is None:

@@ -78,27 +78,22 @@ def enable_tp_serving(model: nnx.Module, mesh: Mesh, axis: str = "model",
     n = 0
     for path, mod in named_modules(model):
         # WOQLinear runs the fused dequant kernels per shard; W4A8Linear
-        # runs the int8-MXU kernel per shard (tpu_strided only — the
-        # s4_rowpack int4 view cannot be hoisted through a per-step
-        # shard_map, so keep TP modules on tpu_strided: call
-        # enable_tp_serving BEFORE to_w4a8_serving, which then skips the
-        # s4 conversion for TP-tagged modules)
+        # runs the int8-MXU kernels per shard — "tpu_strided" (shift-
+        # plane) or "u4_kpack" (in-kernel bitcast: the SAME kernel class
+        # as single-chip serving, since no XLA int4 view needs hoisting
+        # through the shard_map). Only "s4_rowpack" cannot TP — its
+        # zero-copy view must be hoisted per program.
         if type(mod) is W4A8Linear:
-            if (mod.layout != "tpu_strided" or mod.perm is not None
-                    or mod.zeros is not None):
-                # the per-shard int8-MXU kernels are symmetric
-                # tpu_strided only (tp_matmul.py asserts) — warn-and-skip
-                # instead of crashing at first forward
+            if mod.layout == "s4_rowpack":
                 logger.warning(
-                    "enable_tp_serving: skipping %s (layout=%s, perm=%s, "
-                    "asym=%s) — convert with to_w4a8_serving(s4=False) or "
-                    "call enable_tp_serving before to_w4a8_serving",
-                    path, mod.layout, mod.perm is not None,
-                    mod.zeros is not None)
+                    "enable_tp_serving: skipping %s (s4_rowpack cannot "
+                    "cross a shard_map) — convert with "
+                    "to_w4a8_serving(s4='u4k')", path)
                 continue
+            # asym W4A8 routes to the zero-point-aware dequant TP kernels
+            # inside W4A8Linear.__call__; perm (GAR/act-order) is applied
+            # to the activation by the TP wrappers
         elif type(mod) is not WOQLinear:
-            continue
-        elif mod.perm is not None:
             continue
         leaf = path.rsplit(".", 1)[-1]
         K, N = mod.in_features, mod.out_features

@@ -114,14 +114,27 @@ def to_w4a8_serving(model, s4: bool | str = "auto") -> int:
     elif s4 is True:
         s4 = "s4"
 
-    def _maybe_s4(pw):
+    def _maybe_s4(pw, tp_role=None, tp_mesh=None):
         if (s4 and pw.layout == "tpu_strided" and pw.bits == 4
                 and pw.dtype == "int" and pw.zeros is None):
             if s4 == "u4k":
-                if pw.orig_shape[0] % 8 == 0 and pw.orig_shape[1] % 128 == 0:
+                K, N = pw.orig_shape
+                ok = K % 8 == 0 and N % 128 == 0
+                if ok and tp_role is not None:
+                    # per-shard tiles must stay aligned: u4_kpack shards
+                    # under shard_map (unlike s4_rowpack), check the
+                    # sharded dim keeps 8-row words / 128-lane tiles whole
+                    kind, axis, _da = tp_role
+                    tp = tp_mesh.shape[axis]
+                    if kind == "column":
+                        ok = N % tp == 0 and (N // tp) % 128 == 0
+                    else:
+                        ok = (K % tp == 0 and (K // tp) % 8 == 0
+                              and (K // 8) % tp == 0)
+                if ok:
                     return to_u4_kpack(pw), 1
                 return pw, 0
-            if pw.orig_shape[1] % 256 == 0:
+            if tp_role is None and pw.orig_shape[1] % 256 == 0:
                 return to_s4_rowpack(pw), 1
         return pw, 0
 
@@ -141,11 +154,8 @@ def to_w4a8_serving(model, s4: bool | str = "auto") -> int:
             if not _w4a8_eligible(pw):
                 n_skip += 1
                 continue
-            if mod.tp_role is None:
-                pw, up = _maybe_s4(pw)
-                n_s4 += up
-            # TP-tagged modules stay tpu_strided: the per-shard int8-MXU
-            # kernel (kernels/tp_matmul.py) cannot hoist the s4 view
+            pw, up = _maybe_s4(pw, mod.tp_role, mod.tp_mesh)
+            n_s4 += up
             w4a8 = W4A8Linear(
                 pw,
                 bias=None if mod.bias is None else mod.bias[...],
@@ -156,11 +166,11 @@ def to_w4a8_serving(model, s4: bool | str = "auto") -> int:
             w4a8.tp_mesh = mod.tp_mesh
             replace_module(model, path, w4a8)
             n += 1
-        elif (type(mod) is W4A8Linear and mod.layout == "tpu_strided"
-                and mod.tp_role is None):
+        elif type(mod) is W4A8Linear and mod.layout == "tpu_strided":
             # e.g. hybrid_gptq already produced W4A8 modules — upgrade the
             # storage layout in place
-            pw, up = _maybe_s4(mod.packed_weight())
+            pw, up = _maybe_s4(mod.packed_weight(), mod.tp_role,
+                               mod.tp_mesh)
             if up:
                 mod.packed = type(mod.packed)(pw.packed)
                 mod.layout = pw.layout
@@ -174,7 +184,7 @@ def to_w4a8_serving(model, s4: bool | str = "auto") -> int:
     return n
 
 
-def enable_fused_decode(model) -> int:
+def enable_fused_decode(model, fold_norms: bool = True) -> int:
     """Flag llama decoder layers (and the lm_head) for the fused B=1
     decode path (models/llama.LlamaDecoderLayer._fused_call): one pallas
     call per projection subsuming RMSNorm, act quant, silu and residual
@@ -205,6 +215,7 @@ def enable_fused_decode(model) -> int:
                 and type(layer.post_attention_layernorm).__name__
                 == "RMSNorm"):
             layer.fused_decode = True
+            layer.fused_fold_norms = fold_norms
             n += 1
     head = getattr(model, "lm_head", None)
     if (n and head is not None and _ok(head)
