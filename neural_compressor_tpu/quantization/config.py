@@ -78,12 +78,30 @@ class _WOQBase(BaseConfig):
 
     @property
     def weight_bits(self) -> int:
-        d = self.dtype
-        if d.startswith("int") and len(d) > 3:
-            return int(d[3:])
+        """Reconcile the ``dtype``/``bits`` duality. Width-encoding dtypes
+        ("int8", "nf4", ...) and the ``bits`` field can disagree; the old
+        behavior let the DEFAULT dtype="int4" silently override an explicit
+        ``bits=8`` (the model quantized at 4 bits with no warning). Rule:
+        whichever field was moved off its class default (dtype "int4" /
+        bits 4) wins; two conflicting non-default values raise."""
+        d, b = self.dtype, self.bits
+        if not isinstance(d, str):
+            return b  # unexpanded tuning list — expand() resolves it
         if d in ("nf4", "fp4", "fp4_e2m1"):
+            if isinstance(b, int) and b != 4:
+                raise ValueError(f"dtype={d!r} is 4-bit but bits={b}")
             return 4
-        return self.bits
+        if d.startswith("int") and len(d) > 3:
+            w = int(d[3:])
+            if isinstance(b, int) and b != w:
+                if d == "int4":
+                    return b  # bits set explicitly; dtype is the default
+                if b == 4:
+                    return w  # dtype set explicitly; bits is the default
+                raise ValueError(
+                    f"conflicting dtype={d!r} ({w}-bit) and bits={b}")
+            return w
+        return b
 
     @property
     def scheme(self) -> str:

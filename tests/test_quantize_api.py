@@ -91,6 +91,23 @@ class TestRTN:
         assert get_module(qm, "fc1").bits == 4
         assert get_module(qm, "fc2").bits == 8
 
+    def test_explicit_bits_wins_over_default_dtype(self, model, x):
+        """RTNConfig(bits=8) used to quantize at 4 bits: the default
+        dtype="int4" silently overrode the explicit bits (weight_bits
+        preferred the dtype width). Whichever field moved off its default
+        wins; two conflicting non-default values raise."""
+        y_ref = model(x)
+        qm = nq.quantize(model, nq.RTNConfig(bits=8, group_size=32))
+        assert get_module(qm, "fc1").bits == 8
+        y_q = qm(x)
+        rel = float(jnp.linalg.norm(y_ref - y_q) / jnp.linalg.norm(y_ref))
+        assert rel < 0.03  # int8-level, not int4-level
+        with pytest.raises(ValueError):
+            _ = nq.RTNConfig(dtype="int8", bits=3).weight_bits
+        with pytest.raises(ValueError):
+            _ = nq.RTNConfig(dtype="nf4", bits=8).weight_bits
+        assert nq.RTNConfig(dtype="int2").weight_bits == 2
+
     def test_mse_search(self, model, x):
         qm = nq.quantize(
             model, nq.RTNConfig(dtype="int4", group_size=32, use_mse_search=True))
