@@ -49,26 +49,55 @@ def rtn_entry(model, configs_mapping, mode="quantize", run_fn=None,
               run_args=None, example_inputs=None, config=None):
     if mode == "prepare":
         return model  # RTN needs no calibration
+    from ..layers.module_utils import module_type_name
+    from ..layers.qconv import (WOQConv, WOQLinearGeneral, conv_spec_of,
+                                flatten_conv_kernel, linear_general_qmatrix)
+
     n_done = 0
     for (name, op_type), cfg in configs_mapping.items():
         if cfg.dtype in _FLOAT_SKIP:
             continue
         mod = get_module(model, name)
+        t = module_type_name(mod)
+        # non-Linear quantizable ops (reference Conv2d static/Keras conv
+        # layers, JAX-frontend Conv2D/MHA — layers_static.py:681-770):
+        # flatten to the [K, N] quant view, pack, swap the conv/general
+        # module (layers/qconv.py)
+        if t == "Conv":
+            spec = conv_spec_of(mod)
+            kernel = flatten_conv_kernel(mod.kernel[...])
+            bias = None if mod.bias is None else mod.bias[...]
+            pw = _rtn_pack(kernel, cfg)
+            replace_module(model, name, WOQConv(pw, spec, bias=bias))
+            n_done += 1
+            continue
+        if t == "LinearGeneral":
+            kernel, bias, out_shape, n_in = linear_general_qmatrix(mod)
+            pw = _rtn_pack(kernel, cfg)
+            replace_module(model, name,
+                           WOQLinearGeneral(pw, out_shape, n_in, bias=bias))
+            n_done += 1
+            continue
         lin = extract_linear(mod)
         if lin is None:
             continue
         kernel, bias = lin
-        qt = rtn_quantize_kernel(kernel, cfg)
-        pw = pack_qtensor(qt)
-        if getattr(cfg, "use_double_quant", False):
-            # REAL double quant: int8 scale codes in storage (reference
-            # weight_only/utility.py:273-436), dequantized at kernel entry
-            pw = apply_double_quant(
-                pw, bits=cfg.double_quant_bits,
-                group_size=cfg.double_quant_group_size,
-                sym=cfg.double_quant_use_sym)
+        pw = _rtn_pack(kernel, cfg)
         replace_module(model, name, WOQLinear(pw, bias=bias))
         n_done += 1
-    logger.info("RTN quantized %d Linear ops", n_done)
+    logger.info("RTN quantized %d ops", n_done)
     dump_op_stats(model)
     return model
+
+
+def _rtn_pack(kernel, cfg):
+    qt = rtn_quantize_kernel(kernel, cfg)
+    pw = pack_qtensor(qt)
+    if getattr(cfg, "use_double_quant", False):
+        # REAL double quant: int8 scale codes in storage (reference
+        # weight_only/utility.py:273-436), dequantized at kernel entry
+        pw = apply_double_quant(
+            pw, bits=cfg.double_quant_bits,
+            group_size=cfg.double_quant_group_size,
+            sym=cfg.double_quant_use_sym)
+    return pw

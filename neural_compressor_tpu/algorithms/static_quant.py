@@ -55,9 +55,29 @@ def _act_scale_from(obs, cfg):
 @register_algo("static_quant")
 def static_quant_entry(model, configs_mapping, mode="quantize", run_fn=None,
                        run_args=None, example_inputs=None, config=None):
+    from ..layers.module_utils import module_type_name
+    from ..layers.qconv import StaticQuantConv, conv_spec_of, \
+        flatten_conv_kernel
+
     if mode in ("prepare", "quantize"):
         for (name, _t), cfg in configs_mapping.items():
             mod = get_module(model, name)
+            if module_type_name(mod) == "Conv":
+                # conv act scales are per-tensor (per-channel scales
+                # cannot fold into kh·kw·cin weight rows)
+                if getattr(cfg, "act_granularity",
+                           "per_tensor") == "per_channel":
+                    raise ValueError(
+                        f"static quant of Conv {name!r}: per_channel "
+                        "activation granularity is not supported — use "
+                        "per_tensor")
+                if not getattr(cfg, "act_sym", True):
+                    raise ValueError(
+                        f"static quant of Conv {name!r}: asymmetric "
+                        "activations are not supported — set act_sym=True")
+                obs = _make_observer(cfg, mod.in_features)
+                replace_module(model, name, ObservedLinear(mod, obs))
+                continue
             lin = extract_linear(mod)
             if lin is None:
                 continue
@@ -75,12 +95,22 @@ def static_quant_entry(model, configs_mapping, mode="quantize", run_fn=None,
             continue  # inner path of an already-converted wrapper
         if not isinstance(wrapped, ObservedLinear):
             continue
-        kernel, bias = extract_linear(wrapped.inner)
         act_scale, act_zp = _act_scale_from(wrapped.act_observer, cfg)
+        if module_type_name(wrapped.inner) == "Conv":
+            conv = wrapped.inner
+            assert act_zp is None, \
+                "StaticQuantConv activation scales are symmetric-only"
+            replace_module(model, name, StaticQuantConv(
+                flatten_conv_kernel(conv.kernel[...]), act_scale,
+                conv_spec_of(conv),
+                bias=None if conv.bias is None else conv.bias[...]))
+            n += 1
+            continue
+        kernel, bias = extract_linear(wrapped.inner)
         replace_module(model, name,
                        StaticQuantLinear(kernel, act_scale, bias=bias,
                                          act_zero_point=act_zp))
         n += 1
-    logger.info("Static-quantized %d Linear ops (W8A8)", n)
+    logger.info("Static-quantized %d ops (W8A8)", n)
     dump_op_stats(model)
     return model

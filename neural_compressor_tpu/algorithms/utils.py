@@ -38,7 +38,7 @@ def _mod_dtype(mod) -> str:
         return f"int{mod.bits}" if d == "int" else d
     if t == "FP8Linear":
         return mod.dtype_name
-    if t in ("DynamicQuantLinear", "StaticQuantLinear"):
+    if t in ("DynamicQuantLinear", "StaticQuantLinear", "StaticQuantConv"):
         return "int8 (W8A8)"
     if t == "MXLinear":
         return getattr(mod, "act_dtype", "mx")

@@ -13,6 +13,7 @@ from .bloom import BloomConfig, BloomForCausalLM, BLOOM_PRESETS
 from .falcon import FalconConfig, FalconForCausalLM, FALCON_PRESETS
 from .gptneox import GPTNeoXConfig, GPTNeoXForCausalLM, GPTNEOX_PRESETS
 from .phi import PhiConfig, PhiForCausalLM, PHI_PRESETS
+from .vit import ViTConfig, ViTForImageClassification, VIT_PRESETS
 from .sharding import make_mesh, shard_model, llama_partition_rules
 
 __all__ = [
@@ -25,5 +26,6 @@ __all__ = [
     "FalconConfig", "FalconForCausalLM", "FALCON_PRESETS",
     "GPTNeoXConfig", "GPTNeoXForCausalLM", "GPTNEOX_PRESETS",
     "PhiConfig", "PhiForCausalLM", "PHI_PRESETS",
+    "ViTConfig", "ViTForImageClassification", "VIT_PRESETS",
     "make_mesh", "shard_model", "llama_partition_rules",
 ]

@@ -24,6 +24,13 @@ LINEAR_TYPES = ("Linear", "WOQLinear", "QDQLinear", "Einsum", "LoRALinear",
                 # Keras-3 frontend layer types (keras_api/quantize.py)
                 "Dense", "EinsumDense")
 
+# Non-Linear quantizable ops (reference Conv2d static quant, Keras conv
+# layers, JAX-frontend Conv2D/EinsumDense/MHA — layers_static.py:681-770).
+# Only algorithms whose entries actually convert them (RTN, static int8 —
+# layers/qconv.py) include these; others stay LINEAR_TYPES so a mapped op
+# is never silently skipped.
+CONV_TYPES = ("Conv", "LinearGeneral")
+
 
 def _lm_head_filter(mapping, quant_lm_head: bool):
     if quant_lm_head:
@@ -115,6 +122,10 @@ class RTNConfig(_WOQBase):
 
     params_list = ("dtype", "bits", "use_sym", "group_size", "use_full_range",
                    "use_mse_search", "use_double_quant", "double_quant_bits")
+
+    @classmethod
+    def supported_op_types(cls):
+        return LINEAR_TYPES + CONV_TYPES
 
     @classmethod
     def get_config_set_for_tuning(cls):
@@ -302,7 +313,9 @@ class INT8StaticQuantConfig(BaseConfig):
 
     @classmethod
     def supported_op_types(cls):
-        return LINEAR_TYPES
+        # Conv joins Linear here (StaticQuantConv, layers/qconv.py);
+        # LinearGeneral static W8A8 is RTN/WOQ-only for now
+        return LINEAR_TYPES + ("Conv",)
 
 
 @register_config("dynamic_quant", priority=10)

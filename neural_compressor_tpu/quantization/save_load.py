@@ -41,7 +41,29 @@ CONFIG_NAME = "quant_config.json"
 
 _QUANT_TYPES = ("WOQLinear", "W4A8Linear", "DynamicQuantLinear",
                 "StaticQuantLinear", "FP8Linear", "HalfPrecisionLinear",
-                "MXLinear")
+                "MXLinear", "WOQConv", "StaticQuantConv", "WOQLinearGeneral")
+
+
+def _conv_spec_json(spec) -> dict:
+    d = spec._asdict()
+    if not isinstance(d["padding"], str):
+        d["padding"] = [list(p) for p in d["padding"]]
+    return {k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in d.items()}
+
+
+def _conv_spec_from_json(d) -> "object":
+    from ..layers.qconv import ConvSpec
+
+    pad = d["padding"]
+    if not isinstance(pad, str):
+        pad = tuple(tuple(p) for p in pad)
+    return ConvSpec(
+        kernel_shape=tuple(d["kernel_shape"]),
+        strides=tuple(d["strides"]), padding=pad,
+        input_dilation=tuple(d["input_dilation"]),
+        kernel_dilation=tuple(d["kernel_dilation"]),
+        feature_group_count=int(d["feature_group_count"]))
 
 
 def _store(tensors: dict, path: str, name: str, arr) -> None:
@@ -75,6 +97,11 @@ def _module_meta(mod) -> dict:
                 meta[attr] = v
     if t == "HalfPrecisionLinear":
         meta["dtype"] = jnp.dtype(mod.dtype).name
+    if t in ("WOQConv", "StaticQuantConv"):
+        meta["conv_spec"] = _conv_spec_json(mod.conv_spec)
+    if t == "WOQLinearGeneral":
+        meta["out_shape"] = list(mod.out_shape)
+        meta["n_in_dims"] = mod.n_in_dims
     return meta
 
 
@@ -129,7 +156,8 @@ def _restore_array(key: str, arr: np.ndarray):
 def _rebuild(meta: dict, tensors: dict):
     t = meta["type"]
     bias = tensors.get("bias")
-    if t in ("WOQLinear", "W4A8Linear"):
+    if t in ("WOQLinear", "W4A8Linear", "WOQConv", "WOQLinearGeneral"):
+        from ..layers.qconv import WOQConv, WOQLinearGeneral
         from ..layers.woq_linear import W4A8Linear
 
         pw = PackedWeight(
@@ -140,9 +168,27 @@ def _rebuild(meta: dict, tensors: dict):
             layout=meta["layout"], perm=tensors.get("perm"),
             sq_scales=tensors.get("sq_scales"),
             sq_zeros=tensors.get("sq_zeros"))
+        if t == "WOQConv":
+            return WOQConv(pw, _conv_spec_from_json(meta["conv_spec"]),
+                           bias=bias)
+        if t == "WOQLinearGeneral":
+            return WOQLinearGeneral(pw, tuple(meta["out_shape"]),
+                                    meta["n_in_dims"],
+                                    bias=tensors.get("bias_g"))
         cls = W4A8Linear if t == "W4A8Linear" else WOQLinear
         return cls(pw, bias=bias, impl=meta.get("impl", "auto"),
                    pre_scale=tensors.get("pre_scale"))
+    if t == "StaticQuantConv":
+        from ..layers.qconv import StaticQuantConv
+
+        spec = _conv_spec_from_json(meta["conv_spec"])
+        obj = StaticQuantConv(
+            jnp.zeros((int(np.prod(spec.kernel_shape[:-1])),
+                       spec.kernel_shape[-1]), jnp.float32),
+            tensors["act_scale"], spec, bias=bias)
+        obj.w_int8[...] = tensors["w_int8"]
+        obj.w_scale[...] = tensors["w_scale"]
+        return obj
     K, N = meta["in_features"], meta["out_features"]
     zeros_k = jnp.zeros((K, N), jnp.float32)
     if t == "DynamicQuantLinear":
