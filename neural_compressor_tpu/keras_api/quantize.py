@@ -35,8 +35,10 @@ def _dense_layers(model):
     import keras
 
     out = []
+    types = (keras.layers.Dense, keras.layers.EinsumDense,
+             keras.layers.Conv2D, keras.layers.DepthwiseConv2D)
     for layer in model._flatten_layers(include_self=False):
-        if isinstance(layer, (keras.layers.Dense, keras.layers.EinsumDense)):
+        if isinstance(layer, types):
             out.append(layer)
     return out
 
@@ -180,35 +182,80 @@ def quantize_model(model, quant_config: BaseConfig,
             for layer in wrapped:
                 layer.call = originals[id(layer)]
 
-        # convert: per-channel int8 weights + per-tensor act scale closure
+        # convert: QDQ each layer's kernel in place (per-out-channel for
+        # Dense/Conv2D; per-tensor for EinsumDense/DepthwiseConv2D — their
+        # kernel layouts have no single output axis to scale along), then
+        # rebuild the graph with the SAVE-ABLE ``QDQActWrapper`` in front
+        # of each converted layer (reference saves its quantized wrappers,
+        # jax/quantization/saving.py:134-457)
+        from .qlayers import register
+
+        QDQActWrapper = register()
+        act_scale_of: dict[int, float] = {}
         n = 0
         for layer in wrapped:
-            if id(layer) not in stats or not isinstance(
-                    layer, keras.layers.Dense):
+            if id(layer) not in stats:
+                logger.warning(
+                    "Keras static quant: %s (%s) was mapped but never "
+                    "called during calibration — left unquantized",
+                    layer.name, type(layer).__name__)
+                continue
+            kernel = getattr(layer, "kernel", None)
+            if kernel is None:
+                logger.warning(
+                    "Keras static quant: %s (%s) has no `kernel` — left "
+                    "unquantized", layer.name, type(layer).__name__)
                 continue
             cfg = layer_cfgs[id(layer)]
-            w = np.asarray(layer.kernel)
-            w_scale = np.maximum(np.abs(w).max(axis=0) / 127.0, 1e-12)
+            w = np.asarray(kernel)
+            if isinstance(layer, (keras.layers.Dense, keras.layers.Conv2D)) \
+                    and not isinstance(layer, keras.layers.DepthwiseConv2D):
+                axes = tuple(range(w.ndim - 1))  # per-out-channel
+            else:
+                axes = tuple(range(w.ndim))  # per-tensor
+            w_scale = np.maximum(np.abs(w).max(axis=axes, keepdims=True)
+                                 / 127.0, 1e-12)
             w_int = np.clip(np.round(w / w_scale), -128, 127)
-            layer.kernel.assign((w_int * w_scale).astype(w.dtype))
+            kernel.assign((w_int * w_scale).astype(w.dtype))
             amax = stats[id(layer)].clip_amax(
                 getattr(cfg, "act_algo", "minmax"),
                 getattr(cfg, "percentile", 99.99))
-            a_scale = max(amax / 127.0, 1e-12)
-            _orig = originals[id(layer)]
-
-            def call_int8(x, _l=layer, _s=a_scale, _o=_orig):
-                import jax.numpy as jnp
-
-                xq = jnp.clip(jnp.round(x / _s), -128, 127) * _s
-                return _o(xq)
-
-            layer.call = call_int8
+            act_scale_of[id(layer)] = max(amax / 127.0, 1e-12)
             n += 1
-        logger.info("Keras: static-int8 converted %d Dense layers (%s act "
+
+        def clone_fn(layer):
+            s = act_scale_of.get(id(layer))
+            if s is None:
+                return layer  # reuse the instance — weights carry over
+            return QDQActWrapper(layer, s, name=f"{layer.name}_qdq")
+
+        try:
+            qmodel = keras.models.clone_model(model, clone_function=clone_fn)
+        except (ValueError, TypeError) as e:
+            # subclassed models can't be graph-rebuilt: serve via call
+            # closures (NOT save-able — keras.save drops the act QDQ)
+            logger.warning(
+                "Keras static quant: cannot rebuild the model graph with "
+                "save-able QDQ wrappers (%s); falling back to in-place "
+                "call closures — keras.save will NOT retain the "
+                "activation QDQ on this model", e)
+            for layer in wrapped:
+                s = act_scale_of.get(id(layer))
+                if s is None:
+                    continue
+
+                def call_int8(x, _s=s, _o=originals[id(layer)]):
+                    import jax.numpy as jnp
+
+                    xq = jnp.clip(jnp.round(x / _s), -128, 127) * _s
+                    return _o(xq)
+
+                layer.call = call_int8
+            qmodel = model
+        logger.info("Keras: static-int8 converted %d layers (%s act "
                     "calibration)", n,
                     getattr(quant_config, "act_algo", "minmax"))
-        return model
+        return qmodel
 
     raise TypeError(f"unsupported config for the Keras adapter: "
                     f"{type(quant_config).__name__}")

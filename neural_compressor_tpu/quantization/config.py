@@ -29,7 +29,9 @@ LINEAR_TYPES = ("Linear", "WOQLinear", "QDQLinear", "Einsum", "LoRALinear",
 # Only algorithms whose entries actually convert them (RTN, static int8 —
 # layers/qconv.py) include these; others stay LINEAR_TYPES so a mapped op
 # is never silently skipped.
-CONV_TYPES = ("Conv", "LinearGeneral")
+CONV_TYPES = ("Conv", "LinearGeneral",
+              # Keras-3 frontend conv layer types (keras_api/quantize.py)
+              "Conv2D", "DepthwiseConv2D")
 
 
 def _lm_head_filter(mapping, quant_lm_head: bool):
@@ -313,9 +315,10 @@ class INT8StaticQuantConfig(BaseConfig):
 
     @classmethod
     def supported_op_types(cls):
-        # Conv joins Linear here (StaticQuantConv, layers/qconv.py);
-        # LinearGeneral static W8A8 is RTN/WOQ-only for now
-        return LINEAR_TYPES + ("Conv",)
+        # Conv joins Linear here (StaticQuantConv, layers/qconv.py; Keras
+        # QDQActWrapper, keras_api/qlayers.py); LinearGeneral static W8A8
+        # is RTN/WOQ-only for now
+        return LINEAR_TYPES + ("Conv", "Conv2D", "DepthwiseConv2D")
 
 
 @register_config("dynamic_quant", priority=10)
