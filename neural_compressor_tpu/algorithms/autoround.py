@@ -124,6 +124,7 @@ def autoround_entry(model, configs_mapping, mode="quantize", run_fn=None,
 def _convert(model, block_paths, captured, configs_mapping):
     cfg_by_name = {name: c for (name, _t), c in configs_mapping.items()}
     n_done = 0
+    handled: set[str] = set()
     inputs = captured
 
     for bi, bpath in enumerate(block_paths):
@@ -138,6 +139,7 @@ def _convert(model, block_paths, captured, configs_mapping):
             if extract_linear(sub) is None:
                 continue
             targets[sub_path] = cfg
+            handled.add(f"{bpath}.{sub_path}")
         if targets:
             for sub_path in targets:
                 sub = get_module(block, sub_path)
@@ -183,6 +185,35 @@ def _convert(model, block_paths, captured, configs_mapping):
             inputs = [(_as_next_input(block(*args, **kwargs), args), kwargs)
                       for args, kwargs in inputs]
 
-    logger.info("AutoRound quantized %d Linear ops", n_done)
+    # mapped ops OUTSIDE the decoder block list (lm_head with
+    # quant_lm_head=True; vision tower / projector with
+    # quant_nontext_module=True): the block-wise signed-grad optimization
+    # has no input sample for them — quantize with RTN rounding instead of
+    # silently skipping, and say so
+    n_rtn = 0
+    for name, cfg in cfg_by_name.items():
+        if name in handled or cfg.dtype in _FLOAT_SKIP:
+            continue
+        try:
+            mod = get_module(model, name)
+        except (AttributeError, KeyError, IndexError):
+            continue
+        lin = extract_linear(mod)
+        if lin is None:
+            continue
+        from .rtn import rtn_quantize_kernel
+
+        kernel, bias = lin
+        qt = rtn_quantize_kernel(kernel, cfg)
+        replace_module(model, name, WOQLinear.from_qtensor(qt, bias=bias))
+        n_rtn += 1
+    if n_rtn:
+        logger.warning(
+            "AutoRound: %d mapped op(s) live outside the decoder block "
+            "list (lm_head / non-text modules) — quantized with RTN "
+            "rounding (no block input sample for the signed-grad "
+            "optimization)", n_rtn)
+    logger.info("AutoRound quantized %d Linear ops (+%d RTN outside "
+                "blocks)", n_done, n_rtn)
     dump_op_stats(model)
     return model

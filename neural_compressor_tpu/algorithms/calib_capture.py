@@ -47,7 +47,19 @@ def find_target_blocks(model: nnx.Module) -> tuple[str, list[str]] | None:
     Returns ``(list_path, [block_paths...])`` for the longest nnx.List whose
     entries share a type and contain at least one Linear-like module, or
     None if the model has no block structure.
+
+    Multimodal models: the TEXT decoder stack is the target, not the
+    vision tower (reference MLLM handling quantizes the language model,
+    torch/quantization/config.py:887-1008) — a ``language_model``
+    submodule is searched first and its block paths returned prefixed.
     """
+    lm = getattr(model, "language_model", None)
+    if lm is not None:
+        res = find_target_blocks(lm)
+        if res is not None:
+            lpath, bpaths = res
+            return (f"language_model.{lpath}",
+                    [f"language_model.{p}" for p in bpaths])
     candidates = []
     for path, mod in named_modules(model):
         if not isinstance(mod, nnx.List) or len(mod) < 2:

@@ -14,6 +14,8 @@ from .falcon import FalconConfig, FalconForCausalLM, FALCON_PRESETS
 from .gptneox import GPTNeoXConfig, GPTNeoXForCausalLM, GPTNEOX_PRESETS
 from .phi import PhiConfig, PhiForCausalLM, PHI_PRESETS
 from .vit import ViTConfig, ViTForImageClassification, VIT_PRESETS
+from .llava import (LlavaConfig, LlavaForConditionalGeneration,
+                    LLAVA_PRESETS)
 from .sharding import make_mesh, shard_model, llama_partition_rules
 
 __all__ = [
@@ -27,5 +29,6 @@ __all__ = [
     "GPTNeoXConfig", "GPTNeoXForCausalLM", "GPTNEOX_PRESETS",
     "PhiConfig", "PhiForCausalLM", "PHI_PRESETS",
     "ViTConfig", "ViTForImageClassification", "VIT_PRESETS",
+    "LlavaConfig", "LlavaForConditionalGeneration", "LLAVA_PRESETS",
     "make_mesh", "shard_model", "llama_partition_rules",
 ]

@@ -777,12 +777,19 @@ class LlamaModel(nnx.Module):
             [LlamaDecoderLayer(cfg, rngs) for _ in range(cfg.num_hidden_layers)])
         self.norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.dtype)
 
-    def __call__(self, input_ids, positions=None, caches=None, cache_pos=None):
+    def __call__(self, input_ids, positions=None, caches=None, cache_pos=None,
+                 inputs_embeds=None):
         cfg = self.cfg
-        B, S = input_ids.shape
+        if inputs_embeds is not None:
+            # multimodal callers (models/llava.py) splice non-text
+            # embeddings in before the decoder stack (HF inputs_embeds)
+            B, S = inputs_embeds.shape[:2]
+        else:
+            B, S = input_ids.shape
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
-        x = self.embed_tokens(input_ids)
+        x = (inputs_embeds if inputs_embeds is not None
+             else self.embed_tokens(input_ids))
         cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta,
                          cfg.partial_rotary_factor, cfg.rope_scaling,
                          cfg.max_position_embeddings)

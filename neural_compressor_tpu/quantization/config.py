@@ -219,10 +219,18 @@ class AutoRoundConfig(_WOQBase):
 
     params_list = ("dtype", "bits", "use_sym", "group_size", "iters", "lr")
 
+    # module-path fragments identifying non-text (vision/audio) modules in
+    # multimodal models — the declarative analog of the reference's
+    # per-model MLLM templates (auto_round mllm/template)
+    NONTEXT_PATTERNS = ("vision_tower", "vision_model", "visual",
+                        "multi_modal_projector", "image_newline",
+                        "audio_tower", "patch_embed")
+
     def __init__(self, dtype="int4", bits=4, use_sym=True, group_size=128,
                  iters=200, lr=None, minmax_lr=None, batch_size=8,
                  seqlen=2048, nsamples=128, enable_minmax_tuning=True,
-                 quant_lm_head=False, white_list=DEFAULT_WHITE_LIST, **kw):
+                 quant_lm_head=False, quant_nontext_module=False,
+                 white_list=DEFAULT_WHITE_LIST, **kw):
         super().__init__(dtype=dtype, bits=bits, use_sym=use_sym,
                          group_size=group_size, quant_lm_head=quant_lm_head,
                          white_list=white_list, **kw)
@@ -233,6 +241,16 @@ class AutoRoundConfig(_WOQBase):
         self.seqlen = seqlen
         self.nsamples = nsamples
         self.enable_minmax_tuning = enable_minmax_tuning
+        # MLLM: quantize non-text modules too (reference
+        # quant_nontext_module, torch/quantization/config.py:887-1008)
+        self.quant_nontext_module = quant_nontext_module
+
+    def to_config_mapping(self, model_info):
+        mapping = super().to_config_mapping(model_info)
+        if self.quant_nontext_module:
+            return mapping
+        return {(n, t): c for (n, t), c in mapping.items()
+                if not any(p in n for p in self.NONTEXT_PATTERNS)}
 
 
 @register_config("hqq", priority=30)
