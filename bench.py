@@ -59,7 +59,12 @@ def build_decode_fn(model, batch: int):
     return state, decode
 
 
-def measure_decode(model, batch=1, max_len=256, steps=64, label=""):
+def measure_decode(model, batch=1, max_len=256, steps=64, label="",
+                   repeats=3):
+    """Median of ``repeats`` timed runs — the per-run spread is printed so
+    a regression is distinguishable from tunnel/measurement noise
+    (round-2 VERDICT Weak #9: the headline drifted ~1.3% between runs
+    with no variance record)."""
     cfg = model.cfg
     state, decode = build_decode_fn(model, batch)
     tok = jnp.zeros((batch, 1), dtype=jnp.int32)
@@ -68,14 +73,19 @@ def measure_decode(model, batch=1, max_len=256, steps=64, label=""):
     _, _, acc = decode(state, caches, tok, 0, 4)  # compile + warm
     _ = np.asarray(acc)
     compile_s = time.time() - t0
-    caches = init_kv_cache(cfg, batch, max_len)
-    t0 = time.time()
-    _, _, acc = decode(state, caches, tok, 0, steps)
-    _ = np.asarray(acc)
-    dt = time.time() - t0
-    tok_s = batch * steps / dt
-    print(f"  [{label}] compile {compile_s:.1f}s, {steps} steps in "
-          f"{dt*1e3:.1f}ms -> {tok_s:.1f} tok/s", file=sys.stderr)
+    runs = []
+    for _ in range(max(repeats, 1)):
+        caches = init_kv_cache(cfg, batch, max_len)
+        t0 = time.time()
+        _, _, acc = decode(state, caches, tok, 0, steps)
+        _ = np.asarray(acc)
+        runs.append(batch * steps / (time.time() - t0))
+    tok_s = float(np.median(runs))
+    spread = (max(runs) - min(runs)) / tok_s * 100
+    print(f"  [{label}] compile {compile_s:.1f}s, {steps} steps x"
+          f"{len(runs)} -> median {tok_s:.1f} tok/s "
+          f"(spread {spread:.1f}%: {[round(r, 1) for r in runs]})",
+          file=sys.stderr)
     return tok_s
 
 
