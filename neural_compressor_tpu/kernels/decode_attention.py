@@ -253,8 +253,12 @@ def _kernel_ro(pos_ref, q_ref, kn_ref, vn_ref, kc_in, vc_in, o_ref,
     o_ref[:] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _decode_attn_ro_impl(pos, q, k_new, v_new, k_cache, v_cache, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret", "pin"))
+def _decode_attn_ro_impl(pos, q, k_new, v_new, k_cache, v_cache, interpret,
+                         pin=False):
+    if pin and not interpret:
+        k_cache = pltpu.with_memory_space_constraint(k_cache, pltpu.HBM)
+        v_cache = pltpu.with_memory_space_constraint(v_cache, pltpu.HBM)
     B, Hkv, T, D = k_cache.shape
     pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
     rep = q.shape[1] // Hkv
@@ -285,6 +289,91 @@ def _decode_attn_ro_impl(pos, q, k_new, v_new, k_cache, v_cache, interpret):
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(pos.reshape(B, 1), qr, k_new, v_new, k_cache, v_cache)
+    if rep_p != rep:
+        out = out[:, :, :rep]
+    return out.reshape(B, Hkv * rep, 1, D)
+
+
+_RO_CACHE_SPACE = "vmem"  # "vmem" | "hbm" (manual DMA) | "pin" (see below)
+
+
+def set_ro_cache_space(space: str) -> None:
+    """Where the read-only decode-attention kernel's cache operands live:
+    "vmem" lets XLA block/stage them (MSA may pre-copy each layer's cache
+    into VMEM); "hbm" pins them to HBM and the kernel issues ONE big DMA
+    per cache itself; "pin" keeps the blocked-VMEM kernel but pins the
+    operand buffers to HBM (Mosaic pipelines the blocks, MSA cannot
+    pre-stage). A/B lever for the MSA-staging cost found in the round-3
+    llama3 profile (950 us/step of latency-bound cache copies)."""
+    global _RO_CACHE_SPACE
+    assert space in ("vmem", "hbm", "pin")
+    _RO_CACHE_SPACE = space
+
+
+def _kernel_ro_hbm(pos_ref, q_ref, kn_ref, vn_ref, kc_hbm, vc_hbm, o_ref,
+                   k_s, v_s, sem, *, Hkv, T, D, rep, scale):
+    b = pl.program_id(0)
+    ck = pltpu.make_async_copy(kc_hbm.at[b], k_s, sem.at[0])
+    cv = pltpu.make_async_copy(vc_hbm.at[b], v_s, sem.at[1])
+    ck.start()
+    cv.start()
+    pos = pos_ref[b]
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (rep, T), 1)
+    ck.wait()
+    cv.wait()
+    for h in range(Hkv):
+        k = jnp.where(row == pos, kn_ref[b, h], k_s[h])
+        v = jnp.where(row == pos, vn_ref[b, h], v_s[h])
+        q = q_ref[b, h]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale
+        s = jnp.where(t_idx <= pos, s, -1e30)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[h] = o.astype(o_ref.dtype)
+
+
+@jax.jit
+def _decode_attn_ro_hbm_impl(pos, q, k_new, v_new, k_cache, v_cache):
+    """RO attention with the caches pinned to HBM: the kernel DMAs each
+    [Hkv, T, D] cache once (big transfer, full bandwidth) instead of XLA
+    staging per-(b, h) blocks through VMEM."""
+    B, Hkv, T, D = k_cache.shape
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    rep = q.shape[1] // Hkv
+    qr = q.reshape(B, Hkv, rep, D)
+    rep_p = rep if rep == 1 else -(-rep // 8) * 8
+    if rep_p != rep:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
+    kc = pltpu.with_memory_space_constraint(k_cache, pltpu.HBM)
+    vc = pltpu.with_memory_space_constraint(v_cache, pltpu.HBM)
+    kernel = functools.partial(_kernel_ro_hbm, Hkv=Hkv, T=T, D=D, rep=rep_p,
+                               scale=1.0 / (D ** 0.5))
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((None, Hkv, rep_p, D), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, rep_p, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((Hkv, T, D), k_cache.dtype),
+                        pltpu.VMEM((Hkv, T, D), v_cache.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(pos, qr, k_new, v_new, kc, vc)
     if rep_p != rep:
         out = out[:, :, :rep]
     return out.reshape(B, Hkv * rep, 1, D)
@@ -454,8 +543,15 @@ def decode_attention(q, k_new, v_new, k_cache, v_cache, pos):
     if _WRITE_MODE == "outside":
         from ..models.llama import _update_rows
 
-        out = _decode_attn_ro_impl(pos, q[:, :, 0], k_new, v_new, k_cache,
-                                   v_cache, interpret=not _on_tpu())
+        if _RO_CACHE_SPACE == "hbm" and _on_tpu():
+            out = _decode_attn_ro_hbm_impl(pos, q[:, :, 0], k_new, v_new,
+                                           k_cache, v_cache)
+        else:
+            out = _decode_attn_ro_impl(pos, q[:, :, 0], k_new, v_new,
+                                       k_cache, v_cache,
+                                       interpret=not _on_tpu(),
+                                       pin=(_RO_CACHE_SPACE == "pin"
+                                            and _on_tpu()))
         k2 = _update_rows(k_cache, k_new, pos)
         v2 = _update_rows(v_cache, v_new, pos)
         return out, k2, v2

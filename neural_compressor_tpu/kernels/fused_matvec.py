@@ -46,6 +46,18 @@ def _on_tpu() -> bool:
         return False
 
 
+_PIN_OPERANDS = False  # pin weights/scales to HBM (defeat MSA pre-staging)
+
+
+def set_pin_operands(pin: bool) -> None:
+    """A/B lever: pin the fused-matvec weight/scale operands to HBM so
+    XLA's memory-space assignment cannot pre-stage them into VMEM (the
+    round-3 llama3 profile showed 764 us/step of latency-bound f32-scale
+    copies); Mosaic's blocked pipeline streams them instead."""
+    global _PIN_OPERANDS
+    _PIN_OPERANDS = bool(pin)
+
+
 def _make_kernel(*, K, G, eps, has_rms, has_bias, has_res, silu, nn):
     ngk = K // G
 
@@ -121,9 +133,12 @@ def _make_kernel(*, K, G, eps, has_rms, has_bias, has_res, silu, nn):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "K", "N", "G", "tn", "eps", "silu", "out_dtype"))
+    "K", "N", "G", "tn", "eps", "silu", "out_dtype", "pin"))
 def _fused_impl(x, rms_w, w32, scales, bias, residual, *, K, N, G, tn, eps,
-                silu, out_dtype):
+                silu, out_dtype, pin=False):
+    if pin:
+        w32 = pltpu.with_memory_space_constraint(w32, pltpu.HBM)
+        scales = pltpu.with_memory_space_constraint(scales, pltpu.HBM)
     n_out = (N // 2) if silu else N
     nn = n_out // tn
     kernel = _make_kernel(K=K, G=G, eps=eps, has_rms=rms_w is not None,
@@ -212,7 +227,7 @@ def fused_matvec(x: jax.Array, pw: PackedWeight, *, rms_w=None,
         x.reshape(1, K), rms_w, pw.packed, pw.scales.astype(jnp.float32),
         bias, residual if residual is None else residual.reshape(1, n_out),
         K=K, N=N, G=G, tn=tn, eps=float(eps), silu=silu_gate,
-        out_dtype=jnp.dtype(out_dtype))
+        out_dtype=jnp.dtype(out_dtype), pin=_PIN_OPERANDS)
     return y.reshape(*lead, n_out)
 
 

@@ -20,10 +20,15 @@ from neural_compressor_tpu.evaluation.lm_eval import perplexity
 from neural_compressor_tpu.evaluation.train_tiny import (
     ARTIFACT_DIR, SEQ_LEN, frozen_corpus, load_tiny_lm)
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(os.path.join(ARTIFACT_DIR, "model_state.safetensors")),
-    reason="tiny_lm checkpoint not trained yet",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.exists(os.path.join(ARTIFACT_DIR,
+                                        "model_state.safetensors")),
+        reason="tiny_lm checkpoint not trained yet",
+    ),
+    # Δppl batteries over every algorithm — the slow accuracy gate
+    pytest.mark.slow,
+]
 
 
 @pytest.fixture(scope="module")

@@ -15,6 +15,7 @@ from neural_compressor_tpu.quantization.distributed_checkpoint import (
 )
 
 
+@pytest.mark.slow
 def test_save_and_cross_mesh_restore(tmp_path, eight_device_mesh):
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, 256, (2, 16)))

@@ -4,6 +4,7 @@ Reference: evaluation/bigcode_eval wrapper + lm-eval summarization tasks.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from neural_compressor_tpu.evaluation import (
@@ -18,6 +19,7 @@ def test_rouge_l_properties():
     assert 0.0 < mid < 1.0
 
 
+@pytest.mark.slow
 def test_code_pass_at_k_executes():
     tasks = [
         # one passing, one failing candidate

@@ -33,6 +33,7 @@ def test_greedy_shape_and_determinism(llama, ids):
     assert bool(jnp.all(out1 == out2))
 
 
+@pytest.mark.slow
 def test_greedy_matches_stepwise_argmax(llama, ids):
     """The jitted loop must agree with naive full-recompute greedy."""
     out = greedy_search(llama, ids, max_new_tokens=4)

@@ -42,6 +42,7 @@ def test_streaming_matches_direct(hf_dir, tmp_path):
         np.asarray(m_direct(ids), dtype=np.float32), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_streaming_gptq_matches_in_memory(hf_dir, tmp_path):
     """Calibrated streaming GPTQ (one layer in memory at a time) must
     reproduce the in-memory GPTQ result on the same calibration data
@@ -123,6 +124,7 @@ def test_streaming_all_archs(family, tmp_path):
 
 
 @pytest.mark.parametrize("family", ["opt", "mixtral", "gptneox", "glm"])
+@pytest.mark.slow
 def test_streaming_gptq_all_archs(family, tmp_path):
     """Calibrated streaming GPTQ generalizes beyond llama: per-family
     decoder blocks are built/loaded/calibrated one at a time and the
@@ -234,6 +236,7 @@ def test_streaming_phi3_fused_qkv(tmp_path):
         np.asarray(qm(ids), dtype=np.float32), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_streaming_gptq_phi3(tmp_path):
     """Calibrated streaming GPTQ over a phi-3 checkpoint (fused tensors
     split per layer while streaming)."""

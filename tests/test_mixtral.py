@@ -91,6 +91,7 @@ def test_hf_mixtral_import_exact(tmp_path):
     np.testing.assert_allclose(y_t, y_j, atol=1e-4)
 
 
+@pytest.mark.slow
 class TestStackedMoE:
     def test_stacked_matches_dense_fp(self):
         import numpy as np
@@ -142,6 +143,7 @@ class TestStackedMoE:
         np.testing.assert_allclose(y2, y1, atol=3e-2, rtol=3e-2)
 
 
+@pytest.mark.slow
 def test_mixtral_int4_kv_decode():
     """MoE decode through the packed-int4 KV cache (LlamaAttention is
     shared, so the format flows through every family)."""

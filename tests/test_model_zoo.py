@@ -10,6 +10,9 @@ llm_recipes.md families)."""
 
 import numpy as np
 import pytest
+
+# 13-family HF-parity sweep — the slow zoo gate
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp
 from flax import nnx
 

@@ -139,6 +139,7 @@ class TestGPT2Cache:
             np.asarray(full[:, -1], dtype=np.float32),
             np.asarray(lg2[:, 0], dtype=np.float32), atol=1e-2)
 
+    @pytest.mark.slow
     def test_greedy_matches_stepwise_f32(self):
         from neural_compressor_tpu.generation import greedy_search
 

@@ -67,6 +67,7 @@ def test_paged_decode_matches_contiguous():
     assert np.abs(row).max() > 0
 
 
+@pytest.mark.slow
 def test_paged_decode_int8_pool_close():
     m = LlamaForCausalLM.from_preset("llama-test")
     rng = np.random.default_rng(1)

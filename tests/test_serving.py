@@ -83,6 +83,7 @@ def test_chunked_prefill_long_prompt_matches_greedy():
             np.asarray(ref)[0, len(prompt):])
 
 
+@pytest.mark.slow
 def test_paged_engine_matches_greedy():
     """Paged mode (shared page pool + block tables) must match greedy
     token-for-token, reuse freed pages across requests, and never hand out

@@ -60,6 +60,7 @@ def test_row_parallel_asym(problem, eight_device_mesh):
     np.testing.assert_allclose(y, ref, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_enable_tp_serving_end_to_end(eight_device_mesh):
     """TP-served decode (fused per-shard kernels under shard_map) must match
     single-chip numerics — the dryrun_multichip assertion as a unit test."""
