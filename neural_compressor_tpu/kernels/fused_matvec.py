@@ -58,7 +58,8 @@ def set_pin_operands(pin: bool) -> None:
     _PIN_OPERANDS = bool(pin)
 
 
-def _make_kernel(*, K, G, eps, has_rms, has_bias, has_res, silu, nn):
+def _make_kernel(*, K, G, eps, has_rms, has_bias, has_res, silu, nn,
+                 sc_in_w=False):
     ngk = K // G
 
     def kernel(*refs):
@@ -68,11 +69,17 @@ def _make_kernel(*, K, G, eps, has_rms, has_bias, has_res, silu, nn):
         if has_rms:
             rw_ref = refs[i]; i += 1
         w_ref = refs[i]; i += 1
-        sc_ref = refs[i]; i += 1
+        if sc_in_w:
+            sc_ref = w_ref  # scales ride as u32 rows below the weight
+        else:
+            sc_ref = refs[i]; i += 1
         w2_ref = sc2_ref = None
         if silu:
             w2_ref = refs[i]; i += 1
-            sc2_ref = refs[i]; i += 1
+            if sc_in_w:
+                sc2_ref = w2_ref
+            else:
+                sc2_ref = refs[i]; i += 1
         bias_ref = None
         if has_bias:
             bias_ref = refs[i]; i += 1
@@ -103,7 +110,12 @@ def _make_kernel(*, K, G, eps, has_rms, has_bias, has_res, silu, nn):
             ssc_s[0, 0] = s * inv
 
         def grouped_dot(wref, scref):
-            w4 = pltpu.bitcast(wref[:], jnp.int4)         # [K, tn]
+            if sc_in_w:
+                w4 = pltpu.bitcast(wref[: K // 8, :], jnp.int4)  # [K, tn]
+                sc = pltpu.bitcast(wref[K // 8:, :], jnp.float32)
+            else:
+                w4 = pltpu.bitcast(wref[:], jnp.int4)     # [K, tn]
+                sc = scref[:]
             acc = None
             for g in range(ngk):
                 wg = w4[g * G:(g + 1) * G, :].astype(jnp.int8)
@@ -111,7 +123,7 @@ def _make_kernel(*, K, G, eps, has_rms, has_bias, has_res, silu, nn):
                 d = jax.lax.dot_general(
                     xg, wg, dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
-                t = d.astype(jnp.float32) * scref[g, :][None, :]
+                t = d.astype(jnp.float32) * sc[g, :][None, :]
                 acc = t if acc is None else acc + t
             return acc                                    # [8, tn] f32
 
@@ -133,33 +145,42 @@ def _make_kernel(*, K, G, eps, has_rms, has_bias, has_res, silu, nn):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "K", "N", "G", "tn", "eps", "silu", "out_dtype", "pin"))
+    "K", "N", "G", "tn", "eps", "silu", "out_dtype", "pin", "sc_in_w"))
 def _fused_impl(x, rms_w, w32, scales, bias, residual, *, K, N, G, tn, eps,
-                silu, out_dtype, pin=False):
+                silu, out_dtype, pin=False, sc_in_w=False):
     if pin:
         w32 = pltpu.with_memory_space_constraint(w32, pltpu.HBM)
-        scales = pltpu.with_memory_space_constraint(scales, pltpu.HBM)
+        if scales is not None:
+            scales = pltpu.with_memory_space_constraint(scales, pltpu.HBM)
     n_out = (N // 2) if silu else N
     nn = n_out // tn
     kernel = _make_kernel(K=K, G=G, eps=eps, has_rms=rms_w is not None,
                           has_bias=bias is not None,
-                          has_res=residual is not None, silu=silu, nn=nn)
+                          has_res=residual is not None, silu=silu, nn=nn,
+                          sc_in_w=sc_in_w)
     full = lambda shape: pl.BlockSpec(shape, lambda j: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     col = lambda shape: pl.BlockSpec(shape, lambda j: (0, j),
                                      memory_space=pltpu.VMEM)
     col2 = lambda shape: pl.BlockSpec(shape, lambda j: (0, j + nn),
                                       memory_space=pltpu.VMEM)
+    w_rows = K // 8 + (-(-(K // G) // 8) * 8 if sc_in_w else 0)
     in_specs = [full((1, K))]
     args = [x]
     if rms_w is not None:
         in_specs.append(full((1, K)))
         args.append(rms_w.reshape(1, K).astype(jnp.float32))
-    in_specs += [col((K // 8, tn)), col((K // G, tn))]
-    args += [w32, scales]
+    in_specs.append(col((w_rows, tn)))
+    args.append(w32)
+    if not sc_in_w:
+        in_specs.append(col((K // G, tn)))
+        args.append(scales)
     if silu:
-        in_specs += [col2((K // 8, tn)), col2((K // G, tn))]
-        args += [w32, scales]
+        in_specs.append(col2((w_rows, tn)))
+        args.append(w32)
+        if not sc_in_w:
+            in_specs.append(col2((K // G, tn)))
+            args.append(scales)
     if bias is not None:
         in_specs.append(col((1, tn)))
         args.append(bias.reshape(1, -1).astype(jnp.float32))
@@ -178,17 +199,19 @@ def _fused_impl(x, rms_w, w32, scales, bias, residual, *, K, N, G, tn, eps,
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_out * K * (2 if silu else 1),
-            bytes_accessed=K * N // 2 + scales.size * 4 + n_out * 2,
+            bytes_accessed=K * N // 2 + (K // G) * N * 4 + n_out * 2,
             transcendentals=0),
     )(*args)
 
 
 def fused_ok(pw: PackedWeight, n_batch_tokens: int = 1) -> bool:
     """The fused kernel serves single-row decode on sym-int4 "u4_kpack"
-    weights with 128-multiple groups and 256-multiple N."""
+    (or "u4_kpack_sc" — scales appended to the weight buffer) weights
+    with 128-multiple groups and 256-multiple N."""
     K, N = pw.orig_shape
     G = pw.group_size if pw.group_size > 0 else K
-    return (pw.layout == "u4_kpack" and pw.bits == 4 and pw.dtype == "int"
+    return (pw.layout in ("u4_kpack", "u4_kpack_sc") and pw.bits == 4
+            and pw.dtype == "int"
             and pw.zeros is None and pw.perm is None
             and n_batch_tokens == 1 and K % 8 == 0 and K % G == 0
             and G % 128 == 0 and N % 128 == 0 and _on_tpu())
@@ -223,11 +246,13 @@ def fused_matvec(x: jax.Array, pw: PackedWeight, *, rms_w=None,
     if not tn:
         return None
     G = pw.group_size if pw.group_size > 0 else K
+    sc_in_w = pw.layout == "u4_kpack_sc"
     y = _fused_impl(
-        x.reshape(1, K), rms_w, pw.packed, pw.scales.astype(jnp.float32),
+        x.reshape(1, K), rms_w, pw.packed,
+        None if sc_in_w else pw.scales.astype(jnp.float32),
         bias, residual if residual is None else residual.reshape(1, n_out),
         K=K, N=N, G=G, tn=tn, eps=float(eps), silu=silu_gate,
-        out_dtype=jnp.dtype(out_dtype), pin=_PIN_OPERANDS)
+        out_dtype=jnp.dtype(out_dtype), pin=_PIN_OPERANDS, sc_in_w=sc_in_w)
     return y.reshape(*lead, n_out)
 
 

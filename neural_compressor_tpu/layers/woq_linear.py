@@ -150,23 +150,31 @@ class W4A8Linear(WOQLinear):
         M = 1
         for d in x.shape[:-1]:
             M *= d
-        if self.layout == "u4_kpack":
+        pw = self.packed_weight()
+        if pw.layout == "u4_kpack_sc":
+            # fused-decode form (scales ride in the packed buffer,
+            # quantization.fuse.s4_prepare); non-fused consumers slice
+            # the scale rows back off
+            from ..ops.packing import u4k_strip_scales
+
+            pw = u4k_strip_scales(pw)
+        if pw.layout == "u4_kpack":
             # in-kernel bitcast unpack + in-kernel act quant at M == 1
             from ..kernels.fused_matvec import u4k_matmul
 
-            y = u4k_matmul(x, self.packed_weight())
-        elif self.layout == "s4_rowpack":
+            y = u4k_matmul(x, pw)
+        elif pw.layout == "s4_rowpack":
             # native-int4 serving layout (Mosaic hardware unpack)
-            y = s4_matmul(x, self.packed_weight())
+            y = s4_matmul(x, pw)
         elif M >= self.M_INT8_THRESHOLD:
-            y = w4a8_matmul(x, self.packed_weight())
+            y = w4a8_matmul(x, pw)
         elif M == 1:
             # all-integer VPU matvec (int8 act x int4 codes)
-            y = vpu_matvec_int8act(x, self.packed_weight())
+            y = vpu_matvec_int8act(x, pw)
             if y is None:
-                y = woq_matmul(x, self.packed_weight(), impl=self.impl)
+                y = woq_matmul(x, pw, impl=self.impl)
         else:
-            y = woq_matmul(x, self.packed_weight(), impl=self.impl)
+            y = woq_matmul(x, pw, impl=self.impl)
         if self.bias is not None:
             y = y + self.bias[...].astype(y.dtype)
         return y

@@ -223,6 +223,42 @@ def to_u4_kpack(pw: PackedWeight) -> PackedWeight:
     return pw._replace(packed=pack_codes_u4k(codes), layout="u4_kpack")
 
 
+def u4k_append_scales(pw: PackedWeight) -> PackedWeight:
+    """u4_kpack -> "u4_kpack_sc": the f32 group scales ride as extra u32
+    rows at the bottom of the packed buffer (bitcast, no conversion), so
+    the fused decode matvec takes ONE weight operand instead of two.
+
+    Why: the round-3 llama3 trace shows XLA's memory-space assignment
+    pre-staging the separate f32 scale operands into VMEM at 768 us/step
+    of serialized copy-waits; a single combined operand leaves nothing to
+    stage. The appended rows are zero-padded to a sublane multiple (8) so
+    the kernel's row slicing stays aligned; the kernel reads only the
+    first K/G scale rows."""
+    K, N = pw.orig_shape
+    G = pw.group_size if pw.group_size > 0 else K
+    if (pw.layout != "u4_kpack" or pw.sq_scales is not None
+            or pw.scales.shape != (K // G, N)):
+        raise ValueError(
+            f"not u4_kpack_sc-convertible: layout={pw.layout} "
+            f"K/G={K // G} scales={getattr(pw.scales, 'shape', None)}")
+    sc_rows = jax.lax.bitcast_convert_type(
+        pw.scales.astype(jnp.float32), jnp.uint32)
+    pad = (-(K // G)) % 8
+    if pad:
+        sc_rows = jnp.pad(sc_rows, ((0, pad), (0, 0)))
+    return pw._replace(packed=jnp.concatenate([pw.packed, sc_rows], axis=0),
+                       layout="u4_kpack_sc")
+
+
+def u4k_strip_scales(pw: PackedWeight) -> PackedWeight:
+    """Undo ``u4k_append_scales`` (for consumers of the plain u4_kpack
+    layout — an XLA row slice, contiguous, cheap outside loops)."""
+    if pw.layout != "u4_kpack_sc":
+        return pw
+    K, _N = pw.orig_shape
+    return pw._replace(packed=pw.packed[: K // 8], layout="u4_kpack")
+
+
 def pack_qtensor(qt: QTensor, force_int8: bool = False,
                  perm: jax.Array | None = None) -> PackedWeight:
     """QTensor -> PackedWeight in the best available layout.

@@ -229,29 +229,55 @@ def enable_fused_decode(model, fold_norms: bool = True) -> int:
     return n
 
 
+# A/B lever (measured slower — see s4_prepare docstring); default OFF
+SC_IN_WEIGHTS = False
+
+
 def s4_prepare(model) -> int:
-    """Materialize the zero-copy int4 view of every "s4_rowpack" weight.
+    """Materialize the per-program serving form of the packed weights.
 
     MUST run INSIDE the jitted serving program, on the module merged from
-    (graphdef, state), BEFORE the decode/prefill loop: int4 arrays cannot
-    cross a dispatch boundary under the remote-TPU plugin, and leaving the
-    view to be taken per matmul call makes XLA re-materialize it inside
-    the loop at ~20 GB/s (experiments/s4_integration_ab.log — hoisted, the
-    same kernel streams 680-740 GB/s). ``generation.generate``,
-    ``serving.engine`` and ``bench.py`` all call this right after their
-    nnx.merge. No-op (returns 0) when nothing is eligible."""
+    (graphdef, state), BEFORE the decode/prefill loop. Two transforms:
+
+    * "s4_rowpack" → zero-copy int4 view: int4 arrays cannot cross a
+      dispatch boundary under the remote-TPU plugin, and leaving the view
+      to be taken per matmul call makes XLA re-materialize it inside the
+      loop at ~20 GB/s (experiments/s4_integration_ab.log — hoisted, the
+      same kernel streams 680-740 GB/s).
+    * "u4_kpack" (fused-decode eligible, non-TP) → "u4_kpack_sc" when
+      ``SC_IN_WEIGHTS`` is True: the f32 group scales are appended to the
+      packed buffer as bitcast u32 rows so the fused matvec takes ONE
+      weight operand. MEASURED SLOWER (169.4 vs 175.6 tok/s llama2-7b):
+      the separate scale operands' MSA copies are overlapped prefetch,
+      not lost time — kept as an A/B lever, default OFF (PERF_NOTES.md).
+
+    ``generation.generate``, ``serving.engine`` and ``bench.py`` all call
+    this right after their nnx.merge. No-op (returns 0) when nothing is
+    eligible."""
     import jax as _jax
     import jax.numpy as _jnp
 
+    from ..kernels.fused_matvec import _on_tpu
     from ..layers.woq_linear import W4A8Linear
-    from ..ops.packing import s4_view
+    from ..ops.packing import s4_view, u4k_append_scales
 
     n = 0
+    on_tpu = _on_tpu() and SC_IN_WEIGHTS
     for _path, mod in named_modules(model):
-        if (type(mod) is W4A8Linear and mod.layout == "s4_rowpack"
+        if type(mod) is not W4A8Linear:
+            continue
+        if (mod.layout == "s4_rowpack"
                 and mod.packed[...].dtype == _jnp.uint32):
             K, N = mod.in_features, mod.out_features
             mod.packed = type(mod.packed)(_jax.lax.optimization_barrier(
                 s4_view(mod.packed[...], K, N)))
+            n += 1
+        elif (on_tpu and mod.layout == "u4_kpack" and mod.tp_role is None
+                and mod.zeros is None and mod.perm is None
+                and mod.sq_scales is None):
+            pw = u4k_append_scales(mod.packed_weight())
+            mod.packed = type(mod.packed)(
+                _jax.lax.optimization_barrier(pw.packed))
+            mod.layout = "u4_kpack_sc"
             n += 1
     return n

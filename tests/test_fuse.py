@@ -123,3 +123,40 @@ def test_to_w4a8_serving_swap_and_closeness():
     # token-level agreement on a short greedy rollout
     g0 = np.asarray(greedy_search(qm, ids[:, :8], max_new_tokens=4))
     assert g0.shape[-1] == 12
+
+
+def test_u4k_scales_in_weights_roundtrip():
+    """"u4_kpack_sc" (scales appended to the packed buffer — the fused
+    matvec's single-operand form, an A/B lever measured SLOWER and kept
+    default-off): append/strip round-trips exactly, non-fused consumers
+    strip transparently, and non-8-multiple group counts pad."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neural_compressor_tpu.layers.woq_linear import W4A8Linear
+    from neural_compressor_tpu.ops.packing import (pack_qtensor,
+                                                   to_u4_kpack,
+                                                   u4k_append_scales,
+                                                   u4k_strip_scales)
+    from neural_compressor_tpu.ops.qtensor import quantize_tensor
+
+    rng = np.random.default_rng(0)
+    # 8 groups (aligned) / 11 groups (needs padding to 16 rows)
+    for K, G in ((256, 32), (1408, 128)):
+        w = jnp.asarray(rng.standard_normal((K, 256)) * 0.05, jnp.float32)
+        pw = to_u4_kpack(pack_qtensor(quantize_tensor(w, bits=4,
+                                                      group_size=G)))
+        pws = u4k_append_scales(pw)
+        assert pws.layout == "u4_kpack_sc"
+        assert pws.packed.shape[0] >= K // 8 + K // G
+        assert (pws.packed.shape[0] - K // 8) % 8 == 0  # padded rows
+        st = u4k_strip_scales(pws)
+        assert st.layout == "u4_kpack"
+        np.testing.assert_array_equal(np.asarray(st.packed),
+                                      np.asarray(pw.packed))
+        # module dispatch strips transparently (XLA fallback on CPU)
+        mod = W4A8Linear(pw)
+        ref = np.asarray(mod(jnp.ones((2, K), jnp.float32)), np.float32)
+        mod_sc = W4A8Linear(pws)
+        y = np.asarray(mod_sc(jnp.ones((2, K), jnp.float32)), np.float32)
+        np.testing.assert_allclose(y, ref, rtol=0, atol=1e-5)
