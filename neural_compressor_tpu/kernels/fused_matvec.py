@@ -368,3 +368,164 @@ def u4k_matmul(x: jax.Array, pw: PackedWeight, out_dtype=None) -> jax.Array:
                   G=G, K=K, N=N, tm=tm, tn=tn, tk=tk)
     y = y[:M] * x_scale
     return y.astype(out_dtype).reshape(*lead, N)
+
+
+# ---------------------------------------------------------------------------
+# attn+o megakernel: decode attention fused INTO the o-projection kernel.
+# The per-head attention outputs never leave VMEM — each head's rows are
+# int8-quantized straight into the activation scratch (lane offset
+# (h·rep+r)·D, no relayout: the o-projection's quant groups are G=128=D),
+# then the standard grouped int8-MXU dot + residual epilogue runs.
+#
+# A/B RESULT (round 3): numerically correct (3.9e-3/7.2e-3 max-rel vs the
+# split path) but MEASURED SLOWER — llama3-8b 168.3 vs 171.5 tok/s (the
+# in-prologue attention stalls grid step 0 while the split kernels let
+# XLA overlap attention with the o-weight prefetch), and the 32-head MHA
+# unroll (llama2) fails remote compilation. Default OFF via ATTN_O_FUSED;
+# kept as the starting point for a future pipelined megakernel.
+
+ATTN_O_FUSED = False
+
+
+def _make_attn_o_kernel(*, Hkv, T, D, rep, rep_p, K, G, scale, nn):
+    ngk = K // G
+
+    def kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref, w_ref,
+               sc_ref, res_ref, o_ref, xq_s, ssc_s, attn_s):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _prologue():
+            pos = pos_ref[0, 0]
+            row = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+            t_idx = jax.lax.broadcasted_iota(jnp.int32, (rep_p, T), 1)
+            amax = jnp.float32(0.0)
+            for h in range(Hkv):
+                k = jnp.where(row == pos, kn_ref[h], kc_ref[h])
+                v = jnp.where(row == pos, vn_ref[h], vc_ref[h])
+                s = jax.lax.dot_general(
+                    q_ref[h], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = jnp.where(t_idx <= pos, s, -1e30)
+                m = jnp.max(s, axis=1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, axis=1, keepdims=True)
+                o = jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [rep_p, D] f32
+                attn_s[h] = o
+                amax = jnp.maximum(
+                    amax, jnp.max(jnp.abs(o[:rep])))
+            s8 = amax / 127.0
+            s8 = jnp.where(s8 <= 0, 1.0, s8)
+            for h in range(Hkv):
+                o = attn_s[h]
+                codes = jnp.clip(jnp.round(o[:rep] / s8),
+                                 -128, 127).astype(jnp.int8)
+                for r in range(rep):
+                    off = (h * rep + r) * D
+                    xq_s[:, off:off + D] = jnp.broadcast_to(
+                        codes[r:r + 1], (8, D))
+            ssc_s[0, 0] = s8
+
+        w4 = pltpu.bitcast(w_ref[:], jnp.int4)            # [K, tn]
+        acc = None
+        for g in range(ngk):
+            wg = w4[g * G:(g + 1) * G, :].astype(jnp.int8)
+            xg = xq_s[:, g * G:(g + 1) * G]
+            d = jax.lax.dot_general(
+                xg, wg, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            t = d.astype(jnp.float32) * sc_ref[g, :][None, :]
+            acc = t if acc is None else acc + t
+        y = acc[0:1] * ssc_s[0, 0]                        # [1, tn]
+        y = y + res_ref[:].astype(jnp.float32)
+        o_ref[:] = y.astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("K", "N", "G", "tn", "rep",
+                                             "out_dtype"))
+def _attn_o_impl(pos, q, k_new, v_new, k_cache, v_cache, w32, scales,
+                 residual, *, K, N, G, tn, rep, out_dtype):
+    Hkv, T, D = k_cache.shape
+    rep_p = rep if rep == 1 else -(-rep // 8) * 8
+    if rep_p != rep:
+        q = jnp.pad(q, ((0, 0), (0, rep_p - rep), (0, 0)))
+    nn = N // tn
+    kernel = _make_attn_o_kernel(Hkv=Hkv, T=T, D=D, rep=rep, rep_p=rep_p,
+                                 K=K, G=G, scale=1.0 / (D ** 0.5), nn=nn)
+    full = lambda shape: pl.BlockSpec(shape, lambda j: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    col = lambda shape: pl.BlockSpec(shape, lambda j: (0, j),
+                                     memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(nn,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # pos
+            full((Hkv, rep_p, D)),                        # q (rope'd)
+            full((Hkv, 1, D)),                            # k_new
+            full((Hkv, 1, D)),                            # v_new
+            full((Hkv, T, D)),                            # k cache
+            full((Hkv, T, D)),                            # v cache
+            col((K // 8, tn)),                            # o weights
+            col((K // G, tn)),                            # o scales
+            col((1, tn)),                                 # residual
+        ],
+        out_specs=col((1, tn)),
+        out_shape=jax.ShapeDtypeStruct((1, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((8, K), jnp.int8),
+                        pltpu.SMEM((1, 1), jnp.float32),
+                        pltpu.VMEM((Hkv, rep_p, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * K + 4 * Hkv * rep * T * D,
+            bytes_accessed=K * N // 2 + (K // G) * N * 4
+            + 2 * Hkv * T * D * 2,
+            transcendentals=Hkv * rep * T),
+    )(jnp.asarray(pos, jnp.int32).reshape(1, 1), q, k_new, v_new,
+      k_cache, v_cache, w32, scales, residual)
+
+
+def attn_o_fused(q, k_new, v_new, cache, pos, pw_o: PackedWeight,
+                 residual, out_dtype=None):
+    """B=1 decode attention + o-projection in ONE pallas call.
+
+    q [1, H, 1, D] (rope applied); k_new/v_new [1, Hkv, 1, D]; ``cache``
+    a bf16 KVCache ([1, Hkv, T, D] tensors); pw_o the o-projection's
+    sym-int4 "u4_kpack" weight; ``residual`` [1, 1, N]. Returns
+    (y [1, 1, N], k2, v2) with the new row written OUTSIDE the kernel
+    (XLA DUS, in-place under donation), or None when ineligible (callers
+    fall back to the split attention-then-o path)."""
+    from ..models.llama import KVCache, _update_rows
+
+    if not isinstance(cache, tuple) or len(cache) != 2:
+        return None
+    k_cache, v_cache = cache
+    B, H, S, D = q.shape
+    if B != 1 or S != 1:
+        return None
+    pw_o = resolve_double_quant(pw_o)
+    K, N = pw_o.orig_shape
+    G = pw_o.group_size if pw_o.group_size > 0 else K
+    Hkv = k_cache.shape[1]
+    rep = H // Hkv
+    if not (fused_ok(pw_o, 1) and pw_o.layout == "u4_kpack" and G == D
+            and K == H * D and k_cache.dtype in (jnp.bfloat16, jnp.float32)
+            and k_cache.dtype == q.dtype):
+        return None
+    tn = _pick_tn(N)
+    if not tn:
+        return None
+    y = _attn_o_impl(
+        pos, q[0].reshape(Hkv, rep, D), k_new[0], v_new[0],
+        k_cache[0], v_cache[0], pw_o.packed,
+        pw_o.scales.astype(jnp.float32), residual.reshape(1, N),
+        K=K, N=N, G=G, tn=tn, rep=rep,
+        out_dtype=jnp.dtype(out_dtype or q.dtype))
+    k2 = _update_rows(k_cache, k_new, pos)
+    v2 = _update_rows(v_cache, v_new, pos)
+    return y.reshape(1, 1, N), KVCache(k2, v2)

@@ -744,11 +744,29 @@ class LlamaDecoderLayer(nnx.Module):
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
         v = v.reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
-        out, new_cache = attn._attend(x.dtype, q, k, v, mask, cache,
-                                      cache_pos)
-        x1 = fused_matvec(out, attn.o_proj.packed_weight(), residual=x,
-                          bias=None if attn.o_proj.bias is None
-                          else attn.o_proj.bias[...], out_dtype=x.dtype)
+        x1 = None
+        from ..kernels import fused_matvec as _fm
+
+        if (_fm.ATTN_O_FUSED and attn.o_proj.bias is None
+                and not getattr(attn, "fp8_sdpa", False)
+                and not getattr(attn, "fp8_softmax", False)):
+            # attention fused INTO the o-projection kernel (one pallas
+            # call; the per-head outputs never leave VMEM). A/B lever,
+            # default OFF: measured SLOWER on llama3 (168.3 vs 171.5
+            # tok/s — the in-prologue attention stalls the N-tile weight
+            # pipeline) and the 32-head unroll fails to compile on
+            # llama2 (PERF_NOTES.md round-3 megakernel note).
+            r = _fm.attn_o_fused(q, k, v, cache, cache_pos,
+                                 attn.o_proj.packed_weight(), residual=x,
+                                 out_dtype=x.dtype)
+            if r is not None:
+                x1, new_cache = r
+        if x1 is None:
+            out, new_cache = attn._attend(x.dtype, q, k, v, mask, cache,
+                                          cache_pos)
+            x1 = fused_matvec(out, attn.o_proj.packed_weight(), residual=x,
+                              bias=None if attn.o_proj.bias is None
+                              else attn.o_proj.bias[...], out_dtype=x.dtype)
         if x1 is None:
             return None
         h = fused_matvec(
