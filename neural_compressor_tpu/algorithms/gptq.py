@@ -58,15 +58,22 @@ class HessianObserver(nnx.Module):
     """Wraps a Linear-like module; accumulates X᙭ = Σ xᵀx and sample count
     over its inputs (reference ``add_batch``, gptq.py:1111-1141)."""
 
-    def __init__(self, inner: nnx.Module, in_features: int):
+    def __init__(self, inner: nnx.Module, in_features: int,
+                 n_in_dims: int = 1):
         self.inner = inner
+        # LinearGeneral (MHA out-projection) contracts over several
+        # trailing input axes — flatten them for the K x K Hessian
+        self.n_in_dims = n_in_dims
         self.xtx = ObserverStat(jnp.zeros((in_features, in_features),
                                           dtype=jnp.float32))
         self.count = ObserverStat(jnp.array(0.0, dtype=jnp.float32))
 
     def __call__(self, x, *args, **kwargs):
+        xf = x
+        if self.n_in_dims > 1:
+            xf = x.reshape(*x.shape[: x.ndim - self.n_in_dims], -1)
         self.xtx[...], self.count[...] = _xtx_update(
-            self.xtx[...], self.count[...], x)
+            self.xtx[...], self.count[...], xf)
         return self.inner(x, *args, **kwargs)
 
     def hessian(self) -> jax.Array:
@@ -429,7 +436,10 @@ def _convert(model, block_paths, captured, configs_mapping):
 
     for bi, bpath in enumerate(block_paths):
         block = get_module(model, bpath)
-        # find target linears in this block
+        # find target linears (incl. MHA LinearGeneral projections —
+        # reference GPTQ SUPPORTED_LAYERS also covers non-Linear ops,
+        # weight_only/gptq.py:45) in this block
+        from ..layers.module_utils import module_type_name
         targets = []
         for sub_path, sub in named_modules(block):
             if not sub_path:
@@ -438,7 +448,8 @@ def _convert(model, block_paths, captured, configs_mapping):
             cfg = cfg_by_name.get(full)
             if cfg is None or cfg.dtype in _FLOAT_SKIP:
                 continue
-            if extract_linear(sub) is None:
+            if (extract_linear(sub) is None
+                    and module_type_name(sub) != "LinearGeneral"):
                 continue
             targets.append((sub_path, full, sub))
 
@@ -461,18 +472,35 @@ def _convert(model, block_paths, captured, configs_mapping):
             for group in groups:
                 # 1) attach Hessian observers, replay batches
                 for sub_path, _full, sub in group:
-                    k, _b = extract_linear(sub)
-                    replace_module(block, sub_path,
-                                   HessianObserver(sub, k.shape[0]))
+                    if module_type_name(sub) == "LinearGeneral":
+                        from ..layers.qconv import linear_general_qmatrix
+
+                        k2, _b, _o, n_in = linear_general_qmatrix(sub)
+                        obs = HessianObserver(sub, k2.shape[0],
+                                              n_in_dims=n_in)
+                    else:
+                        k, _b = extract_linear(sub)
+                        obs = HessianObserver(sub, k.shape[0])
+                    replace_module(block, sub_path, obs)
                 for args, kwargs in inputs:
                     block(*args, **kwargs)
-                # 2) quantize each target, swap in WOQLinear
+                # 2) quantize each target, swap in the packed module
                 for sub_path, full, sub in group:
                     obs = get_module(block, sub_path)
                     H = obs.hessian()
-                    kernel, bias = extract_linear(sub)
                     cfg = cfg_by_name[full]
-                    new = gptq_layer_to_woq(kernel, H, cfg, bias=bias)
+                    if module_type_name(sub) == "LinearGeneral":
+                        from ..layers.qconv import (WOQLinearGeneral,
+                                                    linear_general_qmatrix)
+
+                        k2, bias, out_shape, n_in = \
+                            linear_general_qmatrix(sub)
+                        lin = gptq_layer_to_woq(k2, H, cfg, bias=None)
+                        new = WOQLinearGeneral(lin.packed_weight(),
+                                               out_shape, n_in, bias=bias)
+                    else:
+                        kernel, bias = extract_linear(sub)
+                        new = gptq_layer_to_woq(kernel, H, cfg, bias=bias)
                     replace_module(block, sub_path, new)
                     n_done += 1
         # 3) replay through the (now quantized) block to build next inputs

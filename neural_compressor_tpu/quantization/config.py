@@ -139,6 +139,12 @@ class RTNConfig(_WOQBase):
 class GPTQConfig(_WOQBase):
     """Hessian-based WOQ (reference GPTQConfig, config.py:322-522)."""
 
+    @classmethod
+    def supported_op_types(cls):
+        # + MHA projections (reference SUPPORTED_LAYERS includes
+        # non-Linear ops, weight_only/gptq.py:45)
+        return LINEAR_TYPES + ("LinearGeneral",)
+
     params_list = ("dtype", "bits", "use_sym", "group_size", "act_order",
                    "percdamp", "block_size")
 

@@ -177,3 +177,28 @@ class TestViTEndToEnd:
         y = np.asarray(qm(x), np.float32)
         rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
         assert rel < 0.12, rel
+
+
+class TestGPTQViT:
+    def test_gptq_quantizes_mha_projections(self):
+        """GPTQ covers LinearGeneral (MHA projections) with flattened
+        multi-axis Hessians — the encoder-block analog of the reference's
+        Conv2d/Conv1D SUPPORTED_LAYERS (weight_only/gptq.py:45)."""
+        import neural_compressor_tpu as nq
+        from neural_compressor_tpu.layers import WOQLinear
+
+        m = ViTForImageClassification.from_preset("vit-test")
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((4, 16, 16, 3)),
+            jnp.float32)
+        ref = np.asarray(m(x), np.float32)
+        qm = nq.quantize(m, nq.GPTQConfig(bits=8, group_size=32),
+                         run_fn=lambda mm: mm(x))
+        q = get_module(qm, "layers.0.attention.query")
+        o = get_module(qm, "layers.0.attention.out")
+        assert isinstance(q, WOQLinearGeneral), type(q)
+        assert isinstance(o, WOQLinearGeneral), type(o)
+        assert type(get_module(qm, "layers.0.intermediate")) is WOQLinear
+        y = np.asarray(qm(x), np.float32)
+        rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+        assert rel < 0.05, rel
