@@ -114,6 +114,10 @@ class ContinuousBatchingEngine:
         self.slot_tok = np.zeros((n_slots,), np.int32)   # last token
         self.queue: list[Request] = []
         self._jit_cache: dict = {}
+        # observability counters (metrics()/print_metrics())
+        self.stats = {"wall_s": 0.0, "requests": 0, "prompt_tokens": 0,
+                      "generated_tokens": 0, "prefill_chunk_dispatches": 0,
+                      "decode_dispatches": 0}
 
     # ------------------------------------------------------------------ api
     def submit(self, prompt_ids, max_new_tokens: int = 64) -> Request:
@@ -124,6 +128,8 @@ class ContinuousBatchingEngine:
             f"exceeds max_len ({self.max_len})")
         req = Request(next(self._uid), prompt, max_new_tokens)
         self.queue.append(req)
+        self.stats["requests"] += 1
+        self.stats["prompt_tokens"] += len(prompt)
         return req
 
     def run(self, max_steps: int = 10_000,
@@ -132,6 +138,9 @@ class ContinuousBatchingEngine:
         per device dispatch (amortizes host/link round-trips; slots that
         hit EOS mid-chunk are truncated on the host). Returns finished
         requests."""
+        import time as _time
+
+        t0 = _time.time()
         finished = []
         for _ in range(max_steps):
             self._fill_slots()
@@ -141,7 +150,26 @@ class ContinuousBatchingEngine:
             if any(s == "decode" for s in self.slot_state):
                 self.step_many(chunk)
             finished.extend(self._collect())
+        self.stats["wall_s"] += _time.time() - t0
         return finished
+
+    def metrics(self) -> dict:
+        """Serving observability (reference-style Statistics surface):
+        cumulative prompt/generated token counts, request count, engine
+        iteration split, and decode throughput over ``run()`` wall time."""
+        s = dict(self.stats)
+        s["decode_tok_s"] = (s["generated_tokens"] / s["wall_s"]
+                             if s["wall_s"] > 0 else 0.0)
+        return s
+
+    def print_metrics(self) -> None:
+        from ..common.utility import Statistics
+
+        m = self.metrics()
+        rows = [(k, (f"{v:.2f}" if isinstance(v, float) else v))
+                for k, v in sorted(m.items())]
+        Statistics(rows, header="Serving Engine Metrics",
+                   field_names=["Metric", "Value"]).print_stat()
 
     # ------------------------------------------------------------- internals
     def _prefill_batch_fn(self, n: int):
@@ -214,6 +242,7 @@ class ContinuousBatchingEngine:
             ids[i], rows[i], starts[i], last[i] = (ids[0], rows[0],
                                                    starts[0], last[0])
         prefill = self._prefill_batch_fn(Sp)
+        self.stats["prefill_chunk_dispatches"] += 1
         target = self.staging if self.paged else self.caches
         target, nxt = prefill(self._state, target, jnp.asarray(ids),
                               jnp.asarray(rows), jnp.asarray(starts),
@@ -401,6 +430,7 @@ class ContinuousBatchingEngine:
     def step_many(self, k: int = 8):
         """Decode ``k`` tokens for every active slot in one dispatch."""
         k = max(int(k), 1)
+        self.stats["decode_dispatches"] += 1
         toks = jnp.asarray(self.slot_tok)
         pos = jnp.asarray(self._decode_positions())
         if self.paged:
@@ -439,6 +469,7 @@ class ContinuousBatchingEngine:
         for slot, req in enumerate(self.slot_req):
             if req is not None and req.done:
                 done.append(req)
+                self.stats["generated_tokens"] += len(req.generated)
                 self.slot_req[slot] = None
                 self.slot_state[slot] = "idle"
                 if self.paged:

@@ -260,3 +260,20 @@ def test_prefill_does_not_starve_decode(qmodel):
         eng.step_many(1)
         produced.append(len(fast.generated) - before)
     assert produced == [1, 1, 1], produced
+
+
+def test_engine_metrics(qmodel):
+    """Observability counters: token counts, dispatch split, decode
+    throughput over run() wall time."""
+    rng = np.random.default_rng(6)
+    eng = ContinuousBatchingEngine(qmodel, n_slots=2, max_len=64)
+    eng.submit(rng.integers(0, 256, (5,)), max_new_tokens=4)
+    eng.submit(rng.integers(0, 256, (7,)), max_new_tokens=3)
+    eng.run()
+    m = eng.metrics()
+    assert m["requests"] == 2 and m["prompt_tokens"] == 12
+    assert m["generated_tokens"] == 7
+    assert m["decode_dispatches"] >= 1
+    assert m["prefill_chunk_dispatches"] >= 1
+    assert m["wall_s"] > 0 and m["decode_tok_s"] > 0
+    eng.print_metrics()  # must not raise
