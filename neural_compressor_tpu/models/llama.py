@@ -808,6 +808,12 @@ class LlamaModel(nnx.Module):
             positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
         x = (inputs_embeds if inputs_embeds is not None
              else self.embed_tokens(input_ids))
+        # sequence parallelism: models/sharding.enable_sequence_parallel
+        # pins the activations' token axis to a mesh axis; XLA inserts
+        # the collectives attention needs to see the full sequence
+        asc = getattr(self, "activation_sharding", None)
+        if asc is not None:
+            x = jax.lax.with_sharding_constraint(x, asc)
         cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta,
                          cfg.partial_rotary_factor, cfg.rope_scaling,
                          cfg.max_position_embeddings)

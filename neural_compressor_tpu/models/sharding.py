@@ -236,3 +236,17 @@ def barrier(name: str = "nq_barrier") -> None:
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(name)
+
+
+def enable_sequence_parallel(model: nnx.Module, mesh: Mesh,
+                             axis: str = "model",
+                             data_axis: str = "data") -> None:
+    """Sequence parallelism: pin the decoder activations' token axis to
+    ``axis`` (scaling-book SP recipe — the elementwise/norm work between
+    matmuls shards along the sequence; XLA inserts the all-gathers
+    attention needs to see the full sequence and the reduce-scatters
+    back). Composes with TP weight sharding on the same mesh axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    inner = getattr(model, "model", model)
+    inner.activation_sharding = NamedSharding(mesh, P(data_axis, axis, None))
