@@ -71,7 +71,9 @@ def pipeline_apply(apply_layer, stacked_params, x, *, mesh: Mesh,
 
         def apply_block(x):
             def body(x, p):
-                return apply_layer(p, x), None
+                # pin the carry type: layers may emit a different
+                # dtype/weak-type than their input
+                return apply_layer(p, x).astype(x.dtype), None
 
             y, _ = jax.lax.scan(body, x, params_local)
             return y

@@ -98,3 +98,47 @@ def test_pipeline_rejects_ragged():
     x = jnp.zeros((4, 8), jnp.float32)
     with mesh, pytest.raises(AssertionError):
         pipeline_apply(_apply, _as_stacked(layers), x, mesh=mesh)
+
+
+def test_pipeline_llama_decoder_stack():
+    """PP over a REAL llama decoder stack: the stacked per-layer NNX
+    states pipeline through shard_map/ppermute and match the sequential
+    forward."""
+    from flax import nnx
+
+    from neural_compressor_tpu.models import LlamaForCausalLM
+    from neural_compressor_tpu.models.llama import _rope
+
+    m = LlamaForCausalLM.from_preset(
+        "llama-test", num_hidden_layers=4, dtype=jnp.float32)
+    cfg = m.cfg
+    B, T = 4, 8
+    ids = jnp.asarray(np.random.default_rng(7).integers(0, 256, (B, T)))
+    ref = np.asarray(m(ids), np.float32)
+
+    layers = list(m.model.layers)
+    gd0, _st0 = nnx.split(layers[0])
+    stacked = _as_stacked([nnx.split(l)[1] for l in layers])
+
+    x = m.model.embed_tokens(ids)
+    positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta,
+                     cfg.partial_rotary_factor, cfg.rope_scaling,
+                     cfg.max_position_embeddings)
+    # closures must be microbatch-shaped: rope rows are position-only
+    # (identical across batch), keep one row and let it broadcast
+    cos, sin = cos[:1], sin[:1]
+    mask = jnp.tril(jnp.ones((T, T), dtype=bool))[None, None]
+
+    def apply_layer(state, h):
+        layer = nnx.merge(gd0, state)
+        out, _ = layer(h, cos, sin, mask, None, None)
+        return out
+
+    mesh = _mesh()
+    with mesh:
+        h = pipeline_apply(apply_layer, stacked, x, mesh=mesh)
+    logits = np.asarray(
+        m.model.embed_tokens.attend(m.model.norm(h))
+        if m.lm_head is None else m.lm_head(m.model.norm(h)), np.float32)
+    np.testing.assert_allclose(logits, ref, rtol=1e-4, atol=1e-4)
