@@ -202,3 +202,27 @@ class TestGPTQViT:
         y = np.asarray(qm(x), np.float32)
         rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
         assert rel < 0.05, rel
+
+
+def test_autotune_vision_model():
+    """The accuracy-driven autotune loop works on the vision family:
+    top-1 agreement with the fp model as the metric, searching over the
+    RTN tuning dims (Conv/LinearGeneral/Linear all re-quantize per
+    trial)."""
+    from neural_compressor_tpu.common.tuning import TuningConfig
+
+    m = ViTForImageClassification.from_preset("vit-test")
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((16, 16, 16, 3)),
+        jnp.float32)
+    ref_top1 = np.asarray(jnp.argmax(m(x), -1))
+
+    def eval_fn(qm):
+        return float(np.mean(np.asarray(jnp.argmax(qm(x), -1)) == ref_top1))
+
+    cfg = nq.RTNConfig(bits=[8, 4], group_size=32)
+    best = nq.autotune(m, TuningConfig(config_set=cfg, tolerable_loss=0.01),
+                       eval_fn=eval_fn)
+    assert best is not None
+    assert isinstance(get_module(best, "patch_embeddings"), WOQConv)
+    assert eval_fn(best) >= 0.9
