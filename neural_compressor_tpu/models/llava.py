@@ -85,15 +85,29 @@ class LlavaForConditionalGeneration(nnx.Module):
         return self.cfg.vision.num_patches
 
     def __call__(self, input_ids: jax.Array,
-                 pixel_values: jax.Array) -> jax.Array:
+                 pixel_values: jax.Array | None = None, positions=None,
+                 caches=None, cache_pos=None):
+        """Full multimodal forward when ``pixel_values`` is given (image
+        embeddings prepended); text-only incremental decode over the
+        language model's KV caches when it is None (the standard zoo
+        cache protocol — positions are ABSOLUTE over the combined
+        [image, text, generated] sequence)."""
         lm = self.language_model
-        img = self.multi_modal_projector(self.vision_tower(pixel_values))
-        txt = lm.model.embed_tokens(input_ids)
-        embeds = jnp.concatenate([img.astype(txt.dtype), txt], axis=1)
-        x, _ = lm.model(None, inputs_embeds=embeds)
-        if lm.lm_head is not None:
-            return lm.lm_head(x)
-        return lm.model.embed_tokens.attend(x)
+        if pixel_values is not None:
+            img = self.multi_modal_projector(self.vision_tower(pixel_values))
+            txt = lm.model.embed_tokens(input_ids)
+            embeds = jnp.concatenate([img.astype(txt.dtype), txt], axis=1)
+            x, new_caches = lm.model(None, inputs_embeds=embeds,
+                                     positions=positions, caches=caches,
+                                     cache_pos=cache_pos)
+        else:
+            x, new_caches = lm.model(input_ids, positions=positions,
+                                     caches=caches, cache_pos=cache_pos)
+        logits = (lm.lm_head(x) if lm.lm_head is not None
+                  else lm.model.embed_tokens.attend(x))
+        if caches is None:
+            return logits
+        return logits, new_caches
 
     @classmethod
     def from_preset(cls, name: str, seed: int = 0):

@@ -64,3 +64,54 @@ def test_autoround_quant_nontext_module():
         qm, "vision_tower.layers.0.intermediate")) is WOQLinear
     y = np.asarray(qm(ids, pix), np.float32)
     assert np.isfinite(y).all()
+
+
+def test_llava_kv_cache_decode_matches_full_forward():
+    """MLLM serving: prefill [image, prompt] into the language model's KV
+    caches, then single-token decode — logits must match the full-context
+    forward at every step (the zoo cache-correctness pattern)."""
+    from neural_compressor_tpu.models.llama import init_kv_cache
+
+    m, ids, pix = _model_and_inputs()
+    n_img = m.num_image_tokens
+    B, P = ids.shape
+    T = n_img + P + 4
+
+    caches = init_kv_cache(m.cfg.text, B, T)
+    logits, caches = m(ids, pix, caches=caches, cache_pos=0)
+    full = m(ids, pix)
+    np.testing.assert_allclose(np.asarray(logits, np.float32),
+                               np.asarray(full, np.float32),
+                               rtol=1e-4, atol=1e-4)
+    # greedy-decode two tokens through the cache, checking each against
+    # the growing full-context recompute
+    tok = jnp.argmax(logits[:, -1:], axis=-1)
+    text_ids = ids
+    for step in range(2):
+        pos = n_img + P + step
+        step_logits, caches = m(
+            tok, None, positions=jnp.full((B, 1), pos), caches=caches,
+            cache_pos=pos)
+        text_ids = jnp.concatenate([text_ids, tok], axis=1)
+        full = m(text_ids, pix)
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, -1], np.float32),
+            np.asarray(full[:, -1], np.float32), rtol=1e-4, atol=1e-4)
+        tok = jnp.argmax(step_logits[:, -1:], axis=-1)
+
+
+def test_llava_quantized_cache_decode():
+    """The cached decode protocol survives quantization (RTN int4 on the
+    text stack)."""
+    from neural_compressor_tpu.models.llama import init_kv_cache
+
+    m, ids, pix = _model_and_inputs()
+    qm = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+    n_img = qm.num_image_tokens
+    B, P = ids.shape
+    caches = init_kv_cache(qm.cfg.text, B, n_img + P + 2)
+    logits, caches = qm(ids, pix, caches=caches, cache_pos=0)
+    full = qm(ids, pix)
+    np.testing.assert_allclose(np.asarray(logits, np.float32),
+                               np.asarray(full, np.float32),
+                               rtol=1e-3, atol=1e-3)
