@@ -240,6 +240,11 @@ def fused_matvec(x: jax.Array, pw: PackedWeight, *, rms_w=None,
         M *= d
     if not fused_ok(pw, M):
         return None
+    if silu_gate and bias is not None:
+        # the epilogue applies bias AFTER silu(g)*u, which is NOT the
+        # gate_up bias semantics (silu(g+b_g)*(u+b_u)) — fall back to the
+        # modular path rather than silently computing the wrong thing
+        return None
     pw = resolve_double_quant(pw)
     n_out = (N // 2) if silu_gate else N
     tn = _pick_tn(n_out)

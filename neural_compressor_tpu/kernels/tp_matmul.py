@@ -196,7 +196,8 @@ def tp_w4a8_matmul_row(x: jax.Array, pw: PackedWeight, mesh: Mesh,
         f"K={K} must shard into whole groups (G={G}, tp={tp})")
     if pw.layout == "u4_kpack":
         assert (K // 8) % tp == 0, (
-            f"u4_kpack rows K/8={K // 8} must divide tp={tp}")
+            f"u4_kpack packed rows K/8={K // 8} must be divisible by "
+            f"tp={tp} so every shard holds whole uint32 words")
     Kl = K // tp
 
     def local(x, packed, scales):

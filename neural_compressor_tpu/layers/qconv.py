@@ -150,7 +150,9 @@ class StaticQuantConv(nnx.Module):
         act_scale = jnp.asarray(act_scale, dtype=jnp.float32)
         assert act_scale.ndim == 0, (
             "StaticQuantConv supports per-tensor activation scales only")
-        w_scale = jnp.max(jnp.abs(wf), axis=(0, 1, 2)) / 127.0  # [cout]
+        # per-output-channel scales: reduce every axis but cout (kernels
+        # are [*, cin, cout] at any spatial rank, not just 2D)
+        w_scale = jnp.max(jnp.abs(wf), axis=tuple(range(wf.ndim - 1))) / 127.0
         w_scale = jnp.where(w_scale <= 0, 1.0, w_scale)
         self.w_int8 = nnx.Param(jnp.clip(
             jnp.round(wf / w_scale), -128, 127).astype(jnp.int8))

@@ -154,7 +154,11 @@ class W4A8Linear(WOQLinear):
         if pw.layout == "u4_kpack_sc":
             # fused-decode form (scales ride in the packed buffer,
             # quantization.fuse.s4_prepare); non-fused consumers slice
-            # the scale rows back off
+            # the scale rows back off. NOTE: this slice is a per-call
+            # copy inside jitted loops — acceptable only because the
+            # SC_IN_WEIGHTS lever is experimental/default-off and
+            # s4_prepare applies it to decode-dominant programs; flip
+            # the lever on for prefill-heavy work and this is the cost
             from ..ops.packing import u4k_strip_scales
 
             pw = u4k_strip_scales(pw)

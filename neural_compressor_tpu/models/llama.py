@@ -852,8 +852,10 @@ class LlamaForCausalLM(nnx.Module):
         else:
             self.lm_head = None
 
-    def __call__(self, input_ids, positions=None, caches=None, cache_pos=None):
-        x, new_caches = self.model(input_ids, positions, caches, cache_pos)
+    def __call__(self, input_ids, positions=None, caches=None, cache_pos=None,
+                 inputs_embeds=None):
+        x, new_caches = self.model(input_ids, positions, caches, cache_pos,
+                                   inputs_embeds=inputs_embeds)
         logits = None
         if getattr(self.model, "norm_in_head", False):
             if (self.lm_head is not None and x.shape[0] == 1

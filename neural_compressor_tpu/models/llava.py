@@ -92,22 +92,19 @@ class LlavaForConditionalGeneration(nnx.Module):
         language model's KV caches when it is None (the standard zoo
         cache protocol — positions are ABSOLUTE over the combined
         [image, text, generated] sequence)."""
+        # route through the language model's OWN __call__ so its head
+        # logic (incl. the fused-decode norm_in_head fold) applies — a
+        # re-implementation here silently skipped the final RMSNorm on
+        # fused-serving models
         lm = self.language_model
         if pixel_values is not None:
             img = self.multi_modal_projector(self.vision_tower(pixel_values))
             txt = lm.model.embed_tokens(input_ids)
             embeds = jnp.concatenate([img.astype(txt.dtype), txt], axis=1)
-            x, new_caches = lm.model(None, inputs_embeds=embeds,
-                                     positions=positions, caches=caches,
-                                     cache_pos=cache_pos)
-        else:
-            x, new_caches = lm.model(input_ids, positions=positions,
-                                     caches=caches, cache_pos=cache_pos)
-        logits = (lm.lm_head(x) if lm.lm_head is not None
-                  else lm.model.embed_tokens.attend(x))
-        if caches is None:
-            return logits
-        return logits, new_caches
+            return lm(None, positions=positions, caches=caches,
+                      cache_pos=cache_pos, inputs_embeds=embeds)
+        return lm(input_ids, positions=positions, caches=caches,
+                  cache_pos=cache_pos)
 
     @classmethod
     def from_preset(cls, name: str, seed: int = 0):

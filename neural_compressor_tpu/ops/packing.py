@@ -354,6 +354,8 @@ def apply_double_quant(pw: PackedWeight, bits: int = 8, group_size: int = 256,
 
 def unpack_to_codes(pw: PackedWeight) -> jax.Array:
     """PackedWeight -> int8 codes [K, N]."""
+    if pw.layout == "u4_kpack_sc":
+        pw = u4k_strip_scales(pw)
     K, N = pw.orig_shape
     if pw.layout == "tpu_strided":
         # int codes (sym and centered-asym alike) are two's-complement signed;
@@ -413,6 +415,8 @@ def dequantize_packed(pw: PackedWeight, out_dtype=jnp.bfloat16) -> jax.Array:
     when ``pw.perm`` is set).
     """
     pw = resolve_double_quant(pw)
+    if pw.layout == "u4_kpack_sc":
+        pw = u4k_strip_scales(pw)
     K, N = pw.orig_shape
     G = pw.group_size if pw.group_size > 0 else K
     w = _dequantize_packed_arrays(

@@ -155,11 +155,15 @@ class ContinuousBatchingEngine:
 
     def metrics(self) -> dict:
         """Serving observability (reference-style Statistics surface):
-        cumulative prompt/generated token counts, request count, engine
-        iteration split, and decode throughput over ``run()`` wall time."""
+        cumulative prompt/generated token counts (in-flight requests
+        included), request count, engine dispatch split, and end-to-end
+        generation throughput over ``run()`` wall time. NOTE wall_s
+        includes jit compiles on a cold engine and prefill time —
+        ``generated_tok_s`` is an END-TO-END number, not a pure
+        steady-state decode rate."""
         s = dict(self.stats)
-        s["decode_tok_s"] = (s["generated_tokens"] / s["wall_s"]
-                             if s["wall_s"] > 0 else 0.0)
+        s["generated_tok_s"] = (s["generated_tokens"] / s["wall_s"]
+                                if s["wall_s"] > 0 else 0.0)
         return s
 
     def print_metrics(self) -> None:
@@ -263,6 +267,7 @@ class ContinuousBatchingEngine:
                 self._free_staging.append(self._staging_of.pop(slot))
             tok = int(nxt[i])
             req.generated.append(tok)
+            self.stats["generated_tokens"] += 1
             self.slot_state[slot] = "decode"
             self.slot_pos[slot] = P
             self.slot_tok[slot] = tok
@@ -457,6 +462,7 @@ class ContinuousBatchingEngine:
                 self.slot_pos[slot] += 1
                 tok = int(out[slot, j])
                 req.generated.append(tok)
+                self.stats["generated_tokens"] += 1
                 self.slot_tok[slot] = tok
                 if ((self.eos_token_id is not None
                      and tok == self.eos_token_id)
@@ -469,7 +475,6 @@ class ContinuousBatchingEngine:
         for slot, req in enumerate(self.slot_req):
             if req is not None and req.done:
                 done.append(req)
-                self.stats["generated_tokens"] += len(req.generated)
                 self.slot_req[slot] = None
                 self.slot_state[slot] = "idle"
                 if self.paged:

@@ -275,5 +275,5 @@ def test_engine_metrics(qmodel):
     assert m["generated_tokens"] == 7
     assert m["decode_dispatches"] >= 1
     assert m["prefill_chunk_dispatches"] >= 1
-    assert m["wall_s"] > 0 and m["decode_tok_s"] > 0
+    assert m["wall_s"] > 0 and m["generated_tok_s"] > 0
     eng.print_metrics()  # must not raise
