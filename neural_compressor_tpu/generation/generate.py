@@ -240,3 +240,53 @@ def generate(model, input_ids, do_sample: bool = False, num_beams: int = 1,
     kwargs.pop("top_p", None)
     kwargs.pop("seed", None)
     return greedy_search(model, input_ids, **kwargs)
+
+
+def greedy_search_mllm(model, input_ids, pixel_values,
+                       max_new_tokens: int = 32,
+                       eos_token_id: int | None = None,
+                       max_len: int | None = None):
+    """Greedy decoding for multimodal (llava-style) models: ONE jitted
+    program prefills [image, prompt] into the language model's KV caches
+    then decodes with positions offset by the image token count. Returns
+    [B, P + max_new_tokens] (prompt + generated text ids)."""
+    graphdef, state = nnx.split(model)
+    n_img = model.num_image_tokens
+    B, P = input_ids.shape
+    T = max_len or (n_img + P + max_new_tokens)
+    assert n_img + P + max_new_tokens <= T, "max_len too small"
+
+    @jax.jit
+    def run(state, ids, pix):
+        m = nnx.merge(graphdef, state)
+        _s4_prepare(m)
+        caches = init_kv_cache(m.cfg.text, B, T)
+        logits, caches = m(ids, pix, caches=caches, cache_pos=0)
+        first = jnp.argmax(logits[:, -1], axis=-1)[:, None].astype(jnp.int32)
+        out0 = jnp.zeros((B, max_new_tokens), jnp.int32).at[:, 0].set(
+            first[:, 0])
+        fin0 = ((first[:, 0] == eos_token_id) if eos_token_id is not None
+                else jnp.zeros((B,), bool))
+
+        def cond(carry):
+            i, _tok, _caches, _out, fin = carry
+            return (i < max_new_tokens) & ~jnp.all(fin)
+
+        def body(carry):
+            i, tok, caches, out, fin = carry
+            pos = n_img + P + i - 1
+            logits, caches = m(tok, None,
+                               positions=jnp.full((B, 1), pos, jnp.int32),
+                               caches=caches, cache_pos=pos)
+            nxt = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+            nxt = jnp.where(fin[:, None], tok, nxt)
+            out = jax.lax.dynamic_update_slice(out, nxt, (0, i))
+            if eos_token_id is not None:
+                fin = fin | (nxt[:, 0] == eos_token_id)
+            return i + 1, nxt, caches, out, fin
+
+        _i, _t, _c, out, _f = jax.lax.while_loop(
+            cond, body, (1, first, caches, out0, fin0))
+        return jnp.concatenate([ids, out], axis=1)
+
+    return run(state, jnp.asarray(input_ids, jnp.int32), pixel_values)

@@ -115,3 +115,34 @@ def test_llava_quantized_cache_decode():
     np.testing.assert_allclose(np.asarray(logits, np.float32),
                                np.asarray(full, np.float32),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_greedy_search_mllm_matches_manual_decode():
+    """generation.greedy_search_mllm (one jitted prefill+decode program)
+    must match the manual cached greedy loop token-for-token."""
+    from neural_compressor_tpu.generation import greedy_search_mllm
+    from neural_compressor_tpu.models.llama import init_kv_cache
+
+    m, ids, pix = _model_and_inputs()
+    qm = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+    n_new = 4
+    out = np.asarray(greedy_search_mllm(qm, ids, pix,
+                                        max_new_tokens=n_new))
+    assert out.shape == (ids.shape[0], ids.shape[1] + n_new)
+
+    # manual reference
+    n_img = qm.num_image_tokens
+    B, P = ids.shape
+    caches = init_kv_cache(qm.cfg.text, B, n_img + P + n_new)
+    logits, caches = qm(ids, pix, caches=caches, cache_pos=0)
+    tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+    ref = [np.asarray(tok[:, 0])]
+    for step in range(1, n_new):
+        pos = n_img + P + step - 1
+        logits, caches = qm(tok, None,
+                            positions=jnp.full((B, 1), pos, jnp.int32),
+                            caches=caches, cache_pos=pos)
+        tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+        ref.append(np.asarray(tok[:, 0]))
+    ref = np.stack(ref, axis=1)
+    np.testing.assert_array_equal(out[:, P:], ref)
