@@ -44,3 +44,10 @@ print("with quant_nontext_module: projector =",
       type(get_module(qm2, "multi_modal_projector")).__name__)
 logits = qm2(ids, pixels)
 print("quantized MLLM forward:", logits.shape)
+
+# image-conditioned generation through the quantized MLLM (one jitted
+# prefill + decode program)
+from neural_compressor_tpu.generation import greedy_search_mllm
+
+out = greedy_search_mllm(qm2, ids, pixels, max_new_tokens=8)
+print("generated:", out[:, ids.shape[1]:])
