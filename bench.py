@@ -60,7 +60,7 @@ def build_decode_fn(model, batch: int):
 
 
 def measure_decode(model, batch=1, max_len=256, steps=64, label="",
-                   repeats=3):
+                   repeats=5):
     """Median of ``repeats`` timed runs — the per-run spread is printed so
     a regression is distinguishable from tunnel/measurement noise
     (round-2 VERDICT Weak #9: the headline drifted ~1.3% between runs
