@@ -1,8 +1,8 @@
 """Model zoo: TPU-native NNX implementations of the LLM families the
 reference's recipes cover (llama/mistral/qwen2, gpt2, opt, mixtral, gpt-j,
-gpt-neox/dolly/pythia, bloom, falcon, phi, baichuan-7b —
-docs/source/llm_recipes.md), with tensor-parallel sharding rules and HF
-checkpoint import."""
+gpt-neox/dolly/pythia, bloom, falcon, phi, baichuan-7b, gemma-1/2/3 —
+docs/source/llm_recipes.md, test/jax/test_gemma3.py), with
+tensor-parallel sharding rules and HF checkpoint import."""
 
 from .llama import LlamaConfig, LlamaForCausalLM, LLAMA_PRESETS
 from .gpt2 import GPT2Config, GPT2LMHeadModel
@@ -13,6 +13,7 @@ from .bloom import BloomConfig, BloomForCausalLM, BLOOM_PRESETS
 from .falcon import FalconConfig, FalconForCausalLM, FALCON_PRESETS
 from .gptneox import GPTNeoXConfig, GPTNeoXForCausalLM, GPTNEOX_PRESETS
 from .phi import PhiConfig, PhiForCausalLM, PHI_PRESETS
+from .gemma import GemmaConfig, GemmaForCausalLM, GEMMA_PRESETS
 from .vit import ViTConfig, ViTForImageClassification, VIT_PRESETS
 from .llava import (LlavaConfig, LlavaForConditionalGeneration,
                     LLAVA_PRESETS)
@@ -28,6 +29,7 @@ __all__ = [
     "FalconConfig", "FalconForCausalLM", "FALCON_PRESETS",
     "GPTNeoXConfig", "GPTNeoXForCausalLM", "GPTNEOX_PRESETS",
     "PhiConfig", "PhiForCausalLM", "PHI_PRESETS",
+    "GemmaConfig", "GemmaForCausalLM", "GEMMA_PRESETS",
     "ViTConfig", "ViTForImageClassification", "VIT_PRESETS",
     "LlavaConfig", "LlavaForConditionalGeneration", "LLAVA_PRESETS",
     "make_mesh", "shard_model", "llama_partition_rules",

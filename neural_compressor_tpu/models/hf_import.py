@@ -822,6 +822,126 @@ def load_hf_baichuan(model_dir: str, dtype=jnp.bfloat16):
     return model
 
 
+def gemma_config_from_hf(model_dir: str, dtype=jnp.bfloat16):
+    """Gemma-1/2/3(text) config.json -> GemmaConfig (HF
+    configuration_gemma{,2,3}.py field names; gemma-3 multimodal wrappers
+    are rejected in detect_architecture)."""
+    from .gemma import GemmaConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    mt = hf.get("model_type", "gemma")
+    act = hf.get("hidden_activation") or hf.get("hidden_act") \
+        or "gelu_pytorch_tanh"
+    if act not in ("gelu_pytorch_tanh", "gelu_tanh", "gelu"):
+        raise ValueError(f"unsupported gemma activation {act!r}")
+    n_layers = hf["num_hidden_layers"]
+    layer_types = hf.get("layer_types")
+    if layer_types is None:
+        if mt == "gemma2" and hf.get("sliding_window"):
+            # HF Gemma2Config default: even layers slide
+            layer_types = ["sliding_attention" if i % 2 == 0
+                           else "full_attention" for i in range(n_layers)]
+        elif mt == "gemma3_text":
+            pat = int(hf.get("sliding_window_pattern", 6))
+            layer_types = ["full_attention" if (i + 1) % pat == 0
+                           else "sliding_attention" for i in range(n_layers)]
+    rope_scaling = None
+    rs = hf.get("rope_scaling")
+    rs_type = rs.get("rope_type", rs.get("type")) if rs else None
+    if rs_type == "linear":  # gemma-3 4b+ global-layer scaling
+        rope_scaling = dict(type="linear", factor=float(rs["factor"]))
+    elif rs_type not in (None, "default"):
+        raise ValueError(f"unsupported gemma rope_scaling {rs_type!r}")
+    return GemmaConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=n_layers,
+        num_attention_heads=hf["num_attention_heads"],
+        num_key_value_heads=hf.get("num_key_value_heads",
+                                   hf["num_attention_heads"]),
+        head_dim=hf.get("head_dim", 256),
+        max_position_embeddings=hf.get("max_position_embeddings", 8192),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rope_local_theta=(hf.get("rope_local_base_freq")
+                          if mt == "gemma3_text" else None),
+        rope_scaling=rope_scaling,
+        query_pre_attn_scalar=hf.get("query_pre_attn_scalar"),
+        attn_logit_softcapping=hf.get("attn_logit_softcapping"),
+        final_logit_softcapping=hf.get("final_logit_softcapping"),
+        sliding_window=hf.get("sliding_window"),
+        layer_types=layer_types,
+        use_post_norms=mt in ("gemma2", "gemma3_text"),
+        use_qk_norm=mt == "gemma3_text",
+        attention_bias=hf.get("attention_bias", False),
+        dtype=dtype,
+    )
+
+
+def load_hf_gemma(model_dir: str, dtype=jnp.bfloat16):
+    from .gemma import GemmaForCausalLM
+
+    cfg = gemma_config_from_hf(model_dir, dtype=dtype)
+    model = GemmaForCausalLM(cfg, nnx.Rngs(0))
+    norms = ("input_layernorm", "post_attention_layernorm",
+             "pre_feedforward_layernorm", "post_feedforward_layernorm")
+    n = 0
+    for name, arr in _iter_checkpoint_tensors(model_dir):
+        t = _to_jnp(arr, dtype)
+        if name == "model.embed_tokens.weight":
+            model.model.embed_tokens.embedding[...] = t
+            n += 1
+        elif name == "model.norm.weight":
+            model.model.norm.weight[...] = t.astype(jnp.float32)
+            n += 1
+        elif name == "lm_head.weight":
+            # tied head; some exports still materialize the duplicate
+            logger.debug("gemma: ignoring tied lm_head.weight duplicate")
+        elif name.startswith("model.layers."):
+            parts = name.split(".")
+            layer = model.model.layers[int(parts[2])]
+            rest = ".".join(parts[3:])
+            attn, mlp = layer.self_attn, layer.mlp
+            linears = {
+                "self_attn.q_proj": attn.q_proj,
+                "self_attn.k_proj": attn.k_proj,
+                "self_attn.v_proj": attn.v_proj,
+                "self_attn.o_proj": attn.o_proj,
+                "mlp.gate_proj": mlp.gate_proj,
+                "mlp.up_proj": mlp.up_proj,
+                "mlp.down_proj": mlp.down_proj,
+            }
+            stem, kind = rest.rsplit(".", 1)
+            if stem in linears and kind == "weight":
+                linears[stem].kernel[...] = t.T  # torch [out,in] -> [in,out]
+                n += 1
+            elif stem in linears and kind == "bias" and \
+                    linears[stem].bias is not None:
+                linears[stem].bias[...] = t
+                n += 1
+            elif rest == "self_attn.q_norm.weight" and \
+                    attn.q_norm is not None:
+                attn.q_norm.weight[...] = t.astype(jnp.float32)
+                n += 1
+            elif rest == "self_attn.k_norm.weight" and \
+                    attn.k_norm is not None:
+                attn.k_norm.weight[...] = t.astype(jnp.float32)
+                n += 1
+            elif any(rest == f"{nm}.weight" for nm in norms) and \
+                    getattr(layer, rest.rsplit(".", 1)[0], None) is not None:
+                getattr(layer, rest.rsplit(".", 1)[0]).weight[...] = \
+                    t.astype(jnp.float32)
+                n += 1
+            else:
+                n += _note_dropped(name)
+        else:
+            n += _note_dropped(name)
+    logger.info("Loaded %d HF tensors from %s", n, model_dir)
+    return model
+
+
 def detect_architecture(model_dir: str) -> str:
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
@@ -851,6 +971,13 @@ def detect_architecture(model_dir: str) -> str:
         # layout (fused MQA qkv, transformer.encoder.*) is remapped on
         # import (chatglm_remap_tensor)
         return "llama"
+    if has("Gemma3ForConditionalGeneration") or mt == "gemma3":
+        raise ValueError(
+            "multimodal gemma-3 checkpoints carry a vision tower this "
+            "loader does not map; export the text tower "
+            "(model_type=gemma3_text) instead")
+    if has("Gemma") or mt in ("gemma", "gemma2", "gemma3_text"):
+        return "gemma"
     if has("GPTJ") or mt == "gptj":
         return "gptj"
     if has("GPTNeoX") or mt == "gpt_neox":
@@ -883,6 +1010,7 @@ def detect_architecture(model_dir: str) -> str:
 
 _LOADERS = {
     "llama": load_hf_llama,
+    "gemma": load_hf_gemma,
     "mixtral": load_hf_mixtral,
     "gpt2": load_hf_gpt2,
     "gptj": load_hf_gptj,
