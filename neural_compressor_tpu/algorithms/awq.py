@@ -110,7 +110,24 @@ ABSORB_PATTERNS = {
         ("self_attn.v_proj", ["self_attn.dense"], "prev_linear"),
     ],
     "MixtralDecoderLayer": lambda block: _mixtral_patterns(block),
+    "GemmaDecoderLayer": lambda block: _gemma_patterns(block),
 }
+
+
+def _gemma_patterns(block):
+    # gemma-2/3 norm the MLP input with pre_feedforward_layernorm; gemma-1
+    # reuses post_attention_layernorm (llama-style). GeGLU is linear in
+    # up_proj, so down's input scale absorbs into up like llama's SwiGLU.
+    pre_mlp = ("pre_feedforward_layernorm" if block.cfg.use_post_norms
+               else "post_attention_layernorm")
+    return [
+        ("input_layernorm",
+         ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"],
+         "norm"),
+        ("self_attn.v_proj", ["self_attn.o_proj"], "prev_linear"),
+        (pre_mlp, ["mlp.gate_proj", "mlp.up_proj"], "norm"),
+        ("mlp.up_proj", ["mlp.down_proj"], "prev_linear"),
+    ]
 
 
 def _mixtral_patterns(block):
@@ -336,7 +353,11 @@ def apply_absorb_fold(block, parent, children, members, kind, s) -> bool:
         p, pv = _param_value(pm, attr)
         if pv.shape != s.shape:
             return False
-        p[...] = (pv.astype(jnp.float32) / s).astype(pv.dtype)
+        # norms whose effective multiplier is (w + off), e.g. gemma's
+        # (1 + w) RMSNorm, declare weight_offset; the stored param becomes
+        # (w + off)/s - off so the module still computes (x_n * (w' + off))
+        off = float(getattr(pm, "weight_offset", 0.0))
+        p[...] = ((pv.astype(jnp.float32) + off) / s - off).astype(pv.dtype)
         b, bv = _param_value(pm, "bias")
         if bv is not None and bv.shape == s.shape:
             b[...] = (bv.astype(jnp.float32) / s).astype(bv.dtype)

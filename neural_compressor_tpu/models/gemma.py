@@ -134,7 +134,13 @@ GEMMA_PRESETS = {
 
 
 class GemmaRMSNorm(nnx.Module):
-    """HF Gemma2RMSNorm: f32 throughout, scale = ``1 + w`` (w inits to 0)."""
+    """HF Gemma2RMSNorm: f32 throughout, scale = ``1 + w`` (w inits to 0).
+
+    ``weight_offset`` tells the AWQ/SmoothQuant absorb fold that the
+    effective multiplier is ``w + 1``: folding 1/s stores
+    ``(w + 1)/s - 1`` (algorithms.awq.apply_absorb_fold)."""
+
+    weight_offset = 1.0
 
     def __init__(self, dim: int, eps: float, dtype=jnp.bfloat16):
         self.weight = nnx.Param(jnp.zeros((dim,), dtype=jnp.float32))
@@ -315,7 +321,8 @@ class GemmaModel(nnx.Module):
         new_caches = [] if caches is not None else None
         for i, layer in enumerate(self.layers):
             cache = caches[i] if caches is not None else None
-            sliding = layer.self_attn.is_sliding
+            # from cfg, not layer.self_attn: calibration may wrap the layer
+            sliding = cfg.layer_types[i] == "sliding_attention"
             x, nc = layer(x, cos_l if sliding else cos_g,
                           sin_l if sliding else sin_g,
                           mask_sliding if sliding else mask_full,

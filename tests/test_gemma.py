@@ -109,6 +109,55 @@ def test_quantize_and_generate():
     assert out.shape == (1, 12)
 
 
+def test_gemma_norm_fold_is_output_invariant():
+    """The (1+w)-aware absorb fold (weight_offset): dividing the norm by s
+    while compensating every child kernel must leave the model's output
+    bit-close in f32 — this is exactly the invariant SmoothQuant/AWQ rely
+    on when they later quantize the scaled kernels."""
+    from neural_compressor_tpu.algorithms.awq import (ABSORB_PATTERNS,
+                                                      apply_absorb_fold)
+
+    m = GemmaForCausalLM.from_preset("gemma2-test", dtype=jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 256, (2, 12)))
+    before = np.asarray(m(ids), np.float32)
+    block = m.model.layers[0]
+    rng = np.random.default_rng(4)
+    for parent, children, kind in ABSORB_PATTERNS["GemmaDecoderLayer"](block):
+        if kind != "norm":
+            continue
+        s = jnp.asarray(rng.uniform(0.5, 2.0, (m.cfg.hidden_size,)),
+                        jnp.float32)
+        assert apply_absorb_fold(block, parent, children, members=[],
+                                 kind=kind, s=s), parent
+    after = np.asarray(m(ids), np.float32)
+    np.testing.assert_allclose(before, after, atol=1e-4)
+
+
+def test_awq_folds_into_gemma_norms():
+    """AWQ absorbs its scales into gemma's (1+w) norms — params mutated,
+    no runtime pre_scale on the mapped projections (the round-3 zoo-wide
+    fold contract, extended to the new family)."""
+    m = GemmaForCausalLM.from_preset("gemma2-test")
+    blk = m.model.layers[0]
+    w_in = np.asarray(blk.input_layernorm.weight[...], np.float32).copy()
+    w_pre = np.asarray(blk.pre_feedforward_layernorm.weight[...],
+                       np.float32).copy()
+    ids = jnp.asarray(np.random.default_rng(5).integers(0, 256, (2, 16)))
+    qm = nq.quantize(m, nq.AWQConfig(dtype="int4", group_size=32),
+                     run_fn=lambda mm: mm(ids))
+    blk = qm.model.layers[0]
+    for child in (blk.self_attn.q_proj, blk.mlp.gate_proj):
+        assert isinstance(child, WOQLinear)
+        assert child.pre_scale is None, "scale not absorbed (pre_scale set)"
+    assert not np.allclose(
+        w_in, np.asarray(blk.input_layernorm.weight[...], np.float32))
+    assert not np.allclose(
+        w_pre,
+        np.asarray(blk.pre_feedforward_layernorm.weight[...], np.float32))
+    y = np.asarray(qm(ids), np.float32)
+    assert np.isfinite(y).all()
+
+
 def test_multimodal_gemma3_rejected(tmp_path):
     import json
 
