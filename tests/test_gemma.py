@@ -158,6 +158,21 @@ def test_awq_folds_into_gemma_norms():
     assert np.isfinite(y).all()
 
 
+def test_gemma_tp_forward_matches_single_device():
+    """The name-based TP rules (models/sharding.py) cover gemma's
+    projections: sharding a quantized gemma over an 8-device mesh must
+    reproduce the single-device logits (XLA inserts the collectives)."""
+    from neural_compressor_tpu.models import make_mesh, shard_model
+
+    m = GemmaForCausalLM.from_preset("gemma2-test", dtype=jnp.float32)
+    qm = nq.quantize(m, nq.RTNConfig(dtype="int8", group_size=32))
+    ids = jnp.asarray(np.random.default_rng(6).integers(0, 256, (2, 12)))
+    ref = np.asarray(qm(ids), np.float32)
+    shard_model(qm, make_mesh((1, 8)))
+    got = np.asarray(qm(ids), np.float32)
+    np.testing.assert_allclose(ref, got, atol=1e-5)
+
+
 def test_multimodal_gemma3_rejected(tmp_path):
     import json
 
