@@ -76,6 +76,19 @@ def _prefill_and_loop(apply, state, input_ids, caches, max_new_tokens,
     return jnp.concatenate([input_ids, out], axis=1)
 
 
+def _alloc_caches(model, B: int, total: int):
+    """KV caches for a decode run: the model's own ``init_caches`` when it
+    defines one (e.g. MLA's asymmetric K/V widths, models/deepseek.py),
+    else the llama-shaped ``init_kv_cache`` from its cfg. KV quantization
+    flags (algorithms/kv_cache.py) apply either way."""
+    quantized = (getattr(model, "kv_cache_format", "int8")
+                 if getattr(model, "kv_cache_quantized", False) else False)
+    init = getattr(model, "init_caches", None)
+    if init is not None:
+        return init(B, total, quantized=quantized)
+    return init_kv_cache(model.cfg, B, total, quantized=quantized)
+
+
 def greedy_search(model, input_ids, max_new_tokens: int = 32,
                   eos_token_id: int | None = None, max_len: int | None = None):
     """Greedy decoding with a jitted prefill+decode program."""
@@ -116,9 +129,7 @@ def _run(model, input_ids, max_new_tokens, eos_token_id, next_token_fn,
          max_len, seed: int = 0):
     B, P = input_ids.shape
     total = P + max_new_tokens if max_len is None else max_len
-    quantized = (getattr(model, "kv_cache_format", "int8")
-                 if getattr(model, "kv_cache_quantized", False) else False)
-    caches = init_kv_cache(model.cfg, B, total, quantized=quantized)
+    caches = _alloc_caches(model, B, total)
     graphdef, state, apply, prepare = _split(model)
 
     @functools.partial(jax.jit, static_argnames=("mnt",))
@@ -145,10 +156,8 @@ def beam_search(model, input_ids, num_beams: int = 4,
     """
     B, P = input_ids.shape
     total = P + max_new_tokens
-    quantized = (getattr(model, "kv_cache_format", "int8")
-                 if getattr(model, "kv_cache_quantized", False) else False)
     # prefill runs over B rows once; the cache is replicated per beam after
-    caches = init_kv_cache(model.cfg, B, total, quantized=quantized)
+    caches = _alloc_caches(model, B, total)
     graphdef, state, apply, prepare = _split(model)
 
     @functools.partial(jax.jit, static_argnames=("mnt", "nb"))

@@ -14,6 +14,8 @@ from .falcon import FalconConfig, FalconForCausalLM, FALCON_PRESETS
 from .gptneox import GPTNeoXConfig, GPTNeoXForCausalLM, GPTNEOX_PRESETS
 from .phi import PhiConfig, PhiForCausalLM, PHI_PRESETS
 from .gemma import GemmaConfig, GemmaForCausalLM, GEMMA_PRESETS
+from .deepseek import (DeepseekConfig, DeepseekForCausalLM,
+                       DEEPSEEK_PRESETS)
 from .vit import ViTConfig, ViTForImageClassification, VIT_PRESETS
 from .llava import (LlavaConfig, LlavaForConditionalGeneration,
                     LLAVA_PRESETS)
@@ -30,6 +32,7 @@ __all__ = [
     "GPTNeoXConfig", "GPTNeoXForCausalLM", "GPTNEOX_PRESETS",
     "PhiConfig", "PhiForCausalLM", "PHI_PRESETS",
     "GemmaConfig", "GemmaForCausalLM", "GEMMA_PRESETS",
+    "DeepseekConfig", "DeepseekForCausalLM", "DEEPSEEK_PRESETS",
     "ViTConfig", "ViTForImageClassification", "VIT_PRESETS",
     "LlavaConfig", "LlavaForConditionalGeneration", "LLAVA_PRESETS",
     "make_mesh", "shard_model", "llama_partition_rules",

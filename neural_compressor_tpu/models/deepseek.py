@@ -1,0 +1,363 @@
+"""DeepSeek-V3 family causal LM (NNX, TPU-first): Multi-head Latent
+Attention (MLA) + sigmoid-routed MoE with shared experts.
+
+The reference quantizes DeepSeek-V3 through its FP8/EP patched modules
+(``PatchedGaudiDeepseekV3MoE``, ``PatchedMoeFP8Matmul`` —
+fp8_quant/_quant_common/helper_modules.py:815,910-1103); here the family
+is a native zoo member: every projection (including the MLA low-rank
+a/b factors and all expert MLPs) is a plain ``nnx.Linear``, so RTN/GPTQ/
+AWQ/FP8/... quantize it with zero extra machinery. Math verified against
+HF modeling_deepseek_v3.py.
+
+MLA (DeepseekV3Attention):
+  * q: optional low-rank path ``q_b(q_a_norm(q_a(x)))`` (q_lora_rank)
+  * kv: ONE down-projection ``kv_a_proj_with_mqa`` -> [kv_lora_rank
+    (latent) | qk_rope_head_dim (shared rope key)]; the latent is
+    RMS-normed and up-projected per head to [qk_nope | v]
+  * per-head query/key = [nope | rope] concat; the rope part of K is
+    SHARED across heads (MQA-style), broadcast after rotation
+  * scaling = qk_head_dim ** -0.5
+
+Router (DeepseekV3TopkRouter): sigmoid scores; selection adds a
+per-expert bias (e_score_correction_bias) and is GROUP-LIMITED (top
+``topk_group`` of ``n_group`` groups by sum of each group's top-2
+scores); combine weights are the ORIGINAL sigmoid scores of the selected
+experts, optionally normalized, times routed_scaling_factor. Shared
+experts always run and add to the routed output.
+
+Caches follow the zoo ``KVCache`` protocol but with MLA's asymmetric
+dims (K: qk_head_dim, V: v_head_dim) — the model provides
+``init_caches`` which ``generation`` prefers over the llama-shaped
+default.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from .llama import (KVCache, QuantKVCache, RMSNorm, _KV_CODE_DTYPES, _rope,
+                    apply_rope, update_cache)
+
+
+@dataclasses.dataclass
+class DeepseekConfig:
+    vocab_size: int = 129280
+    hidden_size: int = 7168
+    intermediate_size: int = 18432       # dense layers
+    moe_intermediate_size: int = 2048    # per routed/shared expert
+    num_hidden_layers: int = 61
+    num_attention_heads: int = 128
+    # MLA
+    q_lora_rank: int | None = 1536       # None = direct q_proj
+    kv_lora_rank: int = 512
+    qk_rope_head_dim: int = 64
+    qk_nope_head_dim: int = 128
+    v_head_dim: int = 128
+    # MoE
+    n_routed_experts: int = 256
+    num_experts_per_tok: int = 8
+    n_shared_experts: int = 1
+    n_group: int = 8
+    topk_group: int = 4
+    norm_topk_prob: bool = True
+    routed_scaling_factor: float = 2.5
+    first_k_dense_replace: int = 3       # leading layers use a dense MLP
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_interleave: bool = True
+    attention_bias: bool = False
+    tie_word_embeddings: bool = False
+    dtype: object = jnp.bfloat16
+
+    @property
+    def qk_head_dim(self) -> int:
+        return self.qk_nope_head_dim + self.qk_rope_head_dim
+
+    # protocol fields some zoo utilities read; MLA caches are allocated by
+    # the model's own init_caches (K and V widths differ)
+    @property
+    def num_key_value_heads(self) -> int:
+        return self.num_attention_heads
+
+    @property
+    def head_dim(self) -> int:
+        return self.qk_head_dim
+
+    def __post_init__(self):
+        assert self.n_routed_experts % self.n_group == 0, \
+            "n_routed_experts must divide into n_group groups"
+
+
+DEEPSEEK_PRESETS = {
+    "deepseek-test": dict(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=32, num_hidden_layers=3,
+        num_attention_heads=4, q_lora_rank=32, kv_lora_rank=16,
+        qk_rope_head_dim=8, qk_nope_head_dim=8, v_head_dim=16,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        n_group=4, topk_group=2, first_k_dense_replace=1,
+        max_position_embeddings=128),
+    # deepseek-v3/r1 671B shape (config.json values) — for documentation
+    # and sharding-rule sanity; far beyond one chip
+    "deepseek-v3": dict(),
+}
+
+
+class DeepseekMLP(nnx.Module):
+    """SwiGLU MLP, llama naming (HF DeepseekV3MLP)."""
+
+    def __init__(self, cfg: DeepseekConfig, intermediate: int,
+                 rngs: nnx.Rngs):
+        lin = lambda i, o: nnx.Linear(i, o, use_bias=False, dtype=cfg.dtype,
+                                      param_dtype=cfg.dtype, rngs=rngs)
+        self.gate_proj = lin(cfg.hidden_size, intermediate)
+        self.up_proj = lin(cfg.hidden_size, intermediate)
+        self.down_proj = lin(intermediate, cfg.hidden_size)
+
+    def __call__(self, x):
+        return self.down_proj(nnx.silu(self.gate_proj(x)) * self.up_proj(x))
+
+
+class DeepseekTopkRouter(nnx.Module):
+    """Raw-parameter router (NOT a Linear, so no quantization pass ever
+    touches it — the reference likewise keeps routers fp)."""
+
+    def __init__(self, cfg: DeepseekConfig, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.weight = nnx.Param(
+            jax.random.normal(rngs.params(),
+                              (cfg.n_routed_experts, cfg.hidden_size),
+                              jnp.float32) * 0.02)
+        self.e_score_correction_bias = nnx.Param(
+            jnp.zeros((cfg.n_routed_experts,), jnp.float32))
+
+    def __call__(self, xt: jax.Array):
+        """xt [T, H] -> (topk_indices [T, k], topk_weights [T, k] f32)."""
+        cfg = self.cfg
+        E, G = cfg.n_routed_experts, cfg.n_group
+        scores = jax.nn.sigmoid(
+            xt.astype(jnp.float32) @ self.weight[...].T)      # [T, E]
+        sc = scores + self.e_score_correction_bias[...][None, :]
+        # group-limited selection: a group's score is the sum of its top-2
+        group_scores = jnp.sum(
+            jax.lax.top_k(sc.reshape(-1, G, E // G), 2)[0], axis=-1)
+        _, gidx = jax.lax.top_k(group_scores, cfg.topk_group)  # [T, tg]
+        gmask = jnp.any(
+            jax.nn.one_hot(gidx, G, dtype=jnp.bool_), axis=1)  # [T, G]
+        emask = jnp.repeat(gmask, E // G, axis=-1)             # [T, E]
+        masked = jnp.where(emask, sc, 0.0)  # sigmoid scores are >= 0
+        _, topi = jax.lax.top_k(masked, cfg.num_experts_per_tok)
+        topw = jnp.take_along_axis(scores, topi, axis=-1)
+        if cfg.norm_topk_prob:
+            topw = topw / (jnp.sum(topw, axis=-1, keepdims=True) + 1e-20)
+        return topi, topw * cfg.routed_scaling_factor
+
+
+class DeepseekMoE(nnx.Module):
+    """Dense-dispatch MoE (every expert on every token, combined with the
+    sparse routing weights) + always-on shared experts. Exact and
+    gather-free — the form quantization passes calibrate through; sparse
+    capacity-based dispatch over stacked [E, ...] kernels is the mixtral
+    ``StackedMoEBlock`` pattern (models/mixtral.py) and shards the expert
+    axis for EP the same way."""
+
+    def __init__(self, cfg: DeepseekConfig, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.gate = DeepseekTopkRouter(cfg, rngs)
+        self.experts = nnx.List(
+            [DeepseekMLP(cfg, cfg.moe_intermediate_size, rngs)
+             for _ in range(cfg.n_routed_experts)])
+        self.shared_experts = DeepseekMLP(
+            cfg, cfg.moe_intermediate_size * cfg.n_shared_experts, rngs)
+
+    def __call__(self, x):
+        cfg = self.cfg
+        B, S, H = x.shape
+        xt = x.reshape(B * S, H)
+        topi, topw = self.gate(xt)
+        E = cfg.n_routed_experts
+        onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)    # [T, k, E]
+        w_full = jnp.einsum("tke,tk->te", onehot, topw)        # [T, E]
+        out = jnp.zeros_like(xt, dtype=jnp.float32)
+        for e, expert in enumerate(self.experts):
+            out = out + expert(xt).astype(jnp.float32) * w_full[:, e:e + 1]
+        out = out.astype(x.dtype).reshape(B, S, H)
+        return out + self.shared_experts(x)
+
+
+class DeepseekAttention(nnx.Module):
+    """MLA (HF DeepseekV3Attention, modeling_deepseek_v3.py:327-447)."""
+
+    def __init__(self, cfg: DeepseekConfig, rngs: nnx.Rngs):
+        self.cfg = cfg
+        H = cfg.num_attention_heads
+        lin = lambda i, o, b=False: nnx.Linear(
+            i, o, use_bias=b, dtype=cfg.dtype, param_dtype=cfg.dtype,
+            rngs=rngs)
+        if cfg.q_lora_rank is None:
+            self.q_proj = lin(cfg.hidden_size, H * cfg.qk_head_dim)
+            self.q_a_proj = self.q_a_layernorm = self.q_b_proj = \
+                nnx.data(None)
+        else:
+            self.q_proj = nnx.data(None)
+            self.q_a_proj = lin(cfg.hidden_size, cfg.q_lora_rank,
+                                cfg.attention_bias)
+            self.q_a_layernorm = RMSNorm(cfg.q_lora_rank, cfg.rms_norm_eps,
+                                         cfg.dtype)
+            self.q_b_proj = lin(cfg.q_lora_rank, H * cfg.qk_head_dim)
+        self.kv_a_proj_with_mqa = lin(
+            cfg.hidden_size, cfg.kv_lora_rank + cfg.qk_rope_head_dim,
+            cfg.attention_bias)
+        self.kv_a_layernorm = RMSNorm(cfg.kv_lora_rank, cfg.rms_norm_eps,
+                                      cfg.dtype)
+        self.kv_b_proj = lin(cfg.kv_lora_rank,
+                             H * (cfg.qk_nope_head_dim + cfg.v_head_dim))
+        self.o_proj = lin(H * cfg.v_head_dim, cfg.hidden_size,
+                          cfg.attention_bias)
+
+    def _rot(self, x, cos, sin):
+        """Rope over the qk_rope slice. ``rope_interleave`` checkpoints
+        store pairs interleaved; HF regroups (even|odd) then rotates-half
+        — the SAME permutation on q and k keeps their dot invariant."""
+        if self.cfg.rope_interleave:
+            x = jnp.concatenate([x[..., 0::2], x[..., 1::2]], axis=-1)
+        return apply_rope(x, cos, sin, "half")
+
+    def __call__(self, x, cos, sin, mask, cache=None, cache_pos=None):
+        cfg = self.cfg
+        B, S, _ = x.shape
+        H = cfg.num_attention_heads
+        dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+        if self.q_proj is not None:
+            q = self.q_proj(x)
+        else:
+            q = self.q_b_proj(self.q_a_layernorm(self.q_a_proj(x)))
+        q = q.reshape(B, S, H, dn + dr)
+        q_nope, q_rot = q[..., :dn], q[..., dn:]
+        ckv = self.kv_a_proj_with_mqa(x)                     # [B,S,r+dr]
+        latent, k_rot = ckv[..., :cfg.kv_lora_rank], ckv[..., cfg.kv_lora_rank:]
+        kv = self.kv_b_proj(self.kv_a_layernorm(latent))
+        kv = kv.reshape(B, S, H, dn + dv)
+        k_nope, v = kv[..., :dn], kv[..., dn:]
+        q_rot = self._rot(q_rot, cos, sin)
+        k_rot = self._rot(k_rot[:, :, None, :], cos, sin)    # [B,S,1,dr]
+        k_rot = jnp.broadcast_to(k_rot, (B, S, H, dr))
+        q = jnp.concatenate([q_nope, q_rot], axis=-1).transpose(0, 2, 1, 3)
+        k = jnp.concatenate([k_nope, k_rot], axis=-1).transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)                          # [B,H,S,dv]
+        new_cache = None
+        if cache is not None:
+            k, v, new_cache = update_cache(cache, k, v, cache_pos, x.dtype)
+        s = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                       preferred_element_type=jnp.float32)
+        s = s * (cfg.qk_head_dim ** -0.5)
+        s = jnp.where(mask, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        out = jnp.einsum("bhst,bhtd->bhsd", p.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, S, H * dv)
+        return self.o_proj(out), new_cache
+
+
+class DeepseekDecoderLayer(nnx.Module):
+    def __init__(self, cfg: DeepseekConfig, layer_idx: int, rngs: nnx.Rngs):
+        self.input_layernorm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
+                                       cfg.dtype)
+        self.self_attn = DeepseekAttention(cfg, rngs)
+        self.post_attention_layernorm = RMSNorm(cfg.hidden_size,
+                                                cfg.rms_norm_eps, cfg.dtype)
+        if layer_idx >= cfg.first_k_dense_replace:
+            self.mlp = DeepseekMoE(cfg, rngs)
+        else:
+            self.mlp = DeepseekMLP(cfg, cfg.intermediate_size, rngs)
+
+    def __call__(self, x, cos, sin, mask, cache=None, cache_pos=None):
+        h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin,
+                                      mask, cache, cache_pos)
+        x = x + h
+        x = x + self.mlp(self.post_attention_layernorm(x))
+        return x, new_cache
+
+
+class DeepseekModel(nnx.Module):
+    def __init__(self, cfg: DeepseekConfig, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.embed_tokens = nnx.Embed(cfg.vocab_size, cfg.hidden_size,
+                                      dtype=cfg.dtype, param_dtype=cfg.dtype,
+                                      rngs=rngs)
+        self.layers = nnx.List(
+            [DeepseekDecoderLayer(cfg, i, rngs)
+             for i in range(cfg.num_hidden_layers)])
+        self.norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.dtype)
+
+    def __call__(self, input_ids, positions=None, caches=None,
+                 cache_pos=None):
+        cfg = self.cfg
+        B, S = input_ids.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
+        x = self.embed_tokens(input_ids)
+        cos, sin = _rope(positions, cfg.qk_rope_head_dim, cfg.rope_theta)
+        if caches is None:
+            mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
+        else:
+            T = caches[0][0].shape[2]
+            key_pos = jnp.arange(T)[None, None, None, :]
+            mask = key_pos <= positions[:, None, :, None]
+        new_caches = [] if caches is not None else None
+        for i, layer in enumerate(self.layers):
+            cache = caches[i] if caches is not None else None
+            x, nc = layer(x, cos, sin, mask, cache, cache_pos)
+            if new_caches is not None:
+                new_caches.append(nc)
+        return self.norm(x), new_caches
+
+
+class DeepseekForCausalLM(nnx.Module):
+    def __init__(self, cfg: DeepseekConfig, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.model = DeepseekModel(cfg, rngs)
+        self.lm_head = nnx.Linear(cfg.hidden_size, cfg.vocab_size,
+                                  use_bias=False, dtype=cfg.dtype,
+                                  param_dtype=cfg.dtype, rngs=rngs)
+
+    def __call__(self, input_ids, positions=None, caches=None,
+                 cache_pos=None):
+        x, new_caches = self.model(input_ids, positions, caches, cache_pos)
+        logits = self.lm_head(x)
+        if caches is None:
+            return logits
+        return logits, new_caches
+
+    def init_caches(self, batch: int, max_len: int,
+                    quantized: bool | str = False):
+        """MLA caches: K rows are qk_head_dim wide, V rows v_head_dim —
+        the generation loops call this instead of the llama-shaped
+        ``init_kv_cache`` (generation/generate.py _alloc_caches)."""
+        cfg = self.cfg
+        H = cfg.num_attention_heads
+        kshape = (batch, H, max_len, cfg.qk_head_dim)
+        vshape = (batch, H, max_len, cfg.v_head_dim)
+        if quantized:
+            fmt = "int8" if quantized is True else str(quantized)
+            assert fmt != "int4", "packed int4 KV is llama-cache only"
+            cdt = _KV_CODE_DTYPES[fmt]
+            return [QuantKVCache(jnp.zeros(kshape, cdt),
+                                 jnp.ones(kshape[:-1], jnp.float32),
+                                 jnp.zeros(vshape, cdt),
+                                 jnp.ones(vshape[:-1], jnp.float32))
+                    for _ in range(cfg.num_hidden_layers)]
+        return [KVCache(jnp.zeros(kshape, cfg.dtype),
+                        jnp.zeros(vshape, cfg.dtype))
+                for _ in range(cfg.num_hidden_layers)]
+
+    @classmethod
+    def from_preset(cls, name: str, seed: int = 0, **overrides):
+        params = dict(DEEPSEEK_PRESETS[name])
+        params.update(overrides)
+        return cls(DeepseekConfig(**params), nnx.Rngs(seed))

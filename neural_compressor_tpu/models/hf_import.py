@@ -942,6 +942,86 @@ def load_hf_gemma(model_dir: str, dtype=jnp.bfloat16):
     return model
 
 
+def deepseek_config_from_hf(model_dir: str, dtype=jnp.bfloat16):
+    from .deepseek import DeepseekConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    if hf.get("rope_scaling") not in (None, {}):
+        raise ValueError(
+            "deepseek rope_scaling (yarn) is not implemented — loading "
+            "without it would rescale attention wrongly at long context")
+    return DeepseekConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        moe_intermediate_size=hf["moe_intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        q_lora_rank=hf.get("q_lora_rank"),
+        kv_lora_rank=hf["kv_lora_rank"],
+        qk_rope_head_dim=hf["qk_rope_head_dim"],
+        qk_nope_head_dim=hf["qk_nope_head_dim"],
+        v_head_dim=hf["v_head_dim"],
+        n_routed_experts=hf["n_routed_experts"],
+        num_experts_per_tok=hf["num_experts_per_tok"],
+        n_shared_experts=hf["n_shared_experts"],
+        n_group=hf["n_group"],
+        topk_group=hf["topk_group"],
+        norm_topk_prob=hf.get("norm_topk_prob", True),
+        routed_scaling_factor=hf.get("routed_scaling_factor", 1.0),
+        first_k_dense_replace=hf.get("first_k_dense_replace", 0),
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rope_interleave=hf.get("rope_interleave", True),
+        attention_bias=hf.get("attention_bias", False),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        dtype=dtype,
+    )
+
+
+def load_hf_deepseek(model_dir: str, dtype=jnp.bfloat16):
+    """DeepSeek-V3 checkpoint -> DeepseekForCausalLM. Leaves are resolved
+    by walking the HF dotted path (the module tree mirrors HF naming);
+    Linear kernels transpose [out,in] -> [in,out], norm/router params
+    stay f32."""
+    from .deepseek import DeepseekForCausalLM, DeepseekTopkRouter
+
+    cfg = deepseek_config_from_hf(model_dir, dtype=dtype)
+    model = DeepseekForCausalLM(cfg, nnx.Rngs(0))
+    n = 0
+    for name, arr in _iter_checkpoint_tensors(model_dir):
+        t = _to_jnp(arr, dtype)
+        parts = name.split(".")
+        leaf = parts[-1]
+        try:
+            m = model
+            for p in parts[:-1]:
+                m = m[int(p)] if p.isdigit() else getattr(m, p)
+        except (AttributeError, KeyError, IndexError):
+            n += _note_dropped(name)
+            continue
+        if leaf == "weight" and getattr(m, "kernel", None) is not None:
+            m.kernel[...] = t.T
+        elif leaf == "weight" and isinstance(m, DeepseekTopkRouter):
+            m.weight[...] = t.astype(jnp.float32)  # router [E, H], fp
+        elif leaf == "weight" and getattr(m, "embedding", None) is not None:
+            m.embedding[...] = t
+        elif leaf == "weight" and getattr(m, "weight", None) is not None:
+            m.weight[...] = t.astype(jnp.float32)  # RMSNorms
+        elif leaf == "e_score_correction_bias":
+            m.e_score_correction_bias[...] = t.astype(jnp.float32)
+        elif leaf == "bias" and getattr(m, "bias", None) is not None:
+            m.bias[...] = t
+        else:
+            n += _note_dropped(name)
+            continue
+        n += 1
+    logger.info("Loaded %d HF tensors from %s", n, model_dir)
+    return model
+
+
 def detect_architecture(model_dir: str) -> str:
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
@@ -971,6 +1051,8 @@ def detect_architecture(model_dir: str) -> str:
         # layout (fused MQA qkv, transformer.encoder.*) is remapped on
         # import (chatglm_remap_tensor)
         return "llama"
+    if has("DeepseekV3") or mt == "deepseek_v3":
+        return "deepseek"
     if has("Gemma3ForConditionalGeneration") or mt == "gemma3":
         raise ValueError(
             "multimodal gemma-3 checkpoints carry a vision tower this "
@@ -1011,6 +1093,7 @@ def detect_architecture(model_dir: str) -> str:
 _LOADERS = {
     "llama": load_hf_llama,
     "gemma": load_hf_gemma,
+    "deepseek": load_hf_deepseek,
     "mixtral": load_hf_mixtral,
     "gpt2": load_hf_gpt2,
     "gptj": load_hf_gptj,

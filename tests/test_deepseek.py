@@ -1,0 +1,119 @@
+"""DeepSeek-V3 family: MLA + sigmoid-routed group-limited MoE with shared
+experts — HF numerical parity on a tiny random checkpoint, cache-decode
+consistency, and quantize+generate (reference coverage: the FP8/EP stack's
+PatchedGaudiDeepseekV3MoE, helper_modules.py:815)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import neural_compressor_tpu as nq
+from neural_compressor_tpu.layers import WOQLinear
+from neural_compressor_tpu.layers.module_utils import named_modules
+from neural_compressor_tpu.models import DeepseekForCausalLM
+from neural_compressor_tpu.models.hf_import import (
+    detect_architecture, load_hf_model)
+
+
+def _tiny_hf(tmp_path, **over):
+    import torch
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    torch.manual_seed(0)
+    kw = dict(vocab_size=128, hidden_size=64, intermediate_size=128,
+              moe_intermediate_size=32, num_hidden_layers=3,
+              num_attention_heads=4, num_key_value_heads=4,
+              q_lora_rank=32, kv_lora_rank=16, qk_rope_head_dim=8,
+              qk_nope_head_dim=8, v_head_dim=16, n_routed_experts=8,
+              num_experts_per_tok=2, n_shared_experts=1, n_group=4,
+              topk_group=2, first_k_dense_replace=1,
+              max_position_embeddings=64)
+    kw.update(over)
+    m = DeepseekV3ForCausalLM(DeepseekV3Config(**kw)).eval().float()
+    d = tmp_path / "dsv3"
+    m.save_pretrained(d, safe_serialization=True)
+    return m, str(d)
+
+
+@pytest.mark.slow
+def test_deepseek_hf_parity(tmp_path):
+    """MLA low-rank q/kv paths, shared rope key, interleaved rotary, and
+    the bias-corrected group-limited router all reproduce HF numerics."""
+    import torch
+
+    hf_model, d = _tiny_hf(tmp_path)
+    assert detect_architecture(d) == "deepseek"
+    model = load_hf_model(d, dtype=jnp.float32)
+    assert model.cfg.rope_interleave
+    # layer 0 is dense (first_k_dense_replace=1), layers 1-2 are MoE
+    assert not hasattr(model.model.layers[0].mlp, "experts")
+    assert len(model.model.layers[1].mlp.experts) == 8
+    ids = np.random.default_rng(0).integers(0, 128, (2, 12))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(model(jnp.asarray(ids)), dtype=np.float32)
+    err = np.abs(ref - got).max()
+    assert err < 5e-3, f"deepseek: max logit diff {err}"
+
+
+@pytest.mark.slow
+def test_deepseek_hf_parity_no_qlora_halfrope(tmp_path):
+    """q_lora_rank=None (direct q_proj) and non-interleaved rotary."""
+    import torch
+
+    hf_model, d = _tiny_hf(tmp_path, q_lora_rank=None, rope_interleave=False)
+    model = load_hf_model(d, dtype=jnp.float32)
+    assert model.model.layers[0].self_attn.q_proj is not None
+    ids = np.random.default_rng(1).integers(0, 128, (2, 10))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(model(jnp.asarray(ids)), dtype=np.float32)
+    err = np.abs(ref - got).max()
+    assert err < 5e-3, f"deepseek(no-qlora): max logit diff {err}"
+
+
+def test_cache_matches_prefill():
+    m = DeepseekForCausalLM.from_preset("deepseek-test")
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, 256, (2, 8)))
+    caches = m.init_caches(2, 16)
+    assert caches[0].k.shape[-1] == m.cfg.qk_head_dim
+    assert caches[0].v.shape[-1] == m.cfg.v_head_dim
+    _, caches = m(ids, caches=caches, cache_pos=0)
+    pos = jnp.full((2, 1), 8)
+    lg2, _ = m(ids[:, :1], positions=pos, caches=caches, cache_pos=8)
+    full = m(jnp.concatenate([ids, ids[:, :1]], axis=1))
+    np.testing.assert_allclose(
+        np.asarray(full[:, -1], dtype=np.float32),
+        np.asarray(lg2[:, 0], dtype=np.float32), atol=2e-2)
+
+
+def test_quantize_and_generate_router_stays_fp():
+    from neural_compressor_tpu.generation import greedy_search
+    from neural_compressor_tpu.models.deepseek import DeepseekTopkRouter
+
+    m = DeepseekForCausalLM.from_preset("deepseek-test")
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 256, (1, 8)))
+    qm = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+    n_woq = sum(1 for _p, mod in named_modules(qm)
+                if isinstance(mod, WOQLinear))
+    # 2 MoE layers x (8 experts + shared) x 3 projections quantize, plus
+    # the MLA factors; the raw-parameter router is never a target
+    assert n_woq >= 2 * 9 * 3
+    for _p, mod in named_modules(qm):
+        if isinstance(mod, DeepseekTopkRouter):
+            assert mod.weight[...].dtype == jnp.float32
+    out = greedy_search(qm, ids, max_new_tokens=4)
+    assert out.shape == (1, 12)
+
+
+def test_yarn_rope_scaling_rejected(tmp_path):
+    import json
+
+    d = tmp_path / "yarn"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(
+        {"model_type": "deepseek_v3",
+         "architectures": ["DeepseekV3ForCausalLM"],
+         "rope_scaling": {"type": "yarn", "factor": 40}}))
+    with pytest.raises(ValueError, match="yarn"):
+        load_hf_model(str(d))
