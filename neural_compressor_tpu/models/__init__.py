@@ -15,7 +15,7 @@ from .gptneox import GPTNeoXConfig, GPTNeoXForCausalLM, GPTNEOX_PRESETS
 from .phi import PhiConfig, PhiForCausalLM, PHI_PRESETS
 from .gemma import GemmaConfig, GemmaForCausalLM, GEMMA_PRESETS
 from .deepseek import (DeepseekConfig, DeepseekForCausalLM,
-                       DEEPSEEK_PRESETS)
+                       DEEPSEEK_PRESETS, enable_mla_latent_cache)
 from .vit import ViTConfig, ViTForImageClassification, VIT_PRESETS
 from .llava import (LlavaConfig, LlavaForConditionalGeneration,
                     LLAVA_PRESETS)
@@ -33,6 +33,7 @@ __all__ = [
     "PhiConfig", "PhiForCausalLM", "PHI_PRESETS",
     "GemmaConfig", "GemmaForCausalLM", "GEMMA_PRESETS",
     "DeepseekConfig", "DeepseekForCausalLM", "DEEPSEEK_PRESETS",
+    "enable_mla_latent_cache",
     "ViTConfig", "ViTForImageClassification", "VIT_PRESETS",
     "LlavaConfig", "LlavaForConditionalGeneration", "LLAVA_PRESETS",
     "make_mesh", "shard_model", "llama_partition_rules",

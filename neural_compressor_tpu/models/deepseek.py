@@ -39,8 +39,22 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from typing import NamedTuple
+
 from .llama import (KVCache, QuantKVCache, RMSNorm, _KV_CODE_DTYPES, _rope,
-                    apply_rope, update_cache)
+                    _update_rows, apply_rope, update_cache)
+
+
+class LatentKVCache(NamedTuple):
+    """MLA latent cache: ONE row per token of [kv_lora_rank (post-norm
+    latent) | qk_rope_head_dim (rotated shared key)] — [B, 1, T, r+dr],
+    independent of the head count. At deepseek-v3 scale that is 576 f/tok
+    vs the 40960 of expanded per-head K/V (71x); attention runs in the
+    ABSORBED form (DeepSeek-V2 paper §2.1): kv_b's key half folds into
+    the query, its value half applies after the probs·latent dot, so the
+    latent is both K and V and is never expanded per head."""
+
+    lat: jax.Array
 
 
 @dataclasses.dataclass
@@ -219,6 +233,10 @@ class DeepseekAttention(nnx.Module):
                              H * (cfg.qk_nope_head_dim + cfg.v_head_dim))
         self.o_proj = lin(H * cfg.v_head_dim, cfg.hidden_size,
                           cfg.attention_bias)
+        # absorbed kv_b factors for the latent-cache path
+        # (enable_mla_latent_cache): [r, H, dn] and [r, H, dv]
+        self.w_k_absorb = nnx.data(None)
+        self.w_v_absorb = nnx.data(None)
 
     def _rot(self, x, cos, sin):
         """Rope over the qk_rope slice. ``rope_interleave`` checkpoints
@@ -241,6 +259,9 @@ class DeepseekAttention(nnx.Module):
         q_nope, q_rot = q[..., :dn], q[..., dn:]
         ckv = self.kv_a_proj_with_mqa(x)                     # [B,S,r+dr]
         latent, k_rot = ckv[..., :cfg.kv_lora_rank], ckv[..., cfg.kv_lora_rank:]
+        if isinstance(cache, LatentKVCache):
+            return self._latent_attend(x, q_nope, q_rot, latent, k_rot,
+                                       cos, sin, mask, cache, cache_pos)
         kv = self.kv_b_proj(self.kv_a_layernorm(latent))
         kv = kv.reshape(B, S, H, dn + dv)
         k_nope, v = kv[..., :dn], kv[..., dn:]
@@ -262,6 +283,79 @@ class DeepseekAttention(nnx.Module):
                          preferred_element_type=jnp.float32)
         out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, S, H * dv)
         return self.o_proj(out), new_cache
+
+    def _latent_attend(self, x, q_nope, q_rot, latent, k_rot, cos, sin,
+                       mask, cache: LatentKVCache, cache_pos):
+        """Absorbed-form MLA over the latent cache. Scores:
+        q_nope·k_nope == (q_nope @ W_k^T)·c, so the per-head key never
+        materializes; output: probs·c then the per-head value factor.
+        Exactly the expanded math (tests assert equality) at r+dr score
+        width instead of (dn+dr) — the classic MLA FLOPs-for-HBM trade,
+        which wins at decode where the cache read is the bottleneck."""
+        cfg = self.cfg
+        B, S, _ = x.shape
+        H, dv = cfg.num_attention_heads, cfg.v_head_dim
+        r = cfg.kv_lora_rank
+        assert self.w_k_absorb is not None, \
+            "latent cache needs enable_mla_latent_cache(model) first"
+        c = self.kv_a_layernorm(latent)                       # [B,S,r]
+        q_rot = self._rot(q_rot, cos, sin)
+        krot = self._rot(k_rot[:, :, None, :], cos, sin)[:, :, 0]
+        row = jnp.concatenate([c, krot.astype(c.dtype)], -1)[:, None]
+        lat = _update_rows(cache.lat, row, cache_pos)         # [B,1,T,r+dr]
+        latf = lat[:, 0].astype(x.dtype)                      # [B,T,r+dr]
+        q_abs = jnp.einsum("bshd,rhd->bshr", q_nope,
+                           self.w_k_absorb[...],
+                           preferred_element_type=jnp.float32)
+        qcat = jnp.concatenate([q_abs.astype(x.dtype), q_rot], axis=-1)
+        s = jnp.einsum("bshc,btc->bhst", qcat, latf,
+                       preferred_element_type=jnp.float32)
+        s = s * (cfg.qk_head_dim ** -0.5)
+        s = jnp.where(mask, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        o_lat = jnp.einsum("bhst,btc->bhsc", p.astype(latf.dtype),
+                           latf[..., :r], preferred_element_type=jnp.float32)
+        out = jnp.einsum("bhsc,chd->bshd", o_lat,
+                         self.w_v_absorb[...],
+                         preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype).reshape(B, S, H * dv)
+        return self.o_proj(out), LatentKVCache(lat)
+
+
+def enable_mla_latent_cache(model: "DeepseekForCausalLM") -> int:
+    """Switch a deepseek model to the latent KV cache (absorbed MLA).
+
+    Precomputes each attention's absorbed kv_b factors — dequantizing
+    kv_b_proj if a quantization pass replaced it, so the latent path
+    reproduces the QUANTIZED expanded numerics — and makes
+    ``init_caches`` (hence the generation loops) allocate
+    ``LatentKVCache`` rows of r+dr floats/token instead of per-head K/V.
+    Returns the number of attention modules converted."""
+    n = 0
+    for layer in model.model.layers:
+        attn = layer.self_attn
+        kvb = attn.kv_b_proj
+        if getattr(kvb, "pre_scale", None) is not None:
+            raise ValueError(
+                "kv_b_proj carries a runtime pre_scale (unabsorbed AWQ "
+                "smoothing) — the latent absorption would drop it; "
+                "quantize with an absorbable config or skip this module")
+        if hasattr(kvb, "dequantized_kernel"):
+            kernel = kvb.dequantized_kernel(jnp.float32)
+        else:
+            kernel = kvb.kernel[...].astype(jnp.float32)
+        cfg = attn.cfg
+        dn, dv = cfg.qk_nope_head_dim, cfg.v_head_dim
+        # keep the absorbed factors in f32: they are tiny (r*H*(dn+dv))
+        # and a bf16 cast would re-round the dequantized values on top of
+        # the intentional weight quantization
+        kbr = kernel.reshape(cfg.kv_lora_rank, cfg.num_attention_heads,
+                             dn + dv)
+        attn.w_k_absorb = nnx.Param(kbr[..., :dn])
+        attn.w_v_absorb = nnx.Param(kbr[..., dn:])
+        n += 1
+    model.use_latent_cache = True
+    return n
 
 
 class DeepseekDecoderLayer(nnx.Module):
@@ -340,6 +434,14 @@ class DeepseekForCausalLM(nnx.Module):
         the generation loops call this instead of the llama-shaped
         ``init_kv_cache`` (generation/generate.py _alloc_caches)."""
         cfg = self.cfg
+        if getattr(self, "use_latent_cache", False):
+            assert not quantized, \
+                "latent cache rows are not KV-quantizable yet (r+dr " \
+                "floats/token already undercut quantized expanded K/V)"
+            C = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+            return [LatentKVCache(jnp.zeros((batch, 1, max_len, C),
+                                            cfg.dtype))
+                    for _ in range(cfg.num_hidden_layers)]
         H = cfg.num_attention_heads
         kshape = (batch, H, max_len, cfg.qk_head_dim)
         vshape = (batch, H, max_len, cfg.v_head_dim)

@@ -106,6 +106,51 @@ def test_quantize_and_generate_router_stays_fp():
     assert out.shape == (1, 12)
 
 
+def test_latent_cache_matches_expanded():
+    """Absorbed-MLA decode over the [B,1,T,r+dr] latent cache reproduces
+    the expanded per-head K/V decode — in fp AND on a quantized model
+    (the absorption dequantizes the quantized kv_b, so quantization error
+    is shared, not compounded)."""
+    from neural_compressor_tpu.models import enable_mla_latent_cache
+    from neural_compressor_tpu.models.deepseek import LatentKVCache
+
+    ids = jnp.asarray(np.random.default_rng(4).integers(0, 256, (2, 8)))
+    pos = jnp.full((2, 1), 8)
+    for quantize in (False, True):
+        m = DeepseekForCausalLM.from_preset("deepseek-test",
+                                            dtype=jnp.float32)
+        if quantize:
+            m = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+        caches = m.init_caches(2, 16)
+        _, caches = m(ids, caches=caches, cache_pos=0)
+        ref, _ = m(ids[:, :1], positions=pos, caches=caches, cache_pos=8)
+
+        assert enable_mla_latent_cache(m) == m.cfg.num_hidden_layers
+        lcaches = m.init_caches(2, 16)
+        assert isinstance(lcaches[0], LatentKVCache)
+        assert lcaches[0].lat.shape == (
+            2, 1, 16, m.cfg.kv_lora_rank + m.cfg.qk_rope_head_dim)
+        _, lcaches = m(ids, caches=lcaches, cache_pos=0)
+        got, _ = m(ids[:, :1], positions=pos, caches=lcaches, cache_pos=8)
+        np.testing.assert_allclose(np.asarray(ref, np.float32),
+                                   np.asarray(got, np.float32),
+                                   atol=5e-4, err_msg=f"quantize={quantize}")
+
+
+def test_latent_cache_greedy_equivalence():
+    """greedy_search through the model-provided latent caches emits the
+    same tokens as the expanded-cache run."""
+    from neural_compressor_tpu.generation import greedy_search
+    from neural_compressor_tpu.models import enable_mla_latent_cache
+
+    ids = jnp.asarray(np.random.default_rng(5).integers(0, 256, (1, 8)))
+    m = DeepseekForCausalLM.from_preset("deepseek-test", dtype=jnp.float32)
+    ref = greedy_search(m, ids, max_new_tokens=6)
+    enable_mla_latent_cache(m)
+    got = greedy_search(m, ids, max_new_tokens=6)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_yarn_rope_scaling_rejected(tmp_path):
     import json
 
