@@ -84,6 +84,10 @@ class DeepseekConfig:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
     rope_interleave: bool = True
+    # yarn long-context scaling (deepseek-v3 ships factor=40 yarn with
+    # mscale/mscale_all_dim=1.0); consumed by llama._rope("yarn") and by
+    # the mscale^2 attention-scale correction below
+    rope_scaling: dict | None = None
     attention_bias: bool = False
     tie_word_embeddings: bool = False
     dtype: object = jnp.bfloat16
@@ -105,6 +109,21 @@ class DeepseekConfig:
     def __post_init__(self):
         assert self.n_routed_experts % self.n_group == 0, \
             "n_routed_experts must divide into n_group groups"
+
+    @property
+    def attn_scale(self) -> float:
+        """qk_head_dim**-0.5, times yarn's mscale^2 when mscale_all_dim
+        is set (HF DeepseekV3Attention.__init__:372-378)."""
+        import math
+
+        s = self.qk_head_dim ** -0.5
+        rs = self.rope_scaling
+        if rs and rs.get("mscale_all_dim"):
+            f = float(rs["factor"])
+            m = (0.1 * float(rs["mscale_all_dim"]) * math.log(f) + 1.0
+                 if f > 1 else 1.0)
+            s = s * m * m
+        return s
 
 
 DEEPSEEK_PRESETS = {
@@ -276,7 +295,7 @@ class DeepseekAttention(nnx.Module):
             k, v, new_cache = update_cache(cache, k, v, cache_pos, x.dtype)
         s = jnp.einsum("bhsd,bhtd->bhst", q, k,
                        preferred_element_type=jnp.float32)
-        s = s * (cfg.qk_head_dim ** -0.5)
+        s = s * cfg.attn_scale
         s = jnp.where(mask, s, -1e30)
         p = jax.nn.softmax(s, axis=-1)
         out = jnp.einsum("bhst,bhtd->bhsd", p.astype(v.dtype), v,
@@ -310,7 +329,7 @@ class DeepseekAttention(nnx.Module):
         qcat = jnp.concatenate([q_abs.astype(x.dtype), q_rot], axis=-1)
         s = jnp.einsum("bshc,btc->bhst", qcat, latf,
                        preferred_element_type=jnp.float32)
-        s = s * (cfg.qk_head_dim ** -0.5)
+        s = s * cfg.attn_scale
         s = jnp.where(mask, s, -1e30)
         p = jax.nn.softmax(s, axis=-1)
         o_lat = jnp.einsum("bhst,btc->bhsc", p.astype(latf.dtype),
@@ -396,7 +415,9 @@ class DeepseekModel(nnx.Module):
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
         x = self.embed_tokens(input_ids)
-        cos, sin = _rope(positions, cfg.qk_rope_head_dim, cfg.rope_theta)
+        cos, sin = _rope(positions, cfg.qk_rope_head_dim, cfg.rope_theta,
+                         1.0, cfg.rope_scaling,
+                         cfg.max_position_embeddings)
         if caches is None:
             mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
         else:

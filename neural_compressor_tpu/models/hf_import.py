@@ -96,6 +96,15 @@ def llama_config_from_hf(model_dir: str, dtype=jnp.bfloat16) -> LlamaConfig:
             high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
             original_max_position_embeddings=int(
                 rs["original_max_position_embeddings"]))
+    elif rs_type == "yarn":  # qwen/deepseek long-context checkpoints
+        rope_scaling = dict(
+            type="yarn", factor=float(rs["factor"]),
+            original_max_position_embeddings=int(
+                rs.get("original_max_position_embeddings")
+                or hf.get("max_position_embeddings", 4096)),
+            **{k: rs[k] for k in ("beta_fast", "beta_slow",
+                                  "attention_factor", "mscale",
+                                  "mscale_all_dim", "truncate") if k in rs})
     elif rs_type == "linear":
         rope_scaling = dict(type="linear", factor=float(rs["factor"]))
     elif rs_type == "default":
@@ -104,7 +113,7 @@ def llama_config_from_hf(model_dir: str, dtype=jnp.bfloat16) -> LlamaConfig:
         raise ValueError(
             f"unsupported rope_scaling type {rs_type!r} — silently loading "
             "without it would rescale attention wrongly at every position. "
-            "Supported: longrope/su, llama3, linear.")
+            "Supported: longrope/su, llama3, linear, yarn.")
     return LlamaConfig(
         vocab_size=hf["vocab_size"],
         hidden_size=hf["hidden_size"],
@@ -947,10 +956,23 @@ def deepseek_config_from_hf(model_dir: str, dtype=jnp.bfloat16):
 
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
-    if hf.get("rope_scaling") not in (None, {}):
-        raise ValueError(
-            "deepseek rope_scaling (yarn) is not implemented — loading "
-            "without it would rescale attention wrongly at long context")
+    rope_scaling = None
+    rs = hf.get("rope_scaling")
+    if rs:
+        rs_type = rs.get("rope_type", rs.get("type"))
+        if rs_type != "yarn":
+            raise ValueError(
+                f"unsupported deepseek rope_scaling {rs_type!r} — loading "
+                "without it would rescale attention wrongly (yarn is "
+                "supported)")
+        rope_scaling = dict(
+            type="yarn", factor=float(rs["factor"]),
+            original_max_position_embeddings=int(
+                rs.get("original_max_position_embeddings")
+                or hf.get("max_position_embeddings", 4096)),
+            **{k: rs[k] for k in ("beta_fast", "beta_slow",
+                                  "attention_factor", "mscale",
+                                  "mscale_all_dim", "truncate") if k in rs})
     return DeepseekConfig(
         vocab_size=hf["vocab_size"],
         hidden_size=hf["hidden_size"],
@@ -975,6 +997,7 @@ def deepseek_config_from_hf(model_dir: str, dtype=jnp.bfloat16):
         rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
         rope_theta=hf.get("rope_theta", 10000.0),
         rope_interleave=hf.get("rope_interleave", True),
+        rope_scaling=rope_scaling,
         attention_bias=hf.get("attention_bias", False),
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
         dtype=dtype,

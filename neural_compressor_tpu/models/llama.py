@@ -458,6 +458,45 @@ def _rope(positions: jax.Array, head_dim: int, theta: float,
         smooth = (orig_max / wavelen - low_ff) / (high_ff - low_ff)
         smooth = jnp.clip(smooth, 0.0, 1.0)
         inv_freq = ((1.0 - smooth) * inv_freq / factor + smooth * inv_freq)
+    elif scaling and scaling.get("type") == "yarn":
+        # YaRN (HF _compute_yarn_parameters): interpolate low-frequency
+        # bands by `factor`, keep high-frequency bands (extrapolation),
+        # linear ramp between the beta_fast/beta_slow correction dims;
+        # cos/sin carry the attention factor (paper's sqrt-scale fix)
+        import math
+
+        factor = float(scaling["factor"])
+        orig_max = int(scaling.get("original_max_position_embeddings")
+                       or max_position_embeddings)
+        beta_fast = float(scaling.get("beta_fast") or 32)
+        beta_slow = float(scaling.get("beta_slow") or 1)
+
+        def _gm(scale, m=1.0):
+            return 1.0 if scale <= 1 else 0.1 * m * math.log(scale) + 1.0
+
+        af = scaling.get("attention_factor")
+        ms = scaling.get("mscale")
+        msad = scaling.get("mscale_all_dim")
+        if af is None:
+            af = (_gm(factor, ms) / _gm(factor, msad)) if (ms and msad) \
+                else _gm(factor)
+        mscale = float(af)
+
+        def _cdim(nrot):
+            return (rd * math.log(orig_max / (nrot * 2 * math.pi))
+                    / (2 * math.log(theta)))
+
+        low, high = _cdim(beta_fast), _cdim(beta_slow)
+        if scaling.get("truncate", True):
+            low, high = math.floor(low), math.ceil(high)
+        low, high = max(low, 0), min(high, rd - 1)
+        if low == high:
+            high += 0.001
+        ramp = jnp.clip(
+            (jnp.arange(rd // 2, dtype=jnp.float32) - low) / (high - low),
+            0.0, 1.0)
+        extrap = 1.0 - ramp  # 1 = keep original freq, 0 = interpolate
+        inv_freq = inv_freq / factor * (1.0 - extrap) + inv_freq * extrap
     elif scaling and scaling.get("type") == "linear":
         inv_freq = inv_freq / float(scaling["factor"])
     angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B,S,rd/2]

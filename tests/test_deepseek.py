@@ -151,14 +151,67 @@ def test_latent_cache_greedy_equivalence():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
-def test_yarn_rope_scaling_rejected(tmp_path):
+@pytest.mark.slow
+def test_deepseek_yarn_hf_parity(tmp_path):
+    """YaRN long-context scaling: the band-interpolated inv_freq AND the
+    mscale^2 attention-scale correction both reproduce HF numerics (the
+    production deepseek-v3 checkpoints ship factor-40 yarn)."""
+    import torch
+
+    hf_model, d = _tiny_hf(
+        tmp_path,
+        max_position_embeddings=64,
+        rope_scaling={"type": "yarn", "factor": 4.0,
+                      "original_max_position_embeddings": 16,
+                      "mscale": 1.0, "mscale_all_dim": 1.0,
+                      "beta_fast": 32, "beta_slow": 1})
+    model = load_hf_model(d, dtype=jnp.float32)
+    assert model.cfg.rope_scaling["type"] == "yarn"
+    assert model.cfg.attn_scale != pytest.approx(
+        model.cfg.qk_head_dim ** -0.5)  # mscale^2 correction active
+    # positions past the original 16-token context exercise the scaled
+    # bands
+    ids = np.random.default_rng(6).integers(0, 128, (2, 24))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(model(jnp.asarray(ids)), dtype=np.float32)
+    err = np.abs(ref - got).max()
+    assert err < 5e-3, f"deepseek yarn: max logit diff {err}"
+
+
+@pytest.mark.slow
+def test_qwen2_yarn_hf_parity(tmp_path):
+    """yarn through the llama-family loader (qwen long-context configs)."""
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        rope_scaling={"rope_type": "yarn", "factor": 2.0,
+                      "original_max_position_embeddings": 16})
+    hf_model = transformers.Qwen2ForCausalLM(cfg).eval().float()
+    d = tmp_path / "qwen2-yarn"
+    hf_model.save_pretrained(d, safe_serialization=True)
+    model = load_hf_model(str(d), dtype=jnp.float32)
+    ids = np.random.default_rng(7).integers(0, 128, (2, 24))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(model(jnp.asarray(ids)), dtype=np.float32)
+    err = np.abs(ref - got).max()
+    assert err < 5e-3, f"qwen2 yarn: max logit diff {err}"
+
+
+def test_unknown_rope_scaling_rejected(tmp_path):
     import json
 
-    d = tmp_path / "yarn"
+    d = tmp_path / "badrope"
     d.mkdir()
     (d / "config.json").write_text(json.dumps(
         {"model_type": "deepseek_v3",
          "architectures": ["DeepseekV3ForCausalLM"],
-         "rope_scaling": {"type": "yarn", "factor": 40}}))
-    with pytest.raises(ValueError, match="yarn"):
+         "rope_scaling": {"type": "dynamic", "factor": 2}}))
+    with pytest.raises(ValueError, match="rope_scaling"):
         load_hf_model(str(d))
