@@ -112,27 +112,38 @@ class StackedMoEBlock(nnx.Module):
 
     def __init__(self, gate, stacked: dict, cfg: MixtralConfig,
                  quantized: bool, meta: dict | None = None,
-                 capacity_factor: float = 2.0):
+                 capacity_factor: float = 2.0, router_protocol: bool = False,
+                 shared=None):
         self.cfg = cfg
         self.capacity_factor = capacity_factor
         self.gate = gate
         self.quantized = quantized
         self.meta = meta or {}
+        # router_protocol: ``gate`` routes itself — callable(xt [T,H]) ->
+        # (topk_indices [T,k], topk_weights [T,k] f32), e.g. deepseek's
+        # bias-corrected sigmoid router; else gate is a plain logits
+        # Linear and routing is top-k softmax (mixtral)
+        self.router_protocol = router_protocol
+        # always-on shared experts added to the routed output (deepseek)
+        self.shared = shared
         for name, arr in stacked.items():
             setattr(self, name, nnx.Param(arr))
 
     def _expert_kernels(self):
-        """[E, H, I], [E, H, I], [E, I, H] bf16 kernels (dequantized)."""
+        """[E, H, I], [E, H, I], [E, I, H] kernels (dequantized to the
+        model dtype — an f32 model must not lose bits to a bf16 temp)."""
         if not self.quantized:
             return self.w1s[...], self.w3s[...], self.w2s[...]
         from ..ops.packing import PackedWeight, dequantize_packed
+
+        out_dt = self.cfg.dtype
 
         def deq(packed, scales, shape):
             def one(p, s):
                 pw = PackedWeight(p, s, None, self.meta["bits"],
                                   self.meta["group_size"], "int", shape,
                                   "tpu_strided")
-                return dequantize_packed(pw, out_dtype=jnp.bfloat16)
+                return dequantize_packed(pw, out_dtype=out_dt)
 
             return jax.vmap(one)(packed, scales)
 
@@ -148,9 +159,12 @@ class StackedMoEBlock(nnx.Module):
         E = cfg.num_local_experts
         k = cfg.num_experts_per_tok
         xt = x.reshape(T, Hdim)
-        logits = self.gate(xt).astype(jnp.float32)           # [T, E]
-        topv, topi = jax.lax.top_k(logits, k)
-        gates = jax.nn.softmax(topv, axis=-1)                # [T, k]
+        if self.router_protocol:
+            topi, gates = self.gate(xt)                      # [T, k] each
+        else:
+            logits = self.gate(xt).astype(jnp.float32)       # [T, E]
+            topv, topi = jax.lax.top_k(logits, k)
+            gates = jax.nn.softmax(topv, axis=-1)            # [T, k]
 
         C = int(np.ceil(T * k / E * self.capacity_factor))
         C = max(8, ((C + 7) // 8) * 8)                       # sublane pad
@@ -183,48 +197,72 @@ class StackedMoEBlock(nnx.Module):
         out_e = jnp.einsum("eci,eih->ech", h.astype(x.dtype), w2,
                            preferred_element_type=jnp.float32)  # [E, C, H]
         y = jnp.einsum("tec,ech->th", comb, out_e)
-        return y.astype(x.dtype).reshape(B, S, Hdim)
+        y = y.astype(x.dtype).reshape(B, S, Hdim)
+        if self.shared is not None:
+            y = y + self.shared(x)
+        return y
 
 
 def stack_experts_for_serving(model, capacity_factor: float = 2.0) -> int:
-    """Replace every MixtralSparseMoeBlock with a StackedMoEBlock (sparse
-    capacity dispatch + EP-shardable [E, ...] kernels). Experts must be
-    uniform: all fp Linear, or all symmetric int-packed WOQLinear."""
+    """Replace every MoE block with a StackedMoEBlock (sparse capacity
+    dispatch + EP-shardable [E, ...] kernels). Covers mixtral's softmax
+    top-k blocks (expert legs w1/w3/w2) and deepseek's sigmoid-routed
+    blocks (gate/up/down_proj legs; the bias-corrected router and shared
+    experts carry over — reference PatchedGaudiDeepseekV3MoE /
+    PatchedVllmMixtureOfExpertsOp, helper_modules.py:815,910). Experts
+    must be uniform: all fp Linear, or all symmetric int-packed
+    WOQLinear."""
     from ..layers.module_utils import named_modules, replace_module
     from ..layers.woq_linear import WOQLinear
+    from .deepseek import DeepseekMoE
 
     n = 0
     for path, mod in list(named_modules(model)):
-        if not isinstance(mod, MixtralSparseMoeBlock):
+        if isinstance(mod, MixtralSparseMoeBlock):
+            legs = ("w1", "w3", "w2")
+            scfg = mod.cfg
+            router_protocol, shared = False, None
+        elif isinstance(mod, DeepseekMoE):
+            legs = ("gate_proj", "up_proj", "down_proj")
+            c = mod.cfg
+            # the stack stores its shapes in a MixtralConfig record (the
+            # dispatch math is identical; only the routing differs)
+            scfg = MixtralConfig(
+                hidden_size=c.hidden_size,
+                intermediate_size=c.moe_intermediate_size,
+                num_local_experts=c.n_routed_experts,
+                num_experts_per_tok=c.num_experts_per_tok, dtype=c.dtype)
+            router_protocol, shared = True, mod.shared_experts
+        else:
             continue
         experts = list(mod.experts)
-        cfg = mod.cfg
         if all(type(getattr(e, a)) is nnx.Linear
-               for e in experts for a in ("w1", "w3", "w2")):
+               for e in experts for a in legs):
             stacked = {
-                f"{a}s": jnp.stack([getattr(e, a).kernel[...]
-                                    for e in experts])
-                for a in ("w1", "w3", "w2")}
+                f"w{i}s": jnp.stack([getattr(e, a).kernel[...]
+                                     for e in experts])
+                for i, a in zip((1, 3, 2), legs)}
         elif all(type(getattr(e, a)) is WOQLinear
                  and getattr(e, a).zeros is None
                  and getattr(e, a).perm is None
                  and getattr(e, a).layout == "tpu_strided"
-                 for e in experts for a in ("w1", "w3", "w2")):
+                 for e in experts for a in legs):
             stacked = {"packed": True}
-            for a in ("w1", "w3", "w2"):
-                stacked[f"{a}s"] = jnp.stack(
+            for i, a in zip((1, 3, 2), legs):
+                stacked[f"w{i}s"] = jnp.stack(
                     [getattr(e, a).packed[...] for e in experts])
-                stacked[f"{a}s_scales"] = jnp.stack(
+                stacked[f"w{i}s_scales"] = jnp.stack(
                     [getattr(e, a).scales[...] for e in experts])
-            ref = experts[0].w1
+            ref = getattr(experts[0], legs[0])
             stacked["_meta"] = {"bits": ref.bits,
                                 "group_size": ref.group_size}
         else:
             continue
         meta = stacked.pop("_meta", None)
         is_packed = stacked.pop("packed", False)
-        new = StackedMoEBlock(mod.gate, stacked, cfg, quantized=is_packed,
-                              meta=meta, capacity_factor=capacity_factor)
+        new = StackedMoEBlock(mod.gate, stacked, scfg, quantized=is_packed,
+                              meta=meta, capacity_factor=capacity_factor,
+                              router_protocol=router_protocol, shared=shared)
         replace_module(model, path, new)
         n += 1
     return n

@@ -204,6 +204,31 @@ def test_qwen2_yarn_hf_parity(tmp_path):
     assert err < 5e-3, f"qwen2 yarn: max logit diff {err}"
 
 
+@pytest.mark.parametrize("quantize", [False, True],
+                         ids=["fp", "int4"])
+def test_stacked_moe_serving_matches_dense(quantize):
+    """stack_experts_for_serving converts deepseek's MoE to the sparse
+    capacity-dispatch stacked form (EP-shardable [E, ...] kernels): with
+    enough capacity the routed+shared output equals the dense block."""
+    from neural_compressor_tpu.models.mixtral import (
+        StackedMoEBlock, stack_experts_for_serving)
+
+    m = DeepseekForCausalLM.from_preset("deepseek-test", dtype=jnp.float32)
+    if quantize:
+        m = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+    ids = jnp.asarray(np.random.default_rng(8).integers(0, 256, (2, 8)))
+    ref = np.asarray(m(ids), np.float32)
+    # 2 MoE layers (layer 0 is dense by first_k_dense_replace)
+    assert stack_experts_for_serving(m, capacity_factor=8.0) == 2
+    blk = m.model.layers[1].mlp
+    assert isinstance(blk, StackedMoEBlock)
+    assert blk.router_protocol and blk.shared is not None
+    assert blk.w1s[...].shape[0] == m.cfg.n_routed_experts
+    got = np.asarray(m(ids), np.float32)
+    np.testing.assert_allclose(ref, got, atol=2e-4 if not quantize
+                               else 2e-3)
+
+
 def test_unknown_rope_scaling_rejected(tmp_path):
     import json
 
