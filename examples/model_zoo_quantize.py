@@ -21,9 +21,9 @@ from flax import nnx
 import neural_compressor_tpu as nq
 from neural_compressor_tpu.generation import greedy_search
 from neural_compressor_tpu.models import (
-    BloomForCausalLM, FalconForCausalLM, GPT2Config, GPT2LMHeadModel,
-    GPTJForCausalLM, GPTNeoXForCausalLM, LlamaForCausalLM,
-    MixtralForCausalLM, OPTForCausalLM, PhiForCausalLM)
+    BloomForCausalLM, DeepseekForCausalLM, FalconForCausalLM, GPT2Config,
+    GPT2LMHeadModel, GemmaForCausalLM, GPTJForCausalLM, GPTNeoXForCausalLM,
+    LlamaForCausalLM, MixtralForCausalLM, OPTForCausalLM, PhiForCausalLM)
 
 
 def builders():
@@ -38,6 +38,9 @@ def builders():
     yield "falcon", lambda: FalconForCausalLM.from_preset("falcon-test")
     yield "gptneox", lambda: GPTNeoXForCausalLM.from_preset("gptneox-test")
     yield "phi", lambda: PhiForCausalLM.from_preset("phi-test")
+    yield "gemma2", lambda: GemmaForCausalLM.from_preset("gemma2-test")
+    yield "gemma3", lambda: GemmaForCausalLM.from_preset("gemma3-test")
+    yield "deepseek", lambda: DeepseekForCausalLM.from_preset("deepseek-test")
 
 
 def main():
