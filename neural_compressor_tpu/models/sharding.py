@@ -32,7 +32,11 @@ COLUMN_PAR = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "lm_head",
               "fc_in", "dense_h_to_4h", "embed_out",
               # serving-fused projections (quantization/fuse.py) — missing
               # these silently REPLICATED most of a fused model's bytes
-              "qkv_proj", "gate_up_proj")
+              "qkv_proj", "gate_up_proj",
+              # MLA up-projections (models/deepseek.py): their N dim is
+              # head-major, so head-sharding is column-parallel; the tiny
+              # a-side down-projections stay replicated on purpose
+              "q_b_proj", "kv_b_proj")
 ROW_PAR = ("o_proj", "down_proj", "c_proj", "fc2", "w2", "out_proj",
            "fc_out", "dense_4h_to_h", "dense")
 

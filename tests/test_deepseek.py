@@ -229,6 +229,30 @@ def test_stacked_moe_serving_matches_dense(quantize):
                                else 2e-3)
 
 
+def test_mla_projections_shard_column_parallel():
+    """q_b/kv_b (head-major N) must carry P(None, 'model') specs — not
+    silent replication — and the TP forward must match single-device."""
+    from jax.sharding import PartitionSpec as P
+
+    from neural_compressor_tpu.models import make_mesh, shard_model
+    from neural_compressor_tpu.models.sharding import state_shardings
+
+    m = DeepseekForCausalLM.from_preset("deepseek-test", dtype=jnp.float32)
+    qm = nq.quantize(m, nq.RTNConfig(dtype="int8", group_size=16))
+    ids = jnp.asarray(np.random.default_rng(9).integers(0, 256, (2, 10)))
+    ref = np.asarray(qm(ids), np.float32)
+    mesh = make_mesh((2, 4))
+    for path, ns in state_shardings(qm, mesh):
+        dotted = ".".join(map(str, path))
+        if ("q_b_proj" in dotted or "kv_b_proj" in dotted) and \
+                dotted.rsplit(".", 1)[-1] in ("kernel", "w_int8", "packed",
+                                              "scales"):
+            assert ns.spec == P(None, "model"), dotted
+    shard_model(qm, mesh)
+    got = np.asarray(qm(ids), np.float32)
+    np.testing.assert_allclose(ref, got, atol=1e-4)
+
+
 def test_unknown_rope_scaling_rejected(tmp_path):
     import json
 
