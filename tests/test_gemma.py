@@ -53,6 +53,32 @@ def test_gemma2_hf_parity(tmp_path):
 
 
 @pytest.mark.slow
+def test_gemma1_hf_parity(tmp_path):
+    """gemma-1: two-norm llama-style layers, head_dim**-0.5 scale, no
+    softcaps/sliding — the use_post_norms=False degenerate form."""
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.GemmaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=64)
+    hf_model = transformers.GemmaForCausalLM(cfg).eval().float()
+    d = tmp_path / "gemma1"
+    hf_model.save_pretrained(d, safe_serialization=True)
+    assert detect_architecture(str(d)) == "gemma"
+    model = load_hf_model(str(d), dtype=jnp.float32)
+    assert not model.cfg.use_post_norms
+    ids = np.random.default_rng(2).integers(0, 128, (2, 12))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(model(jnp.asarray(ids)), dtype=np.float32)
+    err = np.abs(ref - got).max()
+    assert err < 5e-3, f"gemma1: max logit diff {err}"
+
+
+@pytest.mark.slow
 def test_gemma3_hf_parity(tmp_path):
     """QK-norm and the dual rope tables (local theta on sliding layers)."""
     import torch
