@@ -20,6 +20,7 @@ to copy and hash-serialize.
 from __future__ import annotations
 
 import copy
+import inspect
 import itertools
 import json
 import re
@@ -165,12 +166,65 @@ class BaseConfig:
         return ComposableConfig([self, other])
 
     # -------------------------------------------------- tuning expansion
+    @classmethod
+    def _expected_param_type(cls, name: str) -> type | None:
+        """Scalar type a tuning dimension's candidates must have, inferred
+        from the class default in ``__init__`` (the reference declares these
+        as pydantic TuningParam types — common/tuning_param.py:108-128)."""
+        try:
+            default = inspect.signature(cls.__init__).parameters[name].default
+        except (KeyError, ValueError):  # pragma: no cover - dynamic configs
+            return None
+        if default is None or default is inspect.Parameter.empty:
+            return None
+        return type(default)
+
+    def _check_tuning_value(self, name: str, value, expected: type | None,
+                            candidate: bool) -> None:
+        """Loudly reject a malformed tuning value instead of silently
+        tuning over garbage (e.g. the characters of a string where a list
+        of ints was expected, or a str "128" for an int group_size)."""
+        if expected is None:
+            return
+        ok = isinstance(value, expected)
+        if expected is not bool and isinstance(value, bool):
+            ok = False  # bool is an int subclass; True for group_size is a bug
+        elif expected is float and isinstance(value, int):
+            ok = True   # ints are fine where floats are expected (alpha=1)
+        if not ok:
+            kind = "tuning candidate" if candidate else "value"
+            raise ValueError(
+                f"{type(self).__name__}.{name}: {kind} {value!r} has type "
+                f"{type(value).__name__}, expected {expected.__name__} "
+                f"(give a list of {expected.__name__} to tune this param)")
+
+    def validate_params(self) -> None:
+        """Type-check every tunable param (scalar or list of candidates)
+        against the class default's type. Called by ``expand()`` so a
+        malformed tuning space fails before any trial runs."""
+        for p in self.params_list:
+            v = getattr(self, p, None)
+            if v is None:
+                continue
+            expected = self._expected_param_type(p)
+            if isinstance(v, (list, tuple)):
+                if len(v) == 0:
+                    raise ValueError(
+                        f"{type(self).__name__}.{p}: empty tuning list")
+                for cand in v:
+                    self._check_tuning_value(p, cand, expected, True)
+            else:
+                self._check_tuning_value(p, v, expected, False)
+
     def expand(self) -> list["BaseConfig"]:
         """Cartesian product over tunable params given as lists.
 
         Matches reference semantics (common/base_config.py:491-567): only
-        parameters named in ``params_list`` are treated as tuning dimensions.
+        parameters named in ``params_list`` are treated as tuning dimensions,
+        and candidates are type-validated like the reference's pydantic
+        TuningParam check (common/tuning_param.py:108-128).
         """
+        self.validate_params()
         tunable: dict[str, list] = {}
         for p in self.params_list:
             v = getattr(self, p, None)

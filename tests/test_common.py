@@ -61,6 +61,38 @@ class TestConfig:
         cfg = FakeConfig(bits=4, group_size=32)
         assert len(cfg.expand()) == 1
 
+    # tuning-dimension type validation (reference pydantic-checks these:
+    # common/tuning_param.py:108-128)
+    def test_expand_rejects_str_for_int_param(self):
+        with pytest.raises(ValueError, match="group_size"):
+            FakeConfig(bits=4, group_size="128").expand()
+
+    def test_expand_rejects_malformed_candidate(self):
+        with pytest.raises(ValueError, match="tuning candidate"):
+            FakeConfig(bits=[4, "eight"], group_size=32).expand()
+
+    def test_expand_rejects_bool_for_int_param(self):
+        with pytest.raises(ValueError, match="bits"):
+            FakeConfig(bits=True).expand()
+
+    def test_expand_rejects_empty_tuning_list(self):
+        with pytest.raises(ValueError, match="empty tuning list"):
+            FakeConfig(bits=[]).expand()
+
+    def test_expand_accepts_int_where_float_expected(self):
+        cfgs = OtherConfig(alpha=[0, 1]).expand()  # float param, int cands
+        assert [c.alpha for c in cfgs] == [0, 1]
+
+    def test_real_config_validation(self):
+        import neural_compressor_tpu as nq
+
+        with pytest.raises(ValueError, match="use_sym"):
+            nq.RTNConfig(use_sym="yes").expand()
+        with pytest.raises(ValueError, match="dtype"):
+            nq.GPTQConfig(dtype=[4, 8]).expand()  # dtype is a str param
+        # the documented tuning form still works
+        assert len(nq.RTNConfig(dtype=["int4", "int8"]).expand()) == 2
+
     def test_to_config_mapping_global(self):
         cfg = FakeConfig(bits=4)
         mapping = cfg.to_config_mapping(MODEL_INFO)
