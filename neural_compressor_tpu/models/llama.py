@@ -651,6 +651,19 @@ class LlamaAttention(nnx.Module):
             new_cache = QuantKVCache(k_codes, k_scale, v_codes, v_scale)
             if not (getattr(self, "fp8_sdpa", False)
                     or getattr(self, "fp8_softmax", False)):
+                if S == 1 and new_cache.fmt != "int4" and k_ch is None:
+                    # batched flash-decode kernel: bh-tiled cache reads at
+                    # full HBM bandwidth (the XLA einsum path below runs
+                    # ~525 GB/s at B=16 — PERF_NOTES "Batched decode")
+                    from ..kernels.decode_attention import \
+                        batched_decode_attention
+
+                    out = batched_decode_attention(q, k_codes, v_codes,
+                                                   cache_pos, k_scale,
+                                                   v_scale)
+                    if out is not None:
+                        out = out.astype(x_dtype).transpose(0, 2, 1, 3)
+                        return out.reshape(B, S, H * D), new_cache
                 # attention straight on the cache codes: the convert fuses
                 # into the QK^T/PV fusions so the cache streams from HBM at
                 # code width, and GQA grouping avoids materializing the
@@ -694,6 +707,16 @@ class LlamaAttention(nnx.Module):
             k_all = _update_rows(cache.k, k, cache_pos)
             v_all = _update_rows(cache.v, v, cache_pos)
             new_cache = KVCache(k_all, v_all)
+            if (S == 1 and not getattr(self, "fp8_sdpa", False)
+                    and not getattr(self, "fp8_softmax", False)):
+                # batched flash-decode kernel over the updated bf16 cache
+                from ..kernels.decode_attention import \
+                    batched_decode_attention
+
+                out = batched_decode_attention(q, k_all, v_all, cache_pos)
+                if out is not None:
+                    out = out.astype(x_dtype).transpose(0, 2, 1, 3)
+                    return out.reshape(B, S, H * D), new_cache
             k, v = k_all.astype(x_dtype), v_all.astype(x_dtype)
 
         if (getattr(self, "fp8_sdpa", False)
@@ -803,6 +826,24 @@ class LlamaDecoderLayer(nnx.Module):
         if x1 is None:
             out, new_cache = attn._attend(x.dtype, q, k, v, mask, cache,
                                           cache_pos)
+            from ..kernels import omlp_matvec as _om
+
+            if (_om.OMLP_FUSED and fold_norms and attn.o_proj.bias is None
+                    and gu_m.bias is None and mlp.down_proj.bias is None):
+                # decoder-block megakernel: o + gate/up + down as phases
+                # of ONE pallas call — the next phase's weight tiles
+                # prefetch during the current phase's compute, removing
+                # two kernel-boundary pipeline ramps per layer
+                # (kernels/omlp_matvec.py)
+                x2 = _om.omlp_fused(
+                    out, attn.o_proj.packed_weight(),
+                    gu_m.packed_weight(), mlp.down_proj.packed_weight(),
+                    residual=x,
+                    rms_w=self.post_attention_layernorm.weight[...],
+                    eps=self.post_attention_layernorm.eps,
+                    out_dtype=x.dtype)
+                if x2 is not None:
+                    return x2, new_cache
             x1 = fused_matvec(out, attn.o_proj.packed_weight(), residual=x,
                               bias=None if attn.o_proj.bias is None
                               else attn.o_proj.bias[...], out_dtype=x.dtype)
