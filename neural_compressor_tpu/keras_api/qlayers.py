@@ -70,4 +70,67 @@ def register():
     return QDQActWrapper
 
 
+def register_mha():
+    """Registered static-quant MultiHeadAttention (lazy, like register()).
+
+    Parity target: the reference's QStaticMultiHeadAttention
+    (neural_compressor/jax/quantization/layers_static.py:770) — QDQ on
+    the scaled query, key, attention probabilities (fixed [0, 1] range)
+    and value inside ``_compute_attention``; the q/k/v/output projection
+    EinsumDense sublayers are quantized by the normal Dense path. A
+    subclass (not a class swap) so ``keras.save``/``load_model``
+    round-trips through normal layer serialization."""
+    keras = _keras()
+    global QDQMultiHeadAttention
+    if globals().get("QDQMultiHeadAttention") is not None:
+        return QDQMultiHeadAttention
+
+    @keras.saving.register_keras_serializable(
+        package="neural_compressor_tpu")
+    class QDQMultiHeadAttention(keras.layers.MultiHeadAttention):
+        """MultiHeadAttention with static-int8 QDQ on the attention
+        internals. ``attn_scales``: {"q": scale of the pre-scaled query,
+        "k": key scale, "a": prob scale (1/127 for the fixed [0, 1]
+        range), "v": value scale}; missing keys skip that QDQ point."""
+
+        def __init__(self, *args, attn_scales=None, **kwargs):
+            super().__init__(*args, **kwargs)
+            self.attn_scales = dict(attn_scales or {})
+
+        def _qdq(self, x, key: str):
+            s = self.attn_scales.get(key)
+            if s is None:
+                return x
+            ops = _keras().ops
+            return ops.clip(ops.round(x / s), -128.0, 127.0) * s
+
+        def _compute_attention(self, query, key, value,
+                               attention_mask=None, training=None,
+                               return_attention_scores=False):
+            # always the explicit einsum path (the fused
+            # ops.dot_product_attention has no QDQ insertion points)
+            ops = _keras().ops
+            query = ops.multiply(
+                query, ops.cast(self._inverse_sqrt_key_dim, query.dtype))
+            query = self._qdq(query, "q")
+            key = self._qdq(key, "k")
+            scores = ops.einsum(self._dot_product_equation, key, query)
+            scores = self._masked_softmax(scores, attention_mask)
+            probs = self._qdq(scores, "a")
+            if self._dropout > 0.0:
+                probs = self._dropout_layer(probs, training=training)
+            value = self._qdq(value, "v")
+            out = ops.einsum(self._combine_equation, probs, value)
+            return out, scores
+
+        def get_config(self):
+            cfg = super().get_config()
+            cfg["attn_scales"] = self.attn_scales
+            return cfg
+
+    globals()["QDQMultiHeadAttention"] = QDQMultiHeadAttention
+    return QDQMultiHeadAttention
+
+
 QDQActWrapper = None  # populated by register()
+QDQMultiHeadAttention = None  # populated by register_mha()

@@ -31,22 +31,49 @@ from ..common.config import BaseConfig
 _LOG2_MIN, _LOG2_MAX, _N_BINS = -24.0, 24.0, 512
 
 
-def _dense_layers(model):
+def _dense_layers(model, include_static_ops: bool = False):
     import keras
 
     out = []
     types = (keras.layers.Dense, keras.layers.EinsumDense,
-             keras.layers.Conv2D, keras.layers.DepthwiseConv2D)
+             keras.layers.Conv2D, keras.layers.DepthwiseConv2D,
+             keras.layers.SeparableConv2D)
+    if include_static_ops:
+        # static W8A8 also QDQs pooling inputs (reference
+        # tensorflow/keras/layers/pool2d.py) and attention internals
+        # (jax/quantization/layers_static.py:770)
+        types = types + (keras.layers.AveragePooling2D,
+                         keras.layers.MaxPooling2D,
+                         keras.layers.MultiHeadAttention)
     for layer in model._flatten_layers(include_self=False):
         if isinstance(layer, types):
             out.append(layer)
     return out
 
 
-def _mapped_layers(model, quant_config):
+def _kernels_of(layer):
+    """[(kernel_variable, per_out_channel)] for one layer — covers the
+    two-kernel SeparableConv2D (depthwise per-tensor + pointwise
+    per-out-channel; reference keras/layers/separable_conv2d.py keeps
+    both quantized the same way)."""
+    import keras
+
+    if isinstance(layer, keras.layers.SeparableConv2D):
+        return [(layer.depthwise_kernel, False),
+                (layer.pointwise_kernel, True)]
+    kernel = getattr(layer, "kernel", None)
+    if kernel is None:
+        return []
+    per_channel = isinstance(
+        layer, (keras.layers.Dense, keras.layers.Conv2D)) and \
+        not isinstance(layer, keras.layers.DepthwiseConv2D)
+    return [(kernel, per_channel)]
+
+
+def _mapped_layers(model, quant_config, include_static_ops: bool = False):
     """Resolve per-layer configs through the standard op-mapping machinery
     (white_list, set_local overrides, quant_lm_head all apply)."""
-    layers = _dense_layers(model)
+    layers = _dense_layers(model, include_static_ops=include_static_ops)
     info = [(getattr(l, "path", None) or l.name, type(l).__name__)
             for l in layers]
     mapping = quant_config.to_config_mapping(info)
@@ -106,6 +133,141 @@ class _ActStats:
                          "minmax | percentile | mse")
 
 
+def _producer_of(layer):
+    """The graph-level layer producing ``layer``'s (single) input, or
+    None (subclassed models / multi-input layers have no usable graph)."""
+    try:
+        hist = layer.input._keras_history
+    except Exception:
+        return None
+    return getattr(hist, "operation", None)
+
+
+def _consumers_map(model):
+    """producer-layer id -> set of consumer layers (functional graphs)."""
+    out: dict[int, list] = {}
+    for layer in model._flatten_layers(include_self=False):
+        try:
+            inputs = layer.input
+        except Exception:
+            continue
+        tensors = inputs if isinstance(inputs, (list, tuple)) else [inputs]
+        for t in tensors:
+            hist = getattr(t, "_keras_history", None)
+            op = getattr(hist, "operation", None)
+            if op is not None:
+                out.setdefault(id(op), []).append(layer)
+    return out
+
+
+def _smooth_quant_keras(model, cfg, calib_function):
+    """SmoothQuant over Keras Dense stacks, then static W8A8.
+
+    Parity target: the TF smoother (tensorflow/algorithms/smoother/) —
+    s = amax_x^α / amax_w^(1-α) per input channel, folded into the
+    producing LayerNormalization (γ, β) or Dense (kernel, bias). The
+    fold only applies when EVERY consumer of the producer's output is a
+    smoothed Dense (otherwise the graph would change for the others) and
+    the producer's activation is scale-homogeneous (linear/relu);
+    non-foldable Denses are skipped with a loud warning, exactly like
+    the NNX path (algorithms/smooth_quant.py)."""
+    import keras
+    import numpy as np
+
+    from ..quantization.config import INT8StaticQuantConfig
+
+    dense = [(l, c) for l, c in _mapped_layers(model, cfg)
+             if isinstance(l, keras.layers.Dense)]
+    # per-channel input amax via eager call observers
+    ch_amax: dict[int, np.ndarray] = {}
+    originals = {}
+
+    def make_observer(layer):
+        def observed(x, *a, **kw):
+            xa = np.abs(np.asarray(x, np.float32))
+            amax = xa.reshape(-1, xa.shape[-1]).max(axis=0)
+            prev = ch_amax.get(id(layer))
+            ch_amax[id(layer)] = amax if prev is None else \
+                np.maximum(prev, amax)
+            return originals[id(layer)](x, *a, **kw)
+
+        return observed
+
+    for layer, _c in dense:
+        originals[id(layer)] = layer.call
+        layer.call = make_observer(layer)
+    try:
+        calib_function(model)
+    finally:
+        for layer, _c in dense:
+            layer.call = originals[id(layer)]
+
+    consumers = _consumers_map(model)
+    by_producer: dict[int, list] = {}
+    prod_of: dict[int, object] = {}
+    for layer, _c in dense:
+        if id(layer) not in ch_amax:
+            continue
+        prod = _producer_of(layer)
+        if prod is not None:
+            by_producer.setdefault(id(prod), []).append(layer)
+            prod_of[id(prod)] = prod
+
+    alpha = float(cfg.alpha if not isinstance(cfg.alpha, str) else 0.5)
+    n_folded = 0
+    for pid, group in by_producer.items():
+        prod = prod_of[pid]
+        cons = consumers.get(pid, [])
+        if set(map(id, cons)) - set(map(id, group)):
+            logger.warning(
+                "Keras SmoothQuant: %s feeds non-smoothed consumers — "
+                "scales for %s not folded (skipped)", prod.name,
+                [l.name for l in group])
+            continue
+        if isinstance(prod, keras.layers.LayerNormalization):
+            if not prod.scale:
+                logger.warning("Keras SmoothQuant: %s has scale=False — "
+                               "skipped", prod.name)
+                continue
+        elif isinstance(prod, keras.layers.Dense):
+            act = getattr(prod.activation, "__name__", "linear")
+            if act not in ("linear", "relu"):
+                logger.warning(
+                    "Keras SmoothQuant: %s activation %r is not scale-"
+                    "homogeneous — skipped", prod.name, act)
+                continue
+        else:
+            logger.warning(
+                "Keras SmoothQuant: no foldable parent for %s (producer "
+                "%s) — skipped", [l.name for l in group],
+                type(prod).__name__)
+            continue
+        x_amax = np.maximum.reduce([ch_amax[id(l)] for l in group])
+        w_amax = np.maximum.reduce(
+            [np.abs(np.asarray(l.kernel)).max(axis=1) for l in group])
+        s = np.power(np.maximum(x_amax, 1e-8), alpha) / np.power(
+            np.maximum(w_amax, 1e-8), 1.0 - alpha)
+        s = np.clip(s, 1e-4, 1e4).astype(np.float32)
+        for layer in group:
+            layer.kernel.assign(np.asarray(layer.kernel) * s[:, None])
+        if isinstance(prod, keras.layers.LayerNormalization):
+            prod.gamma.assign(np.asarray(prod.gamma) / s)
+            if prod.center:
+                prod.beta.assign(np.asarray(prod.beta) / s)
+        else:
+            prod.kernel.assign(np.asarray(prod.kernel) / s[None, :])
+            if prod.use_bias:
+                prod.bias.assign(np.asarray(prod.bias) / s)
+        n_folded += len(group)
+    logger.info("Keras SmoothQuant: folded scales into %d Dense layers "
+                "(alpha=%.2f); running static W8A8 on the smoothed model",
+                n_folded, alpha)
+    return quantize_model(
+        model,
+        INT8StaticQuantConfig(white_list=cfg.white_list),
+        calib_function=calib_function, inplace=True)
+
+
 def quantize_model(model, quant_config: BaseConfig,
                    calib_function: Callable | None = None,
                    inplace: bool = True):
@@ -121,7 +283,8 @@ def quantize_model(model, quant_config: BaseConfig,
     import keras
 
     from ..ops.qtensor import qdq_tensor
-    from ..quantization.config import INT8StaticQuantConfig, _WOQBase
+    from ..quantization.config import (INT8StaticQuantConfig,
+                                       SmoothQuantConfig, _WOQBase)
 
     assert keras.backend.backend() == "jax", "set KERAS_BACKEND=jax"
     if not inplace:
@@ -129,32 +292,37 @@ def quantize_model(model, quant_config: BaseConfig,
         model = keras.models.clone_model(model)
         model.set_weights(weights)  # clone_model re-initializes params
 
-    targets = _mapped_layers(model, quant_config)
     if isinstance(quant_config, _WOQBase):
+        targets = _mapped_layers(model, quant_config)
         n = 0
         for layer, cfg in targets:
-            k = layer.kernel
-            w = jnp.asarray(np.asarray(k))
-            shape = w.shape
-            w2 = w.reshape(-1, shape[-1]) if w.ndim > 2 else w
-            wq = qdq_tensor(w2, bits=cfg.weight_bits,
-                            group_size=cfg.group_size,
-                            scheme=cfg.scheme,
-                            dtype=cfg.weight_dtype,
-                            full_range=getattr(cfg, "use_full_range", False))
-            layer.kernel.assign(np.asarray(wq.reshape(shape)))
-            n += 1
-        logger.info("Keras: QDQ'd %d Dense kernels (%s)", n,
-                    quant_config.dtype)
+            for kernel, _pc in _kernels_of(layer):
+                w = jnp.asarray(np.asarray(kernel))
+                shape = w.shape
+                w2 = w.reshape(-1, shape[-1]) if w.ndim > 2 else w
+                wq = qdq_tensor(w2, bits=cfg.weight_bits,
+                                group_size=cfg.group_size,
+                                scheme=cfg.scheme,
+                                dtype=cfg.weight_dtype,
+                                full_range=getattr(cfg, "use_full_range",
+                                                   False))
+                kernel.assign(np.asarray(wq.reshape(shape)))
+                n += 1
+        logger.info("Keras: QDQ'd %d kernels (%s)", n, quant_config.dtype)
         return model
 
     if isinstance(quant_config, INT8StaticQuantConfig):
         if calib_function is None:
             raise ValueError("static quant needs a calib_function "
                              "(an eager forward: lambda m: m(x))")
-        # calibration: wrap call to record input stats
+        targets = _mapped_layers(model, quant_config,
+                                 include_static_ops=True)
+        # calibration: wrap call to record input stats (plus the
+        # attention internals for MultiHeadAttention)
         stats: dict[int, _ActStats] = {}
+        attn_stats: dict[int, dict[str, _ActStats]] = {}
         originals = {}
+        attn_originals = {}
 
         def make_observer(layer):
             def observed(x, *a, **kw):
@@ -170,17 +338,43 @@ def quantize_model(model, quant_config: BaseConfig,
 
             return observed
 
+        def make_attn_observer(layer):
+            def observed(query, key, value, *a, **kw):
+                rec = attn_stats.setdefault(
+                    id(layer), {k: _ActStats() for k in ("q", "k", "v")})
+                # q is recorded pre-scaled (the QDQ point is after the
+                # 1/sqrt(dk) multiply — reference f_qdq convert() derives
+                # one scale from the other the same way)
+                rec["q"].update(np.asarray(query)
+                                * float(layer._inverse_sqrt_key_dim))
+                rec["k"].update(np.asarray(key))
+                rec["v"].update(np.asarray(value))
+                return attn_originals[id(layer)](query, key, value,
+                                                 *a, **kw)
+
+            return observed
+
         layer_cfgs = dict((id(l), c) for l, c in targets)
-        wrapped = [l for l, _c in targets]
+        mha_layers = [l for l, _c in targets
+                      if isinstance(l, keras.layers.MultiHeadAttention)]
+        wrapped = [l for l, _c in targets if l not in mha_layers]
         for layer in wrapped:
             originals[id(layer)] = layer.call
             layer.call = make_observer(layer)
+        for layer in mha_layers:
+            attn_originals[id(layer)] = layer._compute_attention
+            layer._compute_attention = make_attn_observer(layer)
         try:
             calib_function(model)
         finally:
             # never leave observer closures on the (in-place) model
             for layer in wrapped:
                 layer.call = originals[id(layer)]
+            for layer in mha_layers:
+                # remove the observer SHADOW rather than re-assigning the
+                # bound method: an instance attribute would keep shadowing
+                # _compute_attention after the QDQ class swap below
+                layer.__dict__.pop("_compute_attention", None)
 
         # convert: QDQ each layer's kernel in place (per-out-channel for
         # Dense/Conv2D; per-tensor for EinsumDense/DepthwiseConv2D — their
@@ -188,7 +382,7 @@ def quantize_model(model, quant_config: BaseConfig,
         # rebuild the graph with the SAVE-ABLE ``QDQActWrapper`` in front
         # of each converted layer (reference saves its quantized wrappers,
         # jax/quantization/saving.py:134-457)
-        from .qlayers import register
+        from .qlayers import register, register_mha
 
         QDQActWrapper = register()
         act_scale_of: dict[int, float] = {}
@@ -200,27 +394,45 @@ def quantize_model(model, quant_config: BaseConfig,
                     "called during calibration — left unquantized",
                     layer.name, type(layer).__name__)
                 continue
-            kernel = getattr(layer, "kernel", None)
-            if kernel is None:
-                logger.warning(
-                    "Keras static quant: %s (%s) has no `kernel` — left "
-                    "unquantized", layer.name, type(layer).__name__)
-                continue
             cfg = layer_cfgs[id(layer)]
-            w = np.asarray(kernel)
-            if isinstance(layer, (keras.layers.Dense, keras.layers.Conv2D)) \
-                    and not isinstance(layer, keras.layers.DepthwiseConv2D):
-                axes = tuple(range(w.ndim - 1))  # per-out-channel
-            else:
-                axes = tuple(range(w.ndim))  # per-tensor
-            w_scale = np.maximum(np.abs(w).max(axis=axes, keepdims=True)
-                                 / 127.0, 1e-12)
-            w_int = np.clip(np.round(w / w_scale), -128, 127)
-            kernel.assign((w_int * w_scale).astype(w.dtype))
+            # pool2d layers have no kernels: input QDQ only (reference
+            # keras/layers/pool2d.py QAvgPool2D/QMaxPool2D)
+            for kernel, per_channel in _kernels_of(layer):
+                w = np.asarray(kernel)
+                axes = tuple(range(w.ndim - 1)) if per_channel \
+                    else tuple(range(w.ndim))
+                w_scale = np.maximum(np.abs(w).max(axis=axes, keepdims=True)
+                                     / 127.0, 1e-12)
+                w_int = np.clip(np.round(w / w_scale), -128, 127)
+                kernel.assign((w_int * w_scale).astype(w.dtype))
             amax = stats[id(layer)].clip_amax(
                 getattr(cfg, "act_algo", "minmax"),
                 getattr(cfg, "percentile", 99.99))
             act_scale_of[id(layer)] = max(amax / 127.0, 1e-12)
+            n += 1
+
+        # MultiHeadAttention: in-place class swap to the registered
+        # subclass with QDQ on scaled-q / k / probs / v (probs use the
+        # fixed [0, 1] range — reference a_qdq fixed_range=(0.0, 1.0))
+        QDQMultiHeadAttention = register_mha()
+        for layer in mha_layers:
+            rec = attn_stats.get(id(layer))
+            if rec is None:
+                logger.warning(
+                    "Keras static quant: %s (MultiHeadAttention) never "
+                    "attended during calibration — left unquantized",
+                    layer.name)
+                continue
+            cfg = layer_cfgs[id(layer)]
+            algo = getattr(cfg, "act_algo", "minmax")
+            pct = getattr(cfg, "percentile", 99.99)
+            scales = {k: max(rec[k].clip_amax(algo, pct) / 127.0, 1e-12)
+                      for k in ("q", "k", "v")}
+            scales["a"] = 1.0 / 127.0
+            layer._tracker.unlock()
+            layer.__class__ = QDQMultiHeadAttention
+            layer.attn_scales = scales
+            layer._tracker.lock()
             n += 1
 
         def clone_fn(layer):
@@ -256,6 +468,12 @@ def quantize_model(model, quant_config: BaseConfig,
                     "calibration)", n,
                     getattr(quant_config, "act_algo", "minmax"))
         return qmodel
+
+    if isinstance(quant_config, SmoothQuantConfig):
+        if calib_function is None:
+            raise ValueError("SmoothQuant needs a calib_function "
+                             "(an eager forward: lambda m: m(x))")
+        return _smooth_quant_keras(model, quant_config, calib_function)
 
     raise TypeError(f"unsupported config for the Keras adapter: "
                     f"{type(quant_config).__name__}")

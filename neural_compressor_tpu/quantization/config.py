@@ -31,7 +31,7 @@ LINEAR_TYPES = ("Linear", "WOQLinear", "QDQLinear", "Einsum", "LoRALinear",
 # is never silently skipped.
 CONV_TYPES = ("Conv", "LinearGeneral",
               # Keras-3 frontend conv layer types (keras_api/quantize.py)
-              "Conv2D", "DepthwiseConv2D")
+              "Conv2D", "DepthwiseConv2D", "SeparableConv2D")
 
 
 def _lm_head_filter(mapping, quant_lm_head: bool):
@@ -341,8 +341,13 @@ class INT8StaticQuantConfig(BaseConfig):
     def supported_op_types(cls):
         # Conv joins Linear here (StaticQuantConv, layers/qconv.py; Keras
         # QDQActWrapper, keras_api/qlayers.py); LinearGeneral static W8A8
-        # is RTN/WOQ-only for now
-        return LINEAR_TYPES + ("Conv", "Conv2D", "DepthwiseConv2D")
+        # is RTN/WOQ-only for now. Keras extras: SeparableConv2D (both
+        # kernels QDQ'd), pool2d (input QDQ, reference keras/layers/
+        # pool2d.py) and MultiHeadAttention (attention-internal QDQ,
+        # reference jax/quantization/layers_static.py:770).
+        return LINEAR_TYPES + ("Conv", "Conv2D", "DepthwiseConv2D",
+                               "SeparableConv2D", "AveragePooling2D",
+                               "MaxPooling2D", "MultiHeadAttention")
 
 
 @register_config("dynamic_quant", priority=10)

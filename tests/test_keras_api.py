@@ -210,3 +210,178 @@ def test_static_int8_save_load_roundtrip(tmp_path):
     loaded = keras.models.load_model(path)
     y2 = np.asarray(loaded(x))
     np.testing.assert_allclose(y2, yq, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 depth: pool2d QDQ, SeparableConv2D, MultiHeadAttention,
+# SmoothQuant (reference keras/layers/{pool2d,separable_conv2d}.py,
+# jax/quantization/layers_static.py:770, tensorflow/algorithms/smoother/)
+# ---------------------------------------------------------------------------
+
+
+def _pool_model():
+    return keras.Sequential([
+        keras.layers.Input((12, 12, 3)),
+        keras.layers.Conv2D(8, 3, padding="same"),
+        keras.layers.MaxPooling2D(2),
+        keras.layers.AveragePooling2D(2),
+        keras.layers.Flatten(),
+        keras.layers.Dense(4),
+    ])
+
+
+def test_static_int8_pool2d_qdq(tmp_path):
+    """Pooling layers get input QDQ (QAvgPool2D/QMaxPool2D parity) and
+    the wrapped model still saves/loads."""
+    from neural_compressor_tpu.keras_api.qlayers import register
+
+    QDQActWrapper = register()
+    m = _pool_model()
+    x = np.random.default_rng(5).standard_normal((4, 12, 12, 3)).astype(
+        "float32")
+    y0 = np.asarray(m(x))
+    qm = quantize_model(m, nq.INT8StaticQuantConfig(),
+                        calib_function=lambda mm: mm(x))
+    wrapped_types = {type(l.inner).__name__ for l in qm.layers
+                     if isinstance(l, QDQActWrapper)}
+    assert "MaxPooling2D" in wrapped_types
+    assert "AveragePooling2D" in wrapped_types
+    y1 = np.asarray(qm(x))
+    assert np.linalg.norm(y0 - y1) / np.linalg.norm(y0) < 0.1
+    path = str(tmp_path / "pool_q.keras")
+    qm.save(path)
+    y2 = np.asarray(keras.models.load_model(path)(x))
+    np.testing.assert_allclose(y2, y1, rtol=1e-5, atol=1e-5)
+
+
+def test_separable_conv2d_woq_and_static():
+    """Both SeparableConv2D kernels (depthwise + pointwise) are QDQ'd."""
+    m = keras.Sequential([
+        keras.layers.Input((12, 12, 3)),
+        keras.layers.SeparableConv2D(8, 3, padding="same"),
+        keras.layers.Flatten(),
+        keras.layers.Dense(4),
+    ])
+    x = np.random.default_rng(6).standard_normal((4, 12, 12, 3)).astype(
+        "float32")
+    y0 = np.asarray(m(x))
+    sep = m.layers[0]
+    dk0 = np.asarray(sep.depthwise_kernel).copy()
+    pk0 = np.asarray(sep.pointwise_kernel).copy()
+    qm = quantize_model(m, nq.RTNConfig(dtype="int8", group_size=32))
+    assert not np.array_equal(np.asarray(sep.depthwise_kernel), dk0)
+    assert not np.array_equal(np.asarray(sep.pointwise_kernel), pk0)
+    y1 = np.asarray(qm(x))
+    assert np.linalg.norm(y0 - y1) / np.linalg.norm(y0) < 0.05
+
+    m2 = keras.Sequential([
+        keras.layers.Input((12, 12, 3)),
+        keras.layers.SeparableConv2D(8, 3, padding="same"),
+        keras.layers.Flatten(),
+        keras.layers.Dense(4),
+    ])
+    y0 = np.asarray(m2(x))
+    qm2 = quantize_model(m2, nq.INT8StaticQuantConfig(),
+                         calib_function=lambda mm: mm(x))
+    y1 = np.asarray(qm2(x))
+    assert np.linalg.norm(y0 - y1) / np.linalg.norm(y0) < 0.1
+
+
+def _mha_model():
+    inp = keras.layers.Input((6, 16))
+    att = keras.layers.MultiHeadAttention(num_heads=2, key_dim=8,
+                                          name="mha")(inp, inp)
+    out = keras.layers.Dense(4)(keras.layers.Flatten()(att))
+    return keras.Model(inp, out)
+
+
+def test_static_int8_multi_head_attention(tmp_path):
+    """MHA gets attention-internal QDQ (scaled-q/k/probs/v — reference
+    QStaticMultiHeadAttention semantics) and stays save-able."""
+    from neural_compressor_tpu.keras_api.qlayers import register_mha
+
+    QDQMHA = register_mha()
+    m = _mha_model()
+    x = np.random.default_rng(7).standard_normal((4, 6, 16)).astype(
+        "float32")
+    y0 = np.asarray(m(x))
+    qm = quantize_model(m, nq.INT8StaticQuantConfig(),
+                        calib_function=lambda mm: mm(x))
+    mha = next(l for l in qm._flatten_layers(include_self=False)
+               if isinstance(l, keras.layers.MultiHeadAttention))
+    assert isinstance(mha, QDQMHA)
+    assert set(mha.attn_scales) == {"q", "k", "a", "v"}
+    assert mha.attn_scales["a"] == pytest.approx(1.0 / 127.0)
+    y1 = np.asarray(qm(x))
+    assert np.linalg.norm(y0 - y1) / np.linalg.norm(y0) < 0.15
+    path = str(tmp_path / "mha_q.keras")
+    qm.save(path)
+    loaded = keras.models.load_model(path)
+    lm = next(l for l in loaded._flatten_layers(include_self=False)
+              if isinstance(l, keras.layers.MultiHeadAttention))
+    assert isinstance(lm, QDQMHA) and lm.attn_scales == mha.attn_scales
+    np.testing.assert_allclose(np.asarray(loaded(x)), y1, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_mha_qdq_probs_actually_quantized():
+    """The probs QDQ point is real: with a coarse 'a' scale the output
+    moves; with scale-free attn_scales it matches fp attention."""
+    from neural_compressor_tpu.keras_api.qlayers import register_mha
+
+    QDQMHA = register_mha()
+    m = _mha_model()
+    x = np.random.default_rng(8).standard_normal((4, 6, 16)).astype(
+        "float32")
+    y0 = np.asarray(m(x))
+    mha = next(l for l in m._flatten_layers(include_self=False)
+               if isinstance(l, keras.layers.MultiHeadAttention))
+    mha._tracker.unlock()
+    mha.__class__ = QDQMHA
+    mha.attn_scales = {}
+    mha._tracker.lock()
+    np.testing.assert_allclose(np.asarray(m(x)), y0, rtol=2e-5, atol=2e-5)
+    mha.attn_scales = {"a": 0.5}  # 1-bit-ish probs -> visible change
+    assert np.linalg.norm(np.asarray(m(x)) - y0) > 1e-3
+
+
+def _smoothable_model():
+    inp = keras.layers.Input((32,))
+    h = keras.layers.LayerNormalization(name="ln")(inp)
+    h = keras.layers.Dense(64, name="fc1")(h)
+    out = keras.layers.Dense(8, name="fc2")(h)
+    return keras.Model(inp, out)
+
+
+def test_keras_smooth_quant_folds_and_matches():
+    """SmoothQuant folds s into the LayerNorm gamma/beta and the next
+    Dense's kernel+bias; the smoothed fp model is numerically identical
+    and the W8A8 model is close."""
+    m = _smoothable_model()
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal((16, 32)) * np.exp(
+        rng.standard_normal(32))).astype("float32")  # outlier channels
+    y0 = np.asarray(m(x))
+    g0 = np.asarray(m.get_layer("ln").gamma).copy()
+    k0 = np.asarray(m.get_layer("fc1").kernel).copy()
+    qm = quantize_model(m, nq.SmoothQuantConfig(alpha=0.5),
+                        calib_function=lambda mm: mm(x))
+    assert not np.array_equal(np.asarray(m.get_layer("ln").gamma), g0)
+    assert not np.array_equal(np.asarray(m.get_layer("fc1").kernel), k0)
+    y1 = np.asarray(qm(x))
+    assert np.linalg.norm(y0 - y1) / np.linalg.norm(y0) < 0.1
+
+
+def test_keras_smooth_quant_skips_shared_producer():
+    """A producer feeding a non-Dense consumer (residual add) must NOT
+    be folded — the fold would change the residual path."""
+    inp = keras.layers.Input((16,))
+    h = keras.layers.LayerNormalization(name="ln")(inp)
+    d = keras.layers.Dense(16, name="fc")(h)
+    out = keras.layers.Add()([h, d])  # ln output also feeds the Add
+    m = keras.Model(inp, out)
+    x = np.random.default_rng(10).standard_normal((8, 16)).astype("float32")
+    g0 = np.asarray(m.get_layer("ln").gamma).copy()
+    quantize_model(m, nq.SmoothQuantConfig(alpha=0.5),
+                   calib_function=lambda mm: mm(x))
+    np.testing.assert_array_equal(np.asarray(m.get_layer("ln").gamma), g0)
