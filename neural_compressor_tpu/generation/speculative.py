@@ -91,7 +91,7 @@ def speculative_greedy_search(target, draft, input_ids,
             return jnp.any(~fin & (pos - P < mnt)) & (rounds < mnt + 1)
 
         def body(c):
-            pos, cur, out, tcaches, dcaches, fin, rounds, accepted = c
+            pos, cur, out, tcaches, dcaches, fin, rounds, accepted, hist = c
             b = pos - 1  # window start index (last decided token)
 
             # --- draft kk+1 micro-steps: propose d1..dkk, fill rows b..b+kk
@@ -144,14 +144,20 @@ def speculative_greedy_search(target, draft, input_ids,
                 t, jnp.maximum(m - 1, 0)[:, None], axis=1)
             cur = jnp.where(fin[:, None], c[1], cur)
             accepted = accepted + jnp.sum(jnp.where(fin, 0, m))
+            # accepted-length histogram: one bucket per emitted-count
+            # 1..kk+1 (bucket 0 = finished rows skipped this round)
+            hist = hist + jnp.sum(
+                jax.nn.one_hot(m, kk + 2, dtype=jnp.int32), axis=0)
             pos = pos + m
             fin = fin | has_eos | (pos - P >= mnt)
-            return pos, cur, out, tcaches, dcaches, fin, rounds + 1, accepted
+            return (pos, cur, out, tcaches, dcaches, fin, rounds + 1,
+                    accepted, hist)
 
-        pos, _cur, out, _tc, _dc, _fin, rounds, accepted = jax.lax.while_loop(
+        (pos, _cur, out, _tc, _dc, _fin, rounds, accepted,
+         hist) = jax.lax.while_loop(
             cond, body,
             (pos0, cur0, out0, tcaches, dcaches, fin0,
-             jnp.int32(0), jnp.int32(0)))
+             jnp.int32(0), jnp.int32(0), jnp.zeros((kk + 2,), jnp.int32)))
 
         # match greedy_search's tail semantics: a row that hit EOS repeats
         # the EOS token while any other row is still decoding (greedy's
@@ -168,12 +174,18 @@ def speculative_greedy_search(target, draft, input_ids,
         else:
             pad = jnp.zeros((B, mnt + W), jnp.int32)
         out = jnp.where(idx < decided[:, None], out, pad)[:, :mnt]
-        return jnp.concatenate([input_ids, out], axis=1), rounds, accepted
+        return (jnp.concatenate([input_ids, out], axis=1), rounds,
+                accepted, hist)
 
-    seq, rounds, accepted = go(tstate, dstate, input_ids, tcaches, dcaches,
-                               max_new_tokens, k)
+    seq, rounds, accepted, hist = go(tstate, dstate, input_ids, tcaches,
+                                     dcaches, max_new_tokens, k)
     if return_stats:
         r = max(int(rounds), 1)
+        import numpy as np
+
         return seq, {"rounds": int(rounds),
-                     "tokens_per_round": float(accepted) / r / B}
+                     "tokens_per_round": float(accepted) / r / B,
+                     # accept_hist[m] = rounds in which a row emitted m
+                     # tokens (m = accepted prefix + 1 correction)
+                     "accept_hist": np.asarray(hist).tolist()}
     return seq
