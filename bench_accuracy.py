@@ -29,17 +29,31 @@ from neural_compressor_tpu.evaluation.train_tiny import (
     SEQ_LEN, frozen_corpus, load_tiny_lm, train_tiny_lm)
 
 
+FAMILY = "tiny_lm"  # set by --family (tiny_lm | tiny_gqa | tiny_moe | tiny_mla)
+
+
 def fresh_model():
-    m = load_tiny_lm()
+    from neural_compressor_tpu.evaluation.train_tiny import load_tiny_model
+
+    m = load_tiny_lm() if FAMILY == "tiny_lm" else load_tiny_model(FAMILY)
     assert m is not None
     return m
 
 
 def main():
-    model = load_tiny_lm()
-    if model is None:
-        print("no checkpoint found - training", file=sys.stderr)
-        model, _ = train_tiny_lm()
+    if FAMILY == "tiny_lm":
+        model = load_tiny_lm()
+        if model is None:
+            print("no checkpoint found - training", file=sys.stderr)
+            model, _ = train_tiny_lm()
+    else:
+        from neural_compressor_tpu.evaluation.train_tiny import (
+            load_tiny_model, train_tiny_model)
+
+        model = load_tiny_model(FAMILY)
+        if model is None:
+            print(f"no {FAMILY} checkpoint - training", file=sys.stderr)
+            model, _ = train_tiny_model(FAMILY, steps=1200, batch_size=16)
 
     train, val = frozen_corpus()
     val = val[:96]
@@ -93,7 +107,8 @@ def main():
 
     delta = results["gptq_int4"] - ppl_fp
     print(json.dumps({
-        "metric": "ppl_delta_int4_gptq",
+        "metric": f"ppl_delta_int4_gptq"
+                  + ("" if FAMILY == "tiny_lm" else f"_{FAMILY}"),
         "value": round(float(delta), 4),
         "unit": "ppl",
         "vs_baseline": round(float(ppl_fp), 4),
@@ -101,4 +116,11 @@ def main():
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", default="tiny_lm",
+                    choices=("tiny_lm", "tiny_gqa", "tiny_moe", "tiny_mla"))
+    args = ap.parse_args()
+    FAMILY = args.family
     main()

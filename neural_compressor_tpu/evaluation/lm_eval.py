@@ -90,11 +90,16 @@ def decode_perplexity(model, token_ids: np.ndarray, batch_size: int = 8,
 
     graphdef, state = nnx.split(model)
     S = int(np.asarray(token_ids).shape[1])
+    # models may own their cache shapes (deepseek's MLA K/V widths /
+    # latent rows) — same preference order as generation._alloc_caches
+    init = getattr(model, "init_caches", None)
 
     @jax.jit
     def run(state, batch):
         B = batch.shape[0]
-        caches = init_kv_cache(model.cfg, B, S, quantized=kv_quantized)
+        caches = (init(B, S, quantized=kv_quantized) if init is not None
+                  else init_kv_cache(model.cfg, B, S,
+                                     quantized=kv_quantized))
         m = nnx.merge(graphdef, state)
 
         def step(caches, i):
