@@ -20,6 +20,18 @@ try:
 except Exception:
     pass
 
+# The fast gate is compile-bound (4-CPU box, ~390 jitted programs); a
+# persistent compilation cache keeps warm reruns inside the <5 min
+# contract. Keyed by HLO, so code changes invalidate automatically.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("NC_TPU_TEST_CACHE",
+                                     "/tmp/nc_tpu_jax_test_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
+
 import pytest  # noqa: E402
 
 
