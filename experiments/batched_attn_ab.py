@@ -44,9 +44,16 @@ def run(model, batch, steps=STEPS):
 
 
 def main():
+    import os
     print("device:", jax.devices(), flush=True)
-    for preset, batches in (("llama2-7b", (8, 16, 64)),
-                            ("llama3-8b", (16, 128))):
+    # one preset per process (pass PRESET=...): a failed/OOM'd config can
+    # leave the allocator pinned and starve the NEXT model's build
+    only = os.environ.get("PRESET")
+    # llama2 B=64 omitted: MHA int8 cache alone is 64 x 0.27 GB = 17 GB
+    configs = (("llama2-7b", (8, 16)), ("llama3-8b", (16, 64, 128)))
+    for preset, batches in configs:
+        if only and preset != only:
+            continue
         t0 = time.time()
         qmodel = build_quantized(
             LlamaConfig(**LLAMA_PRESETS[preset]),

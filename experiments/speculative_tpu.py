@@ -31,7 +31,8 @@ from neural_compressor_tpu.generation import (greedy_search,
                                               speculative_greedy_search)
 from neural_compressor_tpu.models.llama import (LLAMA_PRESETS, LlamaConfig,
                                                 build_quantized)
-from neural_compressor_tpu.quantization.fuse import (fuse_for_serving,
+from neural_compressor_tpu.quantization.fuse import (enable_fused_decode,
+                                                     fuse_for_serving,
                                                      to_w4a8_serving)
 
 MNT = 128
@@ -57,6 +58,7 @@ def main():
         nq.RTNConfig(dtype="int4", group_size=128, quant_lm_head=True))
     fuse_for_serving(target)
     to_w4a8_serving(target)
+    enable_fused_decode(target)
     print(f"target build {time.time()-t0:.0f}s", flush=True)
 
     prompt = jnp.zeros((1, 32), jnp.int32)
@@ -85,6 +87,7 @@ def main():
         nq.RTNConfig(dtype="int4", group_size=128, quant_lm_head=True))
     fuse_for_serving(d6)
     to_w4a8_serving(d6)
+    enable_fused_decode(d6)
     drafts["skip-6L"] = d6
     print(f"6-layer draft build {time.time()-t0:.0f}s", flush=True)
 
@@ -95,7 +98,7 @@ def main():
         print(f"draft {name}: {dtd/16*1e3:.2f} ms/tok", flush=True)
 
     for name, d in drafts.items():
-        for k in (2, 4, 8):
+        for k in (2, 4):
             dts, (out, stats) = timed_tps(
                 speculative_greedy_search, target, d, prompt,
                 max_new_tokens=MNT, k=k, return_stats=True)

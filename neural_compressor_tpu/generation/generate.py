@@ -30,25 +30,33 @@ from ..quantization.fuse import s4_prepare as _s4_prepare
 def _split(model):
     graphdef, state = nnx.split(model)
 
-    def apply(state, ids, positions, caches, cache_pos):
+    def bind(state):
+        """Merge + one-time ``s4_prepare`` INSIDE the jitted program and
+        return a MODULE-bound apply. Keeping the prepared module (rather
+        than re-splitting to state and re-merging per step — the old
+        pattern) is load-bearing on TPU: after a round-trip through
+        nnx.split, XLA sank the hoisted int4-view bitcasts back into the
+        decode-loop body and re-materialized them at ~20 GB/s per call
+        (~179 ms/tok at 7B, the exact pathology PERF_NOTES "s4_rowpack"
+        documents; bench.py and serving/engine.py always used the
+        module-bound form)."""
         m = nnx.merge(graphdef, state)
-        return m(ids, positions=positions, caches=caches, cache_pos=cache_pos)
+        _s4_prepare(m)
 
-    def prepare(state):
-        # once per program, BEFORE the decode loop (s4_prepare docstring)
-        m = nnx.merge(graphdef, state)
-        if _s4_prepare(m):
-            return nnx.split(m)[1]
-        return state
+        def apply(ids, positions, caches, cache_pos):
+            return m(ids, positions=positions, caches=caches,
+                     cache_pos=cache_pos)
 
-    return graphdef, state, apply, prepare
+        return apply
+
+    return graphdef, state, bind
 
 
-def _prefill_and_loop(apply, state, input_ids, caches, max_new_tokens,
+def _prefill_and_loop(apply, input_ids, caches, max_new_tokens,
                       eos_token_id, next_token_fn, rng):
     B, P = input_ids.shape
     positions = jnp.broadcast_to(jnp.arange(P)[None, :], (B, P))
-    logits, caches = apply(state, input_ids, positions, caches, 0)
+    logits, caches = apply(input_ids, positions, caches, 0)
     first, rng0 = next_token_fn(logits[:, -1], rng)
 
     out0 = jnp.zeros((B, max_new_tokens), jnp.int32)
@@ -63,7 +71,7 @@ def _prefill_and_loop(apply, state, input_ids, caches, max_new_tokens,
     def body(carry):
         i, tok, caches, out, finished, rng = carry
         pos = jnp.full((B, 1), P + i - 1, dtype=jnp.int32)
-        logits, caches = apply(state, tok, pos, caches, P + i - 1)
+        logits, caches = apply(tok, pos, caches, P + i - 1)
         nxt, rng = next_token_fn(logits[:, -1], rng)
         nxt = jnp.where(finished[:, None], tok, nxt)
         out = jax.lax.dynamic_update_slice(out, nxt, (0, i))
@@ -130,12 +138,12 @@ def _run(model, input_ids, max_new_tokens, eos_token_id, next_token_fn,
     B, P = input_ids.shape
     total = P + max_new_tokens if max_len is None else max_len
     caches = _alloc_caches(model, B, total)
-    graphdef, state, apply, prepare = _split(model)
+    graphdef, state, bind = _split(model)
 
     @functools.partial(jax.jit, static_argnames=("mnt",))
     def go(state, input_ids, caches, rng, mnt):
-        state = prepare(state)
-        return _prefill_and_loop(apply, state, input_ids, caches, mnt,
+        apply = bind(state)
+        return _prefill_and_loop(apply, input_ids, caches, mnt,
                                  eos_token_id, next_token_fn, rng)
 
     return go(state, input_ids, caches, jax.random.PRNGKey(seed),
@@ -158,14 +166,14 @@ def beam_search(model, input_ids, num_beams: int = 4,
     total = P + max_new_tokens
     # prefill runs over B rows once; the cache is replicated per beam after
     caches = _alloc_caches(model, B, total)
-    graphdef, state, apply, prepare = _split(model)
+    graphdef, state, bind = _split(model)
 
     @functools.partial(jax.jit, static_argnames=("mnt", "nb"))
     def go(state, input_ids, caches, mnt, nb):
-        state = prepare(state)
+        apply = bind(state)
         B, P = input_ids.shape
         positions = jnp.broadcast_to(jnp.arange(P)[None, :], (B, P))
-        logits, caches = apply(state, input_ids, positions, caches, 0)
+        logits, caches = apply(input_ids, positions, caches, 0)
         logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
         V = logp.shape[-1]
         # first step: top-nb continuations of the single prefill beam
@@ -196,7 +204,7 @@ def beam_search(model, input_ids, num_beams: int = 4,
             i, token, caches, out, scores, fin, lens = carry
             tok_flat = token.reshape(B * nb, 1)
             pos = jnp.full((B * nb, 1), P + i - 1, dtype=jnp.int32)
-            logits, caches = apply(state, tok_flat, pos, caches, P + i - 1)
+            logits, caches = apply(tok_flat, pos, caches, P + i - 1)
             logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32),
                                       axis=-1).reshape(B, nb, V)
             # finished beams only extend with EOS at zero cost

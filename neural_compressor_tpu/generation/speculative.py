@@ -35,8 +35,8 @@ from .generate import _split as _split_gen
 
 
 def _split(model):
-    _graphdef, state, apply, prepare = _split_gen(model)
-    return state, apply, prepare
+    _graphdef, state, bind = _split_gen(model)
+    return state, bind
 
 
 def speculative_greedy_search(target, draft, input_ids,
@@ -68,18 +68,18 @@ def speculative_greedy_search(target, draft, input_ids,
                      if getattr(m, "kv_cache_quantized", False) else False)
         return init_kv_cache(m.cfg, B, total, quantized=quantized)
 
-    tstate, tapply, tprepare = _split(target)
-    dstate, dapply, dprepare = _split(draft)
+    tstate, tbind = _split(target)
+    dstate, dbind = _split(draft)
     tcaches, dcaches = caches_for(target), caches_for(draft)
 
     @functools.partial(jax.jit, static_argnames=("mnt", "kk"))
     def go(tstate, dstate, input_ids, tcaches, dcaches, mnt, kk):
-        tstate, dstate = tprepare(tstate), dprepare(dstate)
+        tapply, dapply = tbind(tstate), dbind(dstate)
         W = kk + 1
         # prefill both models on the prompt
         prompt_pos = jnp.broadcast_to(jnp.arange(P)[None, :], (B, P))
-        _, tcaches = tapply(tstate, input_ids, prompt_pos, tcaches, 0)
-        _, dcaches = dapply(dstate, input_ids, prompt_pos, dcaches, 0)
+        _, tcaches = tapply(input_ids, prompt_pos, tcaches, 0)
+        _, dcaches = dapply(input_ids, prompt_pos, dcaches, 0)
 
         out0 = jnp.zeros((B, mnt + W), jnp.int32)  # margin absorbs overshoot
         pos0 = jnp.full((B,), P, jnp.int32)        # decided-token count
@@ -97,7 +97,7 @@ def speculative_greedy_search(target, draft, input_ids,
             # --- draft kk+1 micro-steps: propose d1..dkk, fill rows b..b+kk
             def dstep(j, dc):
                 tok, dcaches, win = dc
-                lg, dcaches = dapply(dstate, tok, (b + j)[:, None],
+                lg, dcaches = dapply(tok, (b + j)[:, None],
                                      dcaches, b + j)
                 nxt = jnp.argmax(lg[:, -1], axis=-1)[:, None].astype(
                     jnp.int32)
@@ -113,7 +113,7 @@ def speculative_greedy_search(target, draft, input_ids,
 
             # --- verify: one target forward over the window
             positions = b[:, None] + jnp.arange(W)[None, :]
-            lg, tcaches = tapply(tstate, window, positions, tcaches, b)
+            lg, tcaches = tapply(window, positions, tcaches, b)
             t = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # [B, W]
 
             # --- longest accepted prefix (+1 correction/bonus token)

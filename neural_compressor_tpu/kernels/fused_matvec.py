@@ -153,7 +153,12 @@ def _fused_impl(x, rms_w, w32, scales, bias, residual, *, K, N, G, tn, eps,
         if scales is not None:
             scales = pltpu.with_memory_space_constraint(scales, pltpu.HBM)
     n_out = (N // 2) if silu else N
-    nn = n_out // tn
+    # ceil-division grid: Mosaic masks the boundary block's stores, so a
+    # ragged last N-tile is fine for the plain-matvec form (lm_head's
+    # 32000/128256 vocab is not 512-divisible; tn=512 streams ~10% faster
+    # than 256 on those shapes). Ragged mode is only selected by
+    # fused_matvec for the epilogue-free case.
+    nn = -(-n_out // tn)
     kernel = _make_kernel(K=K, G=G, eps=eps, has_rms=rms_w is not None,
                           has_bias=bias is not None,
                           has_res=residual is not None, silu=silu, nn=nn,
@@ -217,10 +222,22 @@ def fused_ok(pw: PackedWeight, n_batch_tokens: int = 1) -> bool:
             and G % 128 == 0 and N % 128 == 0 and _on_tpu())
 
 
-def _pick_tn(n_out: int) -> int:
+# ragged-N lever: let big epilogue-free matvecs (the lm_head) take
+# tn=512 with a masked boundary tile instead of dropping to 256
+RAGGED_TN = True
+
+
+def set_ragged_tn(on: bool) -> None:
+    global RAGGED_TN
+    RAGGED_TN = bool(on)
+
+
+def _pick_tn(n_out: int, allow_ragged: bool = False) -> int:
     for tn in (512, 256, 128):
         if n_out % tn == 0:
             return tn
+    if allow_ragged and RAGGED_TN and n_out > 8192 and n_out % 128 == 0:
+        return 512
     return 0
 
 
@@ -247,7 +264,11 @@ def fused_matvec(x: jax.Array, pw: PackedWeight, *, rms_w=None,
         return None
     pw = resolve_double_quant(pw)
     n_out = (N // 2) if silu_gate else N
-    tn = _pick_tn(n_out)
+    # ragged tn needs masked boundary stores only on the OUTPUT — keep
+    # the column-blocked epilogue operands (bias/residual/silu pair) on
+    # exactly-dividing grids
+    allow_ragged = (not silu_gate and bias is None and residual is None)
+    tn = _pick_tn(n_out, allow_ragged=allow_ragged)
     if not tn:
         return None
     G = pw.group_size if pw.group_size > 0 else K
