@@ -112,3 +112,56 @@ def test_paged_decode_int8_pool_close():
     got = np.asarray(got, dtype=np.float32)
     err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 0.12, err
+
+
+def test_paged_v2_matches_v1():
+    """The all-heads-page-block kernel (v2) is numerically identical to
+    the per-(b, h, page) grid (v1), bf16 and int8 pools, mixed lengths."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neural_compressor_tpu.kernels import paged_attention as pa
+    from neural_compressor_tpu.models.llama import init_paged_pool
+
+    from neural_compressor_tpu.models.llama import LlamaConfig
+
+    cfg = LlamaConfig(vocab_size=64, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=1, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=128,
+                      max_position_embeddings=512)
+    rng = np.random.default_rng(0)
+    B, Hkv, page, D, pmax = 3, 2, 128, 128, 4
+    for quant in (False, True):
+        kp = jnp.asarray(rng.standard_normal((8, Hkv, page, D)),
+                         jnp.bfloat16)
+        vp = jnp.asarray(rng.standard_normal((8, Hkv, page, D)),
+                         jnp.bfloat16)
+        ks = vs = None
+        if quant:
+            ksc = jnp.asarray(rng.uniform(0.01, 0.1, (8, Hkv, page)),
+                              jnp.float32)
+            vsc = jnp.asarray(rng.uniform(0.01, 0.1, (8, Hkv, page)),
+                              jnp.float32)
+            kp8 = jnp.clip(jnp.round(kp.astype(jnp.float32)
+                                     / ksc[..., None]), -128, 127
+                           ).astype(jnp.int8)
+            vp8 = jnp.clip(jnp.round(vp.astype(jnp.float32)
+                                     / vsc[..., None]), -128, 127
+                           ).astype(jnp.int8)
+            kp, vp, ks, vs = kp8, vp8, ksc, vsc
+        bt = jnp.asarray(rng.integers(0, 8, (B, pmax)), jnp.int32)
+        lengths = jnp.asarray([1, 200, 512 - 1], jnp.int32)
+        q = jnp.asarray(rng.standard_normal((B, 4, 1, D)), jnp.bfloat16)
+
+        class Cache:
+            k_pages, v_pages, k_scales, v_scales, block_tables = \
+                kp, vp, ks, vs, bt
+
+        pa.set_paged_v2(False)
+        o1 = np.asarray(pa.paged_decode_attention(q, Cache, lengths),
+                        np.float32)
+        pa.set_paged_v2(True)
+        o2 = np.asarray(pa.paged_decode_attention(q, Cache, lengths),
+                        np.float32)
+        np.testing.assert_allclose(o1, o2, rtol=2e-2, atol=2e-2)
