@@ -560,9 +560,23 @@ def _kernel_batched(pos_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
             o_ref[bh] = (acc_s[bh] / l_s[bh, :, 0:1]).astype(o_ref.dtype)
 
 
+# experiment overrides: (bh_tile, cap_mb) — None = auto
+_TILE_OVERRIDE = None
+
+
+def set_batched_tiles(bh_tile=None, cap_mb=None):
+    global _TILE_OVERRIDE
+    _TILE_OVERRIDE = None if bh_tile is None else (bh_tile, cap_mb or 2)
+
+
 def _batched_tiles(BH: int, T: int, D: int, esize: int):
-    bh_tile = next((b for b in (8, 4, 2, 1) if BH % b == 0), 1)
-    cap = max(1, (2 * 1024 * 1024) // (bh_tile * D * esize))
+    if _TILE_OVERRIDE is not None:
+        want, cap_mb = _TILE_OVERRIDE
+        bh_tile = next((b for b in (want, 8, 4, 2, 1) if BH % b == 0), 1)
+    else:
+        cap_mb = 2
+        bh_tile = next((b for b in (8, 4, 2, 1) if BH % b == 0), 1)
+    cap = max(1, (cap_mb * 1024 * 1024) // (bh_tile * D * esize))
     Tc = 0
     for c in range(min(T, cap), 127, -128):
         if T % c == 0 and c % 128 == 0:
