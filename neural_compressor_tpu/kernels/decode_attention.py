@@ -661,7 +661,10 @@ def batched_decode_attention(q, k_cache, v_cache, pos, k_scale=None,
     if S != 1 or not _BATCHED_ATTN:
         return None
     BH = B * Hkv
-    if BH < _BATCHED_ATTN_MIN_BH or D % 128 or T % 128:
+    # B == 1 stays on the fused B=1 path: at rep == 1 the q blocks are
+    # (1, D) sublane-1 slivers — measured 423 s compiles and a 176 -> 79
+    # tok/s bench collapse when this kernel took llama2 B=1 (round 4)
+    if B == 1 or BH < _BATCHED_ATTN_MIN_BH or D % 128 or T % 128:
         return None
     esize = jnp.dtype(k_cache.dtype).itemsize
     bh_tile, Tc = _batched_tiles(BH, T, D, esize)
