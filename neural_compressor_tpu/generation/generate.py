@@ -17,6 +17,7 @@ and ``init_kv_cache``-style cache allocation.
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import Callable
 
 import jax
@@ -25,6 +26,33 @@ from flax import nnx
 
 from ..models.llama import init_kv_cache
 from ..quantization.fuse import s4_prepare as _s4_prepare
+
+# jitted-program cache: model (weak) -> {key: (graphdef, go)}. Without
+# it every greedy_search/sample/beam/speculative CALL rebuilt a fresh
+# @jax.jit closure — a full recompile per call (~15-20 s over the
+# remote-compile tunnel: the "6 tok/s generation API" mystery, round 4;
+# bench.py and the serving engine never hit it because they build their
+# jitted program once and reuse it).
+_PROGRAM_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _cached_program(model, key, graphdef, builder):
+    """Reuse the jitted program for (model, static-knobs) across calls;
+    validated against graphdef equality so structural changes after a
+    cached call (quantize / fuse / module swap) rebuild."""
+    try:
+        per_model = _PROGRAM_CACHE.get(model)
+        if per_model is None:
+            per_model = {}
+            _PROGRAM_CACHE[model] = per_model
+    except TypeError:  # un-weakref-able model: no caching
+        return builder()
+    hit = per_model.get(key)
+    if hit is not None and hit[0] == graphdef:
+        return hit[1]
+    go = builder()
+    per_model[key] = (graphdef, go)
+    return go
 
 
 def _split(model):
@@ -103,7 +131,8 @@ def greedy_search(model, input_ids, max_new_tokens: int = 32,
     def pick(logits, rng):
         return jnp.argmax(logits, axis=-1)[:, None].astype(jnp.int32), rng
 
-    return _run(model, input_ids, max_new_tokens, eos_token_id, pick, max_len)
+    return _run(model, input_ids, max_new_tokens, eos_token_id, pick,
+                max_len, cache_key=("greedy",))
 
 
 def sample(model, input_ids, max_new_tokens: int = 32, temperature: float = 1.0,
@@ -129,23 +158,29 @@ def sample(model, input_ids, max_new_tokens: int = 32, temperature: float = 1.0,
         nxt = jax.random.categorical(sub, lg, axis=-1)
         return nxt[:, None].astype(jnp.int32), rng
 
-    return _run(model, input_ids, max_new_tokens, eos_token_id, pick, max_len,
-                seed=seed)
+    return _run(model, input_ids, max_new_tokens, eos_token_id, pick,
+                max_len, seed=seed,
+                cache_key=("sample", temperature, top_k, top_p))
 
 
 def _run(model, input_ids, max_new_tokens, eos_token_id, next_token_fn,
-         max_len, seed: int = 0):
+         max_len, seed: int = 0, cache_key=("greedy",)):
     B, P = input_ids.shape
     total = P + max_new_tokens if max_len is None else max_len
     caches = _alloc_caches(model, B, total)
     graphdef, state, bind = _split(model)
 
-    @functools.partial(jax.jit, static_argnames=("mnt",))
-    def go(state, input_ids, caches, rng, mnt):
-        apply = bind(state)
-        return _prefill_and_loop(apply, input_ids, caches, mnt,
-                                 eos_token_id, next_token_fn, rng)
+    def build():
+        @functools.partial(jax.jit, static_argnames=("mnt",))
+        def go(state, input_ids, caches, rng, mnt):
+            apply = bind(state)
+            return _prefill_and_loop(apply, input_ids, caches, mnt,
+                                     eos_token_id, next_token_fn, rng)
 
+        return go
+
+    go = _cached_program(model, ("run",) + tuple(cache_key)
+                         + (eos_token_id,), graphdef, build)
     return go(state, input_ids, caches, jax.random.PRNGKey(seed),
               max_new_tokens)
 
@@ -169,7 +204,7 @@ def beam_search(model, input_ids, num_beams: int = 4,
     graphdef, state, bind = _split(model)
 
     @functools.partial(jax.jit, static_argnames=("mnt", "nb"))
-    def go(state, input_ids, caches, mnt, nb):
+    def _beam_go(state, input_ids, caches, mnt, nb):
         apply = bind(state)
         B, P = input_ids.shape
         positions = jnp.broadcast_to(jnp.arange(P)[None, :], (B, P))
@@ -238,6 +273,8 @@ def beam_search(model, input_ids, num_beams: int = 4,
             out, best[:, None, None], axis=1)[:, 0]
         return jnp.concatenate([input_ids, best_out], axis=1)
 
+    go = _cached_program(model, ("beam", eos_token_id, length_penalty),
+                         graphdef, lambda: _beam_go)
     return go(state, input_ids, caches, max_new_tokens, num_beams)
 
 
@@ -274,7 +311,7 @@ def greedy_search_mllm(model, input_ids, pixel_values,
     assert n_img + P + max_new_tokens <= T, "max_len too small"
 
     @jax.jit
-    def run(state, ids, pix):
+    def _mllm_run(state, ids, pix):
         m = nnx.merge(graphdef, state)
         _s4_prepare(m)
         caches = init_kv_cache(m.cfg.text, B, T)
@@ -306,4 +343,7 @@ def greedy_search_mllm(model, input_ids, pixel_values,
             cond, body, (1, first, caches, out0, fin0))
         return jnp.concatenate([ids, out], axis=1)
 
+    run = _cached_program(
+        model, ("mllm", eos_token_id, max_new_tokens, T, B, P),
+        graphdef, lambda: _mllm_run)
     return run(state, jnp.asarray(input_ids, jnp.int32), pixel_values)

@@ -31,12 +31,13 @@ import jax
 import jax.numpy as jnp
 
 from ..models.llama import init_kv_cache
+from .generate import _cached_program
 from .generate import _split as _split_gen
 
 
 def _split(model):
-    _graphdef, state, bind = _split_gen(model)
-    return state, bind
+    graphdef, state, bind = _split_gen(model)
+    return graphdef, state, bind
 
 
 def speculative_greedy_search(target, draft, input_ids,
@@ -68,12 +69,12 @@ def speculative_greedy_search(target, draft, input_ids,
                      if getattr(m, "kv_cache_quantized", False) else False)
         return init_kv_cache(m.cfg, B, total, quantized=quantized)
 
-    tstate, tbind = _split(target)
-    dstate, dbind = _split(draft)
+    tgd, tstate, tbind = _split(target)
+    dgd, dstate, dbind = _split(draft)
     tcaches, dcaches = caches_for(target), caches_for(draft)
 
     @functools.partial(jax.jit, static_argnames=("mnt", "kk"))
-    def go(tstate, dstate, input_ids, tcaches, dcaches, mnt, kk):
+    def _spec_go(tstate, dstate, input_ids, tcaches, dcaches, mnt, kk):
         tapply, dapply = tbind(tstate), dbind(dstate)
         W = kk + 1
         # prefill both models on the prompt
@@ -177,6 +178,10 @@ def speculative_greedy_search(target, draft, input_ids,
         return (jnp.concatenate([input_ids, out], axis=1), rounds,
                 accepted, hist)
 
+    # program cache: without it every call recompiles (generate.py
+    # _cached_program docstring); validated on BOTH models' graphdefs
+    go = _cached_program(target, ("speculative", eos_token_id, id(draft)),
+                         (tgd, dgd), lambda: _spec_go)
     seq, rounds, accepted, hist = go(tstate, dstate, input_ids, tcaches,
                                      dcaches, max_new_tokens, k)
     if return_stats:

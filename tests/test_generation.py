@@ -191,3 +191,34 @@ def test_generate_int4_kv_cache():
     ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 8)))
     out = greedy_search(qm, ids, max_new_tokens=4)
     assert out.shape == (2, 12)
+
+
+def test_generation_program_cache_no_retrace():
+    """Repeated generation calls reuse ONE jitted program (round 4: a
+    fresh @jax.jit closure per call meant a full recompile per call —
+    15-20 s each over the remote-compile tunnel). Structural changes
+    (quantize after caching) must rebuild."""
+    import neural_compressor_tpu as nq
+    import importlib
+
+    G = importlib.import_module(
+        "neural_compressor_tpu.generation.generate")
+
+    m = LlamaForCausalLM.from_preset("llama-test")
+    ids = jnp.arange(8, dtype=jnp.int32)[None, :]
+    o1 = greedy_search(m, ids, max_new_tokens=4, max_len=64)
+    per_model = G._PROGRAM_CACHE[m]
+    gd1, go1 = per_model[("run", "greedy", None)]
+    o2 = greedy_search(m, ids, max_new_tokens=4, max_len=64)
+    gd2, go2 = per_model[("run", "greedy", None)]
+    assert go1 is go2, "second call must reuse the cached jitted program"
+    assert (np.asarray(o1) == np.asarray(o2)).all()
+    # a different sampler key gets its own entry; greedy entry unchanged
+    from neural_compressor_tpu.generation import sample
+    sample(m, ids, max_new_tokens=2, temperature=0.7, max_len=64)
+    assert per_model[("run", "greedy", None)][1] is go1
+    # structural change -> rebuild
+    qm = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
+    greedy_search(qm, ids, max_new_tokens=2, max_len=64)
+    greedy_search(qm, ids, max_new_tokens=2, max_len=64)
+    assert G._PROGRAM_CACHE[qm][("run", "greedy", None)][1] is not go1
