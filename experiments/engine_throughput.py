@@ -50,6 +50,20 @@ def main():
           f"-> {toks/wall:.1f} tok/s end-to-end "
           f"({N_REQS*PROMPT_LEN/wall:.0f} prompt tok/s ingested alongside)",
           flush=True)
+    m = engine.metrics()
+    print("dispatch split:", {k: m[k] for k in
+          ("combined_dispatches", "prefill_chunk_dispatches",
+           "decode_dispatches")}, flush=True)
+    # warm second wave: steady-state rate without compile time in wall
+    for _ in range(N_REQS):
+        engine.submit(rng.integers(0, 32000, (PROMPT_LEN,)),
+                      max_new_tokens=MAX_NEW)
+    t0 = time.time()
+    done2 = engine.run()
+    wall2 = time.time() - t0
+    toks2 = sum(len(r.generated) for r in done2)
+    print(f"warm wave: {toks2} tokens in {wall2:.1f}s -> "
+          f"{toks2/wall2:.1f} tok/s end-to-end", flush=True)
 
 
 if __name__ == "__main__":
