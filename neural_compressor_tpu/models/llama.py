@@ -214,20 +214,30 @@ def _paged_write_row(cache: PagedKVCache, k_new, v_new, pos):
     pids = jnp.take_along_axis(cache.block_tables,
                                (pos // page)[:, None], axis=1)[:, 0]  # [B]
     off = pos % page
+    # unique_indices: every slot owns DISTINCT pages (the allocator never
+    # maps one page to two slots), which lets XLA use the in-place
+    # scatter path — without it the conservative scatter copied the whole
+    # pool per layer (21.5 ms/step of 'copy' at B=8,
+    # experiments/profile_paged_b8.log). The one sanctioned duplicate is
+    # the shared TRASH page (idle engine slots all park on page 0):
+    # duplicate-write results are unspecified, which is fine for a page
+    # whose rows are never attended (masked by per-slot length).
+    upd = lambda arr, val: arr.at[pids, :, off].set(  # noqa: E731
+        val, unique_indices=True)
     if cache.k_scales is not None:
         fmt = "int8" if cache.k_pages.dtype == jnp.int8 else "fp8_e4m3"
         kc, ks = _kv_quant(k_new, fmt=fmt)
         vc, vs = _kv_quant(v_new, fmt=fmt)
         return cache._replace(
-            k_pages=cache.k_pages.at[pids, :, off].set(kc[:, :, 0]),
-            k_scales=cache.k_scales.at[pids, :, off].set(ks[:, :, 0]),
-            v_pages=cache.v_pages.at[pids, :, off].set(vc[:, :, 0]),
-            v_scales=cache.v_scales.at[pids, :, off].set(vs[:, :, 0]))
+            k_pages=upd(cache.k_pages, kc[:, :, 0]),
+            k_scales=upd(cache.k_scales, ks[:, :, 0]),
+            v_pages=upd(cache.v_pages, vc[:, :, 0]),
+            v_scales=upd(cache.v_scales, vs[:, :, 0]))
     return cache._replace(
-        k_pages=cache.k_pages.at[pids, :, off].set(
-            k_new[:, :, 0].astype(cache.k_pages.dtype)),
-        v_pages=cache.v_pages.at[pids, :, off].set(
-            v_new[:, :, 0].astype(cache.v_pages.dtype)))
+        k_pages=upd(cache.k_pages, k_new[:, :, 0].astype(
+            cache.k_pages.dtype)),
+        v_pages=upd(cache.v_pages, v_new[:, :, 0].astype(
+            cache.v_pages.dtype)))
 
 
 _KV_CODE_DTYPES = {"int8": jnp.int8, "fp8_e4m3": jnp.float8_e4m3fn,
