@@ -23,6 +23,7 @@ Design (TPU):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import itertools
 from typing import Callable
 
@@ -206,7 +207,7 @@ class ContinuousBatchingEngine:
             graphdef = self._graphdef
             C = self.prefill_chunk
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(1,))
             def prefill(state, caches, ids, rows, starts, last_idx):
                 m = nnx.merge(graphdef, state)
                 _s4_prepare(m)
@@ -338,7 +339,7 @@ class ContinuousBatchingEngine:
             page = self.page_size
             quantized = self.pools[0].k_scales is not None
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(0,))
             def copy(pools, staging, row, pid, start):
                 from ..models.llama import _kv_quant
 
@@ -389,7 +390,7 @@ class ContinuousBatchingEngine:
         if key not in self._jit_cache:
             graphdef = self._graphdef
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(1,))
             def decode_many(state, pools, bt, toks, pos):
                 m = nnx.merge(graphdef, state)
                 _s4_prepare(m)
@@ -426,7 +427,7 @@ class ContinuousBatchingEngine:
             graphdef = self._graphdef
             C = self.prefill_chunk
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(1,))
             def combined(state, caches, ids, rows, starts, last_idx,
                          toks, pos):
                 m = nnx.merge(graphdef, state)
@@ -461,7 +462,7 @@ class ContinuousBatchingEngine:
         if key not in self._jit_cache:
             graphdef = self._graphdef
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(1,))
             def decode_many(state, caches, toks, pos):
                 m = nnx.merge(graphdef, state)
                 _s4_prepare(m)
