@@ -251,6 +251,10 @@ def _paged_attn_quant_impl(q, k_pages, k_scales, v_pages, v_scales,
 def _paged_kernel_v2(bt_ref, len_ref, q_ref, kp_ref, ks_ref, vp_ref,
                      vs_ref, o_ref, acc_s, m_s, l_s, *, page, rep_p, pmax,
                      scale, Hkv, quant):
+    # NO per-head loop: an in-kernel fori_loop over heads with dynamic
+    # scratch indexing measured ~25 us/head (801 us/layer at Hkv=32,
+    # profile_paged_b8.log) — the head axis rides dot_general BATCH dims
+    # instead, so Mosaic schedules one fused op chain per page block.
     b = pl.program_id(0)
     p = pl.program_id(1)
 
@@ -261,45 +265,39 @@ def _paged_kernel_v2(bt_ref, len_ref, q_ref, kp_ref, ks_ref, vp_ref,
         l_s[:] = jnp.zeros_like(l_s)
 
     length = len_ref[b]
-    t_idx = p * page + jax.lax.broadcasted_iota(jnp.int32, (rep_p, page), 1)
+    t_idx = p * page + jax.lax.broadcasted_iota(
+        jnp.int32, (Hkv, rep_p, page), 2)
     valid = t_idx < length
 
-    def head(h, _):
-        q = q_ref[0, h]                                  # [rep_p, D]
-        k = kp_ref[0, h].astype(jnp.bfloat16)            # [page, D]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        if quant:
-            s = s * ks_ref[0, h, :, 0][None, :]
-        s = s * scale
-        s = jnp.where(valid, s, -1e30)
-        m_old = m_s[h, :, 0:1]
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
-        # explicit zero: a fully-masked page keeps pexp == 0 even while
-        # m_new is still the -1e30 sentinel
-        pexp = jnp.where(valid, jnp.exp(s - m_new), 0.0)
-        alpha = jnp.exp(m_old - m_new)
-        l_s[h, :, 0:1] = l_s[h, :, 0:1] * alpha + jnp.sum(
-            pexp, axis=1, keepdims=True)
-        m_s[h, :, 0:1] = m_new
-        if quant:
-            pexp = pexp * vs_ref[0, h, :, 0][None, :]
-        pv = jax.lax.dot_general(
-            pexp.astype(jnp.bfloat16), vp_ref[0, h].astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        acc_s[h] = acc_s[h] * alpha + pv
-        return 0
-
-    jax.lax.fori_loop(0, Hkv, head, 0)
+    q = q_ref[0]                                    # [Hkv, rep_p, D]
+    k = kp_ref[0].astype(jnp.bfloat16)              # [Hkv, page, D]
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    if quant:
+        s = s * ks_ref[0, :, :, 0][:, None, :]      # [Hkv, 1, page]
+    s = s * scale
+    s = jnp.where(valid, s, -1e30)
+    m_old = m_s[:, :, 0:1]                          # [Hkv, rep_p, 1]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=2, keepdims=True))
+    # explicit zero: a fully-masked page keeps pexp == 0 even while
+    # m_new is still the -1e30 sentinel
+    pexp = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+    alpha = jnp.exp(m_old - m_new)
+    l_s[:, :, 0:1] = l_s[:, :, 0:1] * alpha + jnp.sum(pexp, axis=2,
+                                                      keepdims=True)
+    m_s[:, :, 0:1] = jnp.broadcast_to(m_new, (Hkv, rep_p, 1))
+    if quant:
+        pexp = pexp * vs_ref[0, :, :, 0][:, None, :]
+    pv = jax.lax.dot_general(
+        pexp.astype(jnp.bfloat16), vp_ref[0].astype(jnp.bfloat16),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)         # [Hkv, rep_p, D]
+    acc_s[:] = acc_s[:] * alpha + pv
 
     @pl.when(p == pmax - 1)
     def _():
-        def emit(h, _):
-            o_ref[0, h] = (acc_s[h] / jnp.maximum(l_s[h, :, 0:1], 1e-30)
-                           ).astype(o_ref.dtype)
-            return 0
-
-        jax.lax.fori_loop(0, Hkv, emit, 0)
+        o_ref[0] = (acc_s[:] / jnp.maximum(l_s[:, :, 0:1], 1e-30)
+                    ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -368,6 +366,139 @@ def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
     if rep_p != rep:
         out = out[:, :, :rep]
     return out.reshape(B, Hkv * rep, 1, D)
+
+
+# ---------------------------------------------------------------------------
+# Paged row WRITE kernel. The XLA scatter (`pool.at[pids, :, off].set`)
+# copies the whole pool per layer even with unique_indices — 21.5 ms/step
+# of 'copy' at B=8 (profile_paged_b8.log), ~50% of the paged step. This
+# kernel stages each slot's CURRENT page block, patches the new row with
+# a vectorized select, and writes the block back through
+# input_output_aliases — guaranteed in-place on the pool. Per step per
+# layer: B x [Hkv, page, D] read+write (~2 MB/slot) instead of a pool
+# copy.
+# ---------------------------------------------------------------------------
+
+
+def _write_kernel_bf16(pid_ref, off_ref, kn_ref, vn_ref, kp_ref, vp_ref,
+                       ko_ref, vo_ref, *, page, Hkv, D):
+    b = pl.program_id(0)
+    off = off_ref[b]
+    row = jax.lax.broadcasted_iota(jnp.int32, (Hkv, page, D), 1)
+    ko_ref[0] = jnp.where(row == off, kn_ref[0, :, 0][:, None, :].astype(
+        ko_ref.dtype), kp_ref[0])
+    vo_ref[0] = jnp.where(row == off, vn_ref[0, :, 0][:, None, :].astype(
+        vo_ref.dtype), vp_ref[0])
+
+
+def _write_kernel_quant(pid_ref, off_ref, kn_ref, vn_ref, kp_ref, ks_ref,
+                        vp_ref, vs_ref, ko_ref, kso_ref, vo_ref, vso_ref,
+                        *, page, Hkv, D):
+    b = pl.program_id(0)
+    off = off_ref[b]
+    row = jax.lax.broadcasted_iota(jnp.int32, (Hkv, page, D), 1)
+    kf = kn_ref[0, :, 0].astype(jnp.float32)              # [Hkv, D]
+    vf = vn_ref[0, :, 0].astype(jnp.float32)
+    ks = jnp.max(jnp.abs(kf), axis=1, keepdims=True)      # [Hkv, 1]
+    vs = jnp.max(jnp.abs(vf), axis=1, keepdims=True)
+    ks = jnp.where(ks <= 0, 1.0, ks / 127.0)
+    vs = jnp.where(vs <= 0, 1.0, vs / 127.0)
+    if ko_ref.dtype == jnp.int8:
+        kq = jnp.clip(jnp.round(kf / ks), -128, 127).astype(ko_ref.dtype)
+        vq = jnp.clip(jnp.round(vf / vs), -128, 127).astype(vo_ref.dtype)
+    else:  # fp8: amax/448 scaling (models.llama._kv_quant)
+        ks = ks * (127.0 / 448.0)
+        vs = vs * (127.0 / 448.0)
+        kq = jnp.clip(kf / ks, -448.0, 448.0).astype(ko_ref.dtype)
+        vq = jnp.clip(vf / vs, -448.0, 448.0).astype(vo_ref.dtype)
+    ko_ref[0] = jnp.where(row == off, kq[:, None, :], kp_ref[0])
+    vo_ref[0] = jnp.where(row == off, vq[:, None, :], vp_ref[0])
+    col = jax.lax.broadcasted_iota(jnp.int32, (Hkv, page), 1)
+    kso_ref[0] = jnp.where(col == off, ks, ks_ref[0])
+    vso_ref[0] = jnp.where(col == off, vs, vs_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _paged_write_impl(pids, off, k_new, v_new, k_pages, k_scales, v_pages,
+                      v_scales, interpret):
+    P, Hkv, page, D = k_pages.shape
+    B = pids.shape[0]
+    quant = k_scales is not None
+
+    def page_map(b, pid_ref, off_ref):
+        return (pid_ref[b], 0, 0, 0)
+
+    def sc_map(b, pid_ref, off_ref):
+        return (pid_ref[b], 0, 0)
+
+    new_spec = pl.BlockSpec((1, Hkv, 1, D), lambda b, p, o: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    pg_spec = pl.BlockSpec((1, Hkv, page, D), page_map,
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((1, Hkv, page), sc_map, memory_space=pltpu.VMEM)
+    if quant:
+        kernel = functools.partial(_write_kernel_quant, page=page, Hkv=Hkv,
+                                   D=D)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B,),
+                in_specs=[new_spec, new_spec, pg_spec, sc_spec, pg_spec,
+                          sc_spec],
+                out_specs=[pg_spec, sc_spec, pg_spec, sc_spec]),
+            out_shape=[jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+                       jax.ShapeDtypeStruct(k_scales.shape, jnp.float32),
+                       jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+                       jax.ShapeDtypeStruct(v_scales.shape, jnp.float32)],
+            input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(pids, off, k_new, v_new, k_pages, k_scales.astype(jnp.float32),
+          v_pages, v_scales.astype(jnp.float32))
+        return out[0], out[1], out[2], out[3]
+    kernel = functools.partial(_write_kernel_bf16, page=page, Hkv=Hkv, D=D)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[new_spec, new_spec, pg_spec, pg_spec],
+            out_specs=[pg_spec, pg_spec]),
+        out_shape=[jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+                   jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype)],
+        # alias indices count the scalar-prefetch operands too
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pids, off, k_new, v_new, k_pages, v_pages)
+    return out[0], None, out[1], None
+
+
+def paged_write_rows(cache, k_new, v_new, pos):
+    """In-place (aliased) write of the new K/V rows into their pages;
+    returns the updated PagedKVCache. ``pos`` scalar or [B]. Falls back
+    to None off-envelope (callers use the XLA scatter path)."""
+    B = k_new.shape[0]
+    P, Hkv, page, D = cache.k_pages.shape
+    if D % 128 or page % 128 or Hkv % 8:
+        return None
+    interpret = not _on_tpu()
+    if interpret and cache.k_pages.dtype not in (jnp.bfloat16, jnp.float32,
+                                                 jnp.int8):
+        return None
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    pids = jnp.take_along_axis(cache.block_tables,
+                               (pos // page)[:, None], axis=1)[:, 0]
+    off = (pos % page).astype(jnp.int32)
+    kp, ks, vp, vs = _paged_write_impl(
+        pids.astype(jnp.int32), off, k_new, v_new, cache.k_pages,
+        cache.k_scales, cache.v_pages, cache.v_scales, interpret)
+    return cache._replace(k_pages=kp, v_pages=vp,
+                          k_scales=ks if ks is not None else cache.k_scales,
+                          v_scales=vs if vs is not None else cache.v_scales)
 
 
 # v2 (all-heads page blocks) is the default; v1 kept for A/B

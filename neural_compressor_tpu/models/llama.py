@@ -207,8 +207,18 @@ def init_paged_pool(cfg: "LlamaConfig", n_pages: int, batch: int,
 
 
 def _paged_write_row(cache: PagedKVCache, k_new, v_new, pos):
-    """Scatter the new K/V rows [B, Hkv, 1, D] into their pages at
-    per-slot ``pos`` [B] (page id from the block table)."""
+    """Write the new K/V rows [B, Hkv, 1, D] into their pages at
+    per-slot ``pos`` [B] (page id from the block table).
+
+    On TPU this is a pallas kernel with aliased outputs (stage the
+    slot's page block, patch the row, write back in place) — the XLA
+    scatter fallback below copies the whole pool per layer even with
+    unique indices (21.5 ms/step at B=8, profile_paged_b8.log)."""
+    from ..kernels.paged_attention import paged_write_rows
+
+    out = paged_write_rows(cache, k_new, v_new, pos)
+    if out is not None:
+        return out
     page = cache.page_size
     pos = jnp.asarray(pos, jnp.int32).reshape(-1)
     pids = jnp.take_along_axis(cache.block_tables,

@@ -165,3 +165,76 @@ def test_paged_v2_matches_v1():
         o2 = np.asarray(pa.paged_decode_attention(q, Cache, lengths),
                         np.float32)
         np.testing.assert_allclose(o1, o2, rtol=2e-2, atol=2e-2)
+
+
+def test_paged_write_kernel_matches_scatter():
+    """The aliased-output write kernel == the XLA scatter fallback on
+    bf16 and int8 pools, including per-slot positions and the shared
+    trash page (duplicate pid)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neural_compressor_tpu.kernels import paged_attention as pa
+    from neural_compressor_tpu.models import llama as L
+
+    rng = np.random.default_rng(1)
+    P, Hkv, page, D, B = 6, 8, 128, 128, 4
+    for quant in (False, True):
+        if quant:
+            kp = jnp.asarray(rng.integers(-100, 100, (P, Hkv, page, D)),
+                             jnp.int8)
+            vp = jnp.asarray(rng.integers(-100, 100, (P, Hkv, page, D)),
+                             jnp.int8)
+            ks = jnp.asarray(rng.uniform(0.01, 0.1, (P, Hkv, page)),
+                             jnp.float32)
+            vs = jnp.asarray(rng.uniform(0.01, 0.1, (P, Hkv, page)),
+                             jnp.float32)
+        else:
+            kp = jnp.asarray(rng.standard_normal((P, Hkv, page, D)),
+                             jnp.bfloat16)
+            vp = jnp.asarray(rng.standard_normal((P, Hkv, page, D)),
+                             jnp.bfloat16)
+            ks = vs = None
+        # slot 3 parks on the trash page 0 like slot 1 (duplicate pid)
+        bt = jnp.asarray([[1, 2], [0, 0], [3, 4], [0, 0]], jnp.int32)
+        cache = L.PagedKVCache(kp, ks, vp, vs, bt)
+        k_new = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)),
+                            jnp.bfloat16)
+        v_new = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)),
+                            jnp.bfloat16)
+        pos = jnp.asarray([5, 130, 200, 255], jnp.int32)
+
+        out_k = pa.paged_write_rows(cache, k_new, v_new, pos)
+        assert out_k is not None
+        # scatter reference (the old path)
+        pids = jnp.take_along_axis(bt, (pos // page)[:, None], 1)[:, 0]
+        off = pos % page
+        if quant:
+            kc, ksc = L._kv_quant(k_new, fmt="int8")
+            vc, vsc = L._kv_quant(v_new, fmt="int8")
+            ref_k = kp.at[pids, :, off].set(kc[:, :, 0])
+            ref_ks = ks.at[pids, :, off].set(ksc[:, :, 0])
+            ref_v = vp.at[pids, :, off].set(vc[:, :, 0])
+            ref_vs = vs.at[pids, :, off].set(vsc[:, :, 0])
+            # non-trash rows must match exactly; trash page (0) rows are
+            # last-write-wins in the kernel vs scatter's unspecified order
+            live = np.asarray(pids) != 0
+            np.testing.assert_array_equal(
+                np.asarray(out_k.k_pages)[1:], np.asarray(ref_k)[1:])
+            np.testing.assert_allclose(
+                np.asarray(out_k.k_scales)[1:], np.asarray(ref_ks)[1:],
+                rtol=1e-6)
+            np.testing.assert_array_equal(
+                np.asarray(out_k.v_pages)[1:], np.asarray(ref_v)[1:])
+            assert live.sum() == 2
+        else:
+            ref_k = kp.at[pids, :, off].set(
+                k_new[:, :, 0].astype(kp.dtype))
+            ref_v = vp.at[pids, :, off].set(
+                v_new[:, :, 0].astype(vp.dtype))
+            np.testing.assert_array_equal(
+                np.asarray(out_k.k_pages, np.float32)[1:],
+                np.asarray(ref_k, np.float32)[1:])
+            np.testing.assert_array_equal(
+                np.asarray(out_k.v_pages, np.float32)[1:],
+                np.asarray(ref_v, np.float32)[1:])
