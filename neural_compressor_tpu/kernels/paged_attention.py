@@ -94,8 +94,8 @@ def _paged_quant_kernel(bt_ref, len_ref, q_ref, kp_ref, ks_ref, vp_ref,
     q = q_ref[0]
     k = kp_ref[0].astype(jnp.bfloat16)
     v = vp_ref[0].astype(jnp.bfloat16)
-    ksc = ks_ref[0][:, 0]                # [page]
-    vsc = vs_ref[0][:, 0]
+    ksc = ks_ref[0]                      # [page]
+    vsc = vs_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     s = s * (ksc * scale)[None, :]
@@ -191,11 +191,16 @@ def _paged_attn_quant_impl(q, k_pages, k_scales, v_pages, v_scales,
     scale = 1.0 / (D ** 0.5)
     bt = block_tables.reshape(-1).astype(jnp.int32)
     lengths = lengths.astype(jnp.int32)
-    ks4 = k_scales[..., None].astype(jnp.float32)  # [P, Hkv, page, 1]
-    vs4 = v_scales[..., None].astype(jnp.float32)
+    # rank-3 scale blocks: [..., None] would pad the lane dim 1 -> 128
+    # and XLA materializes the reshape per layer (see v2 impl note)
+    ks3 = k_scales.astype(jnp.float32)             # [P, Hkv, page]
+    vs3 = v_scales.astype(jnp.float32)
 
     def page_map(b, h, p, bt_ref, ln_ref):
         return (bt_ref[b * pmax + p], h, 0, 0)
+
+    def sc_page_map(b, h, p, bt_ref, ln_ref):
+        return (bt_ref[b * pmax + p], h, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -206,11 +211,11 @@ def _paged_attn_quant_impl(q, k_pages, k_scales, v_pages, v_scales,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, None, page, D), page_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, None, page, 1), page_map,
+            pl.BlockSpec((1, None, page), sc_page_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, None, page, D), page_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, None, page, 1), page_map,
+            pl.BlockSpec((1, None, page), sc_page_map,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, None, rep_p, D),
@@ -231,30 +236,39 @@ def _paged_attn_quant_impl(q, k_pages, k_scales, v_pages, v_scales,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(bt, lengths, qr, k_pages, ks4, v_pages, vs4)
+    )(bt, lengths, qr, k_pages, ks3, v_pages, vs3)
     if rep_p != rep:
         out = out[:, :, :rep]
     return out.reshape(B, Hkv * rep, 1, D)
 
 
 # ---------------------------------------------------------------------------
-# v2: all-heads page blocks. The v1 grid (B, Hkv, PMAX) DMAs one
+# v2: all-heads, multi-page blocks. The v1 grid (B, Hkv, PMAX) DMAs one
 # [page, D] block per step (32 KB bf16) — latency-bound, and the grid is
 # Hkv x larger than it needs to be (B=8 paged decode measured ~2x the
-# contiguous einsum). v2 grids over (B, PMAX) and stages a WHOLE page
-# across heads per step ([Hkv, page, D]: 1 MB for MHA-32, 256 KB for
-# GQA-8), looping heads inside with per-head online-softmax scratch
-# (dynamic indexing on the untiled leading scratch dim).
+# contiguous einsum). v2 grids over (B, ceil(PMAX/KPP)) and stages KPP
+# whole pages across heads per step (KPP scalar-prefetch-mapped views of
+# the SAME pool, concatenated along the page axis in VMEM): the score
+# dot runs KPP*page lanes per MXU pass and the online softmax processes
+# KPP*page columns per chunk, amortizing the per-grid-step fixed cost
+# that made the one-page variant ~160 GB/s (profile_paged_b8.log).
 # ---------------------------------------------------------------------------
 
+_KPP = 4  # pages staged per grid step (clamped to pmax)
 
-def _paged_kernel_v2(bt_ref, len_ref, q_ref, kp_ref, ks_ref, vp_ref,
-                     vs_ref, o_ref, acc_s, m_s, l_s, *, page, rep_p, pmax,
-                     scale, Hkv, quant):
+
+def _paged_kernel_v2(bt_ref, len_ref, q_ref, *args, page, rep_p, gsteps,
+                     scale, Hkv, quant, kpp):
     # NO per-head loop: an in-kernel fori_loop over heads with dynamic
     # scratch indexing measured ~25 us/head (801 us/layer at Hkv=32,
     # profile_paged_b8.log) — the head axis rides dot_general BATCH dims
-    # instead, so Mosaic schedules one fused op chain per page block.
+    # instead, so Mosaic schedules one fused op chain per page group.
+    kps = args[0:kpp]
+    kss = args[kpp:2 * kpp]
+    vps = args[2 * kpp:3 * kpp]
+    vss = args[3 * kpp:4 * kpp]
+    o_ref = args[4 * kpp]
+    acc_s, m_s, l_s = args[4 * kpp + 1:4 * kpp + 4]
     b = pl.program_id(0)
     p = pl.program_id(1)
 
@@ -264,17 +278,31 @@ def _paged_kernel_v2(bt_ref, len_ref, q_ref, kp_ref, ks_ref, vp_ref,
         m_s[:] = jnp.full_like(m_s, -1e30)
         l_s[:] = jnp.zeros_like(l_s)
 
+    w = kpp * page
     length = len_ref[b]
-    t_idx = p * page + jax.lax.broadcasted_iota(
-        jnp.int32, (Hkv, rep_p, page), 2)
+    t_idx = p * w + jax.lax.broadcasted_iota(
+        jnp.int32, (Hkv, rep_p, w), 2)
     valid = t_idx < length
 
     q = q_ref[0]                                    # [Hkv, rep_p, D]
-    k = kp_ref[0].astype(jnp.bfloat16)              # [Hkv, page, D]
+    if kpp == 1:
+        k = kps[0][0].astype(jnp.bfloat16)          # [Hkv, w, D]
+        v = vps[0][0].astype(jnp.bfloat16)
+    else:
+        k = jnp.concatenate([r[0].astype(jnp.bfloat16) for r in kps],
+                            axis=1)
+        v = jnp.concatenate([r[0].astype(jnp.bfloat16) for r in vps],
+                            axis=1)
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
     if quant:
-        s = s * ks_ref[0, :, :, 0][:, None, :]      # [Hkv, 1, page]
+        if kpp == 1:
+            ksc = kss[0][0]                         # [Hkv, w]
+            vsc = vss[0][0]
+        else:
+            ksc = jnp.concatenate([r[0] for r in kss], axis=1)
+            vsc = jnp.concatenate([r[0] for r in vss], axis=1)
+        s = s * ksc[:, None, :]
     s = s * scale
     s = jnp.where(valid, s, -1e30)
     m_old = m_s[:, :, 0:1]                          # [Hkv, rep_p, 1]
@@ -287,14 +315,14 @@ def _paged_kernel_v2(bt_ref, len_ref, q_ref, kp_ref, ks_ref, vp_ref,
                                                       keepdims=True)
     m_s[:, :, 0:1] = jnp.broadcast_to(m_new, (Hkv, rep_p, 1))
     if quant:
-        pexp = pexp * vs_ref[0, :, :, 0][:, None, :]
+        pexp = pexp * vsc[:, None, :]
     pv = jax.lax.dot_general(
-        pexp.astype(jnp.bfloat16), vp_ref[0].astype(jnp.bfloat16),
+        pexp.astype(jnp.bfloat16), v,
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)         # [Hkv, rep_p, D]
     acc_s[:] = acc_s[:] * alpha + pv
 
-    @pl.when(p == pmax - 1)
+    @pl.when(p == gsteps - 1)
     def _():
         o_ref[0] = (acc_s[:] / jnp.maximum(l_s[:, :, 0:1], 1e-30)
                     ).astype(o_ref.dtype)
@@ -311,38 +339,53 @@ def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
     rep_p = max(rep, 8)
     if rep_p != rep:
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
-    bt = block_tables.reshape(-1).astype(jnp.int32)
+    kpp = min(_KPP, pmax)
+    gsteps = -(-pmax // kpp)
+    pmax_pad = gsteps * kpp
+    bt = block_tables.astype(jnp.int32)
+    if pmax_pad != pmax:
+        # padding pages map to pool page 0; their t_idx >= pmax*page
+        # >= every length, so the kernel masks them whole
+        bt = jnp.pad(bt, ((0, 0), (0, pmax_pad - pmax)))
+    bt = bt.reshape(-1)
     lengths = lengths.astype(jnp.int32)
     quant = k_scales is not None
     if quant:
-        ks4 = k_scales[..., None].astype(jnp.float32)
-        vs4 = v_scales[..., None].astype(jnp.float32)
-    else:  # dummy [P, Hkv, page, 1] so the spec list is static
-        ks4 = jnp.zeros((1, Hkv, page, 1), jnp.float32)
-        vs4 = ks4
+        # rank-3 [P, Hkv, page] blocks: an [..., None] reshape here
+        # pads the lane dim 1 -> 128 (a 136 MB physical buffer at 7B
+        # pool shapes) and XLA materializes it per layer per step —
+        # 17.5 ms/step of 'copy' at B=8 (profile_paged_b8_post.log)
+        ks3 = k_scales.astype(jnp.float32)
+        vs3 = v_scales.astype(jnp.float32)
+    else:  # dummy [1, Hkv, page] so the spec list is static
+        ks3 = jnp.zeros((1, Hkv, page), jnp.float32)
+        vs3 = ks3
 
-    def page_map(b, p, bt_ref, ln_ref):
-        return (bt_ref[b * pmax + p], 0, 0, 0)
+    def page_map_j(j):
+        def page_map(b, p, bt_ref, ln_ref):
+            return (bt_ref[b * pmax_pad + p * kpp + j], 0, 0, 0)
+        return page_map
 
-    dummy_map = lambda b, p, bt, ln: (0, 0, 0, 0)
+    def sc_map_j(j):
+        def sc_map(b, p, bt_ref, ln_ref):
+            return (bt_ref[b * pmax_pad + p * kpp + j], 0, 0)
+        return sc_map
+
+    dummy_sc = lambda b, p, bt, ln: (0, 0, 0)
+    pg_specs = [pl.BlockSpec((1, Hkv, page, D), page_map_j(j),
+                             memory_space=pltpu.VMEM)
+                for j in range(kpp)]
+    sc_specs = [pl.BlockSpec((1, Hkv, page),
+                             sc_map_j(j) if quant else dummy_sc,
+                             memory_space=pltpu.VMEM)
+                for j in range(kpp)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, pmax),
-        in_specs=[
-            pl.BlockSpec((1, Hkv, rep_p, D),
-                         lambda b, p, bt, ln: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, page, D), page_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, page, 1),
-                         page_map if quant else dummy_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, page, D), page_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, page, 1),
-                         page_map if quant else dummy_map,
-                         memory_space=pltpu.VMEM),
-        ],
+        grid=(B, gsteps),
+        in_specs=[pl.BlockSpec((1, Hkv, rep_p, D),
+                               lambda b, p, bt, ln: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + pg_specs + sc_specs + pg_specs + sc_specs,
         out_specs=pl.BlockSpec((1, Hkv, rep_p, D),
                                lambda b, p, bt, ln: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -353,8 +396,8 @@ def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
         ],
     )
     kernel = functools.partial(_paged_kernel_v2, page=page, rep_p=rep_p,
-                               pmax=pmax, scale=1.0 / (D ** 0.5), Hkv=Hkv,
-                               quant=quant)
+                               gsteps=gsteps, scale=1.0 / (D ** 0.5),
+                               Hkv=Hkv, quant=quant, kpp=kpp)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -362,7 +405,8 @@ def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(bt, lengths, qr, k_pages, ks4, v_pages, vs4)
+    )(bt, lengths, qr, *([k_pages] * kpp), *([ks3] * kpp),
+      *([v_pages] * kpp), *([vs3] * kpp))
     if rep_p != rep:
         out = out[:, :, :rep]
     return out.reshape(B, Hkv * rep, 1, D)

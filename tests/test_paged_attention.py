@@ -131,8 +131,10 @@ def test_paged_v2_matches_v1():
                       num_key_value_heads=2, head_dim=128,
                       max_position_embeddings=512)
     rng = np.random.default_rng(0)
-    B, Hkv, page, D, pmax = 3, 2, 128, 128, 4
-    for quant in (False, True):
+    B, Hkv, page, D = 3, 2, 128, 128
+    # pmax=4 divides the kernel's pages-per-step (4); pmax=6 exercises
+    # the padded block-table tail (gsteps=2, last step half-masked)
+    for quant, pmax in ((False, 4), (True, 4), (False, 6)):
         kp = jnp.asarray(rng.standard_normal((8, Hkv, page, D)),
                          jnp.bfloat16)
         vp = jnp.asarray(rng.standard_normal((8, Hkv, page, D)),
