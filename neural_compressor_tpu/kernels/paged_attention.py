@@ -94,8 +94,8 @@ def _paged_quant_kernel(bt_ref, len_ref, q_ref, kp_ref, ks_ref, vp_ref,
     q = q_ref[0]
     k = kp_ref[0].astype(jnp.bfloat16)
     v = vp_ref[0].astype(jnp.bfloat16)
-    ksc = ks_ref[0]                      # [page]
-    vsc = vs_ref[0]
+    ksc = ks_ref[0][:, 0]                # [page]
+    vsc = vs_ref[0][:, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     s = s * (ksc * scale)[None, :]
@@ -191,16 +191,15 @@ def _paged_attn_quant_impl(q, k_pages, k_scales, v_pages, v_scales,
     scale = 1.0 / (D ** 0.5)
     bt = block_tables.reshape(-1).astype(jnp.int32)
     lengths = lengths.astype(jnp.int32)
-    # rank-3 scale blocks: [..., None] would pad the lane dim 1 -> 128
-    # and XLA materializes the reshape per layer (see v2 impl note)
-    ks3 = k_scales.astype(jnp.float32)             # [P, Hkv, page]
-    vs3 = v_scales.astype(jnp.float32)
+    # v1 keeps rank-4 [..., None] scales: its per-head squeeze makes a
+    # rank-3 block illegal ((1, squeeze, page) sublane block of 1), and
+    # v1 exists only as the A/B comparator — the lane-pad copy cost
+    # this causes is part of what v2 fixes (see v2 impl note)
+    ks4 = k_scales[..., None].astype(jnp.float32)  # [P, Hkv, page, 1]
+    vs4 = v_scales[..., None].astype(jnp.float32)
 
     def page_map(b, h, p, bt_ref, ln_ref):
         return (bt_ref[b * pmax + p], h, 0, 0)
-
-    def sc_page_map(b, h, p, bt_ref, ln_ref):
-        return (bt_ref[b * pmax + p], h, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -211,11 +210,11 @@ def _paged_attn_quant_impl(q, k_pages, k_scales, v_pages, v_scales,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, None, page, D), page_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, None, page), sc_page_map,
+            pl.BlockSpec((1, None, page, 1), page_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, None, page, D), page_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, None, page), sc_page_map,
+            pl.BlockSpec((1, None, page, 1), page_map,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, None, rep_p, D),
@@ -236,7 +235,7 @@ def _paged_attn_quant_impl(q, k_pages, k_scales, v_pages, v_scales,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(bt, lengths, qr, k_pages, ks3, v_pages, vs3)
+    )(bt, lengths, qr, k_pages, ks4, v_pages, vs4)
     if rep_p != rep:
         out = out[:, :, :rep]
     return out.reshape(B, Hkv * rep, 1, D)
