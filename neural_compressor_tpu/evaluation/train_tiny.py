@@ -37,6 +37,14 @@ LLAMA_PRESETS.setdefault("llama-acc-gqa", dict(
     num_hidden_layers=4, num_attention_heads=8, num_key_value_heads=2,
     max_position_embeddings=512))
 
+# 2-layer, half-width draft for speculative decoding (~1/8 the target's
+# FLOPs; trained on tiny_lm's frozen corpus so draft/target argmax
+# agreement is real — experiments/speculative_tiny_e2e.py)
+LLAMA_PRESETS.setdefault("llama-draft", dict(
+    vocab_size=256, hidden_size=128, intermediate_size=512,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+    max_position_embeddings=512))
+
 
 def _register_tiny_presets():
     """MoE (mixtral-shaped) and MLA (deepseek-shaped) accuracy presets —
@@ -73,6 +81,7 @@ def _tiny_families():
         "tiny_gqa": (LlamaForCausalLM, "llama-acc-gqa"),
         "tiny_moe": (MixtralForCausalLM, "mixtral-acc"),
         "tiny_mla": (DeepseekForCausalLM, "deepseek-acc"),
+        "tiny_draft": (LlamaForCausalLM, "llama-draft"),
     }
 
 
@@ -214,7 +223,8 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--model", default="tiny_lm",
-                    choices=("tiny_lm", "tiny_gqa", "tiny_moe", "tiny_mla"))
+                    choices=("tiny_lm", "tiny_gqa", "tiny_moe", "tiny_mla",
+                             "tiny_draft"))
     args = ap.parse_args()
     train_tiny_model(args.model, steps=args.steps,
                      batch_size=args.batch_size)

@@ -149,27 +149,38 @@ class ContinuousBatchingEngine:
                 break
             decoding = [s for s in range(self.n_slots)
                         if self.slot_state[s] == "decode"]
-            if decoding and not self.paged:
-                # contiguous mode: prefill chunk + k decode steps in ONE
-                # dispatch (paged mode keeps separate dispatches — its
-                # prefill writes staging while decode writes the pools)
+            if decoding:
+                # prefill chunk + k decode steps in ONE dispatch. Paged
+                # mode too: prefill writes the staging rows while decode
+                # writes the page pools — disjoint buffers, one program.
                 work = self._gather_prefill()
-                if work is not None:
+                if work is None:
+                    self.step_many(chunk)
+                else:
                     active, args, ends = work
-                    fn = self._combined_fn(args[0].shape[0], chunk)
                     self.stats["combined_dispatches"] += 1
                     toks = jnp.asarray(self.slot_tok)
                     pos = jnp.asarray(self._decode_positions())
-                    self.caches, nxt, out = fn(self._state, self.caches,
-                                               *args, toks, pos)
+                    if self.paged:
+                        for slot in decoding:
+                            self._ensure_pages(
+                                slot, min(int(self.slot_pos[slot]) + chunk,
+                                          self.max_len - 1))
+                        fn = self._combined_paged_fn(args[0].shape[0],
+                                                     chunk)
+                        self.pools, self.staging, nxt, out = fn(
+                            self._state, self.pools, self.staging,
+                            jnp.asarray(self.block_tables), *args, toks,
+                            pos)
+                    else:
+                        fn = self._combined_fn(args[0].shape[0], chunk)
+                        self.caches, nxt, out = fn(self._state,
+                                                   self.caches, *args,
+                                                   toks, pos)
                     self._apply_prefill(active, ends, np.asarray(nxt))
                     self._apply_decode(np.asarray(out), decoding, chunk)
-                else:
-                    self.step_many(chunk)
             else:
                 self._advance_prefill()
-                if decoding:
-                    self.step_many(chunk)
             finished.extend(self._collect())
         self.stats["wall_s"] += _time.time() - t0
         return finished
@@ -453,6 +464,48 @@ class ContinuousBatchingEngine:
                 _t, _p, caches, out = jax.lax.fori_loop(
                     0, k, body, (toks, pos, caches, out0))
                 return caches, nxt, out
+
+            self._jit_cache[key] = combined
+        return self._jit_cache[key]
+
+    def _combined_paged_fn(self, n: int, k: int):
+        """Paged-mode combined iteration: one prefill chunk over ``n``
+        staging rows + ``k`` decode steps over the page pools in ONE
+        jitted program. The prefill writes the (contiguous) staging
+        cache and the decode writes the pools — disjoint buffers, so
+        the in-program order is safe, mirroring ``_combined_fn``."""
+        key = ("combined_paged", n, k)
+        if key not in self._jit_cache:
+            graphdef = self._graphdef
+            C = self.prefill_chunk
+
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            def combined(state, pools, staging, bt, ids, rows, starts,
+                         last_idx, toks, pos):
+                m = nnx.merge(graphdef, state)
+                _s4_prepare(m)
+                positions = starts[:, None] + jnp.arange(C)[None, :]
+                sub = jax.tree.map(lambda c: c[rows], staging)
+                logits, sub = m(ids, positions=positions, caches=sub,
+                                cache_pos=starts)
+                staging = jax.tree.map(lambda c, s: c.at[rows].set(s),
+                                       staging, sub)
+                nxt = jnp.argmax(logits[jnp.arange(n), last_idx], axis=-1)
+                pools = [p._replace(block_tables=bt) for p in pools]
+
+                def body(i, carry):
+                    toks, pos, pools, out = carry
+                    lg, pools = m(toks[:, None], positions=pos[:, None],
+                                  caches=pools, cache_pos=pos)
+                    nx = jnp.argmax(lg[:, 0], -1).astype(jnp.int32)
+                    out = jax.lax.dynamic_update_slice(
+                        out, nx[:, None], (0, i))
+                    return nx, pos + 1, pools, out
+
+                out0 = jnp.zeros((toks.shape[0], k), jnp.int32)
+                _t, _p, pools, out = jax.lax.fori_loop(
+                    0, k, body, (toks, pos, pools, out0))
+                return pools, staging, nxt, out
 
             self._jit_cache[key] = combined
         return self._jit_cache[key]

@@ -299,3 +299,27 @@ def test_combined_prefill_decode_dispatch(qmodel):
             qmodel, jnp.asarray(p)[None, :],
             max_new_tokens=r.max_new_tokens))
         assert r.generated == ref[0, len(p):].tolist()
+
+
+def test_combined_prefill_decode_dispatch_paged(qmodel):
+    """Paged mode runs prefill+decode iterations as ONE combined
+    dispatch too (staging writes and pool writes are disjoint buffers
+    in the same program) and stays exact under staggered arrivals."""
+    rng = np.random.default_rng(8)
+    long_p = rng.integers(0, 256, (40,))
+    short_p = rng.integers(0, 256, (5,))
+    eng = ContinuousBatchingEngine(qmodel, n_slots=2, max_len=64,
+                                   paged=True, page_size=16, n_pages=9,
+                                   prefill_chunk=8)
+    r1 = eng.submit(short_p, max_new_tokens=12)
+    eng.run(max_steps=2, chunk=2)  # r1 starts decoding
+    r2 = eng.submit(long_p, max_new_tokens=6)  # 5 prefill chunks w/ decode
+    eng.run(chunk=2)
+    assert eng.metrics()["combined_dispatches"] > 0
+    for p, r in ((short_p, r1), (long_p, r2)):
+        ref = np.asarray(greedy_search(
+            qmodel, jnp.asarray(p)[None, :],
+            max_new_tokens=r.max_new_tokens))
+        assert r.generated == ref[0, len(p):].tolist()
+    # all pages returned; trash page never handed out
+    assert sorted(eng.free_pages) == list(range(1, 9))
