@@ -37,7 +37,10 @@ def main():
     to_w4a8_serving(qmodel)
     print(f"build {time.time()-t0:.0f}s", flush=True)
 
-    engine = ContinuousBatchingEngine(qmodel, n_slots=N_SLOTS, max_len=1024)
+    paged = "--paged" in sys.argv
+    print(f"mode: {'paged' if paged else 'contiguous'}", flush=True)
+    engine = ContinuousBatchingEngine(qmodel, n_slots=N_SLOTS,
+                                      max_len=1024, paged=paged)
     rng = np.random.default_rng(0)
     for _ in range(N_REQS):
         engine.submit(rng.integers(0, 32000, (PROMPT_LEN,)),

@@ -257,7 +257,7 @@ _KPP = 4  # pages staged per grid step (clamped to pmax)
 
 
 def _paged_kernel_v2(bt_ref, len_ref, q_ref, *args, page, rep_p, gsteps,
-                     scale, Hkv, quant, kpp):
+                     scale, Hkv, quant, kpp, int4=False):
     # NO per-head loop: an in-kernel fori_loop over heads with dynamic
     # scratch indexing measured ~25 us/head (801 us/layer at Hkv=32,
     # profile_paged_b8.log) — the head axis rides dot_general BATCH dims
@@ -284,7 +284,20 @@ def _paged_kernel_v2(bt_ref, len_ref, q_ref, *args, page, rep_p, gsteps,
     valid = t_idx < length
 
     q = q_ref[0]                                    # [Hkv, rep_p, D]
-    if kpp == 1:
+    if int4:
+        # token-half-split bytes [Hkv, page/2, D]: low nibble = token r,
+        # high = token r + page/2 (offset-binary, -8 recenters)
+        def _unp(r):
+            b = r[0].astype(jnp.int32)
+            lo = (b & 15) - 8
+            hi = (b >> 4) - 8
+            return jnp.concatenate([lo, hi], axis=1).astype(jnp.bfloat16)
+
+        k = jnp.concatenate([_unp(r) for r in kps], axis=1) \
+            if kpp > 1 else _unp(kps[0])
+        v = jnp.concatenate([_unp(r) for r in vps], axis=1) \
+            if kpp > 1 else _unp(vps[0])
+    elif kpp == 1:
         k = kps[0][0].astype(jnp.bfloat16)          # [Hkv, w, D]
         v = vps[0][0].astype(jnp.bfloat16)
     else:
@@ -331,7 +344,9 @@ def _paged_kernel_v2(bt_ref, len_ref, q_ref, *args, page, rep_p, gsteps,
 def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
                         block_tables, lengths, interpret):
     B, H, S, D = q.shape
-    P, Hkv, page, _ = k_pages.shape
+    P, Hkv, page_c, _ = k_pages.shape
+    int4 = k_pages.dtype == jnp.uint8
+    page = page_c * 2 if int4 else page_c
     pmax = block_tables.shape[1]
     rep = H // Hkv
     qr = q[:, :, 0].reshape(B, Hkv, rep, D)
@@ -339,6 +354,11 @@ def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
     if rep_p != rep:
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
     kpp = min(_KPP, pmax)
+    # clamp by VMEM: K+V staged blocks are double-buffered; the scoped
+    # vmem limit is 16 MB (bf16 MHA-32 pools OOM'd at kpp=4: 16.38 MB)
+    blk = Hkv * page_c * D * jnp.dtype(k_pages.dtype).itemsize
+    while kpp > 1 and 2 * 2 * kpp * blk > 14 * 1024 * 1024:
+        kpp //= 2
     gsteps = -(-pmax // kpp)
     pmax_pad = gsteps * kpp
     bt = block_tables.astype(jnp.int32)
@@ -371,7 +391,7 @@ def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
         return sc_map
 
     dummy_sc = lambda b, p, bt, ln: (0, 0, 0)
-    pg_specs = [pl.BlockSpec((1, Hkv, page, D), page_map_j(j),
+    pg_specs = [pl.BlockSpec((1, Hkv, page_c, D), page_map_j(j),
                              memory_space=pltpu.VMEM)
                 for j in range(kpp)]
     sc_specs = [pl.BlockSpec((1, Hkv, page),
@@ -396,7 +416,7 @@ def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
     )
     kernel = functools.partial(_paged_kernel_v2, page=page, rep_p=rep_p,
                                gsteps=gsteps, scale=1.0 / (D ** 0.5),
-                               Hkv=Hkv, quant=quant, kpp=kpp)
+                               Hkv=Hkv, quant=quant, kpp=kpp, int4=int4)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -461,12 +481,43 @@ def _write_kernel_quant(pid_ref, off_ref, kn_ref, vn_ref, kp_ref, ks_ref,
     vso_ref[0] = jnp.where(col == off, vs, vs_ref[0])
 
 
+def _write_kernel_int4(pid_ref, off_ref, kn_ref, vn_ref, kp_ref, ks_ref,
+                       vp_ref, vs_ref, ko_ref, kso_ref, vo_ref, vso_ref,
+                       *, page, Hkv, D):
+    """int4 pool: pages are token-half-split bytes [Hkv, page/2, D]
+    (token r low nibble, token r + page/2 high) — patch one nibble of
+    the target byte row, leave the partner token's nibble intact."""
+    b = pl.program_id(0)
+    off = off_ref[b]
+    half = page // 2
+    brow = off % half
+    hi = off >= half
+
+    def one(n_ref, p_ref, s_ref, o_ref, so_ref):
+        f = n_ref[0, :, 0].astype(jnp.float32)           # [Hkv, D]
+        amax = jnp.max(jnp.abs(f), axis=1, keepdims=True)
+        s = jnp.where(amax <= 0, 1.0, amax / 7.0)
+        c = (jnp.clip(jnp.round(f / s), -8, 7) + 8.0).astype(jnp.int32)
+        old = p_ref[0].astype(jnp.int32)                 # [Hkv, half, D]
+        merged = jnp.where(hi, (old & 0x0F) | (c[:, None, :] << 4),
+                           (old & 0xF0) | c[:, None, :])
+        row = jax.lax.broadcasted_iota(jnp.int32, (Hkv, half, D), 1)
+        o_ref[0] = jnp.where(row == brow, merged, old).astype(jnp.uint8)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Hkv, page), 1)
+        so_ref[0] = jnp.where(col == off, s, s_ref[0])
+
+    one(kn_ref, kp_ref, ks_ref, ko_ref, kso_ref)
+    one(vn_ref, vp_ref, vs_ref, vo_ref, vso_ref)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _paged_write_impl(pids, off, k_new, v_new, k_pages, k_scales, v_pages,
                       v_scales, interpret):
-    P, Hkv, page, D = k_pages.shape
+    P, Hkv, page_c, D = k_pages.shape
     B = pids.shape[0]
     quant = k_scales is not None
+    int4 = k_pages.dtype == jnp.uint8
+    page = page_c * 2 if int4 else page_c
 
     def page_map(b, pid_ref, off_ref):
         return (pid_ref[b], 0, 0, 0)
@@ -476,12 +527,12 @@ def _paged_write_impl(pids, off, k_new, v_new, k_pages, k_scales, v_pages,
 
     new_spec = pl.BlockSpec((1, Hkv, 1, D), lambda b, p, o: (b, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    pg_spec = pl.BlockSpec((1, Hkv, page, D), page_map,
+    pg_spec = pl.BlockSpec((1, Hkv, page_c, D), page_map,
                            memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec((1, Hkv, page), sc_map, memory_space=pltpu.VMEM)
     if quant:
-        kernel = functools.partial(_write_kernel_quant, page=page, Hkv=Hkv,
-                                   D=D)
+        kern_cls = _write_kernel_int4 if int4 else _write_kernel_quant
+        kernel = functools.partial(kern_cls, page=page, Hkv=Hkv, D=D)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -525,12 +576,13 @@ def paged_write_rows(cache, k_new, v_new, pos):
     returns the updated PagedKVCache. ``pos`` scalar or [B]. Falls back
     to None off-envelope (callers use the XLA scatter path)."""
     B = k_new.shape[0]
-    P, Hkv, page, D = cache.k_pages.shape
+    P, Hkv, _pc, D = cache.k_pages.shape
+    page = cache.page_size  # logical tokens/page (2x byte rows for int4)
     if D % 128 or page % 128 or Hkv % 8:
         return None
     interpret = not _on_tpu()
     if interpret and cache.k_pages.dtype not in (jnp.bfloat16, jnp.float32,
-                                                 jnp.int8):
+                                                 jnp.int8, jnp.uint8):
         return None
     pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
     pids = jnp.take_along_axis(cache.block_tables,
@@ -565,7 +617,7 @@ def paged_decode_attention(q, cache, lengths):
     """
     assert q.shape[2] == 1, "paged decode attention is single-token"
     interpret = not _on_tpu()
-    if _PAGED_V2:
+    if _PAGED_V2 or cache.k_pages.dtype == jnp.uint8:  # v1 has no int4
         out = _paged_attn_impl_v2(q, cache.k_pages, cache.k_scales,
                                   cache.v_pages, cache.v_scales,
                                   cache.block_tables, lengths, interpret)

@@ -174,7 +174,9 @@ class PagedKVCache(NamedTuple):
 
     @property
     def page_size(self) -> int:
-        return self.k_pages.shape[2]
+        s = self.k_pages.shape[2]
+        # int4 pools store token-half-split bytes: 2 tokens per byte row
+        return s * 2 if self.k_pages.dtype == jnp.uint8 else s
 
 
 def init_paged_pool(cfg: "LlamaConfig", n_pages: int, batch: int,
@@ -192,9 +194,21 @@ def init_paged_pool(cfg: "LlamaConfig", n_pages: int, batch: int,
         bt = jnp.zeros((batch, pmax), jnp.int32)
         if quantized:
             fmt = "int8" if quantized is True else str(quantized)
-            assert fmt != "int4", (
-                "paged pools hold element-width codes; int4 packed KV is "
-                "contiguous-cache only (init_kv_cache)")
+            if fmt == "int4":
+                # token-half-split packing: byte row r of a page holds
+                # token r in the low nibble and token r + page/2 in the
+                # high — [P, Hkv, page/2, D] uint8 keeps the lane dim at
+                # D (no physical padding), unlike the contiguous cache's
+                # D-half-split ([..., T, D/2] would pad lanes D/2->128)
+                assert page_size % 16 == 0, "int4 pages need page%16==0"
+                cshape = (n_pages, cfg.num_key_value_heads,
+                          page_size // 2, cfg.head_dim)
+                out.append(PagedKVCache(jnp.zeros(cshape, jnp.uint8),
+                                        jnp.ones(sshape, jnp.float32),
+                                        jnp.zeros(cshape, jnp.uint8),
+                                        jnp.ones(sshape, jnp.float32),
+                                        bt))
+                continue
             cdt = _KV_CODE_DTYPES[fmt]
             out.append(PagedKVCache(jnp.zeros(shape, cdt),
                                     jnp.ones(sshape, jnp.float32),
@@ -234,6 +248,26 @@ def _paged_write_row(cache: PagedKVCache, k_new, v_new, pos):
     # whose rows are never attended (masked by per-slot length).
     upd = lambda arr, val: arr.at[pids, :, off].set(  # noqa: E731
         val, unique_indices=True)
+    if cache.k_pages.dtype == jnp.uint8:  # int4 token-half-split pages
+        half = page // 2
+        brow = off % half
+        hi = (off >= half)[:, None, None]            # [B, 1, 1]
+        kc4, ks = _kv_quant4_codes(k_new)
+        vc4, vs = _kv_quant4_codes(v_new)
+
+        def patch(pool, c4):
+            old = pool[pids, :, brow]                # [B, Hkv, D]
+            c = c4[:, :, 0]
+            new = jnp.where(hi, (old & 0x0F) | (c << 4),
+                            (old & 0xF0) | c)
+            return pool.at[pids, :, brow].set(new.astype(jnp.uint8),
+                                              unique_indices=True)
+
+        return cache._replace(
+            k_pages=patch(cache.k_pages, kc4),
+            k_scales=upd(cache.k_scales, ks[:, :, 0]),
+            v_pages=patch(cache.v_pages, vc4),
+            v_scales=upd(cache.v_scales, vs[:, :, 0]))
     if cache.k_scales is not None:
         fmt = "int8" if cache.k_pages.dtype == jnp.int8 else "fp8_e4m3"
         kc, ks = _kv_quant(k_new, fmt=fmt)
@@ -280,6 +314,26 @@ def _kv_quant(x: jax.Array, fmt: str = "int8"):
         codes = jnp.clip(jnp.round(xf / scale[..., None]), -128, 127
                          ).astype(jnp.int8)
     return codes, scale
+
+
+def _kv_quant4_codes(x: jax.Array):
+    """[B, H, S, D] -> UNPACKED offset-binary int4 codes (uint8, one
+    code per byte) + per-(token, head) scale. Used by the paged int4
+    pool, whose pages pack two TOKENS per byte (token-half-split along
+    the page's sublane axis) rather than the contiguous cache's
+    D-half-split — see ``init_paged_pool``."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.where(amax <= 0, 1.0, amax / 7.0)
+    c = jnp.clip(jnp.round(xf / scale[..., None]), -8, 7) + 8.0
+    return c.astype(jnp.uint8), scale
+
+
+def _kv_pack_page_int4(c4: jax.Array) -> jax.Array:
+    """Offset-binary codes [..., page, D] -> token-half-split bytes
+    [..., page/2, D] (token r low nibble, token r + page/2 high)."""
+    half = c4.shape[-2] // 2
+    return c4[..., :half, :] | (c4[..., half:, :] << 4)
 
 
 def _kv_unpack_int4(codes: jax.Array) -> jax.Array:
@@ -1009,6 +1063,13 @@ def build_quantized(preset_or_cfg, quant_config, seed: int = 0,
         holder = _LayerHolder(layer)
         _quantize(holder, quant_config)
         model.model.layers.append(holder.layer)
+        # model-LEVEL attrs the entries set land on the per-layer holder
+        # here — propagate them or generation/serving silently fall back
+        # to bf16 KV caches (round-4 regression: engine_throughput ran
+        # bf16 KV while claiming int8)
+        if getattr(holder, "kv_cache_quantized", False):
+            model.kv_cache_quantized = True
+            model.kv_cache_format = holder.kv_cache_format
     if getattr(quant_config, "quant_lm_head", False) and \
             model.lm_head is not None:
         # the head is the single largest weight (262 MB bf16 at 7B);

@@ -153,3 +153,21 @@ class TestGPT2Cache:
             nxt = jnp.argmax(g(cur)[:, -1], axis=-1)[:, None].astype(cur.dtype)
             cur = jnp.concatenate([cur, nxt], axis=1)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(cur))
+
+
+def test_build_quantized_propagates_kv_attrs():
+    """Model-level attrs set by quantize entries (kv_cache_quantized /
+    kv_cache_format) must survive the layer-streamed builder — they used
+    to land on the per-layer holder, silently downgrading generation and
+    serving to bf16 KV caches (round-4 regression)."""
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.models.llama import (LLAMA_PRESETS,
+                                                    LlamaConfig,
+                                                    build_quantized)
+
+    m = build_quantized(
+        LlamaConfig(**LLAMA_PRESETS["llama-test"]),
+        nq.RTNConfig(dtype="int4", group_size=32)
+        + nq.KVCacheQuantConfig(dtype="int4"))
+    assert getattr(m, "kv_cache_quantized", False) is True
+    assert m.kv_cache_format == "int4"
