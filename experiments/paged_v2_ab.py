@@ -27,7 +27,7 @@ T = 1024
 PAGE = 128
 
 
-def build_paged_decode(model, batch):
+def build_paged_decode(model, batch, quantized="int8"):
     import functools
 
     from neural_compressor_tpu.quantization.fuse import s4_prepare
@@ -38,7 +38,7 @@ def build_paged_decode(model, batch):
 
     def make():
         pools = init_paged_pool(model.cfg, n_pages, batch, T,
-                                page_size=PAGE, quantized="int8")
+                                page_size=PAGE, quantized=quantized)
         # slot i owns pages [1 + i*pmax, ...) — fully allocated
         bt = (1 + np.arange(batch * pmax).reshape(batch, pmax)
               ).astype(np.int32)
@@ -101,13 +101,14 @@ def main():
         except Exception as e:
             print(f"B={batch} contiguous FAILED {type(e).__name__}: {e}",
                   flush=True)
-        for v2 in (False, True):
+        for v2, qfmt in ((False, "int8"), (True, "int8"), (True, "int4")):
             pa.set_paged_v2(v2)
-            label = "paged-v2" if v2 else "paged-v1"
+            label = ("paged-v2-" + qfmt) if v2 else "paged-v1"
             try:
-                st, mk, dec = build_paged_decode(qmodel, batch)
+                st, mk, dec = build_paged_decode(qmodel, batch,
+                                                 quantized=qfmt)
                 ms, tps, cs = run(st, mk, dec, batch)
-                print(f"B={batch} {label:12s} {ms:7.2f} ms/step "
+                print(f"B={batch} {label:14s} {ms:7.2f} ms/step "
                       f"{tps:7.1f} tok/s (compile {cs:.0f}s)", flush=True)
             except Exception as e:
                 print(f"B={batch} {label} FAILED {type(e).__name__}: {e}",

@@ -222,3 +222,28 @@ def test_generation_program_cache_no_retrace():
     greedy_search(qm, ids, max_new_tokens=2, max_len=64)
     greedy_search(qm, ids, max_new_tokens=2, max_len=64)
     assert G._PROGRAM_CACHE[qm][("run", "greedy", None)][1] is not go1
+
+
+@pytest.mark.slow
+def test_speculative_trained_draft_accepts():
+    """The trained 2-layer draft (tiny_draft, ~1/8 the target's FLOPs)
+    must be EXACT vs greedy and accept well over 1 token/round on the
+    trained tiny_lm — the acceptance-rate regression test behind the
+    round-4 speculative measurement (experiments/speculative_tiny_e2e)."""
+    from neural_compressor_tpu.evaluation.train_tiny import (
+        frozen_corpus, load_tiny_lm, load_tiny_model)
+    from neural_compressor_tpu.generation import (greedy_search,
+                                                  speculative_greedy_search)
+
+    target = load_tiny_lm()
+    draft = load_tiny_model("tiny_draft")
+    if target is None or draft is None:
+        pytest.skip("trained artifacts missing")
+    _train, val = frozen_corpus()
+    prompt = jnp.asarray(val[:1, :64])
+    ref = greedy_search(target, prompt, max_new_tokens=96)
+    out, stats = speculative_greedy_search(target, draft, prompt,
+                                           max_new_tokens=96, k=4,
+                                           return_stats=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert stats["tokens_per_round"] > 1.5, stats
