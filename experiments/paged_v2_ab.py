@@ -87,7 +87,8 @@ def main():
     to_w4a8_serving(qmodel)
     print(f"build {time.time()-t0:.0f}s", flush=True)
 
-    for batch in (1, 8):
+    batches = tuple(int(a) for a in sys.argv[1:] if a.isdigit()) or (1, 8)
+    for batch in batches:
         # contiguous int8-KV reference
         try:
             st, mk, dec = build_decode(qmodel, batch, T, quant_kv=True)
