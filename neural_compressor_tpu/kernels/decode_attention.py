@@ -115,8 +115,12 @@ def _kernel_q(pos_ref, q_ref, kn_ref, vn_ref, kc_in, ks_in, vc_in, vs_in,
     vn_q = jnp.clip(jnp.round(vn / vs_new), -127, 127).astype(jnp.int8)
     k_codes = jnp.where(row == pos, kn_q, kc_in[:])
     v_codes = jnp.where(row == pos, vn_q, vc_in[:])
-    k_scale = jnp.where(row == pos, ks_new, ks_in[:])  # [T, 1]
-    v_scale = jnp.where(row == pos, vs_new, vs_in[:])
+    # scales ride a [1, T] (lane-major) block: a [T, 1] operand would
+    # lane-pad 1 -> 128 and XLA re-materializes the reshape per layer
+    # per step (the paged-path phantom, kvscale_copy_hlo.py)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    k_scale = jnp.where(col == pos, ks_new, ks_in[:])  # [1, T]
+    v_scale = jnp.where(col == pos, vs_new, vs_in[:])
     kc_ref[:] = k_codes
     vc_ref[:] = v_codes
     ks_ref[:] = k_scale
@@ -129,13 +133,13 @@ def _kernel_q(pos_ref, q_ref, kn_ref, vn_ref, kc_in, ks_in, vc_in, vs_in,
     q = q_ref[:]
     s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # [rep, T]
-    s = s * (k_scale[:, 0] * scale)[None, :]
+    s = s * (k_scale[0] * scale)[None, :]
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (rep, T), 1)
     s = jnp.where(t_idx <= pos, s, -1e30)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=1, keepdims=True)
-    p = p * v_scale[:, 0][None, :]      # fold v scales into the probs
+    p = p * v_scale[0][None, :]         # fold v scales into the probs
     o = jax.lax.dot_general(p.astype(jnp.bfloat16), vb,
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -153,8 +157,11 @@ def _decode_attn_quant_impl(pos, q, k_new, v_new, k_codes, k_scale, v_codes,
     if rep_p != rep:
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
     scale = 1.0 / (D ** 0.5)
-    ks4 = k_scale[..., None].astype(jnp.float32)  # [B, Hkv, T, 1]
-    vs4 = v_scale[..., None].astype(jnp.float32)
+    # [B, Hkv, 1, T]: lane-major scales — a [..., T, 1] operand would
+    # lane-pad 1 -> 128 (128x physical) and XLA re-materializes it per
+    # layer per step (kvscale_copy_hlo.py; the paged-path phantom)
+    ks4 = k_scale[:, :, None, :].astype(jnp.float32)
+    vs4 = v_scale[:, :, None, :].astype(jnp.float32)
 
     spec_bh = lambda shape: pl.BlockSpec(
         (None, None) + shape, lambda b, h: (b, h) + (0,) * len(shape),
@@ -169,12 +176,12 @@ def _decode_attn_quant_impl(pos, q, k_new, v_new, k_codes, k_scale, v_codes,
             spec_bh((1, D)),
             spec_bh((1, D)),
             spec_bh((T, D)),   # k codes
-            spec_bh((T, 1)),   # k scales
+            spec_bh((1, T)),   # k scales
             spec_bh((T, D)),   # v codes
-            spec_bh((T, 1)),   # v scales
+            spec_bh((1, T)),   # v scales
         ],
-        out_specs=[spec_bh((T, D)), spec_bh((T, 1)), spec_bh((T, D)),
-                   spec_bh((T, 1)), spec_bh((rep_p, D))],
+        out_specs=[spec_bh((T, D)), spec_bh((1, T)), spec_bh((T, D)),
+                   spec_bh((1, T)), spec_bh((rep_p, D))],
         out_shape=[
             jax.ShapeDtypeStruct(k_codes.shape, jnp.int8),
             jax.ShapeDtypeStruct(ks4.shape, jnp.float32),
@@ -189,7 +196,7 @@ def _decode_attn_quant_impl(pos, q, k_new, v_new, k_codes, k_scale, v_codes,
     )(pos.reshape(B, 1), qr, k_new, v_new, k_codes, ks4, v_codes, vs4)
     if rep_p != rep:
         out = out[:, :, :rep]
-    return (kc2, ks2[..., 0], vc2, vs2[..., 0],
+    return (kc2, ks2[:, :, 0], vc2, vs2[:, :, 0],
             out.reshape(B, Hkv * rep, 1, D))
 
 
@@ -390,18 +397,20 @@ def _kernel_q_ro(pos_ref, q_ref, kn_ref, vn_ref, kc_in, ks_in, vc_in, vs_in,
                    kc_in[:].astype(jnp.bfloat16))
     vb = jnp.where(row == pos, vn_ref[:].astype(jnp.bfloat16),
                    vc_in[:].astype(jnp.bfloat16))
-    k_scale = jnp.where(row == pos, 1.0, ks_in[:])  # [T, 1]
-    v_scale = jnp.where(row == pos, 1.0, vs_in[:])
+    # [1, T] lane-major scale blocks (see _kernel_q note)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    k_scale = jnp.where(col == pos, 1.0, ks_in[:])  # [1, T]
+    v_scale = jnp.where(col == pos, 1.0, vs_in[:])
     q = q_ref[:]
     s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    s = s * (k_scale[:, 0] * scale)[None, :]
+    s = s * (k_scale[0] * scale)[None, :]
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (rep, T), 1)
     s = jnp.where(t_idx <= pos, s, -1e30)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=1, keepdims=True)
-    p = p * v_scale[:, 0][None, :]
+    p = p * v_scale[0][None, :]
     o = jax.lax.dot_general(p.astype(jnp.bfloat16), vb,
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -419,8 +428,9 @@ def _decode_attn_quant_ro_impl(pos, q, k_new, v_new, k_codes, k_scale,
     if rep_p != rep:
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
     scale = 1.0 / (D ** 0.5)
-    ks4 = k_scale[..., None].astype(jnp.float32)
-    vs4 = v_scale[..., None].astype(jnp.float32)
+    # [B, Hkv, 1, T] lane-major scales (see _decode_attn_quant_impl)
+    ks4 = k_scale[:, :, None, :].astype(jnp.float32)
+    vs4 = v_scale[:, :, None, :].astype(jnp.float32)
 
     spec_bh = lambda shape: pl.BlockSpec(
         (None, None) + shape, lambda b, h: (b, h) + (0,) * len(shape),
@@ -435,9 +445,9 @@ def _decode_attn_quant_ro_impl(pos, q, k_new, v_new, k_codes, k_scale,
             spec_bh((1, D)),
             spec_bh((1, D)),
             spec_bh((T, D)),
-            spec_bh((T, 1)),
+            spec_bh((1, T)),
             spec_bh((T, D)),
-            spec_bh((T, 1)),
+            spec_bh((1, T)),
         ],
         out_specs=spec_bh((rep_p, D)),
         out_shape=jax.ShapeDtypeStruct(qr.shape, q.dtype),
