@@ -30,7 +30,9 @@ T = 1024
 
 def main():
     print("device:", jax.devices(), flush=True)
-    for preset in ("llama2-7b", "llama3-8b"):
+    presets = [a for a in sys.argv[1:] if not a.startswith("-")] \
+        or ["llama2-7b", "llama3-8b"]
+    for preset in presets:
         t0 = time.time()
         m = build_quantized(
             LlamaConfig(**LLAMA_PRESETS[preset]),
