@@ -629,3 +629,192 @@ def paged_decode_attention(q, cache, lengths):
                                      cache.v_pages, cache.v_scales,
                                      cache.block_tables, lengths, interpret)
     return out * (lengths > 0)[:, None, None, None].astype(out.dtype)
+
+
+# ---------------------------------------------------------------------------
+# MLA latent paging (deepseek). The latent cache is ONE [r+dr]-wide row
+# per token, head-count independent (models/deepseek.LatentKVCache), so
+# its paged form is simpler than llama's: pages [P, 1, page, C], no head
+# batching — the score dot is a single [H, C] x [C, kpp*page] MXU pass
+# per page group and the online softmax carries [H]-row state. Combines
+# the 71x latent compression with allocator elasticity. The reference
+# has no MLA paging at all (vLLM delegation, helper_modules.py:1178).
+# ---------------------------------------------------------------------------
+
+
+def _latent_write_kernel(pid_ref, off_ref, new_ref, p_ref, o_ref, *,
+                         page, C):
+    b = pl.program_id(0)
+    off = off_ref[b]
+    row = jax.lax.broadcasted_iota(jnp.int32, (page, C), 0)
+    o_ref[0, 0] = jnp.where(row == off, new_ref[0, 0].astype(o_ref.dtype),
+                            p_ref[0, 0])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _paged_latent_write_impl(pids, off, new_row, pages, interpret):
+    P, _one, page, C = pages.shape
+    B = pids.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_latent_write_kernel, page=page, C=C),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, C), lambda b, p, o: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, page, C),
+                             lambda b, p_ref, o_ref: (p_ref[b], 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, page, C),
+                lambda b, p_ref, o_ref: (p_ref[b], 0, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct(pages.shape, pages.dtype),
+        # alias indices count the scalar-prefetch operands
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pids, off, new_row, pages)
+    return out
+
+
+def paged_write_latent(lat_pages, block_tables, row, pos):
+    """Aliased in-place write of one latent row per slot. ``row``
+    [B, C]; ``pos`` scalar or [B]. Returns the updated pages, or None
+    off-envelope (callers scatter instead)."""
+    P, _one, page, C = lat_pages.shape
+    B = row.shape[0]
+    if page % 8:
+        return None
+    interpret = not _on_tpu()
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    pids = jnp.take_along_axis(block_tables.astype(jnp.int32),
+                               (pos // page)[:, None], axis=1)[:, 0]
+    off = (pos % page).astype(jnp.int32)
+    return _paged_latent_write_impl(pids, off,
+                                    row.reshape(B, 1, 1, C), lat_pages,
+                                    interpret)
+
+
+def _paged_latent_kernel(bt_ref, len_ref, q_ref, *args, page, Hp, gsteps,
+                         r, scale, kpp):
+    lats = args[0:kpp]
+    o_ref = args[kpp]
+    acc_s, m_s, l_s = args[kpp + 1:kpp + 4]
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        acc_s[:] = jnp.zeros_like(acc_s)
+        m_s[:] = jnp.full_like(m_s, -1e30)
+        l_s[:] = jnp.zeros_like(l_s)
+
+    w = kpp * page
+    length = len_ref[b]
+    t_idx = p * w + jax.lax.broadcasted_iota(jnp.int32, (Hp, w), 1)
+    valid = t_idx < length
+
+    q = q_ref[0]                                    # [Hp, C]
+    if kpp == 1:
+        lat = lats[0][0, 0]                         # [w, C]
+    else:
+        lat = jnp.concatenate([x[0, 0] for x in lats], axis=0)
+    s = jax.lax.dot_general(q, lat, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale
+    s = jnp.where(valid, s, -1e30)
+    m_old = m_s[:, 0:1]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+    pexp = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+    alpha = jnp.exp(m_old - m_new)
+    l_s[:, 0:1] = l_s[:, 0:1] * alpha + jnp.sum(pexp, axis=1,
+                                                keepdims=True)
+    m_s[:, 0:1] = m_new
+    pv = jax.lax.dot_general(
+        pexp.astype(lat.dtype), lat[:, :r],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # [Hp, r]
+    acc_s[:] = acc_s[:] * alpha + pv
+
+    @pl.when(p == gsteps - 1)
+    def _():
+        o_ref[0] = (acc_s[:] / jnp.maximum(l_s[:, 0:1], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "r", "scale"))
+def _paged_latent_attn_impl(qcat, lat_pages, block_tables, lengths,
+                            scale, r, interpret):
+    B, H, C = qcat.shape
+    P, _one, page, _ = lat_pages.shape
+    pmax = block_tables.shape[1]
+    Hp = -(-H // 8) * 8
+    if Hp != H:
+        qcat = jnp.pad(qcat, ((0, 0), (0, Hp - H), (0, 0)))
+    esize = jnp.dtype(lat_pages.dtype).itemsize
+    kpp = min(_KPP, pmax)
+    while kpp > 1 and 2 * kpp * page * C * esize > 14 * 1024 * 1024:
+        kpp //= 2
+    gsteps = -(-pmax // kpp)
+    pmax_pad = gsteps * kpp
+    bt = block_tables.astype(jnp.int32)
+    if pmax_pad != pmax:
+        bt = jnp.pad(bt, ((0, 0), (0, pmax_pad - pmax)))
+    bt = bt.reshape(-1)
+    lengths = lengths.astype(jnp.int32)
+
+    def page_map_j(j):
+        def page_map(b, p, bt_ref, ln_ref):
+            return (bt_ref[b * pmax_pad + p * kpp + j], 0, 0, 0)
+        return page_map
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, gsteps),
+        in_specs=[pl.BlockSpec((1, Hp, C),
+                               lambda b, p, bt_, ln: (b, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((1, 1, page, C), page_map_j(j),
+                        memory_space=pltpu.VMEM) for j in range(kpp)],
+        out_specs=pl.BlockSpec((1, Hp, r),
+                               lambda b, p, bt_, ln: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Hp, r), jnp.float32),
+            pltpu.VMEM((Hp, 128), jnp.float32),
+            pltpu.VMEM((Hp, 128), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_paged_latent_kernel, page=page, Hp=Hp,
+                               gsteps=gsteps, r=r, scale=scale, kpp=kpp)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hp, r), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(bt, lengths, qcat, *([lat_pages] * kpp))
+    return out[:, :H]
+
+
+def paged_latent_attention(qcat, lat_pages, block_tables, lengths, r,
+                           scale):
+    """Decode attention over a paged MLA latent cache.
+
+    qcat [B, H, 1, C] (absorbed query | rotated q), pages
+    [P, 1, page, C], ``lengths`` [B] incl. the current token (write the
+    row first). Returns o_lat [B, H, 1, r] f32 (the probs-latent dot;
+    the caller applies the value absorb factor). Zero-length slots
+    return zeros."""
+    assert qcat.shape[2] == 1, "paged latent attention is single-token"
+    out = _paged_latent_attn_impl(
+        qcat[:, :, 0], lat_pages, block_tables,
+        jnp.asarray(lengths, jnp.int32), float(scale), int(r),
+        not _on_tpu())
+    out = out * (jnp.asarray(lengths) > 0)[:, None, None].astype(out.dtype)
+    return out[:, :, None]

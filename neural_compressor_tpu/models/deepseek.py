@@ -57,6 +57,34 @@ class LatentKVCache(NamedTuple):
     lat: jax.Array
 
 
+class PagedLatentKVCache(NamedTuple):
+    """Paged MLA latent cache (decode-only): page pool
+    [P, 1, page, r+dr] + per-slot block tables — the 71x latent
+    compression plus allocator elasticity (kernels.paged_attention
+    "MLA latent paging"). The reference has no MLA paging (its serving
+    story delegates to vLLM, helper_modules.py:1178)."""
+
+    lat_pages: jax.Array           # [P, 1, page, r+dr]
+    block_tables: jax.Array        # [B, PMAX] int32
+
+    @property
+    def page_size(self) -> int:
+        return self.lat_pages.shape[2]
+
+
+def init_paged_latent_pool(cfg: "DeepseekConfig", n_pages: int,
+                           batch: int, max_len: int,
+                           page_size: int = 128):
+    """Per-layer ``PagedLatentKVCache`` pools with empty block tables
+    (model must be in latent-cache mode: enable_mla_latent_cache)."""
+    C = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+    pmax = (max_len + page_size - 1) // page_size
+    return [PagedLatentKVCache(
+        jnp.zeros((n_pages, 1, page_size, C), cfg.dtype),
+        jnp.zeros((batch, pmax), jnp.int32))
+        for _ in range(cfg.num_hidden_layers)]
+
+
 @dataclasses.dataclass
 class DeepseekConfig:
     vocab_size: int = 129280
@@ -278,7 +306,7 @@ class DeepseekAttention(nnx.Module):
         q_nope, q_rot = q[..., :dn], q[..., dn:]
         ckv = self.kv_a_proj_with_mqa(x)                     # [B,S,r+dr]
         latent, k_rot = ckv[..., :cfg.kv_lora_rank], ckv[..., cfg.kv_lora_rank:]
-        if isinstance(cache, LatentKVCache):
+        if isinstance(cache, (LatentKVCache, PagedLatentKVCache)):
             return self._latent_attend(x, q_nope, q_rot, latent, k_rot,
                                        cos, sin, mask, cache, cache_pos)
         kv = self.kv_b_proj(self.kv_a_layernorm(latent))
@@ -321,12 +349,40 @@ class DeepseekAttention(nnx.Module):
         q_rot = self._rot(q_rot, cos, sin)
         krot = self._rot(k_rot[:, :, None, :], cos, sin)[:, :, 0]
         row = jnp.concatenate([c, krot.astype(c.dtype)], -1)[:, None]
-        lat = _update_rows(cache.lat, row, cache_pos)         # [B,1,T,r+dr]
-        latf = lat[:, 0].astype(x.dtype)                      # [B,T,r+dr]
         q_abs = jnp.einsum("bshd,rhd->bshr", q_nope,
                            self.w_k_absorb[...],
                            preferred_element_type=jnp.float32)
         qcat = jnp.concatenate([q_abs.astype(x.dtype), q_rot], axis=-1)
+        if isinstance(cache, PagedLatentKVCache):
+            from ..kernels.paged_attention import (paged_latent_attention,
+                                                   paged_write_latent)
+
+            assert S == 1, "paged latent cache is decode-only"
+            pos_b = jnp.broadcast_to(
+                jnp.asarray(cache_pos, jnp.int32).reshape(-1), (B,))
+            pages = paged_write_latent(cache.lat_pages,
+                                       cache.block_tables,
+                                       row[:, 0, 0], pos_b)
+            if pages is None:  # off-envelope: XLA scatter fallback
+                page = cache.page_size
+                pids = jnp.take_along_axis(
+                    cache.block_tables.astype(jnp.int32),
+                    (pos_b // page)[:, None], axis=1)[:, 0]
+                pages = cache.lat_pages.at[pids, 0, pos_b % page].set(
+                    row[:, 0, 0].astype(cache.lat_pages.dtype),
+                    unique_indices=True)
+            new_cache = PagedLatentKVCache(pages, cache.block_tables)
+            # qcat is [B, S=1, H, C]; the kernel wants [B, H, 1, C]
+            o_lat = paged_latent_attention(
+                qcat.transpose(0, 2, 1, 3), pages, cache.block_tables,
+                pos_b + 1, r, cfg.attn_scale)     # [B, H, 1, r] f32
+            out = jnp.einsum("bhsc,chd->bshd", o_lat,
+                             self.w_v_absorb[...],
+                             preferred_element_type=jnp.float32)
+            out = out.astype(x.dtype).reshape(B, S, H * dv)
+            return self.o_proj(out), new_cache
+        lat = _update_rows(cache.lat, row, cache_pos)         # [B,1,T,r+dr]
+        latf = lat[:, 0].astype(x.dtype)                      # [B,T,r+dr]
         s = jnp.einsum("bshc,btc->bhst", qcat, latf,
                        preferred_element_type=jnp.float32)
         s = s * cfg.attn_scale

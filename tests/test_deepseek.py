@@ -264,3 +264,49 @@ def test_unknown_rope_scaling_rejected(tmp_path):
          "rope_scaling": {"type": "dynamic", "factor": 2}}))
     with pytest.raises(ValueError, match="rope_scaling"):
         load_hf_model(str(d))
+
+
+def test_paged_latent_cache_matches_contiguous():
+    """Paged MLA decode (latent page pool + block tables) reproduces the
+    contiguous latent-cache decode, with scattered page assignment."""
+    from neural_compressor_tpu.models import enable_mla_latent_cache
+    from neural_compressor_tpu.models.deepseek import (
+        LatentKVCache, PagedLatentKVCache, init_paged_latent_pool)
+
+    PAGE = 8
+    B, P_len, T = 2, 12, 16
+    ids = jnp.asarray(np.random.default_rng(6).integers(0, 256, (B, P_len)))
+    pos = jnp.full((B, 1), P_len)
+    m = DeepseekForCausalLM.from_preset("deepseek-test", dtype=jnp.float32)
+    enable_mla_latent_cache(m)
+
+    lcaches = m.init_caches(B, T)
+    _, lcaches = m(ids, caches=lcaches, cache_pos=0)
+    ref, _ = m(ids[:, :1], positions=pos, caches=lcaches, cache_pos=P_len)
+    ref = np.asarray(ref, np.float32)
+
+    # scattered pages; page 0 is the shared trash page
+    pools = init_paged_latent_pool(m.cfg, n_pages=6, batch=B, max_len=T,
+                                   page_size=PAGE)
+    bt = np.zeros((B, T // PAGE), np.int32)
+    bt[0] = [3, 1]
+    bt[1] = [5, 2]
+    paged = []
+    for pool, lc in zip(pools, lcaches):
+        pages = pool.lat_pages
+        for b in range(B):
+            for p in range(T // PAGE):
+                rows = lc.lat[b, :, p * PAGE:(p + 1) * PAGE]
+                pages = pages.at[int(bt[b, p])].set(
+                    rows.astype(pages.dtype))
+        paged.append(PagedLatentKVCache(pages, jnp.asarray(bt)))
+
+    got, new = m(ids[:, :1], positions=pos, caches=paged,
+                 cache_pos=jnp.full((B,), P_len))
+    got = np.asarray(got, np.float32)
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+    assert isinstance(new[0], PagedLatentKVCache)
+    # the new row landed: pos 12 -> page idx 1, offset 4
+    pid0 = int(bt[0, P_len // PAGE])
+    row = np.asarray(new[0].lat_pages[pid0, 0, P_len % PAGE], np.float32)
+    assert np.abs(row).max() > 0
