@@ -80,6 +80,12 @@ class ContinuousBatchingEngine:
         quantized = (getattr(model, "kv_cache_format", "int8")
                  if getattr(model, "kv_cache_quantized", False) else False)
         self.paged = paged
+        # models may own their cache shapes (deepseek's MLA has
+        # asymmetric K/V widths; latent mode has [r+dr] rows) — prefer
+        # the model's init_caches over the llama-shaped default, like
+        # generation/_alloc_caches does
+        self._model_caches = getattr(model, "init_caches", None)
+        self.latent = bool(getattr(model, "use_latent_cache", False))
         if paged:
             from ..models.llama import init_paged_pool
 
@@ -88,9 +94,20 @@ class ContinuousBatchingEngine:
             self.pmax = max_len // page_size
             # page 0 is the trash page (idle slots park their writes there)
             self.n_pages = n_pages or (n_slots * self.pmax // 2 + 1)
-            self.pools = init_paged_pool(
-                self.cfg, self.n_pages, n_slots, max_len,
-                page_size=page_size, quantized=quantized)
+            if self.latent:
+                from ..models.deepseek import init_paged_latent_pool
+
+                self.pools = init_paged_latent_pool(
+                    self.cfg, self.n_pages, n_slots, max_len,
+                    page_size=page_size)
+            else:
+                assert self._model_caches is None or not hasattr(
+                    self.cfg, "kv_lora_rank"), \
+                    "paged deepseek serving needs the latent cache " \
+                    "(enable_mla_latent_cache)"
+                self.pools = init_paged_pool(
+                    self.cfg, self.n_pages, n_slots, max_len,
+                    page_size=page_size, quantized=quantized)
             self.block_tables = np.zeros((n_slots, self.pmax), np.int32)
             self.free_pages = list(range(self.n_pages - 1, 0, -1))
             self.slot_pages: list[list[int]] = [[] for _ in range(n_slots)]
@@ -98,13 +115,22 @@ class ContinuousBatchingEngine:
             # several long prompts prefill concurrently (one batched chunk
             # dispatch per engine iteration) instead of one-at-a-time
             self.prefill_streams = max(1, min(prefill_streams, n_slots))
-            self.staging = init_kv_cache(self.cfg, self.prefill_streams,
-                                         max_len, quantized=False)
+            if self._model_caches is not None:
+                self.staging = self._model_caches(self.prefill_streams,
+                                                  max_len)
+            else:
+                self.staging = init_kv_cache(self.cfg,
+                                             self.prefill_streams,
+                                             max_len, quantized=False)
             self._free_staging = list(range(self.prefill_streams - 1, -1, -1))
             self._staging_of: dict[int, int] = {}  # slot -> staging row
         else:
-            self.caches = init_kv_cache(self.cfg, n_slots, max_len,
-                                        quantized=quantized)
+            if self._model_caches is not None:
+                self.caches = self._model_caches(n_slots, max_len,
+                                                 quantized=quantized)
+            else:
+                self.caches = init_kv_cache(self.cfg, n_slots, max_len,
+                                            quantized=quantized)
             self.prefill_streams = n_slots
         self._graphdef, self._state = nnx.split(model)
         self._uid = itertools.count()
@@ -346,6 +372,23 @@ class ContinuousBatchingEngine:
 
     def _stage_copy_fn(self):
         key = "stage_copy"
+        if key not in self._jit_cache and self.latent:
+            page = self.page_size
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def copy_latent(pools, staging, row, pid, start):
+                out = []
+                for pool, lc in zip(pools, staging):
+                    l1 = jax.lax.dynamic_slice_in_dim(lc.lat, row, 1,
+                                                      axis=0)
+                    rows = jax.lax.dynamic_slice_in_dim(l1, start, page,
+                                                        axis=2)
+                    out.append(pool._replace(
+                        lat_pages=pool.lat_pages.at[pid].set(
+                            rows[0].astype(pool.lat_pages.dtype))))
+                return out
+
+            self._jit_cache[key] = copy_latent
         if key not in self._jit_cache:
             page = self.page_size
             quantized = self.pools[0].k_scales is not None

@@ -323,3 +323,60 @@ def test_combined_prefill_decode_dispatch_paged(qmodel):
         assert r.generated == ref[0, len(p):].tolist()
     # all pages returned; trash page never handed out
     assert sorted(eng.free_pages) == list(range(1, 9))
+
+
+def test_engine_serves_deepseek_mla():
+    """The engine prefers model-owned cache shapes (deepseek's MLA has
+    asymmetric K/V widths), so continuous batching serves the deepseek
+    family: contiguous mode token-exact vs greedy."""
+    import jax.numpy as jnp
+
+    from neural_compressor_tpu.models.deepseek import DeepseekForCausalLM
+
+    rng = np.random.default_rng(31)
+    m = DeepseekForCausalLM.from_preset("deepseek-test",
+                                        dtype=jnp.float32)
+    eng = ContinuousBatchingEngine(m, n_slots=2, max_len=64,
+                                   prefill_chunk=16)
+    prompts = [rng.integers(0, 256, (n,)) for n in (12, 7, 20)]
+    reqs = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    done = eng.run(chunk=2)
+    assert len(done) == 3
+    for p, r in zip(prompts, reqs):
+        ref = greedy_search(m, jnp.asarray(p)[None, :], max_new_tokens=6)
+        np.testing.assert_array_equal(
+            np.asarray(r.generated), np.asarray(ref)[0, len(p):],
+            err_msg=f"prompt len {len(p)}")
+
+
+def test_engine_paged_latent_deepseek():
+    """Paged MLA serving: the engine pages the [r+dr]-wide latent rows
+    (staging prefill -> page commit -> paged-kernel decode). Online
+    softmax reassociation can flip near-tie argmaxes on a random tiny
+    model, so the check is first-token + large-majority agreement."""
+    import jax.numpy as jnp
+
+    from neural_compressor_tpu.models import enable_mla_latent_cache
+    from neural_compressor_tpu.models.deepseek import DeepseekForCausalLM
+
+    rng = np.random.default_rng(32)
+    m = DeepseekForCausalLM.from_preset("deepseek-test",
+                                        dtype=jnp.float32)
+    enable_mla_latent_cache(m)
+    eng = ContinuousBatchingEngine(m, n_slots=2, max_len=64, paged=True,
+                                   page_size=16, n_pages=9,
+                                   prefill_chunk=16)
+    prompts = [rng.integers(0, 256, (n,)) for n in (12, 20)]
+    reqs = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    done = eng.run(chunk=2)
+    assert len(done) == 2
+    total = hits = 0
+    for p, r in zip(prompts, reqs):
+        ref = np.asarray(greedy_search(
+            m, jnp.asarray(p)[None, :], max_new_tokens=6))[0, len(p):]
+        got = np.asarray(r.generated)
+        assert got[0] == ref[0], f"first token diverged (len {len(p)})"
+        hits += int((got == ref).sum())
+        total += len(ref)
+    assert hits >= (2 * total) // 3, (hits, total)
+    assert sorted(eng.free_pages) == list(range(1, 9))
