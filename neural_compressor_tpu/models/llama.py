@@ -367,6 +367,112 @@ def _update_rows(cache_arr, new, cache_pos):
     return jax.vmap(row)(cache_arr, new, cache_pos)
 
 
+class _ChunkedCausal(NamedTuple):
+    """Causal-mask SENTINEL for long prefill: carries query positions
+    instead of a materialized [B, 1, S, T] bool mask (1 GB at 32k) —
+    attention goes through ``_grouped_attention_chunked``, which never
+    holds more than one (q-chunk x kv-chunk) score block. Created by
+    ``LlamaModel.__call__`` when S*T exceeds ``_DENSE_MASK_ELEMS``."""
+
+    q_pos: jax.Array        # [B or 1, S] position of each query row
+
+
+_DENSE_MASK_ELEMS = 16 * 1024 * 1024  # ~4096^2; S*T above this chunks
+
+
+def set_dense_mask_limit(n: int) -> None:
+    global _DENSE_MASK_ELEMS
+    _DENSE_MASK_ELEMS = int(n)
+
+
+def _densify(mask, T: int):
+    """Sentinel -> dense bool mask (paths without a chunked variant:
+    int4-packed prefill, fp8 SDPA — documented O(S*T) memory)."""
+    if isinstance(mask, _ChunkedCausal):
+        key_pos = jnp.arange(T)[None, None, None, :]
+        return key_pos <= mask.q_pos[:, None, :, None]
+    return mask
+
+
+def _grouped_attention_chunked(q, k, v, q_pos, D, k_scale=None,
+                               v_scale=None, q_chunk=512, kv_chunk=1024):
+    """``_grouped_attention`` without the [S, T] score materialization:
+    lax.map over query chunks, lax.scan over KV chunks with an
+    online-softmax carry — peak extra memory is one
+    [B, Hkv, rep, q_chunk, kv_chunk] f32 block (67 MB at MHA-32
+    defaults) regardless of S and T. Same causal semantics as the dense
+    mask: key index t is visible to a query at position p iff t <= p."""
+    B, H, S, _ = q.shape
+    Hkv, T = k.shape[1], k.shape[2]
+    rep = H // Hkv
+    qc = min(q_chunk, S)
+    tc = min(kv_chunk, T)
+    Sp = -(-S // qc) * qc
+    Tp = -(-T // tc) * tc
+    qg = q.reshape(B, Hkv, rep, S, D)
+    if Sp != S:
+        qg = jnp.pad(qg, ((0, 0),) * 3 + ((0, Sp - S), (0, 0)))
+    q_pos = jnp.broadcast_to(jnp.asarray(q_pos, jnp.int32), (B, S))
+    # padded queries get position -1: no key is <= -1, l stays 0 and the
+    # 1e-30 guard keeps the (sliced-away) rows finite
+    q_pos = jnp.pad(q_pos, ((0, 0), (0, Sp - S)), constant_values=-1)
+    pad_t = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
+    kp = jnp.pad(k, pad_t) if Tp != T else k
+    vp = jnp.pad(v, pad_t) if Tp != T else v
+    nt = Tp // tc
+    ks = None if k_scale is None else jnp.pad(
+        k_scale, ((0, 0), (0, 0), (0, Tp - T)))
+    vs = None if v_scale is None else jnp.pad(
+        v_scale, ((0, 0), (0, 0), (0, Tp - T)))
+    kx = jnp.moveaxis(kp.reshape(B, Hkv, nt, tc, D), 2, 0)
+    vx = jnp.moveaxis(vp.reshape(B, Hkv, nt, tc, D), 2, 0)
+    ksx = (jnp.zeros((nt, 1, 1, 1), jnp.float32) if ks is None
+           else jnp.moveaxis(ks.reshape(B, Hkv, nt, tc), 2, 0))
+    vsx = (jnp.zeros((nt, 1, 1, 1), jnp.float32) if vs is None
+           else jnp.moveaxis(vs.reshape(B, Hkv, nt, tc), 2, 0))
+    tpos = jnp.arange(Tp).reshape(nt, tc)
+    rsqrt_d = 1.0 / float(D) ** 0.5
+
+    def one_qchunk(args):
+        qcb, qpos_c = args                       # [B,Hkv,rep,qc,D], [B,qc]
+
+        def step(carry, xs):
+            m, l, acc = carry
+            kcb, vcb, kscb, vscb, kposb = xs
+            s = jnp.einsum("bgrsd,bgtd->bgrst", qcb, kcb,
+                           preferred_element_type=jnp.float32)
+            if k_scale is not None:
+                s = s * kscb[:, :, None, None, :]
+            s = s * rsqrt_d
+            valid = kposb[None, None, :] <= qpos_c[:, :, None]
+            valid = valid[:, None, None]         # [B,1,1,qc,tc]
+            s = jnp.where(valid, s, -1e30)
+            m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            pexp = jnp.where(valid, jnp.exp(s - m2), 0.0)
+            alpha = jnp.exp(m - m2)
+            l2 = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
+            if v_scale is not None:
+                pexp = pexp * vscb[:, :, None, None, :]
+            pv = jnp.einsum("bgrst,bgtd->bgrsd", pexp.astype(vcb.dtype),
+                            vcb, preferred_element_type=jnp.float32)
+            return (m2, l2, acc * alpha[..., 0, None] + pv), None
+
+        shape5 = (B, Hkv, rep, qcb.shape[3], 1)
+        init = (jnp.full(shape5, -1e30, jnp.float32),
+                jnp.zeros(shape5, jnp.float32),
+                jnp.zeros(qcb.shape, jnp.float32))
+        (m, l, acc), _ = jax.lax.scan(step, init,
+                                      (kx, vx, ksx, vsx, tpos))
+        return acc / jnp.maximum(l[..., 0, None], 1e-30)
+
+    ns = Sp // qc
+    qx = jnp.moveaxis(qg.reshape(B, Hkv, rep, ns, qc, D), 3, 0)
+    qpx = jnp.moveaxis(q_pos.reshape(B, ns, qc), 1, 0)
+    out = jax.lax.map(one_qchunk, (qx, qpx))     # [ns, B, Hkv, rep, qc, D]
+    out = jnp.moveaxis(out, 0, 3).reshape(B, Hkv, rep, Sp, D)[:, :, :, :S]
+    return out.reshape(B, H, S, D).astype(q.dtype)
+
+
 def _grouped_attention(q, k, v, mask, D, k_scale=None, v_scale=None):
     """GQA-grouped SDPA: q [B, H, S, D] against k/v [B, Hkv, T, D] without
     materializing repeated K/V (``jnp.repeat`` copies rep x cache bytes —
@@ -377,6 +483,9 @@ def _grouped_attention(q, k, v, mask, D, k_scale=None, v_scale=None):
     scales (QuantKVCache) folded into scores/probs so k/v can be the raw
     codes — same folding as the fused decode kernel (_kernel_q_ro).
     Returns out [B, H, S, D]."""
+    if isinstance(mask, _ChunkedCausal):  # long prefill: never hold S x T
+        return _grouped_attention_chunked(q, k, v, mask.q_pos, D,
+                                          k_scale, v_scale)
     B, H, S, _ = q.shape
     Hkv, T = k.shape[1], k.shape[2]
     rep = H // Hkv
@@ -405,6 +514,7 @@ def _grouped_attention_int4(q, k_packed, v_packed, mask, D,
     streams from HBM at nibble width."""
     B, H, S, _ = q.shape
     Hkv, T = k_packed.shape[1], k_packed.shape[2]
+    mask = _densify(mask, T)  # no chunked int4-prefill variant (O(S*T))
     rep = H // Hkv
     h = D // 2
     qg = q.reshape(B, Hkv, rep, S, D)
@@ -973,13 +1083,19 @@ class LlamaModel(nnx.Module):
                          cfg.max_position_embeddings)
 
         if caches is None:
-            # causal mask [1, 1, S, S]
-            mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
+            if S * S > _DENSE_MASK_ELEMS:  # long prefill: chunked path
+                mask = _ChunkedCausal(jnp.arange(S)[None])
+            else:
+                # causal mask [1, 1, S, S]
+                mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
         else:
             T = caches[0][0].shape[2]  # [B, H, T, D] head-major cache
-            # positions of cached keys: valid if key_pos <= query_pos
-            key_pos = jnp.arange(T)[None, None, None, :]
-            mask = key_pos <= positions[:, None, :, None]
+            if S * T > _DENSE_MASK_ELEMS and S > 1:
+                mask = _ChunkedCausal(positions)
+            else:
+                # positions of cached keys: valid if key_pos <= query_pos
+                key_pos = jnp.arange(T)[None, None, None, :]
+                mask = key_pos <= positions[:, None, :, None]
 
         new_caches = [] if caches is not None else None
         for i, layer in enumerate(self.layers):

@@ -53,6 +53,9 @@ def sdpa(q, k, v, mask, *, module=None, bias=None, out_dtype=None):
     (Hkv | H; grouped-query K/V are repeated here). ``mask`` broadcasts
     against [B, H, S, T]; ``bias`` (e.g. ALiBi) is added to the scaled
     scores before masking. ``module`` supplies the fp8 flags."""
+    from .llama import _densify
+
+    mask = _densify(mask, k.shape[2])  # fp8 SDPA has no chunked variant
     out_dtype = out_dtype or q.dtype
     D = q.shape[-1]
     H, Hkv = q.shape[1], k.shape[1]

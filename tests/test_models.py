@@ -171,3 +171,46 @@ def test_build_quantized_propagates_kv_attrs():
         + nq.KVCacheQuantConfig(dtype="int4"))
     assert getattr(m, "kv_cache_quantized", False) is True
     assert m.kv_cache_format == "int4"
+
+
+def test_chunked_prefill_attention_matches_dense():
+    """Long-prefill chunked attention (positions sentinel, online
+    softmax over q/kv chunks) == the dense-mask path, with and without
+    a quantized cache, including ragged chunk tails."""
+    import jax.numpy as jnp
+
+    from neural_compressor_tpu.models import LlamaForCausalLM
+    from neural_compressor_tpu.models import llama as L
+
+    rng = np.random.default_rng(17)
+    m = LlamaForCausalLM.from_preset("llama-test")
+    ids = jnp.asarray(rng.integers(0, 256, (2, 50)))
+
+    ref = np.asarray(m(ids), np.float32)          # dense tril path
+    old = L._DENSE_MASK_ELEMS
+    try:
+        L.set_dense_mask_limit(64)                # force the chunked path
+        got = np.asarray(m(ids), np.float32)
+    finally:
+        L.set_dense_mask_limit(old)
+    np.testing.assert_allclose(got, ref, atol=8e-2, rtol=8e-2)
+
+    # through an int8 cache (scales fold inside the online softmax)
+    import neural_compressor_tpu as nq
+
+    mq = nq.quantize(LlamaForCausalLM.from_preset("llama-test"),
+                     nq.KVCacheQuantConfig(dtype="int8"))
+    caches = mq.init_caches(2, 64) if hasattr(mq, "init_caches") else None
+    from neural_compressor_tpu.models.llama import init_kv_cache
+
+    caches = init_kv_cache(mq.cfg, 2, 64, quantized="int8")
+    ref, _ = mq(ids, caches=caches, cache_pos=0)
+    ref = np.asarray(ref, np.float32)
+    try:
+        L.set_dense_mask_limit(64)
+        caches = init_kv_cache(mq.cfg, 2, 64, quantized="int8")
+        got, _ = mq(ids, caches=caches, cache_pos=0)
+        got = np.asarray(got, np.float32)
+    finally:
+        L.set_dense_mask_limit(old)
+    np.testing.assert_allclose(got, ref, atol=8e-2, rtol=8e-2)
