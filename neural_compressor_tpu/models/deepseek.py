@@ -321,6 +321,9 @@ class DeepseekAttention(nnx.Module):
         new_cache = None
         if cache is not None:
             k, v, new_cache = update_cache(cache, k, v, cache_pos, x.dtype)
+        from .llama import _densify
+
+        mask = _densify(mask, k.shape[2])  # expanded path stays dense
         s = jnp.einsum("bhsd,bhtd->bhst", q, k,
                        preferred_element_type=jnp.float32)
         s = s * cfg.attn_scale
@@ -383,6 +386,24 @@ class DeepseekAttention(nnx.Module):
             return self.o_proj(out), new_cache
         lat = _update_rows(cache.lat, row, cache_pos)         # [B,1,T,r+dr]
         latf = lat[:, 0].astype(x.dtype)                      # [B,T,r+dr]
+        from .llama import _ChunkedCausal, _grouped_attention_chunked
+
+        if isinstance(mask, _ChunkedCausal):
+            # long MLA prefill: latent rides as an Hkv=1 cache through
+            # the chunked online softmax. The chunked fn scales scores
+            # by 1/sqrt(C); pre-scale q so the effective scale is
+            # cfg.attn_scale (MLA's mscale-corrected value).
+            C = latf.shape[-1]
+            qs = (qcat * (cfg.attn_scale * float(C) ** 0.5)
+                  ).transpose(0, 2, 1, 3)                     # [B,H,S,C]
+            o_lat = _grouped_attention_chunked(
+                qs, latf[:, None], latf[:, None, :, :r],
+                mask.q_pos, C).astype(jnp.float32)            # [B,H,S,r]
+            out = jnp.einsum("bhsc,chd->bshd", o_lat,
+                             self.w_v_absorb[...],
+                             preferred_element_type=jnp.float32)
+            out = out.astype(x.dtype).reshape(B, S, H * dv)
+            return self.o_proj(out), LatentKVCache(lat)
         s = jnp.einsum("bshc,btc->bhst", qcat, latf,
                        preferred_element_type=jnp.float32)
         s = s * cfg.attn_scale
@@ -474,12 +495,20 @@ class DeepseekModel(nnx.Module):
         cos, sin = _rope(positions, cfg.qk_rope_head_dim, cfg.rope_theta,
                          1.0, cfg.rope_scaling,
                          cfg.max_position_embeddings)
+        from .llama import _ChunkedCausal, _DENSE_MASK_ELEMS
+
         if caches is None:
-            mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
+            if S * S > _DENSE_MASK_ELEMS:  # long prefill: chunked path
+                mask = _ChunkedCausal(jnp.arange(S)[None])
+            else:
+                mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
         else:
             T = caches[0][0].shape[2]
-            key_pos = jnp.arange(T)[None, None, None, :]
-            mask = key_pos <= positions[:, None, :, None]
+            if S * T > _DENSE_MASK_ELEMS and S > 1:
+                mask = _ChunkedCausal(positions)
+            else:
+                key_pos = jnp.arange(T)[None, None, None, :]
+                mask = key_pos <= positions[:, None, :, None]
         new_caches = [] if caches is not None else None
         for i, layer in enumerate(self.layers):
             cache = caches[i] if caches is not None else None

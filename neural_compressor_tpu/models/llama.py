@@ -401,9 +401,12 @@ def _grouped_attention_chunked(q, k, v, q_pos, D, k_scale=None,
     online-softmax carry — peak extra memory is one
     [B, Hkv, rep, q_chunk, kv_chunk] f32 block (67 MB at MHA-32
     defaults) regardless of S and T. Same causal semantics as the dense
-    mask: key index t is visible to a query at position p iff t <= p."""
+    mask: key index t is visible to a query at position p iff t <= p.
+    ``v`` may be narrower than ``k`` (MLA's probs-latent dot consumes
+    only the first r columns) — the output takes v's width."""
     B, H, S, _ = q.shape
     Hkv, T = k.shape[1], k.shape[2]
+    Dv = v.shape[-1]
     rep = H // Hkv
     qc = min(q_chunk, S)
     tc = min(kv_chunk, T)
@@ -425,7 +428,7 @@ def _grouped_attention_chunked(q, k, v, q_pos, D, k_scale=None,
     vs = None if v_scale is None else jnp.pad(
         v_scale, ((0, 0), (0, 0), (0, Tp - T)))
     kx = jnp.moveaxis(kp.reshape(B, Hkv, nt, tc, D), 2, 0)
-    vx = jnp.moveaxis(vp.reshape(B, Hkv, nt, tc, D), 2, 0)
+    vx = jnp.moveaxis(vp.reshape(B, Hkv, nt, tc, Dv), 2, 0)
     ksx = (jnp.zeros((nt, 1, 1, 1), jnp.float32) if ks is None
            else jnp.moveaxis(ks.reshape(B, Hkv, nt, tc), 2, 0))
     vsx = (jnp.zeros((nt, 1, 1, 1), jnp.float32) if vs is None
@@ -460,7 +463,7 @@ def _grouped_attention_chunked(q, k, v, q_pos, D, k_scale=None,
         shape5 = (B, Hkv, rep, qcb.shape[3], 1)
         init = (jnp.full(shape5, -1e30, jnp.float32),
                 jnp.zeros(shape5, jnp.float32),
-                jnp.zeros(qcb.shape, jnp.float32))
+                jnp.zeros(qcb.shape[:-1] + (Dv,), jnp.float32))
         (m, l, acc), _ = jax.lax.scan(step, init,
                                       (kx, vx, ksx, vsx, tpos))
         return acc / jnp.maximum(l[..., 0, None], 1e-30)
@@ -468,9 +471,9 @@ def _grouped_attention_chunked(q, k, v, q_pos, D, k_scale=None,
     ns = Sp // qc
     qx = jnp.moveaxis(qg.reshape(B, Hkv, rep, ns, qc, D), 3, 0)
     qpx = jnp.moveaxis(q_pos.reshape(B, ns, qc), 1, 0)
-    out = jax.lax.map(one_qchunk, (qx, qpx))     # [ns, B, Hkv, rep, qc, D]
-    out = jnp.moveaxis(out, 0, 3).reshape(B, Hkv, rep, Sp, D)[:, :, :, :S]
-    return out.reshape(B, H, S, D).astype(q.dtype)
+    out = jax.lax.map(one_qchunk, (qx, qpx))     # [ns, B, Hkv, rep, qc, Dv]
+    out = jnp.moveaxis(out, 0, 3).reshape(B, Hkv, rep, Sp, Dv)[:, :, :, :S]
+    return out.reshape(B, H, S, Dv).astype(q.dtype)
 
 
 def _grouped_attention(q, k, v, mask, D, k_scale=None, v_scale=None):

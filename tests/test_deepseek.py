@@ -310,3 +310,35 @@ def test_paged_latent_cache_matches_contiguous():
     pid0 = int(bt[0, P_len // PAGE])
     row = np.asarray(new[0].lat_pages[pid0, 0, P_len % PAGE], np.float32)
     assert np.abs(row).max() > 0
+
+
+def test_chunked_prefill_matches_dense_mla():
+    """Long-prefill chunked attention on deepseek: expanded path
+    (densified mask) and latent path (Hkv=1 chunked online softmax with
+    the attn_scale pre-fold) == the dense-mask forward."""
+    from neural_compressor_tpu.models import enable_mla_latent_cache
+    from neural_compressor_tpu.models import llama as L
+
+    ids = jnp.asarray(np.random.default_rng(9).integers(0, 256, (2, 40)))
+    m = DeepseekForCausalLM.from_preset("deepseek-test", dtype=jnp.float32)
+    ref = np.asarray(m(ids), np.float32)
+    old = L._DENSE_MASK_ELEMS
+    try:
+        L.set_dense_mask_limit(64)
+        got = np.asarray(m(ids), np.float32)     # expanded (densified)
+    finally:
+        L.set_dense_mask_limit(old)
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+    enable_mla_latent_cache(m)
+    lc = m.init_caches(2, 64)
+    ref2, _ = m(ids, caches=lc, cache_pos=0)
+    ref2 = np.asarray(ref2, np.float32)
+    try:
+        L.set_dense_mask_limit(64)
+        lc = m.init_caches(2, 64)
+        got2, _ = m(ids, caches=lc, cache_pos=0)  # latent chunked
+        got2 = np.asarray(got2, np.float32)
+    finally:
+        L.set_dense_mask_limit(old)
+    np.testing.assert_allclose(got2, ref2, atol=2e-3, rtol=2e-3)
