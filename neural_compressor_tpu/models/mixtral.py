@@ -307,12 +307,20 @@ class MixtralForCausalLM(nnx.Module):
             positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
         x = self.embed_tokens(input_ids)
         cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta)
+        from .llama import _ChunkedCausal, _DENSE_MASK_ELEMS
+
         if caches is None:
-            mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
+            if S * S > _DENSE_MASK_ELEMS:  # long prefill: chunked path
+                mask = _ChunkedCausal(jnp.arange(S)[None])
+            else:
+                mask = jnp.tril(jnp.ones((S, S), dtype=bool))[None, None]
         else:
             T = caches[0][0].shape[2]
-            key_pos = jnp.arange(T)[None, None, None, :]
-            mask = key_pos <= positions[:, None, :, None]
+            if S * T > _DENSE_MASK_ELEMS and S > 1:
+                mask = _ChunkedCausal(positions)
+            else:
+                key_pos = jnp.arange(T)[None, None, None, :]
+                mask = key_pos <= positions[:, None, :, None]
         new_caches = [] if caches is not None else None
         for i, layer in enumerate(self.layers):
             cache = caches[i] if caches is not None else None

@@ -173,3 +173,25 @@ def test_mixtral_int4_kv_decode():
     err = np.abs(np.asarray(step[:, 0]) - np.asarray(full[:, 8])).max()
     scale = np.abs(np.asarray(full[:, 8])).max() + 1e-9
     assert err / scale < 0.3, err / scale
+
+
+def test_chunked_prefill_matches_dense_moe():
+    """Mixtral rides llama's chunked-attention sentinel: long-prefill
+    forward == dense-mask forward (routing unaffected — the mask only
+    enters attention)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neural_compressor_tpu.models import llama as L
+    from neural_compressor_tpu.models.mixtral import MixtralForCausalLM
+
+    ids = jnp.asarray(np.random.default_rng(11).integers(0, 256, (2, 40)))
+    m = MixtralForCausalLM.from_preset("mixtral-test")
+    ref = np.asarray(m(ids), np.float32)
+    old = L._DENSE_MASK_ELEMS
+    try:
+        L.set_dense_mask_limit(64)
+        got = np.asarray(m(ids), np.float32)
+    finally:
+        L.set_dense_mask_limit(old)
+    np.testing.assert_allclose(got, ref, atol=8e-2, rtol=8e-2)
