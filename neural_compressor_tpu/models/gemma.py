@@ -162,6 +162,15 @@ def _gemma_grouped_attention(q, k, v, mask, scaling: float,
     are never materialized: the rep query heads of each KV head ride the
     lhs free dims of one dot. q [B,H,S,D] vs k/v [B,Hkv,T,D]."""
     B, H, S, D = q.shape
+    from .llama import _ChunkedCausal, _grouped_attention_chunked
+
+    if isinstance(mask, _ChunkedCausal):  # long prefill (llama docstring)
+        # the chunked fn scales by 1/sqrt(D); pre-fold gemma's decoupled
+        # query_pre_attn_scalar scaling into q
+        qs = q * (scaling * float(D) ** 0.5)
+        return _grouped_attention_chunked(qs, k, v, mask.q_pos, D,
+                                          softcap=softcap,
+                                          window=mask.window)
     Hkv = k.shape[1]
     rep = H // Hkv
     qg = q.reshape(B, Hkv, rep, S, D)
@@ -308,15 +317,21 @@ class GemmaModel(nnx.Module):
 
         # masks [B, 1, S, T]: causal, plus the sliding band
         # (q_pos - k_pos < window, HF create_sliding_window_causal_mask)
-        if caches is None:
-            key_pos = jnp.arange(S)[None, None, None, :]
+        from .llama import _ChunkedCausal, _DENSE_MASK_ELEMS
+
+        T_keys = S if caches is None else caches[0][0].shape[2]
+        if S * T_keys > _DENSE_MASK_ELEMS and S > 1:  # long prefill
+            mask_full = _ChunkedCausal(positions)
+            mask_sliding = (_ChunkedCausal(positions, cfg.sliding_window)
+                            if cfg.sliding_window else mask_full)
         else:
-            key_pos = jnp.arange(caches[0][0].shape[2])[None, None, None, :]
-        q_pos = positions[:, None, :, None]
-        mask_full = key_pos <= q_pos
-        mask_sliding = mask_full
-        if cfg.sliding_window:
-            mask_sliding = mask_full & (q_pos - key_pos < cfg.sliding_window)
+            key_pos = jnp.arange(T_keys)[None, None, None, :]
+            q_pos = positions[:, None, :, None]
+            mask_full = key_pos <= q_pos
+            mask_sliding = mask_full
+            if cfg.sliding_window:
+                mask_sliding = mask_full & (q_pos - key_pos
+                                            < cfg.sliding_window)
 
         new_caches = [] if caches is not None else None
         for i, layer in enumerate(self.layers):

@@ -375,6 +375,7 @@ class _ChunkedCausal(NamedTuple):
     ``LlamaModel.__call__`` when S*T exceeds ``_DENSE_MASK_ELEMS``."""
 
     q_pos: jax.Array        # [B or 1, S] position of each query row
+    window: int | None = None  # sliding-window size (gemma local layers)
 
 
 _DENSE_MASK_ELEMS = 16 * 1024 * 1024  # ~4096^2; S*T above this chunks
@@ -390,12 +391,17 @@ def _densify(mask, T: int):
     int4-packed prefill, fp8 SDPA — documented O(S*T) memory)."""
     if isinstance(mask, _ChunkedCausal):
         key_pos = jnp.arange(T)[None, None, None, :]
-        return key_pos <= mask.q_pos[:, None, :, None]
+        qp = mask.q_pos[:, None, :, None]
+        m = key_pos <= qp
+        if mask.window is not None:
+            m &= qp - key_pos < mask.window
+        return m
     return mask
 
 
 def _grouped_attention_chunked(q, k, v, q_pos, D, k_scale=None,
-                               v_scale=None, q_chunk=512, kv_chunk=1024):
+                               v_scale=None, q_chunk=512, kv_chunk=1024,
+                               softcap=None, window=None):
     """``_grouped_attention`` without the [S, T] score materialization:
     lax.map over query chunks, lax.scan over KV chunks with an
     online-softmax carry — peak extra memory is one
@@ -447,7 +453,11 @@ def _grouped_attention_chunked(q, k, v, q_pos, D, k_scale=None,
             if k_scale is not None:
                 s = s * kscb[:, :, None, None, :]
             s = s * rsqrt_d
+            if softcap is not None:  # gemma logit softcapping, pre-mask
+                s = softcap * jnp.tanh(s / softcap)
             valid = kposb[None, None, :] <= qpos_c[:, :, None]
+            if window is not None:   # gemma sliding band
+                valid &= qpos_c[:, :, None] - kposb[None, None, :] < window
             valid = valid[:, None, None]         # [B,1,1,qc,tc]
             s = jnp.where(valid, s, -1e30)
             m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -488,7 +498,8 @@ def _grouped_attention(q, k, v, mask, D, k_scale=None, v_scale=None):
     Returns out [B, H, S, D]."""
     if isinstance(mask, _ChunkedCausal):  # long prefill: never hold S x T
         return _grouped_attention_chunked(q, k, v, mask.q_pos, D,
-                                          k_scale, v_scale)
+                                          k_scale, v_scale,
+                                          window=mask.window)
     B, H, S, _ = q.shape
     Hkv, T = k.shape[1], k.shape[2]
     rep = H // Hkv

@@ -209,3 +209,28 @@ def test_multimodal_gemma3_rejected(tmp_path):
          "architectures": ["Gemma3ForConditionalGeneration"]}))
     with pytest.raises(ValueError, match="vision tower"):
         detect_architecture(str(d))
+
+
+def test_chunked_prefill_matches_dense_gemma():
+    """Gemma long-prefill (chunked online softmax with softcap and the
+    sliding-window band) == the dense-mask forward on gemma-2 (softcap +
+    alternating sliding layers) and gemma-3 (qk-norm, no softcap)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neural_compressor_tpu.models import llama as L
+    from neural_compressor_tpu.models.gemma import GemmaForCausalLM
+
+    rng = np.random.default_rng(13)
+    for preset in ("gemma2-test", "gemma3-test"):
+        ids = jnp.asarray(rng.integers(0, 256, (2, 40)))
+        m = GemmaForCausalLM.from_preset(preset)
+        ref = np.asarray(m(ids), np.float32)
+        old = L._DENSE_MASK_ELEMS
+        try:
+            L.set_dense_mask_limit(64)
+            got = np.asarray(m(ids), np.float32)
+        finally:
+            L.set_dense_mask_limit(old)
+        np.testing.assert_allclose(got, ref, atol=8e-2, rtol=8e-2,
+                                   err_msg=preset)
