@@ -75,6 +75,11 @@ def speculative_greedy_search(target, draft, input_ids,
 
     @functools.partial(jax.jit, static_argnames=("mnt", "kk"))
     def _spec_go(tstate, dstate, input_ids, tcaches, dcaches, mnt, kk):
+        # B/P come from the traced operand, NOT the enclosing call: the
+        # program is cached across calls (below), so a closure over the
+        # first call's prompt shape would replay stale shapes on the next
+        # (jit retraces per input shape and rebuilds these correctly).
+        B, P = input_ids.shape
         tapply, dapply = tbind(tstate), dbind(dstate)
         W = kk + 1
         # prefill both models on the prompt
@@ -179,8 +184,11 @@ def speculative_greedy_search(target, draft, input_ids,
                 accepted, hist)
 
     # program cache: without it every call recompiles (generate.py
-    # _cached_program docstring); validated on BOTH models' graphdefs
-    go = _cached_program(target, ("speculative", eos_token_id, id(draft)),
+    # _cached_program docstring); validated on BOTH models' graphdefs.
+    # The key deliberately omits the draft's identity: graphdef equality
+    # (tgd, dgd) already invalidates on a different/modified draft, and an
+    # id()-based key would accumulate one stale entry per transient draft.
+    go = _cached_program(target, ("speculative", eos_token_id),
                          (tgd, dgd), lambda: _spec_go)
     seq, rounds, accepted, hist = go(tstate, dstate, input_ids, tcaches,
                                      dcaches, max_new_tokens, k)

@@ -4,7 +4,31 @@ The north-star serving loop (BASELINE.json): a fixed pool of decode slots
 shares one jitted decode program; requests prefill into a free slot on
 arrival and retire independently at EOS/limit, so the batch stays full
 without global synchronization. The reference delegates serving to external
-stacks (vLLM/Gaudi); this is our native equivalent.
+stacks (vLLM/Gaudi — e.g. PatchedVLLMKVCache,
+neural_compressor/torch/algorithms/fp8_quant/_quant_common/
+helper_modules.py:1178); this is our native equivalent, so the request
+features vLLM supplies there are owned here:
+
+  * per-request SAMPLING (``do_sample``/``temperature``/``top_k``/
+    ``top_p``/``seed``) runs INSIDE the jitted decode/combined programs as
+    [B] arrays + per-slot PRNG keys, with the exact numerics of
+    :func:`~..generation.generate.sample` — a single engine request with a
+    given seed emits the same tokens as a B=1 ``sample()`` call. Greedy
+    dispatches keep using the argmax-only programs (zero overhead; the
+    sampling variant compiles only when a sampled request is active).
+  * per-request STOP conditions: ``max_new_tokens``, extra
+    ``stop_token_ids`` (included in the output, like EOS), and multi-token
+    ``stop_sequences`` (matched on the host against the generated tail and
+    trimmed from the output).
+  * STREAMING: ``stream=callback`` is invoked as ``callback(req, token)``
+    the moment each token is decided (a multi-token stop may stream up to
+    ``len(seq)-1`` tokens that are later trimmed — inherent to streaming).
+  * ADMISSION CONTROL + PREEMPTION (paged mode): requests are only
+    admitted to a slot when the page pool can hold their prompt, and when
+    a decode step would exhaust the pool the engine PREEMPTS the
+    latest-arrived slot (frees its pages, requeues the request) instead of
+    raising; a preempted request re-prefills prompt+generated on its next
+    turn and continues exactly (its PRNG key rides along in the Request).
 
 Design (TPU):
   * one KV cache of [n_slots, H, T, D] per layer; per-slot positions go to
@@ -42,10 +66,73 @@ class Request:
     uid: int
     prompt: np.ndarray            # [P] int32
     max_new_tokens: int = 64
+    # sampling (generation/generate.py sample() numerics; False -> greedy)
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: int | None = None
+    top_p: float | None = None
+    seed: int = 0
+    # stopping: extra per-request stop TOKENS (kept in the output, like
+    # EOS) and multi-token stop SEQUENCES (trimmed from the output)
+    stop_token_ids: tuple = ()
+    stop_sequences: tuple = ()
+    # streaming: called as stream(req, token) per decided token
+    stream: Callable | None = None
     # filled during serving
     generated: list = dataclasses.field(default_factory=list)
     done: bool = False
     prefill_pos: int = 0          # tokens already written to the cache
+    preemptions: int = 0
+    _key: np.ndarray | None = None  # PRNG state (uint32[2]), advances/token
+
+
+def _sample_step(logits, keys, temp, topk, topp, dos):
+    """Per-row sampling over a [B, V] logit block — the vectorized twin of
+    ``generation.generate.sample``'s ``pick`` (generate.py:138): identical
+    op sequence (temperature, top-k kth threshold, nucleus threshold on
+    the masked logits, categorical), so a B=1 engine request reproduces a
+    B=1 ``sample()`` run bit-for-bit given the same key sequence. Rows
+    with ``dos``=False take the argmax and leave their key untouched.
+    ``topk`` <= 0 and ``topp`` < 0 mean "disabled" (the masking threshold
+    collapses to -inf = identity, matching sample()'s skipped branch)."""
+    V = logits.shape[-1]
+    lg = logits.astype(jnp.float32) / jnp.maximum(temp, 1e-5)[:, None]
+    srt = jnp.sort(lg, axis=-1)[:, ::-1]
+    idx = jnp.clip(topk - 1, 0, V - 1)
+    kth_k = jnp.take_along_axis(srt, idx[:, None], axis=1)
+    kth_k = jnp.where((topk > 0)[:, None], kth_k, -jnp.inf)
+    lg = jnp.where(lg < kth_k, -jnp.inf, lg)
+    srt2 = jnp.sort(lg, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(srt2, axis=-1)
+    csum = jnp.cumsum(probs, axis=-1)
+    keep = csum - probs < topp[:, None]
+    kth_p = jnp.min(jnp.where(keep, srt2, jnp.inf), axis=-1, keepdims=True)
+    kth_p = jnp.where((topp >= 0)[:, None], kth_p, -jnp.inf)
+    lg = jnp.where(lg < kth_p, -jnp.inf, lg)
+    spl = jax.vmap(jax.random.split)(keys)        # [B, 2, 2]
+    nk, sub = spl[:, 0], spl[:, 1]
+    # row-wise [1, V] categorical == sample()'s batch call at B=1
+    drawn = jax.vmap(
+        lambda kk, l: jax.random.categorical(kk, l[None, :], axis=-1)[0]
+    )(sub, lg)
+    nxt = jnp.where(dos, drawn, jnp.argmax(logits, axis=-1)).astype(
+        jnp.int32)
+    keys = jnp.where(dos[:, None], nk, keys)
+    return nxt, keys
+
+
+def _next_token_fn(sampling: bool):
+    """The decode-loop next-token step: argmax (the measured fast path)
+    or the in-program sampler. Uniform signature so every engine program
+    threads (keys, samp-params) whether or not it uses them — XLA
+    dead-code-eliminates the unused operands in the greedy variant."""
+    if sampling:
+        return _sample_step
+
+    def greedy(logits, keys, temp, topk, topp, dos):
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), keys
+
+    return greedy
 
 
 class ContinuousBatchingEngine:
@@ -139,21 +226,45 @@ class ContinuousBatchingEngine:
         self.slot_state = ["idle"] * n_slots  # idle | prefill | decode
         self.slot_pos = np.zeros((n_slots,), np.int32)   # next write index
         self.slot_tok = np.zeros((n_slots,), np.int32)   # last token
+        # per-slot sampling params/PRNG state (mirrors the owning Request)
+        self.slot_samp = np.zeros((n_slots,), bool)
+        self.slot_temp = np.ones((n_slots,), np.float32)
+        self.slot_topk = np.zeros((n_slots,), np.int32)
+        self.slot_topp = -np.ones((n_slots,), np.float32)
+        self.slot_keys = np.zeros((n_slots, 2), np.uint32)
         self.queue: list[Request] = []
         self._jit_cache: dict = {}
         # observability counters (metrics()/print_metrics())
         self.stats = {"wall_s": 0.0, "requests": 0, "prompt_tokens": 0,
                       "generated_tokens": 0, "prefill_chunk_dispatches": 0,
-                      "decode_dispatches": 0, "combined_dispatches": 0}
+                      "decode_dispatches": 0, "combined_dispatches": 0,
+                      "preemptions": 0}
 
     # ------------------------------------------------------------------ api
-    def submit(self, prompt_ids, max_new_tokens: int = 64) -> Request:
+    def submit(self, prompt_ids, max_new_tokens: int = 64,
+               do_sample: bool = False, temperature: float = 1.0,
+               top_k: int | None = None, top_p: float | None = None,
+               seed: int = 0, stop_token_ids=(), stop_sequences=(),
+               stream: Callable | None = None) -> Request:
+        """Queue a request. Sampling knobs match
+        :func:`~..generation.generate.sample`; ``stop_token_ids`` are
+        additional per-request EOS-like tokens (kept in the output);
+        ``stop_sequences`` are token-id tuples trimmed from the output on
+        match; ``stream(req, tok)`` fires per decided token."""
         prompt = np.asarray(prompt_ids, np.int32)
         assert prompt.ndim == 1, "submit() takes a single unbatched prompt"
         assert len(prompt) + max_new_tokens <= self.max_len, (
             f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
             f"exceeds max_len ({self.max_len})")
-        req = Request(next(self._uid), prompt, max_new_tokens)
+        req = Request(next(self._uid), prompt, max_new_tokens,
+                      do_sample=do_sample, temperature=float(temperature),
+                      top_k=top_k, top_p=top_p, seed=seed,
+                      stop_token_ids=tuple(int(t) for t in stop_token_ids),
+                      stop_sequences=tuple(
+                          tuple(int(t) for t in s) for s in stop_sequences),
+                      stream=stream)
+        if do_sample:
+            req._key = np.asarray(jax.random.PRNGKey(seed), np.uint32)
         self.queue.append(req)
         self.stats["requests"] += 1
         self.stats["prompt_tokens"] += len(prompt)
@@ -163,8 +274,8 @@ class ContinuousBatchingEngine:
             chunk: int = 8) -> list[Request]:
         """Serve until queue and slots drain. ``chunk`` decode steps run
         per device dispatch (amortizes host/link round-trips; slots that
-        hit EOS mid-chunk are truncated on the host). Returns finished
-        requests."""
+        hit EOS/stop mid-chunk are truncated on the host). Returns
+        finished requests."""
         import time as _time
 
         t0 = _time.time()
@@ -173,6 +284,15 @@ class ContinuousBatchingEngine:
             self._fill_slots()
             if all(s == "idle" for s in self.slot_state) and not self.queue:
                 break
+            if self.paged:
+                # allocate this iteration's decode pages up front —
+                # preemption (not RuntimeError) resolves pool pressure,
+                # and it must happen BEFORE the decode set is captured
+                for slot in range(self.n_slots):
+                    if self.slot_state[slot] == "decode":
+                        self._ensure_pages(
+                            slot, min(int(self.slot_pos[slot]) + chunk,
+                                      self.max_len - 1))
             decoding = [s for s in range(self.n_slots)
                         if self.slot_state[s] == "decode"]
             if decoding:
@@ -183,28 +303,36 @@ class ContinuousBatchingEngine:
                 if work is None:
                     self.step_many(chunk)
                 else:
-                    active, args, ends = work
+                    active, args, ends, psamp = work
+                    # combined iterations also count toward the prefill/
+                    # decode splits (they subsume one of each)
                     self.stats["combined_dispatches"] += 1
+                    self.stats["prefill_chunk_dispatches"] += 1
+                    self.stats["decode_dispatches"] += 1
                     toks = jnp.asarray(self.slot_tok)
                     pos = jnp.asarray(self._decode_positions())
+                    dsamp = self._decode_samp_args()
+                    sampling = bool(np.any(psamp[4])) or bool(
+                        self.slot_samp[decoding].any())
+                    pdev = tuple(jnp.asarray(a) for a in psamp)
                     if self.paged:
-                        for slot in decoding:
-                            self._ensure_pages(
-                                slot, min(int(self.slot_pos[slot]) + chunk,
-                                          self.max_len - 1))
                         fn = self._combined_paged_fn(args[0].shape[0],
-                                                     chunk)
-                        self.pools, self.staging, nxt, out = fn(
+                                                     chunk, sampling)
+                        (self.pools, self.staging, nxt, out, pkeys,
+                         dkeys) = fn(
                             self._state, self.pools, self.staging,
                             jnp.asarray(self.block_tables), *args, toks,
-                            pos)
+                            pos, *pdev, *dsamp)
                     else:
-                        fn = self._combined_fn(args[0].shape[0], chunk)
-                        self.caches, nxt, out = fn(self._state,
-                                                   self.caches, *args,
-                                                   toks, pos)
-                    self._apply_prefill(active, ends, np.asarray(nxt))
-                    self._apply_decode(np.asarray(out), decoding, chunk)
+                        fn = self._combined_fn(args[0].shape[0], chunk,
+                                               sampling)
+                        self.caches, nxt, out, pkeys, dkeys = fn(
+                            self._state, self.caches, *args, toks, pos,
+                            *pdev, *dsamp)
+                    self._apply_decode(np.asarray(out), decoding, chunk,
+                                       np.asarray(dkeys))
+                    self._apply_prefill(active, ends, np.asarray(nxt),
+                                        np.asarray(pkeys))
             else:
                 self._advance_prefill()
             finished.extend(self._collect())
@@ -214,11 +342,14 @@ class ContinuousBatchingEngine:
     def metrics(self) -> dict:
         """Serving observability (reference-style Statistics surface):
         cumulative prompt/generated token counts (in-flight requests
-        included), request count, engine dispatch split, and end-to-end
-        generation throughput over ``run()`` wall time. NOTE wall_s
-        includes jit compiles on a cold engine and prefill time —
-        ``generated_tok_s`` is an END-TO-END number, not a pure
-        steady-state decode rate."""
+        included), request count, engine dispatch split, preemption
+        count, and end-to-end generation throughput over ``run()`` wall
+        time. A combined prefill+decode iteration increments
+        ``combined_dispatches`` AND both split counters (it subsumes one
+        of each), so total device dispatches = prefill + decode -
+        combined. NOTE wall_s includes jit compiles on a cold engine and
+        prefill time — ``generated_tok_s`` is an END-TO-END number, not a
+        pure steady-state decode rate."""
         s = dict(self.stats)
         s["generated_tok_s"] = (s["generated_tokens"] / s["wall_s"]
                                 if s["wall_s"] > 0 else 0.0)
@@ -234,18 +365,29 @@ class ContinuousBatchingEngine:
                    field_names=["Metric", "Value"]).print_stat()
 
     # ------------------------------------------------------------- internals
-    def _prefill_batch_fn(self, n: int):
+    def _decode_samp_args(self):
+        """Device-side per-slot sampling operands for a decode dispatch."""
+        return (jnp.asarray(self.slot_keys), jnp.asarray(self.slot_temp),
+                jnp.asarray(self.slot_topk), jnp.asarray(self.slot_topp),
+                jnp.asarray(self.slot_samp))
+
+    def _prefill_batch_fn(self, n: int, sampling: bool):
         """One jitted chunk program over ``n`` concurrently-prefilling
         rows (padded to a power of two so the compile count stays
         O(log n_slots)): gather the rows' cache slices, run the chunk for
-        all of them in one dispatch, scatter back."""
-        key = ("prefill_batch", n)
+        all of them in one dispatch, scatter back. The completion token
+        comes from ``_next_token_fn`` — argmax, or the in-program sampler
+        for rows finishing a sampled request (non-final chunks pass
+        dos=False so the request key only advances on EMITTED tokens)."""
+        key = ("prefill_batch", n, sampling)
         if key not in self._jit_cache:
             graphdef = self._graphdef
             C = self.prefill_chunk
+            nxt_fn = _next_token_fn(sampling)
 
             @functools.partial(jax.jit, donate_argnums=(1,))
-            def prefill(state, caches, ids, rows, starts, last_idx):
+            def prefill(state, caches, ids, rows, starts, last_idx,
+                        keys, temp, topk, topp, dos):
                 m = nnx.merge(graphdef, state)
                 _s4_prepare(m)
                 positions = starts[:, None] + jnp.arange(C)[None, :]
@@ -254,17 +396,27 @@ class ContinuousBatchingEngine:
                                 cache_pos=starts)
                 caches = jax.tree.map(lambda c, s: c.at[rows].set(s),
                                       caches, sub)
-                nxt = jnp.argmax(logits[jnp.arange(n), last_idx], axis=-1)
-                return caches, nxt
+                nxt, keys = nxt_fn(logits[jnp.arange(n), last_idx],
+                                   keys, temp, topk, topp, dos)
+                return caches, nxt, keys
 
             self._jit_cache[key] = prefill
         return self._jit_cache[key]
 
+    @staticmethod
+    def _prompt_of(req: Request) -> np.ndarray:
+        """The token stream a (re-)prefill must write: the prompt plus any
+        tokens already generated before a preemption."""
+        if req.generated:
+            return np.concatenate(
+                [req.prompt, np.asarray(req.generated, np.int32)])
+        return req.prompt
+
     def _gather_prefill(self):
         """Collect this iteration's prefill work: (active [(slot, row)],
-        padded device args, per-slot chunk ends) or None when no slot is
-        prefilling. Paged mode binds each prefilling slot to one of
-        ``prefill_streams`` staging rows for its duration."""
+        padded device args, per-slot chunk ends, sampling arrays) or None
+        when no slot is prefilling. Paged mode binds each prefilling slot
+        to one of ``prefill_streams`` staging rows for its duration."""
         active: list[tuple[int, int]] = []  # (slot, target row)
         for slot in range(self.n_slots):
             req = self.slot_req[slot]
@@ -289,13 +441,27 @@ class ContinuousBatchingEngine:
         rows = np.zeros((Sp,), np.int32)
         starts = np.zeros((Sp,), np.int32)
         last = np.zeros((Sp,), np.int32)
+        keys = np.zeros((Sp, 2), np.uint32)
+        temp = np.ones((Sp,), np.float32)
+        topk = np.zeros((Sp,), np.int32)
+        topp = -np.ones((Sp,), np.float32)
+        dos = np.zeros((Sp,), bool)
         ends = []
         for i, (slot, row) in enumerate(active):
             req = self.slot_req[slot]
+            src = self._prompt_of(req)
             start = req.prefill_pos
-            end = min(start + C, len(req.prompt))
-            ids[i, : end - start] = req.prompt[start:end]
+            end = min(start + C, len(src))
+            ids[i, : end - start] = src[start:end]
             rows[i], starts[i], last[i] = row, start, end - start - 1
+            # only the FINAL chunk emits a token — sample (and advance
+            # the key) there alone
+            if req.do_sample and end == len(src):
+                keys[i] = req._key
+                temp[i] = req.temperature
+                topk[i] = req.top_k or 0
+                topp[i] = -1.0 if req.top_p is None else req.top_p
+                dos[i] = True
             ends.append(end)
         for i in range(S, Sp):
             # pad with duplicates of row 0: the scatter re-writes the same
@@ -304,7 +470,7 @@ class ContinuousBatchingEngine:
                                                    starts[0], last[0])
         args = (jnp.asarray(ids), jnp.asarray(rows), jnp.asarray(starts),
                 jnp.asarray(last))
-        return active, args, ends
+        return active, args, ends, (keys, temp, topk, topp, dos)
 
     def _advance_prefill(self):
         """Run ONE batched prefill chunk across every prefilling slot —
@@ -314,56 +480,95 @@ class ContinuousBatchingEngine:
         work = self._gather_prefill()
         if work is None:
             return
-        active, args, ends = work
-        prefill = self._prefill_batch_fn(args[0].shape[0])
+        active, args, ends, samp = work
+        sampling = bool(np.any(samp[4]))
+        prefill = self._prefill_batch_fn(args[0].shape[0], sampling)
         self.stats["prefill_chunk_dispatches"] += 1
         target = self.staging if self.paged else self.caches
-        target, nxt = prefill(self._state, target, *args)
+        target, nxt, keys = prefill(
+            self._state, target, *args,
+            *(jnp.asarray(a) for a in samp))
         if self.paged:
             self.staging = target
         else:
             self.caches = target
-        self._apply_prefill(active, ends, np.asarray(nxt))
+        self._apply_prefill(active, ends, np.asarray(nxt),
+                            np.asarray(keys))
 
-    def _apply_prefill(self, active, ends, nxt):
+    def _apply_prefill(self, active, ends, nxt, keys=None):
         for i, (slot, row) in enumerate(active):
             req = self.slot_req[slot]
             req.prefill_pos = ends[i]
-            if ends[i] < len(req.prompt):
+            src_len = len(self._prompt_of(req))
+            if ends[i] < src_len:
                 continue
-            P = len(req.prompt)
+            P = src_len
             if self.paged:
                 self._commit_staging(slot, P, row)
                 self._free_staging.append(self._staging_of.pop(slot))
-            tok = int(nxt[i])
-            req.generated.append(tok)
-            self.stats["generated_tokens"] += 1
+            if req.do_sample and keys is not None:
+                req._key = keys[i].copy()
             self.slot_state[slot] = "decode"
-            self.slot_pos[slot] = P
+            self.slot_pos[slot] = P  # first decode step writes KV row P
+            self._load_slot_samp(slot, req)
+            tok = int(nxt[i])
             self.slot_tok[slot] = tok
-            if ((self.eos_token_id is not None
-                    and tok == self.eos_token_id)
-                    or len(req.generated) >= req.max_new_tokens):
-                req.done = True  # the prefill token already fulfilled it
+            self._append_token(req, slot, tok)
             logger.debug("slot %d prefilled request %d (P=%d)",
                          slot, req.uid, P)
 
+    def _load_slot_samp(self, slot: int, req: Request) -> None:
+        self.slot_samp[slot] = req.do_sample
+        self.slot_temp[slot] = req.temperature
+        self.slot_topk[slot] = req.top_k or 0
+        self.slot_topp[slot] = -1.0 if req.top_p is None else req.top_p
+        if req._key is not None:
+            self.slot_keys[slot] = req._key
+
     # -------------------------------------------------------- paged helpers
-    def _alloc_page(self, slot: int, page_idx: int) -> None:
+    def _alloc_page(self, slot: int, page_idx: int) -> bool:
         if not self.free_pages:
-            raise RuntimeError(
-                f"paged KV pool exhausted ({self.n_pages} pages, "
-                f"{sum(len(p) for p in self.slot_pages)} in use) — size "
-                "n_pages for the worst-case concurrent length or submit "
-                "fewer/shorter requests")
+            return False
         pid = self.free_pages.pop()
         self.slot_pages[slot].append(pid)
         self.block_tables[slot, page_idx] = pid
+        return True
+
+    def _preempt_victim(self, protect: int | None) -> bool:
+        """Free pool pressure by preempting the latest-arrived decoding
+        slot (vLLM's recompute-preemption policy): its pages are freed and
+        the request is requeued at the FRONT to re-prefill
+        prompt+generated on its next turn — exact resumption (greedy is
+        deterministic; a sampled request's PRNG key rides in ``_key``)."""
+        victims = [s for s in range(self.n_slots)
+                   if s != protect and self.slot_state[s] == "decode"
+                   and self.slot_req[s] is not None]
+        if not victims:
+            return False
+        victim = max(victims, key=lambda s: self.slot_req[s].uid)
+        req = self.slot_req[victim]
+        req.prefill_pos = 0
+        req.preemptions += 1
+        self.stats["preemptions"] += 1
+        self.queue.insert(0, req)
+        self.slot_req[victim] = None
+        self.slot_state[victim] = "idle"
+        self.slot_samp[victim] = False
+        logger.info("preempted slot %d (request %d, %d generated) to free "
+                    "%d pages", victim, req.uid, len(req.generated),
+                    len(self.slot_pages[victim]))
+        self._free_slot_pages(victim)
+        return True
 
     def _ensure_pages(self, slot: int, upto_pos: int) -> None:
         need = min(upto_pos // self.page_size + 1, self.pmax)
         while len(self.slot_pages[slot]) < need:
-            self._alloc_page(slot, len(self.slot_pages[slot]))
+            if not self._alloc_page(slot, len(self.slot_pages[slot])):
+                if not self._preempt_victim(protect=slot):
+                    raise RuntimeError(
+                        f"paged KV pool exhausted ({self.n_pages} pages) "
+                        "with no preemptable slot — the pool cannot hold "
+                        "even the remaining request; raise n_pages")
 
     def _free_slot_pages(self, slot: int) -> None:
         self.free_pages.extend(reversed(self.slot_pages[slot]))
@@ -445,43 +650,52 @@ class ContinuousBatchingEngine:
 
     def _commit_staging(self, slot: int, length: int, row: int) -> None:
         """Allocate pages for a freshly-prefilled slot and copy its staged
-        rows (staging row ``row``) into them."""
+        rows (staging row ``row``) into them; pool pressure preempts a
+        decoding victim rather than raising."""
         copy = self._stage_copy_fn()
         n_pages = (length + self.page_size - 1) // self.page_size
         for p in range(n_pages):
-            self._alloc_page(slot, p)
+            while not self._alloc_page(slot, p):
+                if not self._preempt_victim(protect=slot):
+                    raise RuntimeError(
+                        f"paged KV pool exhausted ({self.n_pages} pages) "
+                        "committing a prefilled prompt with no "
+                        "preemptable slot; raise n_pages")
             self.pools = copy(self.pools, self.staging, row,
                               self.slot_pages[slot][-1], p * self.page_size)
 
-    def _paged_decode_fn(self, k: int):
-        key = ("paged_decode", k)
+    def _paged_decode_fn(self, k: int, sampling: bool):
+        key = ("paged_decode", k, sampling)
         if key not in self._jit_cache:
             graphdef = self._graphdef
+            nxt_fn = _next_token_fn(sampling)
 
             @functools.partial(jax.jit, donate_argnums=(1,))
-            def decode_many(state, pools, bt, toks, pos):
+            def decode_many(state, pools, bt, toks, pos,
+                            keys, temp, topk, topp, dos):
                 m = nnx.merge(graphdef, state)
                 _s4_prepare(m)
                 pools = [p._replace(block_tables=bt) for p in pools]
 
                 def body(i, carry):
-                    toks, pos, pools, out = carry
+                    toks, pos, pools, out, keys = carry
                     logits, pools = m(toks[:, None], positions=pos[:, None],
                                       caches=pools, cache_pos=pos)
-                    nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+                    nxt, keys = nxt_fn(logits[:, 0], keys, temp, topk,
+                                       topp, dos)
                     out = jax.lax.dynamic_update_slice(
                         out, nxt[:, None], (0, i))
-                    return nxt, pos + 1, pools, out
+                    return nxt, pos + 1, pools, out, keys
 
                 out0 = jnp.zeros((toks.shape[0], k), jnp.int32)
-                _t, _p, pools, out = jax.lax.fori_loop(
-                    0, k, body, (toks, pos, pools, out0))
-                return pools, out
+                _t, _p, pools, out, keys = jax.lax.fori_loop(
+                    0, k, body, (toks, pos, pools, out0, keys))
+                return pools, out, keys
 
             self._jit_cache[key] = decode_many
         return self._jit_cache[key]
 
-    def _combined_fn(self, n: int, k: int):
+    def _combined_fn(self, n: int, k: int, sampling: bool):
         """ONE jitted program = one prefill chunk over ``n`` rows + ``k``
         decode steps for every active slot (contiguous mode). Halves the
         per-iteration dispatch count — over the tunnel each dispatch
@@ -490,14 +704,16 @@ class ContinuousBatchingEngine:
         prefill writes and the decode slots' rows are disjoint, so the
         in-program order (prefill, then decode) is safe; slots finishing
         prefill this iteration start decoding next iteration."""
-        key = ("combined", n, k)
+        key = ("combined", n, k, sampling)
         if key not in self._jit_cache:
             graphdef = self._graphdef
             C = self.prefill_chunk
+            nxt_fn = _next_token_fn(sampling)
 
             @functools.partial(jax.jit, donate_argnums=(1,))
             def combined(state, caches, ids, rows, starts, last_idx,
-                         toks, pos):
+                         toks, pos, pkeys, ptemp, ptopk, ptopp, pdos,
+                         dkeys, dtemp, dtopk, dtopp, ddos):
                 m = nnx.merge(graphdef, state)
                 _s4_prepare(m)
                 positions = starts[:, None] + jnp.arange(C)[None, :]
@@ -506,39 +722,44 @@ class ContinuousBatchingEngine:
                                 cache_pos=starts)
                 caches = jax.tree.map(lambda c, s: c.at[rows].set(s),
                                       caches, sub)
-                nxt = jnp.argmax(logits[jnp.arange(n), last_idx], axis=-1)
+                nxt, pkeys = nxt_fn(logits[jnp.arange(n), last_idx],
+                                    pkeys, ptemp, ptopk, ptopp, pdos)
 
                 def body(i, carry):
-                    toks, pos, caches, out = carry
+                    toks, pos, caches, out, dkeys = carry
                     lg, caches = m(toks[:, None], positions=pos[:, None],
                                    caches=caches, cache_pos=pos)
-                    nx = jnp.argmax(lg[:, 0], -1).astype(jnp.int32)
+                    nx, dkeys = nxt_fn(lg[:, 0], dkeys, dtemp, dtopk,
+                                       dtopp, ddos)
                     out = jax.lax.dynamic_update_slice(
                         out, nx[:, None], (0, i))
-                    return nx, pos + 1, caches, out
+                    return nx, pos + 1, caches, out, dkeys
 
                 out0 = jnp.zeros((toks.shape[0], k), jnp.int32)
-                _t, _p, caches, out = jax.lax.fori_loop(
-                    0, k, body, (toks, pos, caches, out0))
-                return caches, nxt, out
+                _t, _p, caches, out, dkeys = jax.lax.fori_loop(
+                    0, k, body, (toks, pos, caches, out0, dkeys))
+                return caches, nxt, out, pkeys, dkeys
 
             self._jit_cache[key] = combined
         return self._jit_cache[key]
 
-    def _combined_paged_fn(self, n: int, k: int):
+    def _combined_paged_fn(self, n: int, k: int, sampling: bool):
         """Paged-mode combined iteration: one prefill chunk over ``n``
         staging rows + ``k`` decode steps over the page pools in ONE
         jitted program. The prefill writes the (contiguous) staging
         cache and the decode writes the pools — disjoint buffers, so
         the in-program order is safe, mirroring ``_combined_fn``."""
-        key = ("combined_paged", n, k)
+        key = ("combined_paged", n, k, sampling)
         if key not in self._jit_cache:
             graphdef = self._graphdef
             C = self.prefill_chunk
+            nxt_fn = _next_token_fn(sampling)
 
             @functools.partial(jax.jit, donate_argnums=(1, 2))
             def combined(state, pools, staging, bt, ids, rows, starts,
-                         last_idx, toks, pos):
+                         last_idx, toks, pos,
+                         pkeys, ptemp, ptopk, ptopp, pdos,
+                         dkeys, dtemp, dtopk, dtopp, ddos):
                 m = nnx.merge(graphdef, state)
                 _s4_prepare(m)
                 positions = starts[:, None] + jnp.arange(C)[None, :]
@@ -547,50 +768,55 @@ class ContinuousBatchingEngine:
                                 cache_pos=starts)
                 staging = jax.tree.map(lambda c, s: c.at[rows].set(s),
                                        staging, sub)
-                nxt = jnp.argmax(logits[jnp.arange(n), last_idx], axis=-1)
+                nxt, pkeys = nxt_fn(logits[jnp.arange(n), last_idx],
+                                    pkeys, ptemp, ptopk, ptopp, pdos)
                 pools = [p._replace(block_tables=bt) for p in pools]
 
                 def body(i, carry):
-                    toks, pos, pools, out = carry
+                    toks, pos, pools, out, dkeys = carry
                     lg, pools = m(toks[:, None], positions=pos[:, None],
                                   caches=pools, cache_pos=pos)
-                    nx = jnp.argmax(lg[:, 0], -1).astype(jnp.int32)
+                    nx, dkeys = nxt_fn(lg[:, 0], dkeys, dtemp, dtopk,
+                                       dtopp, ddos)
                     out = jax.lax.dynamic_update_slice(
                         out, nx[:, None], (0, i))
-                    return nx, pos + 1, pools, out
+                    return nx, pos + 1, pools, out, dkeys
 
                 out0 = jnp.zeros((toks.shape[0], k), jnp.int32)
-                _t, _p, pools, out = jax.lax.fori_loop(
-                    0, k, body, (toks, pos, pools, out0))
-                return pools, staging, nxt, out
+                _t, _p, pools, out, dkeys = jax.lax.fori_loop(
+                    0, k, body, (toks, pos, pools, out0, dkeys))
+                return pools, staging, nxt, out, pkeys, dkeys
 
             self._jit_cache[key] = combined
         return self._jit_cache[key]
 
-    def _decode_many_fn(self, k: int):
-        key = ("decode_many", k)
+    def _decode_many_fn(self, k: int, sampling: bool):
+        key = ("decode_many", k, sampling)
         if key not in self._jit_cache:
             graphdef = self._graphdef
+            nxt_fn = _next_token_fn(sampling)
 
             @functools.partial(jax.jit, donate_argnums=(1,))
-            def decode_many(state, caches, toks, pos):
+            def decode_many(state, caches, toks, pos,
+                            keys, temp, topk, topp, dos):
                 m = nnx.merge(graphdef, state)
                 _s4_prepare(m)
 
                 def body(i, carry):
-                    toks, pos, caches, out = carry
+                    toks, pos, caches, out, keys = carry
                     logits, caches = m(toks[:, None],
                                        positions=pos[:, None],
                                        caches=caches, cache_pos=pos)
-                    nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+                    nxt, keys = nxt_fn(logits[:, 0], keys, temp, topk,
+                                       topp, dos)
                     out = jax.lax.dynamic_update_slice(
                         out, nxt[:, None], (0, i))
-                    return nxt, pos + 1, caches, out
+                    return nxt, pos + 1, caches, out, keys
 
                 out0 = jnp.zeros((toks.shape[0], k), jnp.int32)
-                _t, _p, caches, out = jax.lax.fori_loop(
-                    0, k, body, (toks, pos, caches, out0))
-                return caches, out
+                _t, _p, caches, out, keys = jax.lax.fori_loop(
+                    0, k, body, (toks, pos, caches, out0, keys))
+                return caches, out, keys
 
             self._jit_cache[key] = decode_many
         return self._jit_cache[key]
@@ -599,7 +825,21 @@ class ContinuousBatchingEngine:
         for slot in range(self.n_slots):
             if self.slot_req[slot] is not None or not self.queue:
                 continue
-            req = self.queue.pop(0)
+            req = self.queue[0]
+            if self.paged:
+                # admission control: only admit when the pool can hold
+                # the (resumed) prompt plus one decode page; otherwise
+                # wait for retirements instead of thrashing preemption
+                need = len(self._prompt_of(req)) // self.page_size + 2
+                if len(self.free_pages) < min(need, self.pmax):
+                    if all(r is None for r in self.slot_req):
+                        raise RuntimeError(
+                            f"request {req.uid} needs ~{need} pages but "
+                            f"the idle pool has {len(self.free_pages)} "
+                            f"free of {self.n_pages} — the pool cannot "
+                            "hold this request at all; raise n_pages")
+                    break
+            self.queue.pop(0)
             self.slot_req[slot] = req
             self.slot_state[slot] = "prefill"
             req.prefill_pos = 0
@@ -622,28 +862,57 @@ class ContinuousBatchingEngine:
     def step_many(self, k: int = 8):
         """Decode ``k`` tokens for every active slot in one dispatch."""
         k = max(int(k), 1)
-        self.stats["decode_dispatches"] += 1
-        toks = jnp.asarray(self.slot_tok)
-        pos = jnp.asarray(self._decode_positions())
         if self.paged:
+            # page allocation (and any preemption) BEFORE the decode set
+            # and operand snapshot are taken
             for slot in range(self.n_slots):
                 if self.slot_state[slot] == "decode":
                     self._ensure_pages(
                         slot, min(int(self.slot_pos[slot]) + k,
                                   self.max_len - 1))
-            decode_many = self._paged_decode_fn(k)
-            self.pools, out = decode_many(
-                self._state, self.pools, jnp.asarray(self.block_tables),
-                toks, pos)
-        else:
-            decode_many = self._decode_many_fn(k)
-            self.caches, out = decode_many(self._state, self.caches, toks,
-                                           pos)
+        self.stats["decode_dispatches"] += 1
         dec = [s for s in range(self.n_slots)
                if self.slot_state[s] == "decode"]
-        self._apply_decode(np.asarray(out), dec, k)
+        toks = jnp.asarray(self.slot_tok)
+        pos = jnp.asarray(self._decode_positions())
+        sampling = bool(self.slot_samp[dec].any()) if dec else False
+        samp = self._decode_samp_args()
+        if self.paged:
+            decode_many = self._paged_decode_fn(k, sampling)
+            self.pools, out, keys = decode_many(
+                self._state, self.pools, jnp.asarray(self.block_tables),
+                toks, pos, *samp)
+        else:
+            decode_many = self._decode_many_fn(k, sampling)
+            self.caches, out, keys = decode_many(
+                self._state, self.caches, toks, pos, *samp)
+        self._apply_decode(np.asarray(out), dec, k, np.asarray(keys))
 
-    def _apply_decode(self, out, dec_slots, k: int):
+    def _append_token(self, req: Request, slot: int, tok: int) -> None:
+        """Append one decided token to ``req`` with the full stop
+        treatment: counters, streaming callback, EOS / per-request stop
+        tokens (kept in the output), multi-token stop sequences (trimmed
+        from the output), max_new_tokens, and cache-capacity stop."""
+        req.generated.append(tok)
+        self.stats["generated_tokens"] += 1
+        if req.stream is not None:
+            req.stream(req, tok)
+        if ((self.eos_token_id is not None and tok == self.eos_token_id)
+                or tok in req.stop_token_ids):
+            req.done = True
+        for seq in req.stop_sequences:
+            L = len(seq)
+            if L and len(req.generated) >= L and \
+                    tuple(req.generated[-L:]) == seq:
+                del req.generated[-L:]
+                self.stats["generated_tokens"] -= L
+                req.done = True
+                break
+        if (len(req.generated) >= req.max_new_tokens
+                or self.slot_pos[slot] >= self.max_len - 1):
+            req.done = True
+
+    def _apply_decode(self, out, dec_slots, k: int, keys=None):
         """Host bookkeeping for one [n_slots, k] decode result, applied
         only to ``dec_slots`` (the slots that were decoding when the
         dispatch was issued — state may have moved since)."""
@@ -656,14 +925,14 @@ class ContinuousBatchingEngine:
                     break
                 self.slot_pos[slot] += 1
                 tok = int(out[slot, j])
-                req.generated.append(tok)
-                self.stats["generated_tokens"] += 1
                 self.slot_tok[slot] = tok
-                if ((self.eos_token_id is not None
-                     and tok == self.eos_token_id)
-                        or len(req.generated) >= req.max_new_tokens
-                        or self.slot_pos[slot] >= self.max_len - 1):
-                    req.done = True
+                self._append_token(req, slot, tok)
+            if req.do_sample and keys is not None:
+                # device key advanced once per decode step; an active
+                # request consumed every step, so this is its post-last-
+                # token state (done rows never use the key again)
+                req._key = keys[slot].copy()
+                self.slot_keys[slot] = keys[slot]
 
     def _collect(self):
         done = []
@@ -672,6 +941,7 @@ class ContinuousBatchingEngine:
                 done.append(req)
                 self.slot_req[slot] = None
                 self.slot_state[slot] = "idle"
+                self.slot_samp[slot] = False
                 if self.paged:
                     self._free_slot_pages(slot)
         return done

@@ -166,6 +166,22 @@ def test_speculative_quantized_target(llama, ids):
     assert bool(jnp.all(out == ref))
 
 
+def test_speculative_shape_change_retraces(llama, ids):
+    """Regression (round-5 advisor): the cached speculative program closed
+    over the FIRST call's (B, P); a second call with a different prompt
+    length or batch replayed the stale closure and crashed with a shape
+    mismatch. Shapes must now come from the traced operand."""
+    draft = LlamaForCausalLM.from_preset("llama-test", seed=7)
+    out1 = speculative_greedy_search(llama, draft, ids, max_new_tokens=6,
+                                     k=2)
+    assert bool(jnp.all(out1 == greedy_search(llama, ids, max_new_tokens=6)))
+    ids2 = ids[:1, :5]  # different B AND P through the same cached program
+    out2 = speculative_greedy_search(llama, draft, ids2, max_new_tokens=6,
+                                     k=2)
+    ref2 = greedy_search(llama, ids2, max_new_tokens=6)
+    assert bool(jnp.all(out2 == ref2))
+
+
 def test_speculative_rejects_short_max_len(llama, ids):
     """Regression: a max_len without the k+1 window margin used to clamp
     KV writes onto live rows; now it raises."""
