@@ -89,6 +89,72 @@ def measure_decode(model, batch=1, max_len=256, steps=64, label="",
     return tok_s
 
 
+def stream_floor_pct(model, tok_s: float, batch: int, steps: int) -> float:
+    """% of the measured per-step HBM-stream floor the decode attains.
+
+    The floor is bytes-moved-per-step / the chip's MEASURED per-kernel
+    marginal stream rate (760 GB/s at projection sizes — ring-buffer DMA
+    probe, PERF_NOTES "kernel-launch fixed cost"; the 954 GB/s XLA figure
+    needs GiB-scale buffers and is NOT attainable by per-projection
+    streams). Bytes = every parameter buffer read each step (packed
+    weights + scales + norms + quantized lm_head; the embedding table is
+    a gather and excluded) + the growing KV-cache read at its run
+    average. This replaces BASELINE.json's provisional 90%-of-954
+    north-star, which round-4 probe data refuted (see BASELINE.md)."""
+    state = nnx.state(model)
+    total = sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                for x in jax.tree.leaves(state)
+                if hasattr(x, "shape") and hasattr(x, "dtype"))
+    ev = model.model.embed_tokens.embedding
+    earr = ev.get_value() if hasattr(ev, "get_value") else ev.value
+    total -= int(np.prod(earr.shape)) * earr.dtype.itemsize
+    cfg = model.cfg
+    kv = (batch * cfg.num_hidden_layers * 2 * cfg.num_key_value_heads
+          * (cfg.hidden_size // cfg.num_attention_heads) * (steps / 2) * 2)
+    floor_s = (total + kv) / 760e9
+    step_s = batch / tok_s
+    return round(100.0 * floor_s / step_s, 1)
+
+
+def measure_ngram_speculative(model, steps: int = 128):
+    """Draft-free prompt-lookup speculation vs plain greedy at B=1 on a
+    repetitive workload (the model's own greedy cycle — random-weight
+    LLMs decay into short loops, standing in for the copy-heavy
+    summarization/code-edit prompts PLD targets in production). Both
+    paths run through the PUBLIC generation APIs (cached programs)."""
+    from neural_compressor_tpu.generation import (
+        greedy_search, ngram_speculative_greedy_search)
+
+    seed = jnp.asarray(np.arange(16, dtype=np.int32)[None, :] % 256)
+    warm = greedy_search(model, seed, max_new_tokens=192, max_len=512)
+    prompt = warm[:, -128:]
+
+    def timed(fn, label):
+        out = fn(64)  # compile/warm at a second shape
+        _ = np.asarray(out)[0, -1]
+        t0 = time.time()
+        out = fn(steps)
+        _ = np.asarray(out)[0, -1]
+        dt = time.time() - t0
+        print(f"  [ngram-bench] {label}: {steps / dt:.1f} tok/s",
+              file=sys.stderr)
+        return steps / dt
+
+    g = timed(lambda mnt: greedy_search(model, prompt, max_new_tokens=mnt,
+                                        max_len=512), "greedy  b1")
+    s = timed(lambda mnt: ngram_speculative_greedy_search(
+        model, prompt, max_new_tokens=mnt, k=8, n=2, max_len=512),
+        "pld n=2 k=8")
+    _, stats = ngram_speculative_greedy_search(
+        model, prompt, max_new_tokens=steps, k=8, n=2, max_len=512,
+        return_stats=True)
+    print(f"  [ngram-bench] tokens/round={stats['tokens_per_round']:.2f} "
+          f"speedup={s / g:.2f}x", file=sys.stderr)
+    return {"greedy_tok_s": round(g, 1), "ngram_tok_s": round(s, 1),
+            "ngram_speedup": round(s / g, 3),
+            "tokens_per_round": round(stats["tokens_per_round"], 2)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default=None,
@@ -105,6 +171,15 @@ def main():
     ap.add_argument("--no-w4a8", action="store_true",
                     help="serve bf16-activation dequant matmuls instead of "
                          "the default W4A8 modules (int8 dynamic act quant)")
+    ap.add_argument("--second-preset", default=None,
+                    help="also measure this preset and report it as a "
+                         "side metric (default llama3-8b on TPU; 'none' "
+                         "disables) — BASELINE.json's named north-star "
+                         "model rides the same JSON line as the headline")
+    ap.add_argument("--speculative", choices=["ngram"], default=None,
+                    help="also measure draft-free prompt-lookup "
+                         "speculation vs greedy at B=1 on a repetitive "
+                         "workload (side metric)")
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
@@ -112,8 +187,6 @@ def main():
     overrides = {}
     if args.layers:
         overrides["num_hidden_layers"] = args.layers
-    print(f"building {preset} {overrides} on {jax.default_backend()}",
-          file=sys.stderr)
 
     from neural_compressor_tpu.models.llama import (
         LLAMA_PRESETS,
@@ -121,37 +194,66 @@ def main():
         build_quantized,
     )
 
-    t0 = time.time()
-    # layer-by-layer build+quantize: an 8B fp model alone fills a 16 GB chip
-    params = dict(LLAMA_PRESETS[preset])
-    params.update(overrides)
-    qmodel = build_quantized(
-        LlamaConfig(**params),
-        nq.RTNConfig(dtype="int4", group_size=128,
-                     quant_lm_head=not args.fp_lm_head))
-    from neural_compressor_tpu.quantization.fuse import (enable_fused_decode,
-                                                         fuse_for_serving,
-                                                         to_w4a8_serving)
+    def build_serving(pname):
+        print(f"building {pname} {overrides} on {jax.default_backend()}",
+              file=sys.stderr)
+        t0 = time.time()
+        # layer-by-layer build+quantize: an 8B fp model alone fills the chip
+        params = dict(LLAMA_PRESETS[pname])
+        params.update(overrides)
+        qmodel = build_quantized(
+            LlamaConfig(**params),
+            nq.RTNConfig(dtype="int4", group_size=128,
+                         quant_lm_head=not args.fp_lm_head))
+        from neural_compressor_tpu.quantization.fuse import (
+            enable_fused_decode, fuse_for_serving, to_w4a8_serving)
 
-    nf = fuse_for_serving(qmodel)
-    nw = 0 if args.no_w4a8 else to_w4a8_serving(qmodel)
-    nfd = 0 if args.no_w4a8 else enable_fused_decode(qmodel)
-    print(f"  build+quantize took {time.time()-t0:.1f}s "
-          f"({nf} fused groups, {nw} W4A8 modules, {nfd} fused-decode "
-          "layers)", file=sys.stderr)
+        nf = fuse_for_serving(qmodel)
+        nw = 0 if args.no_w4a8 else to_w4a8_serving(qmodel)
+        nfd = 0 if args.no_w4a8 else enable_fused_decode(qmodel)
+        print(f"  build+quantize took {time.time()-t0:.1f}s "
+              f"({nf} fused groups, {nw} W4A8 modules, {nfd} fused-decode "
+              "layers)", file=sys.stderr)
+        return qmodel
 
-    # one retry: the tunnel occasionally drops a compile/transfer
-    # ("response body closed") — a transient, not a result
-    try:
-        int4_tok_s = measure_decode(qmodel, args.batch, args.max_len,
-                                    args.steps, label="int4")
-    except Exception as e:  # pragma: no cover
-        print(f"  int4 measurement failed ({type(e).__name__}: {e}); "
-              "retrying once", file=sys.stderr)
-        time.sleep(10)
-        int4_tok_s = measure_decode(qmodel, args.batch, args.max_len,
-                                    args.steps, label="int4")
+    def measure_with_retry(qmodel, label):
+        # one retry: the tunnel occasionally drops a compile/transfer
+        # ("response body closed") — a transient, not a result
+        try:
+            return measure_decode(qmodel, args.batch, args.max_len,
+                                  args.steps, label=label)
+        except Exception as e:  # pragma: no cover
+            print(f"  {label} measurement failed ({type(e).__name__}: {e});"
+                  " retrying once", file=sys.stderr)
+            time.sleep(10)
+            return measure_decode(qmodel, args.batch, args.max_len,
+                                  args.steps, label=label)
+
+    qmodel = build_serving(preset)
+    int4_tok_s = measure_with_retry(qmodel, "int4")
+    pct_floor = stream_floor_pct(qmodel, int4_tok_s, args.batch, args.steps)
+    print(f"  [{preset}] {pct_floor}% of the 760 GB/s stream floor",
+          file=sys.stderr)
+    extra = {}
+    if args.speculative == "ngram":
+        extra["speculative_ngram"] = measure_ngram_speculative(qmodel)
     del qmodel
+
+    second = args.second_preset or ("llama3-8b" if on_tpu else "none")
+    if second not in ("none", preset):
+        try:
+            q2 = build_serving(second)
+            tok2 = measure_with_retry(q2, f"{second} int4")
+            extra[second.replace("-", "_")] = {
+                "tok_s": round(tok2, 2),
+                "pct_of_stream_floor": stream_floor_pct(
+                    q2, tok2, args.batch, args.steps)}
+            print(f"  [{second}] {extra[second.replace('-', '_')]}",
+                  file=sys.stderr)
+            del q2
+        except Exception as e:  # pragma: no cover
+            print(f"  second preset {second} failed "
+                  f"({type(e).__name__}: {e}); omitted", file=sys.stderr)
 
     # Baseline is best-effort: the tunnel compile of the bf16 7B program is
     # slow/flaky (and an 8B bf16 model barely fits one chip); fall back to
@@ -172,6 +274,8 @@ def main():
         "unit": "tokens/s",
         "vs_baseline": (round(int4_tok_s / bf16_tok_s, 3)
                         if bf16_tok_s else None),
+        "pct_of_stream_floor": pct_floor,
+        **extra,
     }))
 
 

@@ -263,3 +263,88 @@ def test_speculative_trained_draft_accepts():
                                            return_stats=True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
     assert stats["tokens_per_round"] > 1.5, stats
+
+
+# ---------------------------------------------------------------------------
+# Draft-free (prompt-lookup / n-gram) speculation
+# ---------------------------------------------------------------------------
+
+from neural_compressor_tpu.generation import ngram_speculative_greedy_search
+
+
+def test_pld_exact_vs_greedy(llama, ids):
+    """Prompt-lookup speculation must be token-identical to greedy no
+    matter how bad the proposals are (random model, arbitrary prompt)."""
+    ref = greedy_search(llama, ids, max_new_tokens=12)
+    for n in (1, 2, 3):
+        out = ngram_speculative_greedy_search(llama, ids,
+                                              max_new_tokens=12, k=4, n=n)
+        assert bool(jnp.all(out == ref)), f"n={n}"
+
+
+def test_pld_eos(llama, ids):
+    ref = greedy_search(llama, ids, max_new_tokens=10)
+    eos = int(ref[0, ids.shape[1] + 4])
+    ref_eos = greedy_search(llama, ids, max_new_tokens=10, eos_token_id=eos)
+    out = ngram_speculative_greedy_search(llama, ids, max_new_tokens=10,
+                                          k=4, n=2, eos_token_id=eos)
+    assert bool(jnp.all(out == ref_eos))
+
+
+def test_pld_quantized_and_shape_change(llama, ids):
+    """Quantized target + a second call with different (B, P) through the
+    cached program."""
+    qm = nq.quantize(LlamaForCausalLM.from_preset("llama-test"),
+                     nq.RTNConfig(dtype="int4", group_size=32))
+    ref = greedy_search(qm, ids, max_new_tokens=8)
+    out = ngram_speculative_greedy_search(qm, ids, max_new_tokens=8, k=3)
+    assert bool(jnp.all(out == ref))
+    ids2 = ids[:1, :5]
+    ref2 = greedy_search(qm, ids2, max_new_tokens=8)
+    out2 = ngram_speculative_greedy_search(qm, ids2, max_new_tokens=8, k=3)
+    assert bool(jnp.all(out2 == ref2))
+
+
+def test_pld_repetitive_acceptance(llama):
+    """On a prompt whose greedy continuation the model repeats (we build
+    one from the model's OWN greedy loop output), proposals must be
+    accepted: tokens/round > 1 — the draft-free win this method exists
+    for. Random tiny models decay into short greedy cycles, so taking a
+    long greedy output as the prompt guarantees a repetitive regime."""
+    seed_ids = jnp.asarray(np.random.default_rng(3).integers(
+        0, 256, (1, 8)))
+    long = greedy_search(llama, seed_ids, max_new_tokens=48)
+    prompt = long[:, -40:]  # deep inside the model's own cycle
+    ref = greedy_search(llama, prompt, max_new_tokens=24)
+    out, stats = ngram_speculative_greedy_search(
+        llama, prompt, max_new_tokens=24, k=6, n=2, return_stats=True)
+    assert bool(jnp.all(out == ref))
+    assert stats["tokens_per_round"] > 1.5, stats
+
+
+@pytest.mark.slow
+def test_pld_trained_lm_acceptance():
+    """On the trained byte-LM in a COPY regime (a passage followed by its
+    own restart — the summarization/code-edit workload prompt-lookup
+    exists for), 2-gram lookup accepts well over 1 token/round; plain
+    English text sits near the break-even ~1.1-1.2 (measured in
+    /tmp tuning, round 5)."""
+    from neural_compressor_tpu.evaluation.train_tiny import (
+        frozen_corpus, load_tiny_lm)
+
+    target = load_tiny_lm()
+    if target is None:
+        pytest.skip("trained artifacts missing")
+    _train, val = frozen_corpus()
+    row = np.asarray(val[0])
+    prompt = jnp.asarray(np.concatenate([row[:200], row[:60]])[None, :])
+    ref = greedy_search(target, prompt, max_new_tokens=96)
+    out, stats = ngram_speculative_greedy_search(
+        target, prompt, max_new_tokens=96, k=8, n=2, return_stats=True)
+    # verification argmaxes ride a [B, W]-window forward whose bf16
+    # tiling differs from greedy's [B, 1] steps — near-tie flips on a
+    # trained byte-LM are numerics, not logic (the f32/random-model
+    # tests above assert bit-exactness); require near-total agreement
+    agree = (np.asarray(out) == np.asarray(ref)).mean()
+    assert agree >= 0.97, agree
+    assert stats["tokens_per_round"] > 1.3, stats
