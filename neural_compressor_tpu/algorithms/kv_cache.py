@@ -10,9 +10,16 @@ allocates quantized caches.
 ``per_channel_k`` (int4 only, KIVI-style): prepare attaches a per-
 (kv-head, channel) amax observer to every attention module; a calibration
 run accumulates post-rope key stats; convert freezes them into
-``kv_k_scale`` variables that the attention folds into q — K quantization
-error is channel-dominated, so int4 K wants channel scales (measured in
-tests/test_accuracy_parity.py)."""
+``kv_k_scale`` variables that the attention folds into q.
+
+NOTE (round 5): the DEFAULT int4 cache quantizer is now asymmetric
+per-(token, head, D-half) (models.llama._kv_quant4_asym), which measured
+3-5x lower Δppl than both the old symmetric per-token form AND this
+calibrated per-channel mode on every architecture in the battery
+(tiny_gqa: default +0.054 vs per_channel_k +0.139 vs old sym +0.150 —
+experiments/kv_int4_variants.py). ``per_channel_k`` remains for models
+whose K channel outliers dominate at scale, but is no longer the
+recommended lever."""
 
 from __future__ import annotations
 

@@ -142,12 +142,22 @@ class QuantKVCache(NamedTuple):
     analog of the reference's ``PatchedKVCache``/``PatchedVLLMKVCache``
     (fp8_quant/_quant_common/helper_modules.py:1105-1240). Codes are int8
     or fp8-e4m3 (the format is carried by the codes' dtype); both halve KV
-    HBM traffic vs bf16. Scales are [B, H, S] f32 (negligible overhead)."""
+    HBM traffic vs bf16. Scales are [B, H, S] f32 (negligible overhead).
+
+    int4 (packed nibble pairs, half-split along D) is ASYMMETRIC per
+    (token, head, D-half): ``x ~= scale * (nibble - 8) + off`` with
+    ``scale``/``off`` [B, H, S, 2] f32. Symmetric per-token int4 cost
+    +0.15 ppl on GQA (over the <=0.1 budget); the per-half affine form
+    measured 3-5x lower error across the architecture battery at ~3%
+    more cache bytes (experiments/kv_int4_variants.py, round 5) and its
+    offset terms fold into the half-split score/output dots."""
 
     k_codes: jax.Array  # int8 | float8_e4m3fn [B,H,S,D] | uint8 [B,H,S,D/2]
-    k_scale: jax.Array  # f32  [B, H, S]
+    k_scale: jax.Array  # f32  [B, H, S]  (int4: [B, H, S, 2])
     v_codes: jax.Array
     v_scale: jax.Array
+    k_off: jax.Array | None = None   # f32 [B, H, S, 2] (int4 only)
+    v_off: jax.Array | None = None
 
     @property
     def fmt(self) -> str:
@@ -314,6 +324,37 @@ def _kv_quant(x: jax.Array, fmt: str = "int8"):
         codes = jnp.clip(jnp.round(xf / scale[..., None]), -128, 127
                          ).astype(jnp.int8)
     return codes, scale
+
+
+def _kv_quant4_asym(x: jax.Array):
+    """[B, H, S, D] -> packed D-half-split nibbles + per-(token, head,
+    D-half) AFFINE params: ``x ~= scale * (nibble - 8) + off``.
+
+    Asymmetric per-half quantization cuts int4-KV Δppl 3-5x vs the
+    symmetric per-token form (tiny_gqa +0.15 -> well under the 0.1
+    budget; experiments/kv_int4_variants.py). The unpack keeps the same
+    ``nibble - 8`` recentring as the symmetric layout, so ``off``
+    absorbs both the distribution minimum and the +8 bias."""
+    xf = x.astype(jnp.float32)
+    B, H, S, D = xf.shape
+    g = xf.reshape(B, H, S, 2, D // 2)
+    mn = jnp.min(g, axis=-1)
+    mx = jnp.max(g, axis=-1)
+    scale = jnp.where(mx - mn <= 0, 1.0, (mx - mn) / 15.0)   # [B,H,S,2]
+    c = jnp.clip(jnp.round((g - mn[..., None]) / scale[..., None]),
+                 0, 15).astype(jnp.uint8)
+    codes = c[..., 0, :] | (c[..., 1, :] << 4)               # [B,H,S,D/2]
+    off = mn + 8.0 * scale
+    return codes, scale, off
+
+
+def _kv_dequant4_asym(codes, scale, off, dtype):
+    """Inverse of ``_kv_quant4_asym``: packed [.., S, D/2] -> [.., S, D]."""
+    c = _kv_unpack_int4(codes).astype(jnp.float32)           # [.., S, D]
+    h = c.shape[-1] // 2
+    lo = c[..., :h] * scale[..., 0:1] + off[..., 0:1]
+    hi = c[..., h:] * scale[..., 1:2] + off[..., 1:2]
+    return jnp.concatenate([lo, hi], axis=-1).astype(dtype)
 
 
 def _kv_quant4_codes(x: jax.Array):
@@ -519,13 +560,20 @@ def _grouped_attention(q, k, v, mask, D, k_scale=None, v_scale=None):
 
 
 def _grouped_attention_int4(q, k_packed, v_packed, mask, D,
-                            k_scale, v_scale, k_channel_scale=None):
+                            k_scale, v_scale, k_off=None, v_off=None,
+                            k_channel_scale=None):
     """``_grouped_attention`` on PACKED int4 caches without materializing
     an unpacked [B, Hkv, T, D] temp: the half-split nibble layout turns
     QK^T into the sum of two half-D dots and PV into two half-D output
     slices, so each dot's rhs is a per-element shift/mask of the packed
     bytes — elementwise, fusable into the dot read — and the cache
-    streams from HBM at nibble width."""
+    streams from HBM at nibble width.
+
+    Scales are AFFINE per (token, head, D-half) ([B, Hkv, T, 2] — see
+    ``_kv_quant4_asym``): ``k_d = ks_h * c_d + koff_h``, so the score
+    adds ``koff_h * sum(q over half h)`` — one rank-1 [S]x[T] outer per
+    half, negligible vs the [D/2]-deep code dots — and the output adds
+    ``(p @ voff_h)`` broadcast over the half's channels."""
     B, H, S, _ = q.shape
     Hkv, T = k_packed.shape[1], k_packed.shape[2]
     mask = _densify(mask, T)  # no chunked int4-prefill variant (O(S*T))
@@ -539,22 +587,32 @@ def _grouped_attention_int4(q, k_packed, v_packed, mask, D,
     dt = q.dtype
     k_lo = ((k_packed & 15).astype(jnp.int8) - 8).astype(dt)
     k_hi = ((k_packed >> 4).astype(jnp.int8) - 8).astype(dt)
-    s = (jnp.einsum("bgrsd,bgtd->bgrst", qg[..., :h], k_lo,
-                    preferred_element_type=jnp.float32)
-         + jnp.einsum("bgrsd,bgtd->bgrst", qg[..., h:], k_hi,
-                      preferred_element_type=jnp.float32))
-    s = s * k_scale[:, :, None, None, :]
+    s_lo = jnp.einsum("bgrsd,bgtd->bgrst", qg[..., :h], k_lo,
+                      preferred_element_type=jnp.float32)
+    s_hi = jnp.einsum("bgrsd,bgtd->bgrst", qg[..., h:], k_hi,
+                      preferred_element_type=jnp.float32)
+    sc = lambda a, i: a[..., i][:, :, None, None, :]  # noqa: E731
+    s = s_lo * sc(k_scale, 0) + s_hi * sc(k_scale, 1)
+    if k_off is not None:
+        qs_lo = jnp.sum(qg[..., :h].astype(jnp.float32), axis=-1)
+        qs_hi = jnp.sum(qg[..., h:].astype(jnp.float32), axis=-1)
+        s = (s + qs_lo[..., None] * sc(k_off, 0)
+             + qs_hi[..., None] * sc(k_off, 1))
     s = s / jnp.sqrt(D).astype(jnp.float32)
     s = jnp.where(mask[:, :, None], s, -1e30)
-    p = (jax.nn.softmax(s, axis=-1)
-         * v_scale[:, :, None, None, :]).astype(dt)
+    p = jax.nn.softmax(s, axis=-1)
     v_lo = ((v_packed & 15).astype(jnp.int8) - 8).astype(dt)
     v_hi = ((v_packed >> 4).astype(jnp.int8) - 8).astype(dt)
-    out = jnp.concatenate(
-        [jnp.einsum("bgrst,bgtd->bgrsd", p, v_lo,
-                    preferred_element_type=jnp.float32),
-         jnp.einsum("bgrst,bgtd->bgrsd", p, v_hi,
-                    preferred_element_type=jnp.float32)], axis=-1)
+    o_lo = jnp.einsum("bgrst,bgtd->bgrsd", (p * sc(v_scale, 0)).astype(dt),
+                      v_lo, preferred_element_type=jnp.float32)
+    o_hi = jnp.einsum("bgrst,bgtd->bgrsd", (p * sc(v_scale, 1)).astype(dt),
+                      v_hi, preferred_element_type=jnp.float32)
+    if v_off is not None:
+        o_lo = o_lo + jnp.einsum("bgrst,bgt->bgrs", p,
+                                 v_off[..., 0])[..., None]
+        o_hi = o_hi + jnp.einsum("bgrst,bgt->bgrs", p,
+                                 v_off[..., 1])[..., None]
+    out = jnp.concatenate([o_lo, o_hi], axis=-1)
     return out.reshape(B, H, S, D).astype(q.dtype)
 
 
@@ -564,6 +622,20 @@ def update_cache(cache, k, v, cache_pos, dtype):
     with k_all/v_all dequantized to ``dtype``. Shared by every model family
     in the zoo; the llama attention additionally has fused decode kernels."""
     if isinstance(cache, QuantKVCache):
+        if cache.fmt == "int4":
+            kc, ks, koff = _kv_quant4_asym(k)
+            vc, vs, voff = _kv_quant4_asym(v)
+            new = QuantKVCache(
+                _update_rows(cache.k_codes, kc, cache_pos),
+                _update_rows(cache.k_scale, ks, cache_pos),
+                _update_rows(cache.v_codes, vc, cache_pos),
+                _update_rows(cache.v_scale, vs, cache_pos),
+                _update_rows(cache.k_off, koff, cache_pos),
+                _update_rows(cache.v_off, voff, cache_pos))
+            return (_kv_dequant4_asym(new.k_codes, new.k_scale, new.k_off,
+                                      dtype),
+                    _kv_dequant4_asym(new.v_codes, new.v_scale, new.v_off,
+                                      dtype), new)
         kc, ks = _kv_quant(k, fmt=cache.fmt)
         vc, vs = _kv_quant(v, fmt=cache.fmt)
         new = QuantKVCache(
@@ -587,8 +659,17 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
     if quantized:
         fmt = "int8" if quantized is True else str(quantized)
         cdt = _KV_CODE_DTYPES[fmt]
-        if fmt == "int4":  # two nibbles per byte, half-split along D
+        if fmt == "int4":  # two nibbles per byte, half-split along D;
+            # asymmetric per-(token, head, D-half) scale+off
             shape = shape[:-1] + (cfg.head_dim // 2,)
+            ssh2 = sshape + (2,)
+            return [QuantKVCache(jnp.zeros(shape, cdt),
+                                 jnp.ones(ssh2, jnp.float32),
+                                 jnp.zeros(shape, cdt),
+                                 jnp.ones(ssh2, jnp.float32),
+                                 jnp.zeros(ssh2, jnp.float32),
+                                 jnp.zeros(ssh2, jnp.float32))
+                    for _ in range(cfg.num_hidden_layers)]
         return [QuantKVCache(jnp.zeros(shape, cdt),
                              jnp.ones(sshape, jnp.float32),
                              jnp.zeros(shape, cdt),
@@ -832,21 +913,35 @@ class LlamaAttention(nnx.Module):
             if k_ch is not None:
                 # calibrated per-channel K scales (KIVI-style): codes are
                 # k / scale[h, d]; the scale folds into q before the dot,
-                # so the per-token k_scale rows stay 1
+                # so the per-token k_scale rows stay 1 (and the affine
+                # offs stay 0)
                 c = jnp.clip(jnp.round(k.astype(jnp.float32)
                                        / k_ch[None, :, None, :]), -8, 7) + 8
                 c = c.astype(jnp.uint8)
                 hh = c.shape[-1] // 2
                 kc = c[..., :hh] | (c[..., hh:] << 4)
-                ks = jnp.ones(k.shape[:-1], jnp.float32)
+                ks = jnp.ones(k.shape[:-1] + (2,), jnp.float32)
+                koff = jnp.zeros(k.shape[:-1] + (2,), jnp.float32)
+            elif cache.fmt == "int4":
+                kc, ks, koff = _kv_quant4_asym(k)
             else:
                 kc, ks = _kv_quant(k, fmt=cache.fmt)
-            vc, vs = _kv_quant(v, fmt=cache.fmt)
+                koff = None
+            if cache.fmt == "int4":
+                vc, vs, voff = _kv_quant4_asym(v)
+            else:
+                vc, vs = _kv_quant(v, fmt=cache.fmt)
+                voff = None
             k_codes = _update_rows(cache.k_codes, kc, cache_pos)
             k_scale = _update_rows(cache.k_scale, ks, cache_pos)
             v_codes = _update_rows(cache.v_codes, vc, cache_pos)
             v_scale = _update_rows(cache.v_scale, vs, cache_pos)
-            new_cache = QuantKVCache(k_codes, k_scale, v_codes, v_scale)
+            k_off = (None if koff is None
+                     else _update_rows(cache.k_off, koff, cache_pos))
+            v_off = (None if voff is None
+                     else _update_rows(cache.v_off, voff, cache_pos))
+            new_cache = QuantKVCache(k_codes, k_scale, v_codes, v_scale,
+                                     k_off, v_off)
             if not (getattr(self, "fp8_sdpa", False)
                     or getattr(self, "fp8_softmax", False)):
                 if S == 1 and new_cache.fmt != "int4" and k_ch is None:
@@ -871,6 +966,7 @@ class LlamaAttention(nnx.Module):
                 if new_cache.fmt == "int4":
                     out = _grouped_attention_int4(q, k_codes, v_codes,
                                                   mask, D, k_scale, v_scale,
+                                                  k_off=k_off, v_off=v_off,
                                                   k_channel_scale=k_ch)
                 else:
                     out = _grouped_attention(q, k_codes.astype(x_dtype),
@@ -878,8 +974,12 @@ class LlamaAttention(nnx.Module):
                                              mask, D, k_scale, v_scale)
                 out = out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
                 return out, new_cache
-            k = _kv_dequant(k_codes, k_scale, x_dtype)
-            v = _kv_dequant(v_codes, v_scale, x_dtype)
+            if new_cache.fmt == "int4":
+                k = _kv_dequant4_asym(k_codes, k_scale, k_off, x_dtype)
+                v = _kv_dequant4_asym(v_codes, v_scale, v_off, x_dtype)
+            else:
+                k = _kv_dequant(k_codes, k_scale, x_dtype)
+                v = _kv_dequant(v_codes, v_scale, x_dtype)
         elif cache is not None:
             if (S == 1 and fused_ok
                     and not getattr(self, "fp8_softmax", False)

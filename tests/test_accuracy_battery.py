@@ -67,7 +67,11 @@ def test_quant_deltas_and_ordering(fam):
 @pytest.mark.parametrize("fam", ["tiny_gqa", "tiny_moe"])
 def test_kv_cache_formats_through_decode(fam):
     """Quantized KV through the real decode path on grouped-head (GQA)
-    and routed (MoE) attention: int8 cache ~ free, fp8 small."""
+    and routed (MoE) attention: int8 cache ~ free, fp8 small, and
+    packed int4 inside the <=0.1 Δppl budget (round-5 fix: the
+    symmetric per-token form cost +0.15 on GQA; the asymmetric
+    per-(token, head, D-half) affine form — _kv_quant4_asym — measured
+    +0.054 GQA / +0.036 MoE / +0.023 MHA)."""
     val, _ = _setup(fam)
     m = load_tiny_model(fam)
     kv_val = val[:16]
@@ -75,8 +79,10 @@ def test_kv_cache_formats_through_decode(fam):
     d8 = decode_perplexity(m, kv_val, batch_size=16, kv_quantized="int8")
     dfp8 = decode_perplexity(m, kv_val, batch_size=16,
                              kv_quantized="fp8_e4m3")
+    d4 = decode_perplexity(m, kv_val, batch_size=16, kv_quantized="int4")
     assert abs(d8 - dfp) < 0.02, f"{fam} int8-KV delta {d8 - dfp:.4f}"
     assert abs(dfp8 - dfp) < 0.1, f"{fam} fp8-KV delta {dfp8 - dfp:.4f}"
+    assert d4 - dfp < 0.1, f"{fam} int4-KV delta {d4 - dfp:.4f}"
 
 
 def test_moe_stacked_ep_path_exact():
