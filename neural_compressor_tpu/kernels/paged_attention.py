@@ -257,7 +257,8 @@ _KPP = 4  # pages staged per grid step (clamped to pmax)
 
 
 def _paged_kernel_v2(bt_ref, len_ref, q_ref, *args, page, rep_p, gsteps,
-                     scale, Hkv, quant, kpp, int4=False):
+                     scale, Hkv, quant, kpp, int4=False, window=None,
+                     softcap=None):
     # NO per-head loop: an in-kernel fori_loop over heads with dynamic
     # scratch indexing measured ~25 us/head (801 us/layer at Hkv=32,
     # profile_paged_b8.log) — the head axis rides dot_general BATCH dims
@@ -282,6 +283,11 @@ def _paged_kernel_v2(bt_ref, len_ref, q_ref, *args, page, rep_p, gsteps,
     t_idx = p * w + jax.lax.broadcasted_iota(
         jnp.int32, (Hkv, rep_p, w), 2)
     valid = t_idx < length
+    if window is not None:
+        # sliding band (gemma local layers): the single query sits at
+        # position length-1, so only keys with q_pos - k_pos < window
+        # participate
+        valid = valid & (t_idx >= length - window)
 
     q = q_ref[0]                                    # [Hkv, rep_p, D]
     if int4:
@@ -316,6 +322,10 @@ def _paged_kernel_v2(bt_ref, len_ref, q_ref, *args, page, rep_p, gsteps,
             vsc = jnp.concatenate([r[0] for r in vss], axis=1)
         s = s * ksc[:, None, :]
     s = s * scale
+    if softcap is not None:
+        # gemma-2 logit softcapping, BEFORE the mask (HF order); tanh is
+        # monotonic so the online running-max stays correct
+        s = softcap * jnp.tanh(s / softcap)
     s = jnp.where(valid, s, -1e30)
     m_old = m_s[:, :, 0:1]                          # [Hkv, rep_p, 1]
     m_new = jnp.maximum(m_old, jnp.max(s, axis=2, keepdims=True))
@@ -340,9 +350,11 @@ def _paged_kernel_v2(bt_ref, len_ref, q_ref, *args, page, rep_p, gsteps,
                     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "window",
+                                             "softcap"))
 def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
-                        block_tables, lengths, interpret):
+                        block_tables, lengths, interpret, window=None,
+                        softcap=None):
     B, H, S, D = q.shape
     P, Hkv, page_c, _ = k_pages.shape
     int4 = k_pages.dtype == jnp.uint8
@@ -416,7 +428,8 @@ def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
     )
     kernel = functools.partial(_paged_kernel_v2, page=page, rep_p=rep_p,
                                gsteps=gsteps, scale=1.0 / (D ** 0.5),
-                               Hkv=Hkv, quant=quant, kpp=kpp, int4=int4)
+                               Hkv=Hkv, quant=quant, kpp=kpp, int4=int4,
+                               window=window, softcap=softcap)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -605,7 +618,7 @@ def set_paged_v2(on: bool) -> None:
     _PAGED_V2 = bool(on)
 
 
-def paged_decode_attention(q, cache, lengths):
+def paged_decode_attention(q, cache, lengths, window=None, softcap=None):
     """Single-token attention over a ``PagedKVCache`` (models.llama).
 
     q: [B, H, 1, D]; ``lengths`` [B] = tokens already in the cache
@@ -613,14 +626,19 @@ def paged_decode_attention(q, cache, lengths):
     call). Slots with length 0 return zeros (their first masked page
     would otherwise average arbitrary pool data through the online
     softmax: every exp(s - m_init) = 1 when all scores are -1e30).
-    Returns out [B, H, 1, D].
+    ``window``/``softcap`` (static): gemma sliding-band masking and
+    logit softcapping — v2-kernel only. Returns out [B, H, 1, D].
     """
     assert q.shape[2] == 1, "paged decode attention is single-token"
     interpret = not _on_tpu()
     if _PAGED_V2 or cache.k_pages.dtype == jnp.uint8:  # v1 has no int4
         out = _paged_attn_impl_v2(q, cache.k_pages, cache.k_scales,
                                   cache.v_pages, cache.v_scales,
-                                  cache.block_tables, lengths, interpret)
+                                  cache.block_tables, lengths, interpret,
+                                  window=window, softcap=softcap)
+    elif window is not None or softcap is not None:
+        raise NotImplementedError(
+            "window/softcap need the v2 paged kernel (set_paged_v2)")
     elif cache.k_scales is None:
         out = _paged_attn_impl(q, cache.k_pages, cache.v_pages,
                                cache.block_tables, lengths, interpret)

@@ -221,11 +221,31 @@ class GemmaAttention(nnx.Module):
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
         new_cache = None
+        scaling = cfg.query_pre_attn_scalar ** -0.5
+        from .llama import PagedKVCache
+        if isinstance(cache, PagedKVCache):
+            # paged decode (engine serving): window/softcap ride the v2
+            # paged kernel; gemma's decoupled scaling pre-folds into q
+            # (the kernel scales by 1/sqrt(D))
+            from ..kernels.paged_attention import paged_decode_attention
+            from .llama import _paged_write_row
+
+            assert S == 1, "paged cache is decode-only (engine prefills " \
+                           "through the staging cache)"
+            pos_b = jnp.broadcast_to(
+                jnp.asarray(cache_pos, jnp.int32).reshape(-1), (B,))
+            new_cache = _paged_write_row(cache, k, v, pos_b)
+            qs = q * jnp.asarray(scaling * float(D) ** 0.5, q.dtype)
+            out = paged_decode_attention(
+                qs, new_cache, pos_b + 1,
+                window=cfg.sliding_window if self.is_sliding else None,
+                softcap=cfg.attn_logit_softcapping)
+            out = out.astype(x.dtype).transpose(0, 2, 1, 3)
+            return self.o_proj(out.reshape(B, S, H * D)), new_cache
         if cache is not None:
             k, v, new_cache = update_cache(cache, k, v, cache_pos, x.dtype)
-        out = _gemma_grouped_attention(
-            q, k, v, mask, cfg.query_pre_attn_scalar ** -0.5,
-            cfg.attn_logit_softcapping)
+        out = _gemma_grouped_attention(q, k, v, mask, scaling,
+                                       cfg.attn_logit_softcapping)
         out = out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
         return self.o_proj(out), new_cache
 

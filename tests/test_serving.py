@@ -640,3 +640,33 @@ def test_engine_rejects_impossible_request(qmodel):
     eng.submit(rng.integers(0, 256, (40,)), max_new_tokens=8)
     with pytest.raises(RuntimeError, match="pool"):
         eng.run(chunk=2)
+
+
+def test_engine_serves_gemma_sliding_windows():
+    """The engine serves the gemma family (round-5 VERDICT #6): per-layer
+    sliding/global windows, softcapping, and local rope through both the
+    contiguous caches AND the paged pools (the v2 paged kernel gained
+    window/softcap). Token-exact vs greedy_search on gemma-2 (alternating
+    sliding/full + softcap) and gemma-3 (5:1 sliding + qk-norm)."""
+    from neural_compressor_tpu.models.gemma import GemmaForCausalLM
+
+    rng = np.random.default_rng(33)
+    for preset in ("gemma2-test", "gemma3-test"):
+        m = GemmaForCausalLM.from_preset(preset, dtype=jnp.float32)
+        assert m.cfg.sliding_window
+        prompts = [rng.integers(0, 256, (n,)) for n in (12, 20)]
+        refs = [np.asarray(greedy_search(
+            m, jnp.asarray(p)[None, :], max_new_tokens=8))[0, len(p):]
+            for p in prompts]
+        for paged in (False, True):
+            kw = (dict(paged=True, page_size=16, n_pages=9) if paged
+                  else {})
+            eng = ContinuousBatchingEngine(m, n_slots=2, max_len=64,
+                                           prefill_chunk=16, **kw)
+            reqs = [eng.submit(p, max_new_tokens=8) for p in prompts]
+            done = eng.run(chunk=2)
+            assert len(done) == 2
+            for p, r, ref in zip(prompts, reqs, refs):
+                np.testing.assert_array_equal(
+                    np.asarray(r.generated), ref,
+                    err_msg=f"{preset} paged={paged} P={len(p)}")
