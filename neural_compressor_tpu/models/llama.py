@@ -442,7 +442,9 @@ def _densify(mask, T: int):
 
 def _grouped_attention_chunked(q, k, v, q_pos, D, k_scale=None,
                                v_scale=None, q_chunk=512, kv_chunk=1024,
-                               softcap=None, window=None):
+                               softcap=None, window=None,
+                               k_off=None, v_off=None,
+                               packed_int4=False):
     """``_grouped_attention`` without the [S, T] score materialization:
     lax.map over query chunks, lax.scan over KV chunks with an
     online-softmax carry — peak extra memory is one
@@ -453,7 +455,8 @@ def _grouped_attention_chunked(q, k, v, q_pos, D, k_scale=None,
     only the first r columns) — the output takes v's width."""
     B, H, S, _ = q.shape
     Hkv, T = k.shape[1], k.shape[2]
-    Dv = v.shape[-1]
+    # packed int4 chunks dequantize to full width inside the scan step
+    Dv = D if packed_int4 else v.shape[-1]
     rep = H // Hkv
     qc = min(q_chunk, S)
     tc = min(kv_chunk, T)
@@ -470,16 +473,28 @@ def _grouped_attention_chunked(q, k, v, q_pos, D, k_scale=None,
     kp = jnp.pad(k, pad_t) if Tp != T else k
     vp = jnp.pad(v, pad_t) if Tp != T else v
     nt = Tp // tc
-    ks = None if k_scale is None else jnp.pad(
-        k_scale, ((0, 0), (0, 0), (0, Tp - T)))
-    vs = None if v_scale is None else jnp.pad(
-        v_scale, ((0, 0), (0, 0), (0, Tp - T)))
-    kx = jnp.moveaxis(kp.reshape(B, Hkv, nt, tc, D), 2, 0)
-    vx = jnp.moveaxis(vp.reshape(B, Hkv, nt, tc, Dv), 2, 0)
+    def _pad_s(a):  # scale/off arrays: [B, Hkv, T] or [B, Hkv, T, 2]
+        pad = ((0, 0), (0, 0), (0, Tp - T)) + ((0, 0),) * (a.ndim - 3)
+        return jnp.pad(a, pad)
+
+    ks = None if k_scale is None else _pad_s(k_scale)
+    vs = None if v_scale is None else _pad_s(v_scale)
+    Dk = k.shape[-1]  # D, or D/2 packed bytes
+    kx = jnp.moveaxis(kp.reshape(B, Hkv, nt, tc, Dk), 2, 0)
+    vx = jnp.moveaxis(vp.reshape(B, Hkv, nt, tc, v.shape[-1]), 2, 0)
+
+    def _chunk_s(a):
+        tail = a.shape[3:]
+        return jnp.moveaxis(a.reshape((B, Hkv, nt, tc) + tail), 2, 0)
+
     ksx = (jnp.zeros((nt, 1, 1, 1), jnp.float32) if ks is None
-           else jnp.moveaxis(ks.reshape(B, Hkv, nt, tc), 2, 0))
+           else _chunk_s(ks))
     vsx = (jnp.zeros((nt, 1, 1, 1), jnp.float32) if vs is None
-           else jnp.moveaxis(vs.reshape(B, Hkv, nt, tc), 2, 0))
+           else _chunk_s(vs))
+    koffx = (jnp.zeros((nt, 1, 1, 1), jnp.float32) if k_off is None
+             else _chunk_s(_pad_s(k_off)))
+    voffx = (jnp.zeros((nt, 1, 1, 1), jnp.float32) if v_off is None
+             else _chunk_s(_pad_s(v_off)))
     tpos = jnp.arange(Tp).reshape(nt, tc)
     rsqrt_d = 1.0 / float(D) ** 0.5
 
@@ -488,10 +503,16 @@ def _grouped_attention_chunked(q, k, v, q_pos, D, k_scale=None,
 
         def step(carry, xs):
             m, l, acc = carry
-            kcb, vcb, kscb, vscb, kposb = xs
+            kcb, vcb, kscb, vscb, koffb, voffb, kposb = xs
+            if packed_int4:
+                # per-chunk dequant of the packed affine codes: one
+                # [B, Hkv, tc, D] block (q's dtype) lives at a time; the
+                # dequant is ~rep*q_chunk cheaper than the dots it feeds
+                kcb = _kv_dequant4_asym(kcb, kscb, koffb, qcb.dtype)
+                vcb = _kv_dequant4_asym(vcb, vscb, voffb, qcb.dtype)
             s = jnp.einsum("bgrsd,bgtd->bgrst", qcb, kcb,
                            preferred_element_type=jnp.float32)
-            if k_scale is not None:
+            if k_scale is not None and not packed_int4:
                 s = s * kscb[:, :, None, None, :]
             s = s * rsqrt_d
             if softcap is not None:  # gemma logit softcapping, pre-mask
@@ -505,7 +526,7 @@ def _grouped_attention_chunked(q, k, v, q_pos, D, k_scale=None,
             pexp = jnp.where(valid, jnp.exp(s - m2), 0.0)
             alpha = jnp.exp(m - m2)
             l2 = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
-            if v_scale is not None:
+            if v_scale is not None and not packed_int4:
                 pexp = pexp * vscb[:, :, None, None, :]
             pv = jnp.einsum("bgrst,bgtd->bgrsd", pexp.astype(vcb.dtype),
                             vcb, preferred_element_type=jnp.float32)
@@ -516,7 +537,8 @@ def _grouped_attention_chunked(q, k, v, q_pos, D, k_scale=None,
                 jnp.zeros(shape5, jnp.float32),
                 jnp.zeros(qcb.shape[:-1] + (Dv,), jnp.float32))
         (m, l, acc), _ = jax.lax.scan(step, init,
-                                      (kx, vx, ksx, vsx, tpos))
+                                      (kx, vx, ksx, vsx, koffx, voffx,
+                                       tpos))
         return acc / jnp.maximum(l[..., 0, None], 1e-30)
 
     ns = Sp // qc
@@ -576,7 +598,17 @@ def _grouped_attention_int4(q, k_packed, v_packed, mask, D,
     ``(p @ voff_h)`` broadcast over the half's channels."""
     B, H, S, _ = q.shape
     Hkv, T = k_packed.shape[1], k_packed.shape[2]
-    mask = _densify(mask, T)  # no chunked int4-prefill variant (O(S*T))
+    if isinstance(mask, _ChunkedCausal):
+        # long prefill on a packed int4 cache: per-chunk dequant inside
+        # the online-softmax scan (round-5 VERDICT #8 — this path used
+        # to densify to an O(S*T) mask)
+        assert k_channel_scale is None, \
+            "per-channel-K int4 + chunked long prefill unsupported"
+        return _grouped_attention_chunked(
+            q, k_packed, v_packed, mask.q_pos, D, k_scale, v_scale,
+            window=mask.window, k_off=k_off, v_off=v_off,
+            packed_int4=True)
+    mask = _densify(mask, T)
     rep = H // Hkv
     h = D // 2
     qg = q.reshape(B, Hkv, rep, S, D)
