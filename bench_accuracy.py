@@ -70,13 +70,30 @@ def main():
                                     block_size=128), run_fn),
         "awq_int4": (nq.AWQConfig(dtype="int4", group_size=128), run_fn),
         "hqq_int4": (nq.HQQConfig(dtype="int4", group_size=128), None),
+        "teq_int4": (nq.TEQConfig(dtype="int4", group_size=128,
+                                  train_steps=60), run_fn),
+        "autoround_int4": (nq.AutoRoundConfig(dtype="int4", group_size=128,
+                                              iters=60), run_fn),
         "sq_w8a8": (nq.SmoothQuantConfig(), run_fn),
         "fp8_e4m3": (nq.FP8Config(dump_stats_path=None), run_fn),
+        "mxfp8_w": (nq.MXQuantConfig(w_dtype="mxfp8_e4m3",
+                                     weight_only=True), None),
+        "nvfp4_w": (nq.MXQuantConfig(w_dtype="nvfp4", blocksize=16,
+                                     weight_only=True), None),
+        # QuaRot rotation (computed FWHT) then the W4A8 hybrid-GPTQ flow
+        "quarot_w4a8": (nq.HybridGPTQConfig(dtype="int4", group_size=128,
+                                            block_size=128), run_fn),
     }
     results = {}
     for name, (cfg, rf) in algos.items():
         try:
-            qm = nq.quantize(fresh_model(), cfg, run_fn=rf)
+            m = fresh_model()
+            if name == "quarot_w4a8":
+                from neural_compressor_tpu.algorithms.quarot import \
+                    apply_quarot
+
+                apply_quarot(m, seed=0)
+            qm = nq.quantize(m, cfg, run_fn=rf)
             results[name] = perplexity(qm, val, batch_size=16)
         except Exception as e:  # pragma: no cover
             print(f"  {name} FAILED: {type(e).__name__}: {e}",

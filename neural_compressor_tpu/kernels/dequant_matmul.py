@@ -108,7 +108,7 @@ def _make_kernel(bits, group_size, dtype_name, has_zeros, nk, ngk):
     cb = None
     if dtype_name in FLOAT_CODE_DTYPES:
         import numpy as np
-        cb = np.asarray(CODEBOOKS[dtype_name]).tolist()
+        cb = np.asarray(CODEBOOKS.host(dtype_name)).tolist()
 
     if has_zeros:
         def kernel(x_ref, pk_ref, sc_ref, zr_ref, o_ref, acc_ref):

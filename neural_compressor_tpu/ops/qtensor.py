@@ -25,9 +25,16 @@ import jax.numpy as jnp
 # Codebooks for float4 / nf4 data types.
 # Values follow the public definitions: NF4 from the QLoRA paper (normalized
 # quantiles of N(0,1)); FP4 = e2m1 value grid.
+#
+# Stored as NUMPY constants and converted to device arrays LAZILY on first
+# CODEBOOKS[...] access: importing the package must not initialize the JAX
+# backend — on multi-host deployments ``jax.distributed.initialize`` has to
+# run before any backend touch (tests/test_multiprocess_distributed.py).
 # ---------------------------------------------------------------------------
 
-NF4_CODEBOOK = jnp.array(
+import numpy as _np
+
+NF4_CODEBOOK = _np.array(
     [
         -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
         -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
@@ -35,16 +42,33 @@ NF4_CODEBOOK = jnp.array(
         0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
         0.7229568362236023, 1.0,
     ],
-    dtype=jnp.float32,
+    dtype=_np.float32,
 )
 
-FP4_CODEBOOK = jnp.array(
+FP4_CODEBOOK = _np.array(
     [-12.0, -8.0, -6.0, -4.0, -3.0, -2.0, -1.0, 0.0,
      1.0, 2.0, 3.0, 4.0, 6.0, 8.0, 12.0],
-    dtype=jnp.float32,
-) / 12.0
+    dtype=_np.float32,
+) / _np.float32(12.0)
 
-CODEBOOKS = {"nf4": NF4_CODEBOOK, "fp4": FP4_CODEBOOK, "fp4_e2m1": FP4_CODEBOOK}
+
+class _LazyCodebooks(dict):
+    """dict whose (numpy) values convert to jnp arrays on ACCESS
+    (import-time backend-init avoidance; see module comment). No caching:
+    a conversion made inside a jit trace would leak a tracer to later
+    callers — 16-element constants convert for free."""
+
+    def __getitem__(self, k):
+        return jnp.asarray(super().__getitem__(k))
+
+    def host(self, k):
+        """The raw numpy codebook (for baking into kernel closures —
+        under a jit trace ``[k]`` would hand back a tracer)."""
+        return dict.__getitem__(self, k)
+
+
+CODEBOOKS = _LazyCodebooks(
+    {"nf4": NF4_CODEBOOK, "fp4": FP4_CODEBOOK, "fp4_e2m1": FP4_CODEBOOK})
 
 INT_DTYPES = ("int", "int8", "int4", "int2")
 FLOAT_CODE_DTYPES = tuple(CODEBOOKS.keys())
