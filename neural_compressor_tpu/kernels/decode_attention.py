@@ -386,6 +386,47 @@ def _decode_attn_ro_hbm_impl(pos, q, k_new, v_new, k_cache, v_cache):
     return out.reshape(B, Hkv * rep, 1, D)
 
 
+_F8_VIA_BITS = True  # e4m3->bf16 via integer bit ops inside kernels
+
+
+def set_f8_via_bits(on: bool) -> None:
+    """A/B switch for the fp8-code conversion path (fp8_cast_ab)."""
+    global _F8_VIA_BITS
+    _F8_VIA_BITS = bool(on)
+
+
+def _f8_bits_to_bf16(u):
+    """float8_e4m3fn BITS (uint8) -> bf16, by integer exponent rebias.
+
+    Mosaic's f8 ``astype`` costs ~3.6 us per [1024, 128] K+V block pair
+    over the int8 baseline — ~115 us/layer at Hkv=32, the round-4
+    "fp8-KV 36% slower than int8-KV" gap (kvquant_b1_ab). This ladder
+    measured 1.1 us marginal (experiments/fp8_cast_ab.log). Exact for
+    every value incl. subnormals and +-0 (asserted in fp8_cast_ab);
+    e4m3fn NaN maps to a finite value, which quantized cache codes
+    (clipped to +-448) never contain."""
+    ui = u.astype(jnp.int32)
+    s = (ui & 0x80) << 8
+    e = (ui >> 3) & 0xF
+    m = ui & 0x7
+    normal = s | ((e + 120) << 7) | (m << 4)
+    sub = jnp.where(
+        m == 0, 0,
+        jnp.where(m == 1, 118 << 7,
+                  jnp.where(m < 4, (119 << 7) | ((m & 1) << 6),
+                            (120 << 7) | ((m & 3) << 5))))
+    bits = jnp.where(e > 0, normal, s | sub)
+    return jax.lax.bitcast_convert_type(bits.astype(jnp.uint16),
+                                        jnp.bfloat16)
+
+
+def _codes_bf16(x):
+    """Cache codes -> bf16 for the score/output dots (int8/fp8/bf16)."""
+    if x.dtype == jnp.float8_e4m3fn and _F8_VIA_BITS:
+        return _f8_bits_to_bf16(jax.lax.bitcast_convert_type(x, jnp.uint8))
+    return x.astype(jnp.bfloat16)
+
+
 def _kernel_q_ro(pos_ref, q_ref, kn_ref, vn_ref, kc_in, ks_in, vc_in, vs_in,
                  o_ref, *, T, D, rep, scale):
     b = pl.program_id(0)
@@ -394,9 +435,9 @@ def _kernel_q_ro(pos_ref, q_ref, kn_ref, vn_ref, kc_in, ks_in, vc_in, vs_in,
     # fold the raw (unquantized) new row into the attention: effective
     # per-token scale at ``pos`` is 1
     kb = jnp.where(row == pos, kn_ref[:].astype(jnp.bfloat16),
-                   kc_in[:].astype(jnp.bfloat16))
+                   _codes_bf16(kc_in[:]))
     vb = jnp.where(row == pos, vn_ref[:].astype(jnp.bfloat16),
-                   vc_in[:].astype(jnp.bfloat16))
+                   _codes_bf16(vc_in[:]))
     # [1, T] lane-major scale blocks (see _kernel_q note)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
     k_scale = jnp.where(col == pos, 1.0, ks_in[:])  # [1, T]
@@ -417,9 +458,11 @@ def _kernel_q_ro(pos_ref, q_ref, kn_ref, vn_ref, kc_in, ks_in, vc_in, vs_in,
     o_ref[:] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "f8bits"))
 def _decode_attn_quant_ro_impl(pos, q, k_new, v_new, k_codes, k_scale,
-                               v_codes, v_scale, interpret):
+                               v_codes, v_scale, interpret, f8bits=True):
+    # ``f8bits`` only keys the jit cache: the kernel body reads the
+    # module flag at trace time (set_f8_via_bits A/B)
     B, Hkv, T, D = k_codes.shape
     pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
     rep = q.shape[1] // Hkv
@@ -496,7 +539,8 @@ def decode_attention_quant(q, k_new, v_new, cache, pos):
     else:
         out = _decode_attn_quant_ro_impl(
             pos, q[:, :, 0], k_new, v_new, cache.k_codes, cache.k_scale,
-            cache.v_codes, cache.v_scale, interpret=interpret)
+            cache.v_codes, cache.v_scale, interpret=interpret,
+            f8bits=_F8_VIA_BITS)
     kc, ks = _kv_quant(k_new, fmt="fp8_e4m3" if fp8 else "int8")
     vc, vs = _kv_quant(v_new, fmt="fp8_e4m3" if fp8 else "int8")
     new_cache = QuantKVCache(
@@ -537,7 +581,7 @@ def _kernel_batched(pos_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
 
     for bh in range(bh_tile):
         pos = pos_ref[i * bh_tile + bh]
-        kb = kc_ref[bh].astype(jnp.bfloat16)          # [Tc, D]
+        kb = _codes_bf16(kc_ref[bh])                  # [Tc, D]
         q = q_ref[bh]                                 # [rep_p, D]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -557,7 +601,7 @@ def _kernel_batched(pos_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref,
         if quant:
             p = p * vs_ref[bh][None, :]
         pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), vc_ref[bh].astype(jnp.bfloat16),
+            p.astype(jnp.bfloat16), _codes_bf16(vc_ref[bh]),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)       # [rep_p, D]
         acc_s[bh] = acc_s[bh] * alpha + pv
@@ -595,9 +639,10 @@ def _batched_tiles(BH: int, T: int, D: int, esize: int):
     return bh_tile, Tc
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "f8bits"))
 def _batched_attn_impl(pos_bh, qr, k_cache, k_scale, v_cache, v_scale,
-                       interpret):
+                       interpret, f8bits=True):
+    # ``f8bits`` keys the jit cache for the set_f8_via_bits A/B
     BH, T, D = k_cache.shape
     rep_p = qr.shape[1]
     quant = k_scale is not None
@@ -697,7 +742,8 @@ def batched_decode_attention(q, k_cache, v_cache, pos, k_scale=None,
     vs = None if v_scale is None else \
         v_scale.reshape(BH, T).astype(jnp.float32)
     out = _batched_attn_impl(pos_bh, qr, k_cache.reshape(BH, T, D), ks,
-                             v_cache.reshape(BH, T, D), vs, interpret)
+                             v_cache.reshape(BH, T, D), vs, interpret,
+                             f8bits=_F8_VIA_BITS)
     out = out.reshape(B, Hkv, rep_p, D)[:, :, :rep]
     return out.reshape(B, H, 1, D)
 

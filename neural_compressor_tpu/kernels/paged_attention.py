@@ -304,13 +304,15 @@ def _paged_kernel_v2(bt_ref, len_ref, q_ref, *args, page, rep_p, gsteps,
         v = jnp.concatenate([_unp(r) for r in vps], axis=1) \
             if kpp > 1 else _unp(vps[0])
     elif kpp == 1:
-        k = kps[0][0].astype(jnp.bfloat16)          # [Hkv, w, D]
-        v = vps[0][0].astype(jnp.bfloat16)
+        from .decode_attention import _codes_bf16
+
+        k = _codes_bf16(kps[0][0])                  # [Hkv, w, D]
+        v = _codes_bf16(vps[0][0])
     else:
-        k = jnp.concatenate([r[0].astype(jnp.bfloat16) for r in kps],
-                            axis=1)
-        v = jnp.concatenate([r[0].astype(jnp.bfloat16) for r in vps],
-                            axis=1)
+        from .decode_attention import _codes_bf16
+
+        k = jnp.concatenate([_codes_bf16(r[0]) for r in kps], axis=1)
+        v = jnp.concatenate([_codes_bf16(r[0]) for r in vps], axis=1)
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
     if quant:
@@ -351,10 +353,11 @@ def _paged_kernel_v2(bt_ref, len_ref, q_ref, *args, page, rep_p, gsteps,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "window",
-                                             "softcap"))
+                                             "softcap", "f8bits"))
 def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
                         block_tables, lengths, interpret, window=None,
-                        softcap=None):
+                        softcap=None, f8bits=True):
+    # ``f8bits`` keys the jit cache for decode_attention.set_f8_via_bits
     B, H, S, D = q.shape
     P, Hkv, page_c, _ = k_pages.shape
     int4 = k_pages.dtype == jnp.uint8
@@ -632,10 +635,13 @@ def paged_decode_attention(q, cache, lengths, window=None, softcap=None):
     assert q.shape[2] == 1, "paged decode attention is single-token"
     interpret = not _on_tpu()
     if _PAGED_V2 or cache.k_pages.dtype == jnp.uint8:  # v1 has no int4
+        from .decode_attention import _F8_VIA_BITS
+
         out = _paged_attn_impl_v2(q, cache.k_pages, cache.k_scales,
                                   cache.v_pages, cache.v_scales,
                                   cache.block_tables, lengths, interpret,
-                                  window=window, softcap=softcap)
+                                  window=window, softcap=softcap,
+                                  f8bits=_F8_VIA_BITS)
     elif window is not None or softcap is not None:
         raise NotImplementedError(
             "window/softcap need the v2 paged kernel (set_paged_v2)")
