@@ -61,3 +61,27 @@ def test_quarot_then_quantize_runs():
     qm = nq.quantize(m, nq.RTNConfig(dtype="int4", group_size=32))
     ids = jnp.asarray(np.random.default_rng(2).integers(0, 256, (1, 8)))
     assert qm(ids).shape == (1, 8, 256)
+
+
+def test_quarot_mixtral_and_deepseek_fp_equivalence():
+    """Round-5 (VERDICT #7): the rotation extends beyond the llama family
+    — mixtral's routed experts (+ Linear router) and deepseek's MLA
+    q/kv-latent projections + raw-parameter sigmoid router + shared
+    experts all fold/rotate exactly (routing decisions are preserved
+    because (xR)(WR)^T == xW^T)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from neural_compressor_tpu.models.deepseek import DeepseekForCausalLM
+    from neural_compressor_tpu.models.mixtral import MixtralForCausalLM
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 12)))
+    for m in (MixtralForCausalLM.from_preset("mixtral-test",
+                                             dtype=jnp.float32),
+              DeepseekForCausalLM.from_preset("deepseek-test",
+                                              dtype=jnp.float32)):
+        y0 = np.asarray(m(ids), np.float32)
+        apply_quarot(m, seed=3)
+        y1 = np.asarray(m(ids), np.float32)
+        rel = np.abs(y1 - y0).max() / (np.abs(y0).max() + 1e-9)
+        assert rel < 1e-4, rel
