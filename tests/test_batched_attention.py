@@ -77,6 +77,7 @@ def test_batched_attention_envelope():
     assert da.batched_decode_attention(q2, k2, k2, 0) is None
 
 
+@pytest.mark.slow
 def test_batched_attention_in_model_decode():
     """B>1 quantized decode through the llama zoo dispatches the batched
     kernel (interpret on CPU) and stays consistent with its own prefill."""

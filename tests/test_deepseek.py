@@ -72,6 +72,7 @@ def test_deepseek_hf_parity_no_qlora_halfrope(tmp_path):
     assert err < 5e-3, f"deepseek(no-qlora): max logit diff {err}"
 
 
+@pytest.mark.slow
 def test_cache_matches_prefill():
     m = DeepseekForCausalLM.from_preset("deepseek-test")
     ids = jnp.asarray(np.random.default_rng(2).integers(0, 256, (2, 8)))
@@ -229,6 +230,7 @@ def test_stacked_moe_serving_matches_dense(quantize):
                                else 2e-3)
 
 
+@pytest.mark.slow
 def test_mla_projections_shard_column_parallel():
     """q_b/kv_b (head-major N) must carry P(None, 'model') specs — not
     silent replication — and the TP forward must match single-device."""
@@ -312,6 +314,7 @@ def test_paged_latent_cache_matches_contiguous():
     assert np.abs(row).max() > 0
 
 
+@pytest.mark.slow
 def test_chunked_prefill_matches_dense_mla():
     """Long-prefill chunked attention on deepseek: expanded path
     (densified mask) and latent path (Hkv=1 chunked online softmax with

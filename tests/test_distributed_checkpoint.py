@@ -48,6 +48,7 @@ def test_save_and_cross_mesh_restore(tmp_path, eight_device_mesh):
                           for v in packed)
 
 
+@pytest.mark.slow
 def test_restore_without_mesh(tmp_path):
     rng = np.random.default_rng(1)
     ids = jnp.asarray(rng.integers(0, 256, (1, 8)))

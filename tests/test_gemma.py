@@ -184,6 +184,7 @@ def test_awq_folds_into_gemma_norms():
     assert np.isfinite(y).all()
 
 
+@pytest.mark.slow
 def test_gemma_tp_forward_matches_single_device():
     """The name-based TP rules (models/sharding.py) cover gemma's
     projections: sharding a quantized gemma over an 8-device mesh must
@@ -211,6 +212,7 @@ def test_multimodal_gemma3_rejected(tmp_path):
         detect_architecture(str(d))
 
 
+@pytest.mark.slow
 def test_chunked_prefill_matches_dense_gemma():
     """Gemma long-prefill (chunked online softmax with softcap and the
     sliding-window band) == the dense-mask forward on gemma-2 (softcap +

@@ -3,6 +3,7 @@ stack; non-text modules follow quant_nontext_module (round-2 VERDICT
 Missing #3; reference torch/quantization/config.py:887-1008)."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 from flax import nnx
 
@@ -66,6 +67,7 @@ def test_autoround_quant_nontext_module():
     assert np.isfinite(y).all()
 
 
+@pytest.mark.slow
 def test_llava_kv_cache_decode_matches_full_forward():
     """MLLM serving: prefill [image, prompt] into the language model's KV
     caches, then single-token decode — logits must match the full-context

@@ -67,6 +67,7 @@ def test_gptq_on_mixtral(ids):
         get_module(qm, "layers.1.block_sparse_moe.experts.1.w2"), WOQLinear)
 
 
+@pytest.mark.slow
 def test_hf_mixtral_import_exact(tmp_path):
     torch = pytest.importorskip("torch")
     from transformers import (

@@ -216,6 +216,7 @@ def test_chunked_prefill_attention_matches_dense():
     np.testing.assert_allclose(got, ref, atol=8e-2, rtol=8e-2)
 
 
+@pytest.mark.slow
 def test_chunked_prefill_int4_kv_matches_dense():
     """Long-prefill chunked attention consumes PACKED int4 affine caches
     (round-5 VERDICT #8): forcing the chunked sentinel at small shapes

@@ -63,6 +63,7 @@ def test_quarot_then_quantize_runs():
     assert qm(ids).shape == (1, 8, 256)
 
 
+@pytest.mark.slow
 def test_quarot_mixtral_and_deepseek_fp_equivalence():
     """Round-5 (VERDICT #7): the rotation extends beyond the llama family
     — mixtral's routed experts (+ Linear router) and deepseek's MLA

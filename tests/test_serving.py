@@ -643,11 +643,32 @@ def test_engine_rejects_impossible_request(qmodel):
 
 
 def test_engine_serves_gemma_sliding_windows():
-    """The engine serves the gemma family (round-5 VERDICT #6): per-layer
-    sliding/global windows, softcapping, and local rope through both the
-    contiguous caches AND the paged pools (the v2 paged kernel gained
-    window/softcap). Token-exact vs greedy_search on gemma-2 (alternating
-    sliding/full + softcap) and gemma-3 (5:1 sliding + qk-norm)."""
+    """The engine serves the gemma family (round-5 VERDICT #6): the NEW
+    paged path (v2 kernel window/softcap) on gemma-2, token-exact vs
+    greedy_search. The full matrix (gemma-3 qk-norm, contiguous mode)
+    runs in the slow gate below."""
+    from neural_compressor_tpu.models.gemma import GemmaForCausalLM
+
+    rng = np.random.default_rng(33)
+    m = GemmaForCausalLM.from_preset("gemma2-test", dtype=jnp.float32)
+    prompts = [rng.integers(0, 256, (n,)) for n in (12, 20)]
+    refs = [np.asarray(greedy_search(
+        m, jnp.asarray(p)[None, :], max_new_tokens=8))[0, len(p):]
+        for p in prompts]
+    eng = ContinuousBatchingEngine(m, n_slots=2, max_len=64,
+                                   prefill_chunk=16, paged=True,
+                                   page_size=16, n_pages=9)
+    reqs = [eng.submit(p, max_new_tokens=8) for p in prompts]
+    assert len(eng.run(chunk=2)) == 2
+    for p, r, ref in zip(prompts, reqs, refs):
+        np.testing.assert_array_equal(np.asarray(r.generated), ref,
+                                      err_msg=f"paged gemma2 P={len(p)}")
+
+
+@pytest.mark.slow
+def test_engine_serves_gemma_full_matrix():
+    """gemma-2 AND gemma-3, contiguous AND paged engine serving,
+    token-exact vs greedy_search."""
     from neural_compressor_tpu.models.gemma import GemmaForCausalLM
 
     rng = np.random.default_rng(33)

@@ -154,6 +154,7 @@ def test_w4a8_row_parallel(w4a8_problem, eight_device_mesh):
     assert rel < 2e-2, rel  # per-shard int8-act quantization error only
 
 
+@pytest.mark.slow
 def test_tp_w4a8_serving_end_to_end(eight_device_mesh):
     """enable_tp_serving BEFORE to_w4a8_serving: modules convert to
     W4A8Linear but stay tpu_strided with their TP roles, and TP decode
