@@ -102,7 +102,12 @@ def _sample_step(logits, keys, temp, topk, topp, dos):
     kth_k = jnp.take_along_axis(srt, idx[:, None], axis=1)
     kth_k = jnp.where((topk > 0)[:, None], kth_k, -jnp.inf)
     lg = jnp.where(lg < kth_k, -jnp.inf, lg)
-    srt2 = jnp.sort(lg, axis=-1)[:, ::-1]
+    # ONE sort serves both filters: sample() re-sorts the top-k-masked
+    # logits for the nucleus, but masking only -inf's entries BELOW the
+    # kth threshold, which preserves descending order — the masked sort
+    # is exactly ``srt`` with its tail replaced (measured: the second
+    # [B, V] sort was half the 10.6% engine sampling overhead at 7B)
+    srt2 = jnp.where(srt < kth_k, -jnp.inf, srt)
     probs = jax.nn.softmax(srt2, axis=-1)
     csum = jnp.cumsum(probs, axis=-1)
     keep = csum - probs < topp[:, None]
