@@ -80,7 +80,11 @@ class Request:
     stream: Callable | None = None
     # filled during serving
     generated: list = dataclasses.field(default_factory=list)
+    # log P(token | prefix) under the model's RAW distribution (no
+    # temperature/filtering — the OpenAI-style logprob), one per token
+    logprobs: list = dataclasses.field(default_factory=list)
     done: bool = False
+    cancelled: bool = False
     prefill_pos: int = 0          # tokens already written to the cache
     preemptions: int = 0
     _key: np.ndarray | None = None  # PRNG state (uint32[2]), advances/token
@@ -123,19 +127,32 @@ def _sample_step(logits, keys, temp, topk, topp, dos):
     nxt = jnp.where(dos, drawn, jnp.argmax(logits, axis=-1)).astype(
         jnp.int32)
     keys = jnp.where(dos[:, None], nk, keys)
-    return nxt, keys
+    return nxt, keys, _chosen_logprob(logits, nxt)
+
+
+def _chosen_logprob(logits, nxt):
+    """log P(nxt) under the RAW model distribution [B] (serving
+    logprobs are reported pre-temperature/filter, OpenAI-style)."""
+    lgf = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lgf, axis=-1)
+    chosen = jnp.take_along_axis(
+        lgf, nxt[:, None].astype(jnp.int32), axis=1)[:, 0]
+    return chosen - lse
 
 
 def _next_token_fn(sampling: bool):
     """The decode-loop next-token step: argmax (the measured fast path)
-    or the in-program sampler. Uniform signature so every engine program
-    threads (keys, samp-params) whether or not it uses them — XLA
-    dead-code-eliminates the unused operands in the greedy variant."""
+    or the in-program sampler; both also emit the chosen token's raw
+    logprob (a logsumexp + gather — trivial next to the weight stream).
+    Uniform signature so every engine program threads (keys,
+    samp-params) whether or not it uses them — XLA dead-code-eliminates
+    the unused operands in the greedy variant."""
     if sampling:
         return _sample_step
 
     def greedy(logits, keys, temp, topk, topp, dos):
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32), keys
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return nxt, keys, _chosen_logprob(logits, nxt)
 
     return greedy
 
@@ -323,26 +340,38 @@ class ContinuousBatchingEngine:
                     if self.paged:
                         fn = self._combined_paged_fn(args[0].shape[0],
                                                      chunk, sampling)
-                        (self.pools, self.staging, nxt, out, pkeys,
-                         dkeys) = fn(
+                        (self.pools, self.staging, nxt, out, lps, pkeys,
+                         plp, dkeys) = fn(
                             self._state, self.pools, self.staging,
                             jnp.asarray(self.block_tables), *args, toks,
                             pos, *pdev, *dsamp)
                     else:
                         fn = self._combined_fn(args[0].shape[0], chunk,
                                                sampling)
-                        self.caches, nxt, out, pkeys, dkeys = fn(
+                        (self.caches, nxt, out, lps, pkeys, plp,
+                         dkeys) = fn(
                             self._state, self.caches, *args, toks, pos,
                             *pdev, *dsamp)
                     self._apply_decode(np.asarray(out), decoding, chunk,
-                                       np.asarray(dkeys))
+                                       np.asarray(dkeys),
+                                       np.asarray(lps))
                     self._apply_prefill(active, ends, np.asarray(nxt),
-                                        np.asarray(pkeys))
+                                        np.asarray(pkeys),
+                                        np.asarray(plp))
             else:
                 self._advance_prefill()
             finished.extend(self._collect())
         self.stats["wall_s"] += _time.time() - t0
         return finished
+
+    def cancel(self, req: Request) -> None:
+        """Abort a request: queued requests leave the queue immediately;
+        running ones stop at the next host sync (their slot, pages, and
+        staging row are reclaimed by the serve loop)."""
+        req.cancelled = True
+        req.done = True
+        if req in self.queue:
+            self.queue.remove(req)
 
     def metrics(self) -> dict:
         """Serving observability (reference-style Statistics surface):
@@ -401,9 +430,9 @@ class ContinuousBatchingEngine:
                                 cache_pos=starts)
                 caches = jax.tree.map(lambda c, s: c.at[rows].set(s),
                                       caches, sub)
-                nxt, keys = nxt_fn(logits[jnp.arange(n), last_idx],
-                                   keys, temp, topk, topp, dos)
-                return caches, nxt, keys
+                nxt, keys, lp = nxt_fn(logits[jnp.arange(n), last_idx],
+                                       keys, temp, topk, topp, dos)
+                return caches, nxt, keys, lp
 
             self._jit_cache[key] = prefill
         return self._jit_cache[key]
@@ -425,7 +454,8 @@ class ContinuousBatchingEngine:
         active: list[tuple[int, int]] = []  # (slot, target row)
         for slot in range(self.n_slots):
             req = self.slot_req[slot]
-            if req is None or self.slot_state[slot] != "prefill":
+            if req is None or self.slot_state[slot] != "prefill" \
+                    or req.done:  # done = cancelled mid-prefill
                 continue
             if self.paged:
                 row = self._staging_of.get(slot)
@@ -490,7 +520,7 @@ class ContinuousBatchingEngine:
         prefill = self._prefill_batch_fn(args[0].shape[0], sampling)
         self.stats["prefill_chunk_dispatches"] += 1
         target = self.staging if self.paged else self.caches
-        target, nxt, keys = prefill(
+        target, nxt, keys, lp = prefill(
             self._state, target, *args,
             *(jnp.asarray(a) for a in samp))
         if self.paged:
@@ -498,11 +528,13 @@ class ContinuousBatchingEngine:
         else:
             self.caches = target
         self._apply_prefill(active, ends, np.asarray(nxt),
-                            np.asarray(keys))
+                            np.asarray(keys), np.asarray(lp))
 
-    def _apply_prefill(self, active, ends, nxt, keys=None):
+    def _apply_prefill(self, active, ends, nxt, keys=None, lps=None):
         for i, (slot, row) in enumerate(active):
             req = self.slot_req[slot]
+            if req.done:  # cancelled mid-prefill: freed by _collect
+                continue
             req.prefill_pos = ends[i]
             src_len = len(self._prompt_of(req))
             if ends[i] < src_len:
@@ -518,7 +550,8 @@ class ContinuousBatchingEngine:
             self._load_slot_samp(slot, req)
             tok = int(nxt[i])
             self.slot_tok[slot] = tok
-            self._append_token(req, slot, tok)
+            self._append_token(req, slot, tok,
+                               float(lps[i]) if lps is not None else None)
             logger.debug("slot %d prefilled request %d (P=%d)",
                          slot, req.uid, P)
 
@@ -683,19 +716,22 @@ class ContinuousBatchingEngine:
                 pools = [p._replace(block_tables=bt) for p in pools]
 
                 def body(i, carry):
-                    toks, pos, pools, out, keys = carry
+                    toks, pos, pools, out, lps, keys = carry
                     logits, pools = m(toks[:, None], positions=pos[:, None],
                                       caches=pools, cache_pos=pos)
-                    nxt, keys = nxt_fn(logits[:, 0], keys, temp, topk,
-                                       topp, dos)
+                    nxt, keys, lp = nxt_fn(logits[:, 0], keys, temp, topk,
+                                           topp, dos)
                     out = jax.lax.dynamic_update_slice(
                         out, nxt[:, None], (0, i))
-                    return nxt, pos + 1, pools, out, keys
+                    lps = jax.lax.dynamic_update_slice(
+                        lps, lp[:, None], (0, i))
+                    return nxt, pos + 1, pools, out, lps, keys
 
                 out0 = jnp.zeros((toks.shape[0], k), jnp.int32)
-                _t, _p, pools, out, keys = jax.lax.fori_loop(
-                    0, k, body, (toks, pos, pools, out0, keys))
-                return pools, out, keys
+                lp0 = jnp.zeros((toks.shape[0], k), jnp.float32)
+                _t, _p, pools, out, lps, keys = jax.lax.fori_loop(
+                    0, k, body, (toks, pos, pools, out0, lp0, keys))
+                return pools, out, lps, keys
 
             self._jit_cache[key] = decode_many
         return self._jit_cache[key]
@@ -727,23 +763,26 @@ class ContinuousBatchingEngine:
                                 cache_pos=starts)
                 caches = jax.tree.map(lambda c, s: c.at[rows].set(s),
                                       caches, sub)
-                nxt, pkeys = nxt_fn(logits[jnp.arange(n), last_idx],
-                                    pkeys, ptemp, ptopk, ptopp, pdos)
+                nxt, pkeys, plp = nxt_fn(logits[jnp.arange(n), last_idx],
+                                         pkeys, ptemp, ptopk, ptopp, pdos)
 
                 def body(i, carry):
-                    toks, pos, caches, out, dkeys = carry
+                    toks, pos, caches, out, lps, dkeys = carry
                     lg, caches = m(toks[:, None], positions=pos[:, None],
                                    caches=caches, cache_pos=pos)
-                    nx, dkeys = nxt_fn(lg[:, 0], dkeys, dtemp, dtopk,
-                                       dtopp, ddos)
+                    nx, dkeys, lp = nxt_fn(lg[:, 0], dkeys, dtemp, dtopk,
+                                           dtopp, ddos)
                     out = jax.lax.dynamic_update_slice(
                         out, nx[:, None], (0, i))
-                    return nx, pos + 1, caches, out, dkeys
+                    lps = jax.lax.dynamic_update_slice(
+                        lps, lp[:, None], (0, i))
+                    return nx, pos + 1, caches, out, lps, dkeys
 
                 out0 = jnp.zeros((toks.shape[0], k), jnp.int32)
-                _t, _p, caches, out, dkeys = jax.lax.fori_loop(
-                    0, k, body, (toks, pos, caches, out0, dkeys))
-                return caches, nxt, out, pkeys, dkeys
+                lp0 = jnp.zeros((toks.shape[0], k), jnp.float32)
+                _t, _p, caches, out, lps, dkeys = jax.lax.fori_loop(
+                    0, k, body, (toks, pos, caches, out0, lp0, dkeys))
+                return caches, nxt, out, lps, pkeys, plp, dkeys
 
             self._jit_cache[key] = combined
         return self._jit_cache[key]
@@ -773,24 +812,27 @@ class ContinuousBatchingEngine:
                                 cache_pos=starts)
                 staging = jax.tree.map(lambda c, s: c.at[rows].set(s),
                                        staging, sub)
-                nxt, pkeys = nxt_fn(logits[jnp.arange(n), last_idx],
-                                    pkeys, ptemp, ptopk, ptopp, pdos)
+                nxt, pkeys, plp = nxt_fn(logits[jnp.arange(n), last_idx],
+                                         pkeys, ptemp, ptopk, ptopp, pdos)
                 pools = [p._replace(block_tables=bt) for p in pools]
 
                 def body(i, carry):
-                    toks, pos, pools, out, dkeys = carry
+                    toks, pos, pools, out, lps, dkeys = carry
                     lg, pools = m(toks[:, None], positions=pos[:, None],
                                   caches=pools, cache_pos=pos)
-                    nx, dkeys = nxt_fn(lg[:, 0], dkeys, dtemp, dtopk,
-                                       dtopp, ddos)
+                    nx, dkeys, lp = nxt_fn(lg[:, 0], dkeys, dtemp, dtopk,
+                                           dtopp, ddos)
                     out = jax.lax.dynamic_update_slice(
                         out, nx[:, None], (0, i))
-                    return nx, pos + 1, pools, out, dkeys
+                    lps = jax.lax.dynamic_update_slice(
+                        lps, lp[:, None], (0, i))
+                    return nx, pos + 1, pools, out, lps, dkeys
 
                 out0 = jnp.zeros((toks.shape[0], k), jnp.int32)
-                _t, _p, pools, out, dkeys = jax.lax.fori_loop(
-                    0, k, body, (toks, pos, pools, out0, dkeys))
-                return pools, staging, nxt, out, pkeys, dkeys
+                lp0 = jnp.zeros((toks.shape[0], k), jnp.float32)
+                _t, _p, pools, out, lps, dkeys = jax.lax.fori_loop(
+                    0, k, body, (toks, pos, pools, out0, lp0, dkeys))
+                return pools, staging, nxt, out, lps, pkeys, plp, dkeys
 
             self._jit_cache[key] = combined
         return self._jit_cache[key]
@@ -808,20 +850,23 @@ class ContinuousBatchingEngine:
                 _s4_prepare(m)
 
                 def body(i, carry):
-                    toks, pos, caches, out, keys = carry
+                    toks, pos, caches, out, lps, keys = carry
                     logits, caches = m(toks[:, None],
                                        positions=pos[:, None],
                                        caches=caches, cache_pos=pos)
-                    nxt, keys = nxt_fn(logits[:, 0], keys, temp, topk,
-                                       topp, dos)
+                    nxt, keys, lp = nxt_fn(logits[:, 0], keys, temp, topk,
+                                           topp, dos)
                     out = jax.lax.dynamic_update_slice(
                         out, nxt[:, None], (0, i))
-                    return nxt, pos + 1, caches, out, keys
+                    lps = jax.lax.dynamic_update_slice(
+                        lps, lp[:, None], (0, i))
+                    return nxt, pos + 1, caches, out, lps, keys
 
                 out0 = jnp.zeros((toks.shape[0], k), jnp.int32)
-                _t, _p, caches, out, keys = jax.lax.fori_loop(
-                    0, k, body, (toks, pos, caches, out0, keys))
-                return caches, out, keys
+                lp0 = jnp.zeros((toks.shape[0], k), jnp.float32)
+                _t, _p, caches, out, lps, keys = jax.lax.fori_loop(
+                    0, k, body, (toks, pos, caches, out0, lp0, keys))
+                return caches, out, lps, keys
 
             self._jit_cache[key] = decode_many
         return self._jit_cache[key]
@@ -884,21 +929,25 @@ class ContinuousBatchingEngine:
         samp = self._decode_samp_args()
         if self.paged:
             decode_many = self._paged_decode_fn(k, sampling)
-            self.pools, out, keys = decode_many(
+            self.pools, out, lps, keys = decode_many(
                 self._state, self.pools, jnp.asarray(self.block_tables),
                 toks, pos, *samp)
         else:
             decode_many = self._decode_many_fn(k, sampling)
-            self.caches, out, keys = decode_many(
+            self.caches, out, lps, keys = decode_many(
                 self._state, self.caches, toks, pos, *samp)
-        self._apply_decode(np.asarray(out), dec, k, np.asarray(keys))
+        self._apply_decode(np.asarray(out), dec, k, np.asarray(keys),
+                           np.asarray(lps))
 
-    def _append_token(self, req: Request, slot: int, tok: int) -> None:
+    def _append_token(self, req: Request, slot: int, tok: int,
+                      lp: float | None = None) -> None:
         """Append one decided token to ``req`` with the full stop
-        treatment: counters, streaming callback, EOS / per-request stop
-        tokens (kept in the output), multi-token stop sequences (trimmed
-        from the output), max_new_tokens, and cache-capacity stop."""
+        treatment: counters, logprob, streaming callback, EOS /
+        per-request stop tokens (kept in the output), multi-token stop
+        sequences (trimmed from the output), max_new_tokens, and
+        cache-capacity stop."""
         req.generated.append(tok)
+        req.logprobs.append(lp if lp is not None else float("nan"))
         self.stats["generated_tokens"] += 1
         if req.stream is not None:
             req.stream(req, tok)
@@ -910,6 +959,7 @@ class ContinuousBatchingEngine:
             if L and len(req.generated) >= L and \
                     tuple(req.generated[-L:]) == seq:
                 del req.generated[-L:]
+                del req.logprobs[-L:]
                 self.stats["generated_tokens"] -= L
                 req.done = True
                 break
@@ -917,7 +967,7 @@ class ContinuousBatchingEngine:
                 or self.slot_pos[slot] >= self.max_len - 1):
             req.done = True
 
-    def _apply_decode(self, out, dec_slots, k: int, keys=None):
+    def _apply_decode(self, out, dec_slots, k: int, keys=None, lps=None):
         """Host bookkeeping for one [n_slots, k] decode result, applied
         only to ``dec_slots`` (the slots that were decoding when the
         dispatch was issued — state may have moved since)."""
@@ -931,7 +981,9 @@ class ContinuousBatchingEngine:
                 self.slot_pos[slot] += 1
                 tok = int(out[slot, j])
                 self.slot_tok[slot] = tok
-                self._append_token(req, slot, tok)
+                self._append_token(
+                    req, slot, tok,
+                    float(lps[slot, j]) if lps is not None else None)
             if req.do_sample and keys is not None:
                 # device key advanced once per decode step; an active
                 # request consumed every step, so this is its post-last-
@@ -949,4 +1001,7 @@ class ContinuousBatchingEngine:
                 self.slot_samp[slot] = False
                 if self.paged:
                     self._free_slot_pages(slot)
+                    row = self._staging_of.pop(slot, None)
+                    if row is not None:  # cancelled mid-prefill
+                        self._free_staging.append(row)
         return done

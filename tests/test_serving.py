@@ -691,3 +691,51 @@ def test_engine_serves_gemma_full_matrix():
                 np.testing.assert_array_equal(
                     np.asarray(r.generated), ref,
                     err_msg=f"{preset} paged={paged} P={len(p)}")
+
+
+def test_engine_logprobs(qmodel32):
+    """Every decided token carries its raw-distribution logprob
+    (logsumexp-normalized, pre-temperature — OpenAI-style): engine
+    logprobs match a direct forward's log_softmax at each position, for
+    greedy AND sampled requests."""
+    import jax
+
+    rng = np.random.default_rng(40)
+    prompt = rng.integers(0, 256, (9,))
+    eng = ContinuousBatchingEngine(qmodel32, n_slots=2, max_len=64)
+    r1 = eng.submit(prompt, max_new_tokens=6)
+    r2 = eng.submit(prompt, max_new_tokens=6, do_sample=True,
+                    temperature=0.9, top_k=8, seed=3)
+    eng.run(chunk=2)
+    for r in (r1, r2):
+        assert len(r.logprobs) == len(r.generated) == 6
+        seq = np.concatenate([prompt, r.generated])
+        logits = np.asarray(
+            qmodel32(jnp.asarray(seq[None, :-1])), np.float32)[0]
+        lps = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+        for j, tok in enumerate(r.generated):
+            ref = float(lps[len(prompt) - 1 + j, tok])
+            assert abs(r.logprobs[j] - ref) < 5e-3, (j, r.logprobs[j], ref)
+
+
+def test_engine_cancel(qmodel):
+    """cancel(): queued requests never run; an in-flight request stops at
+    the next sync and frees its slot/pages for the rest of the queue."""
+    rng = np.random.default_rng(41)
+    eng = ContinuousBatchingEngine(qmodel, n_slots=1, max_len=64,
+                                   paged=True, page_size=16, n_pages=5,
+                                   prefill_chunk=16)
+    r1 = eng.submit(rng.integers(0, 256, (8,)), max_new_tokens=40)
+    r2 = eng.submit(rng.integers(0, 256, (8,)), max_new_tokens=4)
+    r3 = eng.submit(rng.integers(0, 256, (8,)), max_new_tokens=4)
+    eng.cancel(r3)                      # queued: removed outright
+    eng.run(max_steps=3, chunk=2)       # r1 starts decoding
+    assert not r1.done and len(r1.generated) > 0
+    eng.cancel(r1)                      # in-flight: stops at next sync
+    done = eng.run(chunk=2)
+    assert r1.cancelled and r1.done
+    assert r2.done and len(r2.generated) == 4
+    assert not r3.generated
+    assert r2 in done and r1 not in [d for d in done if not d.cancelled]
+    # pool fully reclaimed
+    assert sorted(eng.free_pages) == list(range(1, 5))
