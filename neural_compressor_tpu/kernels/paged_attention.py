@@ -267,8 +267,14 @@ def _paged_kernel_v2(bt_ref, len_ref, q_ref, *args, page, rep_p, gsteps,
     kss = args[kpp:2 * kpp]
     vps = args[2 * kpp:3 * kpp]
     vss = args[3 * kpp:4 * kpp]
-    o_ref = args[4 * kpp]
-    acc_s, m_s, l_s = args[4 * kpp + 1:4 * kpp + 4]
+    if int4:  # affine off planes follow (asym per-(token, head, D-half))
+        kos = args[4 * kpp:5 * kpp]
+        vos = args[5 * kpp:6 * kpp]
+        rest = args[6 * kpp:]
+    else:
+        rest = args[4 * kpp:]
+    o_ref = rest[0]
+    acc_s, m_s, l_s = rest[1:4]
     b = pl.program_id(0)
     p = pl.program_id(1)
 
@@ -323,6 +329,16 @@ def _paged_kernel_v2(bt_ref, len_ref, q_ref, *args, page, rep_p, gsteps,
             ksc = jnp.concatenate([r[0] for r in kss], axis=1)
             vsc = jnp.concatenate([r[0] for r in vss], axis=1)
         s = s * ksc[:, None, :]
+    if int4:
+        # per-token AFFINE int4 (value = s*(c-8)+off): the off term is a
+        # rank-1 score correction off[t] * sum(q) — one extra multiply
+        # on the score block, no extra MXU pass or VMEM temp
+        koc = (kos[0][0] if kpp == 1
+               else jnp.concatenate([r[0] for r in kos], axis=1))
+        voc = (vos[0][0] if kpp == 1
+               else jnp.concatenate([r[0] for r in vos], axis=1))
+        qsum = jnp.sum(q.astype(jnp.float32), axis=-1)   # [Hkv, rep_p]
+        s = s + qsum[..., None] * koc[:, None, :]
     s = s * scale
     if softcap is not None:
         # gemma-2 logit softcapping, BEFORE the mask (HF order); tanh is
@@ -338,12 +354,20 @@ def _paged_kernel_v2(bt_ref, len_ref, q_ref, *args, page, rep_p, gsteps,
     l_s[:, :, 0:1] = l_s[:, :, 0:1] * alpha + jnp.sum(pexp, axis=2,
                                                       keepdims=True)
     m_s[:, :, 0:1] = jnp.broadcast_to(m_new, (Hkv, rep_p, 1))
-    if quant:
-        pexp = pexp * vsc[:, None, :]
-    pv = jax.lax.dot_general(
-        pexp.astype(jnp.bfloat16), v,
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)         # [Hkv, rep_p, D]
+    dgv = (((2,), (1,)), ((0,), (0,)))
+    if int4:
+        # (pexp . off) broadcasts over D; the scale folds into the probs
+        corr = jnp.sum(pexp * voc[:, None, :], axis=2)   # [Hkv, rep_p]
+        pv = jax.lax.dot_general(
+            (pexp * vsc[:, None, :]).astype(jnp.bfloat16), v, dgv,
+            preferred_element_type=jnp.float32)
+        pv = pv + corr[..., None]
+    else:
+        if quant:
+            pexp = pexp * vsc[:, None, :]
+        pv = jax.lax.dot_general(
+            pexp.astype(jnp.bfloat16), v, dgv,
+            preferred_element_type=jnp.float32)     # [Hkv, rep_p, D]
     acc_s[:] = acc_s[:] * alpha + pv
 
     @pl.when(p == gsteps - 1)
@@ -356,7 +380,8 @@ def _paged_kernel_v2(bt_ref, len_ref, q_ref, *args, page, rep_p, gsteps,
                                              "softcap", "f8bits"))
 def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
                         block_tables, lengths, interpret, window=None,
-                        softcap=None, f8bits=True):
+                        softcap=None, f8bits=True, k_offs=None,
+                        v_offs=None):
     # ``f8bits`` keys the jit cache for decode_attention.set_f8_via_bits
     B, H, S, D = q.shape
     P, Hkv, page_c, _ = k_pages.shape
@@ -370,7 +395,10 @@ def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
     kpp = min(_KPP, pmax)
     # clamp by VMEM: K+V staged blocks are double-buffered; the scoped
-    # vmem limit is 16 MB (bf16 MHA-32 pools OOM'd at kpp=4: 16.38 MB)
+    # vmem limit is 16 MB (bf16 MHA-32 pools OOM'd at kpp=4: 16.38 MB).
+    # int4 additionally materializes unpacked AND code-scaled bf16 temps
+    # of the full [Hkv, w, D] group for K and V (4 arrays — measured
+    # 21.06M stack at kpp=4/B=16, paged_int4_asym_ab.log round 5)
     blk = Hkv * page_c * D * jnp.dtype(k_pages.dtype).itemsize
     while kpp > 1 and 2 * 2 * kpp * blk > 14 * 1024 * 1024:
         kpp //= 2
@@ -388,7 +416,8 @@ def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
         # rank-3 [P, Hkv, page] blocks: an [..., None] reshape here
         # pads the lane dim 1 -> 128 (a 136 MB physical buffer at 7B
         # pool shapes) and XLA materializes it per layer per step —
-        # 17.5 ms/step of 'copy' at B=8 (profile_paged_b8_post.log)
+        # 17.5 ms/step of 'copy' at B=8 (profile_paged_b8_post.log).
+        # int4 affine planes are [P, Hkv, 2*page]
         ks3 = k_scales.astype(jnp.float32)
         vs3 = v_scales.astype(jnp.float32)
     else:  # dummy [1, Hkv, page] so the spec list is static
@@ -413,13 +442,15 @@ def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
                              sc_map_j(j) if quant else dummy_sc,
                              memory_space=pltpu.VMEM)
                 for j in range(kpp)]
+    extra_specs = sc_specs if int4 else []      # affine off planes
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, gsteps),
         in_specs=[pl.BlockSpec((1, Hkv, rep_p, D),
                                lambda b, p, bt, ln: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM)]
-        + pg_specs + sc_specs + pg_specs + sc_specs,
+        + pg_specs + sc_specs + pg_specs + sc_specs
+        + extra_specs + extra_specs,
         out_specs=pl.BlockSpec((1, Hkv, rep_p, D),
                                lambda b, p, bt, ln: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -433,6 +464,9 @@ def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
                                gsteps=gsteps, scale=1.0 / (D ** 0.5),
                                Hkv=Hkv, quant=quant, kpp=kpp, int4=int4,
                                window=window, softcap=softcap)
+    extra_ops = ((list([k_offs.astype(jnp.float32)] * kpp)
+                  + list([v_offs.astype(jnp.float32)] * kpp))
+                 if int4 else [])
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -441,7 +475,7 @@ def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(bt, lengths, qr, *([k_pages] * kpp), *([ks3] * kpp),
-      *([v_pages] * kpp), *([vs3] * kpp))
+      *([v_pages] * kpp), *([vs3] * kpp), *extra_ops)
     if rep_p != rep:
         out = out[:, :, :rep]
     return out.reshape(B, Hkv * rep, 1, D)
@@ -498,37 +532,44 @@ def _write_kernel_quant(pid_ref, off_ref, kn_ref, vn_ref, kp_ref, ks_ref,
 
 
 def _write_kernel_int4(pid_ref, off_ref, kn_ref, vn_ref, kp_ref, ks_ref,
-                       vp_ref, vs_ref, ko_ref, kso_ref, vo_ref, vso_ref,
-                       *, page, Hkv, D):
+                       koff_ref, vp_ref, vs_ref, voff_ref,
+                       ko_ref, kso_ref, koffo_ref, vo_ref, vso_ref,
+                       voffo_ref, *, page, Hkv, D):
     """int4 pool: pages are token-half-split bytes [Hkv, page/2, D]
     (token r low nibble, token r + page/2 high) — patch one nibble of
-    the target byte row, leave the partner token's nibble intact."""
+    the target byte row, leave the partner token's nibble intact.
+    Quantization is ASYMMETRIC per (token, head):
+    value ~= s * (nibble - 8) + off, with s/off on [Hkv, page] planes
+    (_kv_quant4_asym_codes; see the PagedKVCache docstring)."""
     b = pl.program_id(0)
     off = off_ref[b]
     half = page // 2
     brow = off % half
     hi = off >= half
 
-    def one(n_ref, p_ref, s_ref, o_ref, so_ref):
+    def one(n_ref, p_ref, s_ref, of_ref, o_ref, so_ref, ofo_ref):
         f = n_ref[0, :, 0].astype(jnp.float32)           # [Hkv, D]
-        amax = jnp.max(jnp.abs(f), axis=1, keepdims=True)
-        s = jnp.where(amax <= 0, 1.0, amax / 7.0)
-        c = (jnp.clip(jnp.round(f / s), -8, 7) + 8.0).astype(jnp.int32)
+        mn = jnp.min(f, axis=1, keepdims=True)           # [Hkv, 1]
+        mx = jnp.max(f, axis=1, keepdims=True)
+        sc = jnp.where(mx - mn <= 0, 1.0, (mx - mn) / 15.0)
+        c = jnp.clip(jnp.round((f - mn) / sc), 0, 15).astype(jnp.int32)
+        ofv = mn + 8.0 * sc
         old = p_ref[0].astype(jnp.int32)                 # [Hkv, half, D]
         merged = jnp.where(hi, (old & 0x0F) | (c[:, None, :] << 4),
                            (old & 0xF0) | c[:, None, :])
         row = jax.lax.broadcasted_iota(jnp.int32, (Hkv, half, D), 1)
         o_ref[0] = jnp.where(row == brow, merged, old).astype(jnp.uint8)
         col = jax.lax.broadcasted_iota(jnp.int32, (Hkv, page), 1)
-        so_ref[0] = jnp.where(col == off, s, s_ref[0])
+        so_ref[0] = jnp.where(col == off, sc, s_ref[0])
+        ofo_ref[0] = jnp.where(col == off, ofv, of_ref[0])
 
-    one(kn_ref, kp_ref, ks_ref, ko_ref, kso_ref)
-    one(vn_ref, vp_ref, vs_ref, vo_ref, vso_ref)
+    one(kn_ref, kp_ref, ks_ref, koff_ref, ko_ref, kso_ref, koffo_ref)
+    one(vn_ref, vp_ref, vs_ref, voff_ref, vo_ref, vso_ref, voffo_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _paged_write_impl(pids, off, k_new, v_new, k_pages, k_scales, v_pages,
-                      v_scales, interpret):
+                      v_scales, interpret, k_offs=None, v_offs=None):
     P, Hkv, page_c, D = k_pages.shape
     B = pids.shape[0]
     quant = k_scales is not None
@@ -545,10 +586,37 @@ def _paged_write_impl(pids, off, k_new, v_new, k_pages, k_scales, v_pages,
                             memory_space=pltpu.VMEM)
     pg_spec = pl.BlockSpec((1, Hkv, page_c, D), page_map,
                            memory_space=pltpu.VMEM)
-    sc_spec = pl.BlockSpec((1, Hkv, page), sc_map, memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((1, Hkv, page), sc_map,
+                           memory_space=pltpu.VMEM)
+    if quant and int4:
+        kernel = functools.partial(_write_kernel_int4, page=page, Hkv=Hkv,
+                                   D=D)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B,),
+                in_specs=[new_spec, new_spec, pg_spec, sc_spec, sc_spec,
+                          pg_spec, sc_spec, sc_spec],
+                out_specs=[pg_spec, sc_spec, sc_spec, pg_spec, sc_spec,
+                           sc_spec]),
+            out_shape=[jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+                       jax.ShapeDtypeStruct(k_scales.shape, jnp.float32),
+                       jax.ShapeDtypeStruct(k_offs.shape, jnp.float32),
+                       jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+                       jax.ShapeDtypeStruct(v_scales.shape, jnp.float32),
+                       jax.ShapeDtypeStruct(v_offs.shape, jnp.float32)],
+            input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4, 9: 5},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(pids, off, k_new, v_new, k_pages, k_scales.astype(jnp.float32),
+          k_offs.astype(jnp.float32), v_pages,
+          v_scales.astype(jnp.float32), v_offs.astype(jnp.float32))
+        return out
     if quant:
-        kern_cls = _write_kernel_int4 if int4 else _write_kernel_quant
-        kernel = functools.partial(kern_cls, page=page, Hkv=Hkv, D=D)
+        kernel = functools.partial(_write_kernel_quant, page=page, Hkv=Hkv,
+                                   D=D)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -604,6 +672,13 @@ def paged_write_rows(cache, k_new, v_new, pos):
     pids = jnp.take_along_axis(cache.block_tables,
                                (pos // page)[:, None], axis=1)[:, 0]
     off = (pos % page).astype(jnp.int32)
+    if cache.k_pages.dtype == jnp.uint8:
+        kp, ks, koff, vp, vs, voff = _paged_write_impl(
+            pids.astype(jnp.int32), off, k_new, v_new, cache.k_pages,
+            cache.k_scales, cache.v_pages, cache.v_scales, interpret,
+            k_offs=cache.k_offs, v_offs=cache.v_offs)
+        return cache._replace(k_pages=kp, v_pages=vp, k_scales=ks,
+                              v_scales=vs, k_offs=koff, v_offs=voff)
     kp, ks, vp, vs = _paged_write_impl(
         pids.astype(jnp.int32), off, k_new, v_new, cache.k_pages,
         cache.k_scales, cache.v_pages, cache.v_scales, interpret)
@@ -641,7 +716,9 @@ def paged_decode_attention(q, cache, lengths, window=None, softcap=None):
                                   cache.v_pages, cache.v_scales,
                                   cache.block_tables, lengths, interpret,
                                   window=window, softcap=softcap,
-                                  f8bits=_F8_VIA_BITS)
+                                  f8bits=_F8_VIA_BITS,
+                                  k_offs=getattr(cache, "k_offs", None),
+                                  v_offs=getattr(cache, "v_offs", None))
     elif window is not None or softcap is not None:
         raise NotImplementedError(
             "window/softcap need the v2 paged kernel (set_paged_v2)")

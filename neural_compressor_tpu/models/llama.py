@@ -181,6 +181,15 @@ class PagedKVCache(NamedTuple):
     v_pages: jax.Array
     v_scales: jax.Array | None
     block_tables: jax.Array        # [B, PMAX] int32 page ids per slot
+    # int4 pools are ASYMMETRIC per (token, head): value ~= scale *
+    # (nibble - 8) + off. Per-token (not per-D-half like the contiguous
+    # cache) because the off fold is a rank-1 score correction at zero
+    # extra MXU/VMEM cost, whereas per-half forms measured 2x MXU or
+    # scoped-vmem OOM in the paged kernel (paged_int4_asym_ab.log);
+    # decode-measured Δppl +0.076 on tiny_gqa — inside the 0.1 budget
+    # (the old symmetric form was +0.15).
+    k_offs: jax.Array | None = None  # [P, Hkv, page] f32 (int4 only)
+    v_offs: jax.Array | None = None
 
     @property
     def page_size(self) -> int:
@@ -209,7 +218,8 @@ def init_paged_pool(cfg: "LlamaConfig", n_pages: int, batch: int,
                 # token r in the low nibble and token r + page/2 in the
                 # high — [P, Hkv, page/2, D] uint8 keeps the lane dim at
                 # D (no physical padding), unlike the contiguous cache's
-                # D-half-split ([..., T, D/2] would pad lanes D/2->128)
+                # D-half-split ([..., T, D/2] would pad lanes D/2->128).
+                # per-(token, head) affine params (see PagedKVCache)
                 assert page_size % 16 == 0, "int4 pages need page%16==0"
                 cshape = (n_pages, cfg.num_key_value_heads,
                           page_size // 2, cfg.head_dim)
@@ -217,7 +227,9 @@ def init_paged_pool(cfg: "LlamaConfig", n_pages: int, batch: int,
                                         jnp.ones(sshape, jnp.float32),
                                         jnp.zeros(cshape, jnp.uint8),
                                         jnp.ones(sshape, jnp.float32),
-                                        bt))
+                                        bt,
+                                        jnp.zeros(sshape, jnp.float32),
+                                        jnp.zeros(sshape, jnp.float32)))
                 continue
             cdt = _KV_CODE_DTYPES[fmt]
             out.append(PagedKVCache(jnp.zeros(shape, cdt),
@@ -262,8 +274,8 @@ def _paged_write_row(cache: PagedKVCache, k_new, v_new, pos):
         half = page // 2
         brow = off % half
         hi = (off >= half)[:, None, None]            # [B, 1, 1]
-        kc4, ks = _kv_quant4_codes(k_new)
-        vc4, vs = _kv_quant4_codes(v_new)
+        kc4, ks, koff = _kv_quant4_asym_codes(k_new)
+        vc4, vs, voff = _kv_quant4_asym_codes(v_new)
 
         def patch(pool, c4):
             old = pool[pids, :, brow]                # [B, Hkv, D]
@@ -277,7 +289,9 @@ def _paged_write_row(cache: PagedKVCache, k_new, v_new, pos):
             k_pages=patch(cache.k_pages, kc4),
             k_scales=upd(cache.k_scales, ks[:, :, 0]),
             v_pages=patch(cache.v_pages, vc4),
-            v_scales=upd(cache.v_scales, vs[:, :, 0]))
+            v_scales=upd(cache.v_scales, vs[:, :, 0]),
+            k_offs=upd(cache.k_offs, koff[:, :, 0]),
+            v_offs=upd(cache.v_offs, voff[:, :, 0]))
     if cache.k_scales is not None:
         fmt = "int8" if cache.k_pages.dtype == jnp.int8 else "fp8_e4m3"
         kc, ks = _kv_quant(k_new, fmt=fmt)
@@ -355,6 +369,21 @@ def _kv_dequant4_asym(codes, scale, off, dtype):
     lo = c[..., :h] * scale[..., 0:1] + off[..., 0:1]
     hi = c[..., h:] * scale[..., 1:2] + off[..., 1:2]
     return jnp.concatenate([lo, hi], axis=-1).astype(dtype)
+
+
+def _kv_quant4_asym_codes(x: jax.Array):
+    """[B, H, S, D] -> UNPACKED 0..15 codes (uint8) + per-(token, head)
+    affine (scale, off) [B, H, S] — the paged-pool quantizer (pages pack
+    two TOKENS per byte; D stays unpacked). value ~= scale*(code-8)+off.
+    Per-token (not per-D-half like the contiguous ``_kv_quant4_asym``):
+    see the PagedKVCache docstring for the measured trade."""
+    xf = x.astype(jnp.float32)
+    mn = jnp.min(xf, axis=-1)
+    mx = jnp.max(xf, axis=-1)
+    scale = jnp.where(mx - mn <= 0, 1.0, (mx - mn) / 15.0)
+    c = jnp.clip(jnp.round((xf - mn[..., None]) / scale[..., None]),
+                 0, 15).astype(jnp.uint8)
+    return c, scale, mn + 8.0 * scale
 
 
 def _kv_quant4_codes(x: jax.Array):

@@ -651,19 +651,22 @@ class ContinuousBatchingEngine:
                     vr = jax.lax.dynamic_slice_in_dim(v1, start, page,
                                                       axis=2)
                     if quantized and pool.k_pages.dtype == jnp.uint8:
-                        # int4 pool: token-half-split page packing
+                        # int4 pool: token-half-split page packing with
+                        # per-(token, head) asymmetric affine params
                         from ..models.llama import (_kv_pack_page_int4,
-                                                    _kv_quant4_codes)
+                                                    _kv_quant4_asym_codes)
 
-                        kc4, ks = _kv_quant4_codes(kr)
-                        vc4, vs = _kv_quant4_codes(vr)
+                        kc4, ks, kof = _kv_quant4_asym_codes(kr)
+                        vc4, vs, vof = _kv_quant4_asym_codes(vr)
                         pool = pool._replace(
                             k_pages=pool.k_pages.at[pid].set(
                                 _kv_pack_page_int4(kc4)[0]),
                             k_scales=pool.k_scales.at[pid].set(ks[0]),
+                            k_offs=pool.k_offs.at[pid].set(kof[0]),
                             v_pages=pool.v_pages.at[pid].set(
                                 _kv_pack_page_int4(vc4)[0]),
-                            v_scales=pool.v_scales.at[pid].set(vs[0]))
+                            v_scales=pool.v_scales.at[pid].set(vs[0]),
+                            v_offs=pool.v_offs.at[pid].set(vof[0]))
                     elif quantized:
                         fmt = ("int8" if pool.k_pages.dtype == jnp.int8
                                else "fp8_e4m3")

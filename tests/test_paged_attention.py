@@ -262,26 +262,30 @@ def test_paged_decode_int4_pool_close():
     block_tables = np.zeros((B, 4), np.int32)
     block_tables[0, :2] = [3, 8]
     block_tables[1, :2] = [6, 0]
-    from neural_compressor_tpu.models.llama import (_kv_pack_page_int4,
-                                                    _kv_quant4_codes)
+    from neural_compressor_tpu.models.llama import (
+        _kv_pack_page_int4, _kv_quant4_asym_codes)
 
     new_pools = []
     for pool, cache in zip(pools, caches):
         kp, ks, vp, vs = (pool.k_pages, pool.k_scales, pool.v_pages,
                           pool.v_scales)
+        kof, vof = pool.k_offs, pool.v_offs
         for b in range(B):
             for p in range(2):
                 pid = int(block_tables[b, p])
                 kr = cache.k[b:b + 1, :, p * PAGE:(p + 1) * PAGE]
-                kc4, ksc = _kv_quant4_codes(kr)
+                kc4, ksc, kofc = _kv_quant4_asym_codes(kr)
                 kp = kp.at[pid].set(_kv_pack_page_int4(kc4)[0])
                 ks = ks.at[pid].set(ksc[0])
+                kof = kof.at[pid].set(kofc[0])
                 vr = cache.v[b:b + 1, :, p * PAGE:(p + 1) * PAGE]
-                vc4, vsc = _kv_quant4_codes(vr)
+                vc4, vsc, vofc = _kv_quant4_asym_codes(vr)
                 vp = vp.at[pid].set(_kv_pack_page_int4(vc4)[0])
                 vs = vs.at[pid].set(vsc[0])
+                vof = vof.at[pid].set(vofc[0])
         new_pools.append(pool._replace(
             k_pages=kp, k_scales=ks, v_pages=vp, v_scales=vs,
+            k_offs=kof, v_offs=vof,
             block_tables=jnp.asarray(block_tables)))
 
     got, out_pools = m(ids[:, :1], positions=pos, caches=new_pools,
@@ -316,8 +320,10 @@ def test_paged_write_kernel_int4_matches_scatter():
     vp = jnp.asarray(rng.integers(0, 255, (P, Hkv, half, D)), jnp.uint8)
     ks = jnp.asarray(rng.uniform(0.01, 0.1, (P, Hkv, page)), jnp.float32)
     vs = jnp.asarray(rng.uniform(0.01, 0.1, (P, Hkv, page)), jnp.float32)
+    kof = jnp.asarray(rng.uniform(-0.1, 0.1, (P, Hkv, page)), jnp.float32)
+    vof = jnp.asarray(rng.uniform(-0.1, 0.1, (P, Hkv, page)), jnp.float32)
     bt = jnp.asarray([[1, 2], [0, 0], [3, 4], [0, 0]], jnp.int32)
-    cache = L.PagedKVCache(kp, ks, vp, vs, bt)
+    cache = L.PagedKVCache(kp, ks, vp, vs, bt, kof, vof)
     assert cache.page_size == page
     k_new = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)), jnp.bfloat16)
     v_new = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)), jnp.bfloat16)
@@ -332,8 +338,8 @@ def test_paged_write_kernel_int4_matches_scatter():
     off = pos % page
     brow = off % half
     hi = np.asarray(off >= half)
-    kc4, ksc = L._kv_quant4_codes(k_new)
-    vc4, vsc = L._kv_quant4_codes(v_new)
+    kc4, ksc, kofc = L._kv_quant4_asym_codes(k_new)
+    vc4, vsc, vofc = L._kv_quant4_asym_codes(v_new)
 
     def ref_patch(pool, c4):
         pool = np.asarray(pool).copy()
@@ -378,10 +384,15 @@ def test_paged_write_kernel_int4_matches_scatter():
     check(out.k_pages, ref_k)
     check(out.v_pages, ref_v)
     ref_ks = np.asarray(ks).copy()
+    ref_kof = np.asarray(kof).copy()
     for b in range(B):
-        ref_ks[int(pids[b]), :, int(off[b])] = np.asarray(ksc)[b, :, 0]
+        pid, o = int(pids[b]), int(off[b])
+        ref_ks[pid, :, o] = np.asarray(ksc)[b, :, 0]
+        ref_kof[pid, :, o] = np.asarray(kofc)[b, :, 0]
     np.testing.assert_allclose(np.asarray(out.k_scales)[1:], ref_ks[1:],
-                               rtol=1e-6)
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.k_offs)[1:], ref_kof[1:],
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_paged_engine_int4_pool_matches_greedy():
