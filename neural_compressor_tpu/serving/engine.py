@@ -170,12 +170,29 @@ class ContinuousBatchingEngine:
                  eos_token_id: int | None = None,
                  prefill_chunk: int = 256, paged: bool = False,
                  n_pages: int | None = None, page_size: int = 128,
-                 prefill_streams: int = 2):
+                 prefill_streams: int = 2, speculative: str | None = None,
+                 spec_k: int = 8, spec_n: int = 2):
         self.model = model
         self.cfg = model.cfg
         self.n_slots = n_slots
         self.max_len = max_len
         self.eos_token_id = eos_token_id
+        # draft-free prompt-lookup speculation INSIDE the serving loop
+        # (speculative="ngram"): each decode round verifies a
+        # (spec_k+1)-token window per slot, proposals from the most
+        # recent spec_n-gram match in that slot's prompt+generated —
+        # measured 3.2x at B=1 on repetitive workloads (PERF_NOTES
+        # round 5). Greedy requests only (speculative SAMPLING needs
+        # rejection-sampling verification — not wired), contiguous
+        # caches only (the paged kernels are single-token).
+        if speculative not in (None, "ngram"):
+            raise ValueError(f"speculative={speculative!r}: only 'ngram'")
+        if speculative and paged:
+            raise ValueError("speculative serving needs contiguous "
+                             "caches (the paged kernels are decode-only)")
+        self.speculative = speculative
+        self.spec_k = int(spec_k)
+        self.spec_n = int(spec_n)
         # chunk starts step by the chunk size from 0: a chunk that would
         # cross max_len gets its dynamic_update_slice start CLAMPED,
         # silently shifting rows — round down to a divisor of max_len
@@ -234,11 +251,17 @@ class ContinuousBatchingEngine:
             self._free_staging = list(range(self.prefill_streams - 1, -1, -1))
             self._staging_of: dict[int, int] = {}  # slot -> staging row
         else:
+            # speculative mode writes verify windows up to spec_k rows
+            # past the last decided position (and parks idle slots on a
+            # window ABOVE max_len) — allocate the margin
+            total = (max_len + self.spec_k + 2 if speculative
+                     else max_len)
+            self._cache_rows = total
             if self._model_caches is not None:
-                self.caches = self._model_caches(n_slots, max_len,
+                self.caches = self._model_caches(n_slots, total,
                                                  quantized=quantized)
             else:
-                self.caches = init_kv_cache(self.cfg, n_slots, max_len,
+                self.caches = init_kv_cache(self.cfg, n_slots, total,
                                             quantized=quantized)
             self.prefill_streams = n_slots
         self._graphdef, self._state = nnx.split(model)
@@ -260,7 +283,8 @@ class ContinuousBatchingEngine:
         self.stats = {"wall_s": 0.0, "requests": 0, "prompt_tokens": 0,
                       "generated_tokens": 0, "prefill_chunk_dispatches": 0,
                       "decode_dispatches": 0, "combined_dispatches": 0,
-                      "preemptions": 0}
+                      "preemptions": 0, "spec_rounds": 0,
+                      "spec_accepted": 0}
 
     # ------------------------------------------------------------------ api
     def submit(self, prompt_ids, max_new_tokens: int = 64,
@@ -278,6 +302,10 @@ class ContinuousBatchingEngine:
         assert len(prompt) + max_new_tokens <= self.max_len, (
             f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
             f"exceeds max_len ({self.max_len})")
+        if do_sample and self.speculative:
+            raise ValueError(
+                "speculative serving is greedy-only (sampling needs "
+                "rejection-sampling verification)")
         req = Request(next(self._uid), prompt, max_new_tokens,
                       do_sample=do_sample, temperature=float(temperature),
                       top_k=top_k, top_p=top_p, seed=seed,
@@ -317,6 +345,14 @@ class ContinuousBatchingEngine:
                                       self.max_len - 1))
             decoding = [s for s in range(self.n_slots)
                         if self.slot_state[s] == "decode"]
+            if decoding and self.speculative:
+                # speculative serving: one prefill dispatch (if any) then
+                # one multi-round verify dispatch — each round emits
+                # 1..spec_k+1 tokens per slot
+                self._advance_prefill()
+                self._spec_step(max(int(chunk), 1))
+                finished.extend(self._collect())
+                continue
             if decoding:
                 # prefill chunk + k decode steps in ONE dispatch. Paged
                 # mode too: prefill writes the staging rows while decode
@@ -873,6 +909,141 @@ class ContinuousBatchingEngine:
 
             self._jit_cache[key] = decode_many
         return self._jit_cache[key]
+
+    def _spec_decode_fn(self, rounds: int):
+        """Jitted prompt-lookup speculative decode over all slots: each
+        of ``rounds`` verify rounds proposes spec_k tokens per slot from
+        the most recent spec_n-gram match in that slot's token buffer
+        and verifies them in ONE (spec_k+1)-token window forward — the
+        continuous-batching twin of
+        generation.ngram_speculative_greedy_search (same KV-coverage
+        argument: a rejected row's stale KV is rewritten by the next
+        round's window before anything can attend to it)."""
+        key = ("spec_decode", rounds)
+        if key not in self._jit_cache:
+            graphdef = self._graphdef
+            kk, nn = self.spec_k, self.spec_n
+            W = kk + 1
+            eos = self.eos_token_id
+            park = self.max_len  # parked slots decide above real rows
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def spec_decode(state, caches, buf, pos, lim, active):
+                m_ = nnx.merge(graphdef, state)
+                _s4_prepare(m_)
+                B, L = buf.shape
+
+                def round_body(i, carry):
+                    pos, buf, caches, outs, ms = carry
+                    fin = ~active | (pos >= lim)
+                    posx = jnp.where(fin, park, pos)
+                    b = posx - 1
+                    # --- propose: last n-gram match in the slot buffer
+                    sidx = posx[:, None] - nn + jnp.arange(nn)[None, :]
+                    suffix = jnp.take_along_axis(
+                        buf, jnp.clip(sidx, 0, L - 1), axis=1)
+                    nwin = L - nn + 1
+                    eq = jnp.ones((B, nwin), bool)
+                    for j in range(nn):
+                        eq = eq & (jax.lax.dynamic_slice_in_dim(
+                            buf, j, nwin, 1) == suffix[:, j:j + 1])
+                    jidx = jnp.arange(nwin)[None, :]
+                    validm = eq & (jidx + nn < posx[:, None])
+                    jbest = jnp.max(jnp.where(validm, jidx, -1), axis=1)
+                    has = jbest >= 0
+                    gidx = (jbest + nn)[:, None] + jnp.arange(kk)[None, :]
+                    cur = jnp.take_along_axis(buf, b[:, None], axis=1)
+                    prop = jnp.take_along_axis(
+                        buf, jnp.clip(gidx, 0, L - 1), axis=1)
+                    prop = jnp.where(has[:, None], prop,
+                                     jnp.broadcast_to(cur, (B, kk))
+                                     ).astype(jnp.int32)
+                    # --- verify: one (kk+1)-window forward, per-slot pos
+                    window = jnp.concatenate([cur, prop], axis=1)
+                    positions = b[:, None] + jnp.arange(W)[None, :]
+                    lg, caches = m_(window, positions=positions,
+                                    caches=caches, cache_pos=b)
+                    t = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                    match = prop == t[:, :kk]
+                    m = jnp.sum(jnp.cumprod(match.astype(jnp.int32),
+                                            axis=1), axis=1) + 1
+                    if eos is not None:
+                        is_eos = t == eos
+                        eos_idx = jnp.argmax(is_eos, axis=1)
+                        has_eos = jnp.any(is_eos, axis=1) & (eos_idx < m)
+                        m = jnp.where(has_eos, eos_idx + 1, m)
+                    m = jnp.where(fin, 0, jnp.minimum(m, lim - pos))
+
+                    def row(bf, tw, p, f):
+                        st = jnp.minimum(p, L - W)
+                        old = jax.lax.dynamic_slice(bf, (st,), (W,))
+                        return jax.lax.dynamic_update_slice(
+                            bf, jnp.where(f, old, tw), (st,))
+
+                    buf = jax.vmap(row)(buf, t, posx, fin)
+                    outs = jax.lax.dynamic_update_index_in_dim(
+                        outs, t, i, axis=1)
+                    ms = jax.lax.dynamic_update_index_in_dim(
+                        ms, m, i, axis=1)
+                    return pos + m, buf, caches, outs, ms
+
+                outs0 = jnp.zeros((B, rounds, W), jnp.int32)
+                ms0 = jnp.zeros((B, rounds), jnp.int32)
+                _pos, _buf, caches, outs, ms = jax.lax.fori_loop(
+                    0, rounds, round_body, (pos, buf, caches, outs0, ms0))
+                return caches, outs, ms
+
+            self._jit_cache[key] = spec_decode
+        return self._jit_cache[key]
+
+    def _spec_step(self, rounds: int):
+        """One speculative decode dispatch: ``rounds`` verify rounds for
+        every decoding slot (1..spec_k+1 tokens each per round)."""
+        self.stats["decode_dispatches"] += 1
+        dec = [s for s in range(self.n_slots)
+               if self.slot_state[s] == "decode"]
+        if not dec:
+            return
+        L = self._cache_rows
+        buf = np.zeros((self.n_slots, L), np.int32)
+        pos = np.ones((self.n_slots,), np.int32)  # parked slots: b=0
+        lim = np.zeros((self.n_slots,), np.int32)
+        act = np.zeros((self.n_slots,), bool)
+        for s_ in dec:
+            req = self.slot_req[s_]
+            toks = self._prompt_of(req)
+            buf[s_, :len(toks)] = toks
+            pos[s_] = len(toks)
+            lim[s_] = min(len(req.prompt) + req.max_new_tokens,
+                          self.max_len)
+            act[s_] = True
+        fn = self._spec_decode_fn(rounds)
+        self.caches, outs, ms = fn(self._state, self.caches,
+                                   jnp.asarray(buf), jnp.asarray(pos),
+                                   jnp.asarray(lim), jnp.asarray(act))
+        outs = np.asarray(outs)
+        ms = np.asarray(ms)
+        for s_ in dec:
+            req = self.slot_req[s_]
+            if req is None:
+                continue
+            for r_ in range(rounds):
+                if req.done:
+                    break
+                mr = int(ms[s_, r_])
+                if mr > 0:
+                    self.stats["spec_rounds"] += 1
+                    self.stats["spec_accepted"] += mr
+                for j in range(mr):
+                    if req.done:
+                        break
+                    self.slot_pos[s_] += 1
+                    tok = int(outs[s_, r_, j])
+                    self.slot_tok[s_] = tok
+                    # spec rounds emit argmax tokens; logprobs are NaN
+                    # placeholders (the window program has no logprob
+                    # epilogue)
+                    self._append_token(req, s_, tok, None)
 
     def _fill_slots(self):
         for slot in range(self.n_slots):

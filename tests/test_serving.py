@@ -739,3 +739,70 @@ def test_engine_cancel(qmodel):
     assert r2 in done and r1 not in [d for d in done if not d.cancelled]
     # pool fully reclaimed
     assert sorted(eng.free_pages) == list(range(1, 5))
+
+
+# ---------------------------------------------------------------------------
+# Round 5: speculative (prompt-lookup) serving
+# ---------------------------------------------------------------------------
+
+def test_engine_speculative_matches_normal(qmodel32):
+    """speculative="ngram" serving: same tokens as the normal engine /
+    greedy_search, with staggered arrivals and different lengths; the
+    acceptance counters move."""
+    rng = np.random.default_rng(50)
+    prompts = [rng.integers(0, 256, (n,)) for n in (9, 14, 6)]
+    refs = [np.asarray(greedy_search(
+        qmodel32, jnp.asarray(p)[None, :], max_new_tokens=10))[0, len(p):]
+        for p in prompts]
+    eng = ContinuousBatchingEngine(qmodel32, n_slots=2, max_len=64,
+                                   prefill_chunk=16, speculative="ngram",
+                                   spec_k=4, spec_n=2)
+    reqs = [eng.submit(p, max_new_tokens=10) for p in prompts]
+    done = eng.run(chunk=2)
+    assert len(done) == 3
+    for p, r, ref in zip(prompts, reqs, refs):
+        np.testing.assert_array_equal(np.asarray(r.generated), ref,
+                                      err_msg=f"P={len(p)}")
+    m = eng.metrics()
+    assert m["spec_rounds"] > 0
+    assert m["spec_accepted"] >= m["spec_rounds"]
+
+
+def test_engine_speculative_eos_and_stops(qmodel32):
+    """EOS mid-window and per-request stop tokens keep working under
+    speculative serving (host-side truncation; device overshoot rows are
+    rewritten by the coverage rule)."""
+    rng = np.random.default_rng(51)
+    prompt = rng.integers(0, 256, (8,))
+    ref = np.asarray(greedy_search(
+        qmodel32, jnp.asarray(prompt)[None, :],
+        max_new_tokens=12))[0, len(prompt):]
+    eos = int(ref[5])
+    ref_eos = np.asarray(greedy_search(
+        qmodel32, jnp.asarray(prompt)[None, :], max_new_tokens=12,
+        eos_token_id=eos))[0, len(prompt):]
+    eng = ContinuousBatchingEngine(qmodel32, n_slots=2, max_len=64,
+                                   eos_token_id=eos, prefill_chunk=16,
+                                   speculative="ngram", spec_k=4)
+    r1 = eng.submit(prompt, max_new_tokens=12)
+    stop = int(ref[3])
+    r2 = eng.submit(prompt, max_new_tokens=12, stop_token_ids=[stop])
+    eng.run(chunk=3)
+    cut = list(ref_eos).index(eos) + 1
+    np.testing.assert_array_equal(np.asarray(r1.generated), ref_eos[:cut])
+    cut2 = list(ref).index(stop) + 1
+    np.testing.assert_array_equal(np.asarray(r2.generated), ref[:cut2])
+
+
+def test_engine_speculative_guards(qmodel32):
+    """Sampled requests and paged mode are rejected loudly."""
+    eng = ContinuousBatchingEngine(qmodel32, n_slots=2, max_len=64,
+                                   speculative="ngram")
+    with pytest.raises(ValueError, match="greedy-only"):
+        eng.submit(np.arange(5), max_new_tokens=4, do_sample=True)
+    with pytest.raises(ValueError, match="contiguous"):
+        ContinuousBatchingEngine(qmodel32, n_slots=2, max_len=64,
+                                 paged=True, speculative="ngram")
+    with pytest.raises(ValueError, match="only 'ngram'"):
+        ContinuousBatchingEngine(qmodel32, n_slots=2, max_len=64,
+                                 speculative="medusa")
