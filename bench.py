@@ -89,8 +89,9 @@ def measure_decode(model, batch=1, max_len=256, steps=64, label="",
     return tok_s
 
 
-def stream_floor_pct(model, tok_s: float, batch: int, steps: int) -> float:
-    """% of the measured per-step HBM-stream floor the decode attains.
+def stream_floor_pct(model, tok_s: float, batch: int,
+                     steps: int) -> tuple[float, float]:
+    """(pure-stream %, launch-inclusive %) of the per-step floor attained.
 
     The floor is bytes-moved-per-step / the chip's MEASURED per-kernel
     marginal stream rate (760 GB/s at projection sizes — ring-buffer DMA

@@ -386,19 +386,6 @@ def _kv_quant4_asym_codes(x: jax.Array):
     return c, scale, mn + 8.0 * scale
 
 
-def _kv_quant4_codes(x: jax.Array):
-    """[B, H, S, D] -> UNPACKED offset-binary int4 codes (uint8, one
-    code per byte) + per-(token, head) scale. Used by the paged int4
-    pool, whose pages pack two TOKENS per byte (token-half-split along
-    the page's sublane axis) rather than the contiguous cache's
-    D-half-split — see ``init_paged_pool``."""
-    xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1)
-    scale = jnp.where(amax <= 0, 1.0, amax / 7.0)
-    c = jnp.clip(jnp.round(xf / scale[..., None]), -8, 7) + 8.0
-    return c.astype(jnp.uint8), scale
-
-
 def _kv_pack_page_int4(c4: jax.Array) -> jax.Array:
     """Offset-binary codes [..., page, D] -> token-half-split bytes
     [..., page/2, D] (token r low nibble, token r + page/2 high)."""
@@ -630,9 +617,14 @@ def _grouped_attention_int4(q, k_packed, v_packed, mask, D,
     if isinstance(mask, _ChunkedCausal):
         # long prefill on a packed int4 cache: per-chunk dequant inside
         # the online-softmax scan (round-5 VERDICT #8 — this path used
-        # to densify to an O(S*T) mask)
-        assert k_channel_scale is None, \
-            "per-channel-K int4 + chunked long prefill unsupported"
+        # to densify to an O(S*T) mask). Calibrated per-channel K scales
+        # fold into q exactly as in the dense path below
+        if k_channel_scale is not None:
+            Hkv_ = k_packed.shape[1]
+            qc = q.reshape(B, Hkv_, H // Hkv_, S, D)
+            qc = qc * k_channel_scale[None, :, None, None, :].astype(
+                qc.dtype)
+            q = qc.reshape(B, H, S, D)
         return _grouped_attention_chunked(
             q, k_packed, v_packed, mask.q_pos, D, k_scale, v_scale,
             window=mask.window, k_off=k_off, v_off=v_off,

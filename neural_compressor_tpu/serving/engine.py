@@ -1031,9 +1031,7 @@ class ContinuousBatchingEngine:
                 if req.done:
                     break
                 mr = int(ms[s_, r_])
-                if mr > 0:
-                    self.stats["spec_rounds"] += 1
-                    self.stats["spec_accepted"] += mr
+                applied = 0
                 for j in range(mr):
                     if req.done:
                         break
@@ -1044,6 +1042,13 @@ class ContinuousBatchingEngine:
                     # placeholders (the window program has no logprob
                     # epilogue)
                     self._append_token(req, s_, tok, None)
+                    applied += 1
+                if applied > 0:
+                    # count only host-APPLIED tokens so tokens/round
+                    # observability matches generated_tokens (a stop/
+                    # EOS/max_new may truncate the device's count)
+                    self.stats["spec_rounds"] += 1
+                    self.stats["spec_accepted"] += applied
 
     def _fill_slots(self):
         for slot in range(self.n_slots):

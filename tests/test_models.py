@@ -244,3 +244,38 @@ def test_chunked_prefill_int4_kv_matches_dense():
     np.testing.assert_allclose(np.asarray(chunked, np.float32),
                                np.asarray(dense, np.float32),
                                rtol=0, atol=2e-4)
+
+
+def test_chunked_prefill_int4_per_channel_k():
+    """Regression (round-5 review): calibrated per-channel-K int4 KV +
+    the chunked long-prefill sentinel crashed on an assert; the channel
+    scales now fold into q before the chunked scan, matching the dense
+    path's numerics."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.algorithms.calib_capture import \
+        calibration_forward
+    from neural_compressor_tpu.models import LlamaForCausalLM
+    from neural_compressor_tpu.models.llama import (init_kv_cache,
+                                                    set_dense_mask_limit)
+
+    rng = np.random.default_rng(0)
+    calib = [jnp.asarray(rng.integers(0, 256, (2, 16))) for _ in range(2)]
+    m = LlamaForCausalLM.from_preset("llama-test", dtype=jnp.float32)
+    qm = nq.quantize(m, nq.KVCacheQuantConfig(dtype="int4",
+                                              per_channel_k=True),
+                     run_fn=lambda mm: calibration_forward(mm, calib))
+    ids = jnp.asarray(rng.integers(0, 256, (1, 96)))
+    caches = init_kv_cache(qm.cfg, 1, 96, quantized="int4")
+    dense, _ = qm(ids, caches=caches, cache_pos=0)
+    try:
+        set_dense_mask_limit(96 * 96 - 1)
+        caches = init_kv_cache(qm.cfg, 1, 96, quantized="int4")
+        chunked, _ = qm(ids, caches=caches, cache_pos=0)
+    finally:
+        set_dense_mask_limit(16 * 1024 * 1024)
+    np.testing.assert_allclose(np.asarray(chunked, np.float32),
+                               np.asarray(dense, np.float32),
+                               rtol=0, atol=2e-4)
