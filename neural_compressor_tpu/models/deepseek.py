@@ -74,6 +74,74 @@ class QuantLatentKVCache(NamedTuple):
         return "int8" if self.codes.dtype == jnp.int8 else "fp8_e4m3"
 
 
+class Quant4LatentKVCache(NamedTuple):
+    """Packed int4 MLA latent cache: 4x capacity over bf16 latent (at
+    deepseek-v3 scale ~284x under expanded bf16 K/V). The row's parts —
+    post-norm latent halves [0, r/2), [r/2, r) and the rotated shared
+    key [r, C) — each pack with their own per-token affine pair; the
+    value dot consumes only the v-part, whose codes pack separately
+    from the rope-part so unpacking needs no cross-part nibble surgery.
+
+    ACCURACY NOTE (measured, tiny_mla decode): Δppl **+0.18** — about
+    2x the int4 cost of expanded-KV caches, and granularity does NOT
+    close it (row-wide +0.33, per-part +0.179, per-half-v +0.178): the
+    latent serves as BOTH K and V, so its quantization error is
+    CORRELATED across the score and value dots instead of averaging
+    out. This format is a capacity-over-accuracy option; int8 latent
+    (`QuantLatentKVCache`, +0.002) is the accuracy-safe default."""
+
+    codes_v: jax.Array    # uint8 [B, 1, T, r/2] (lo nibble: half 0)
+    codes_rot: jax.Array  # uint8 [B, 1, T, dr/2] (half-split within dr)
+    scale_v: jax.Array    # f32 [B, 1, T, 2] (per r/2-half affine)
+    off_v: jax.Array      # f32 [B, 1, T, 2]
+    scale_r: jax.Array    # f32 [B, 1, T]
+    off_r: jax.Array      # f32 [B, 1, T]
+
+
+def _lat4_quant_part(part):
+    xf = part.astype(jnp.float32)
+    mn = jnp.min(xf, axis=-1)
+    mx = jnp.max(xf, axis=-1)
+    scale = jnp.where(mx - mn <= 0, 1.0, (mx - mn) / 15.0)
+    c = jnp.clip(jnp.round((xf - mn[..., None]) / scale[..., None]),
+                 0, 15).astype(jnp.uint8)
+    h = c.shape[-1] // 2
+    return c[..., :h] | (c[..., h:] << 4), scale, mn + 8.0 * scale
+
+
+def _lat4_quant(row, r: int):
+    """[B, 1, S, C] latent rows -> packed code pair + per-part affines.
+
+    The v-part (latent, [0, r)) carries BOTH dots, so it splits into two
+    r/2 halves with independent affine pairs (same trade as the llama
+    contiguous cache's per-D-half form): the packed byte's low nibble is
+    a first-half channel and the high nibble its second-half partner, so
+    each nibble's dequant scale is just its half's pair. scale_v/off_v
+    are [..., 2]; the rope part keeps one pair."""
+    h = r // 2
+    c0, s0, o0 = _lat4_quant_part(row[..., :h])
+    c1, s1, o1 = _lat4_quant_part(row[..., h:r])
+    # re-pack the two half codes into ONE [.., r/2] byte array: low
+    # nibble = first half, high = second (they arrive half-split within
+    # their own halves — unpack to raw codes first)
+    def unpack_codes(c):
+        lo = (c & 15)
+        hi = (c >> 4)
+        return jnp.concatenate([lo, hi], axis=-1)
+    cv = (unpack_codes(c0) | (unpack_codes(c1) << 4)).astype(jnp.uint8)
+    sv = jnp.stack([s0, s1], axis=-1)
+    ov = jnp.stack([o0, o1], axis=-1)
+    cr, sr, orr = _lat4_quant_part(row[..., r:])
+    return cv, cr, sv, ov, sr, orr
+
+
+def _lat4_unpack(codes):
+    """packed uint8 [..., W/2] -> centered f32-able codes [..., W]."""
+    lo = (codes & 15).astype(jnp.int8) - 8
+    hi = (codes >> 4).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 class PagedLatentKVCache(NamedTuple):
     """Paged MLA latent cache (decode-only): page pool
     [P, 1, page, r+dr] + per-slot block tables — the 71x latent
@@ -324,7 +392,7 @@ class DeepseekAttention(nnx.Module):
         ckv = self.kv_a_proj_with_mqa(x)                     # [B,S,r+dr]
         latent, k_rot = ckv[..., :cfg.kv_lora_rank], ckv[..., cfg.kv_lora_rank:]
         if isinstance(cache, (LatentKVCache, PagedLatentKVCache,
-                              QuantLatentKVCache)):
+                              QuantLatentKVCache, Quant4LatentKVCache)):
             return self._latent_attend(x, q_nope, q_rot, latent, k_rot,
                                        cos, sin, mask, cache, cache_pos)
         kv = self.kv_b_proj(self.kv_a_layernorm(latent))
@@ -403,6 +471,75 @@ class DeepseekAttention(nnx.Module):
             out = out.astype(x.dtype).reshape(B, S, H * dv)
             return self.o_proj(out), new_cache
         from .llama import _ChunkedCausal, _grouped_attention_chunked
+
+        if isinstance(cache, Quant4LatentKVCache):
+            # packed int4 latent: per-PART affine pairs fold into scores
+            # (s_p*(q_p.c'_p) + off_p*sum(q_p) per part) and the output
+            # ((p*s_v).c'_v + (p.off_v) broadcast over r)
+            cv, crot, sv, ov, sr, orr = _lat4_quant(row, r)
+            lat_v = _update_rows(cache.codes_v, cv, cache_pos)
+            lat_r = _update_rows(cache.codes_rot, crot, cache_pos)
+            sv_a = _update_rows(cache.scale_v, sv, cache_pos)
+            ov_a = _update_rows(cache.off_v, ov, cache_pos)
+            sr_a = _update_rows(cache.scale_r, sr, cache_pos)
+            or_a = _update_rows(cache.off_r, orr, cache_pos)
+            new_cache = Quant4LatentKVCache(lat_v, lat_r, sv_a, ov_a,
+                                            sr_a, or_a)
+            cvu = _lat4_unpack(lat_v[:, 0]).astype(x.dtype)   # [B,T,r]
+            cru = _lat4_unpack(lat_r[:, 0]).astype(x.dtype)   # [B,T,dr]
+            sv0, sv1 = sv_a[:, 0, :, 0], sv_a[:, 0, :, 1]     # [B,T]
+            ov0, ov1 = ov_a[:, 0, :, 0], ov_a[:, 0, :, 1]
+            srt, ort = sr_a[:, 0], or_a[:, 0]
+            h = r // 2
+            if isinstance(mask, _ChunkedCausal):
+                # long prefill: dequantize once (a [B, T, C] transient —
+                # ~18 MB bf16 at 16k/B=1) and ride the standard chunked
+                # online softmax
+                latf = jnp.concatenate(
+                    [cvu[..., :h].astype(jnp.float32) * sv0[..., None]
+                     + ov0[..., None],
+                     cvu[..., h:].astype(jnp.float32) * sv1[..., None]
+                     + ov1[..., None],
+                     cru.astype(jnp.float32) * srt[..., None]
+                     + ort[..., None]], -1).astype(x.dtype)
+                C = latf.shape[-1]
+                qs = (qcat * (cfg.attn_scale * float(C) ** 0.5)
+                      ).transpose(0, 2, 1, 3)
+                o_lat = _grouped_attention_chunked(
+                    qs, latf[:, None], latf[:, None, :, :r],
+                    mask.q_pos, C).astype(jnp.float32)
+            else:
+                qr_ = qcat[..., r:]
+                parts = [(qcat[..., :h], cvu[..., :h], sv0, ov0),
+                         (qcat[..., h:r], cvu[..., h:], sv1, ov1),
+                         (qr_, cru, srt, ort)]
+                sq = 0.0
+                for qp, cp, sp, op in parts:
+                    d = jnp.einsum("bshc,btc->bhst", qp, cp,
+                                   preferred_element_type=jnp.float32)
+                    qs_ = jnp.sum(qp.astype(jnp.float32),
+                                  axis=-1).transpose(0, 2, 1)
+                    sq = (sq + d * sp[:, None, None, :]
+                          + qs_[..., None] * op[:, None, None, :])
+                sq = sq * cfg.attn_scale
+                sq = jnp.where(mask, sq, -1e30)
+                pq = jax.nn.softmax(sq, axis=-1)
+                halves = []
+                for cp, sp, op in ((cvu[..., :h], sv0, ov0),
+                                   (cvu[..., h:], sv1, ov1)):
+                    o_h = jnp.einsum(
+                        "bhst,btc->bhsc",
+                        (pq * sp[:, None, None, :]).astype(x.dtype), cp,
+                        preferred_element_type=jnp.float32)
+                    o_h = o_h + jnp.einsum("bhst,bt->bhs", pq,
+                                           op)[..., None]
+                    halves.append(o_h)
+                o_lat = jnp.concatenate(halves, axis=-1)
+            out = jnp.einsum("bhsc,chd->bshd", o_lat,
+                             self.w_v_absorb[...],
+                             preferred_element_type=jnp.float32)
+            out = out.astype(x.dtype).reshape(B, S, H * dv)
+            return self.o_proj(out), new_cache
 
         if isinstance(cache, QuantLatentKVCache):
             # per-token quantized latent: scale folds into scores AND
@@ -595,9 +732,18 @@ class DeepseekForCausalLM(nnx.Module):
             C = cfg.kv_lora_rank + cfg.qk_rope_head_dim
             if quantized:
                 fmt = "int8" if quantized is True else str(quantized)
-                assert fmt != "int4", \
-                    "packed int4 is llama-cache only; latent supports " \
-                    "int8/fp8_e4m3"
+                if fmt == "int4":
+                    r = cfg.kv_lora_rank
+                    dr = cfg.qk_rope_head_dim
+                    return [Quant4LatentKVCache(
+                        jnp.zeros((batch, 1, max_len, r // 2), jnp.uint8),
+                        jnp.zeros((batch, 1, max_len, dr // 2),
+                                  jnp.uint8),
+                        jnp.ones((batch, 1, max_len, 2), jnp.float32),
+                        jnp.zeros((batch, 1, max_len, 2), jnp.float32),
+                        jnp.ones((batch, 1, max_len), jnp.float32),
+                        jnp.zeros((batch, 1, max_len), jnp.float32))
+                        for _ in range(cfg.num_hidden_layers)]
                 cdt = _KV_CODE_DTYPES[fmt]
                 return [QuantLatentKVCache(
                     jnp.zeros((batch, 1, max_len, C), cdt),

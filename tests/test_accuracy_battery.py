@@ -212,3 +212,23 @@ def test_mla_quantized_latent_cache():
                             kv_quantized="fp8_e4m3")
     assert abs(d8 - dfp) < 0.02, f"int8 latent delta {d8 - dfp:.4f}"
     assert abs(df8 - dfp) < 0.05, f"fp8 latent delta {df8 - dfp:.4f}"
+
+
+def test_mla_int4_latent_cache_documented_band():
+    """Packed int4 latent (capacity option): decode Δppl sits in the
+    documented ~0.18 band — OVER the 0.1 int4-KV budget because the
+    latent's quantization error is correlated across the score and
+    value dots (it is both K and V); asserted so the docstring's claim
+    cannot drift. int8 latent is the accuracy-safe default."""
+    from neural_compressor_tpu.models.deepseek import (
+        Quant4LatentKVCache, enable_mla_latent_cache)
+
+    val, _ = _setup("tiny_mla")
+    kv_val = val[:16]
+    m = load_tiny_model("tiny_mla")
+    enable_mla_latent_cache(m)
+    caches = m.init_caches(2, 8, quantized="int4")
+    assert isinstance(caches[0], Quant4LatentKVCache)
+    dfp = decode_perplexity(m, kv_val, batch_size=16)
+    d4 = decode_perplexity(m, kv_val, batch_size=16, kv_quantized="int4")
+    assert d4 - dfp < 0.3, f"int4 latent delta {d4 - dfp:.4f}"
