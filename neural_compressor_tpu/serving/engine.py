@@ -140,6 +140,72 @@ def _chosen_logprob(logits, nxt):
     return chosen - lse
 
 
+def _spec_rounds(m_, caches, buf, pos, lim, active, rounds, kk, nn,
+                 eos, park):
+    """``rounds`` prompt-lookup verify rounds over all slots (shared by
+    the pure-spec and combined prefill+spec programs). Returns
+    (caches, outs [B, rounds, kk+1], ms [B, rounds])."""
+    W = kk + 1
+    B, L = buf.shape
+
+    def round_body(i, carry):
+        pos, buf, caches, outs, ms = carry
+        fin = ~active | (pos >= lim)
+        posx = jnp.where(fin, park, pos)
+        b = posx - 1
+        # --- propose: last n-gram match in the slot buffer
+        sidx = posx[:, None] - nn + jnp.arange(nn)[None, :]
+        suffix = jnp.take_along_axis(
+            buf, jnp.clip(sidx, 0, L - 1), axis=1)
+        nwin = L - nn + 1
+        eq = jnp.ones((B, nwin), bool)
+        for j in range(nn):
+            eq = eq & (jax.lax.dynamic_slice_in_dim(
+                buf, j, nwin, 1) == suffix[:, j:j + 1])
+        jidx = jnp.arange(nwin)[None, :]
+        validm = eq & (jidx + nn < posx[:, None])
+        jbest = jnp.max(jnp.where(validm, jidx, -1), axis=1)
+        has = jbest >= 0
+        gidx = (jbest + nn)[:, None] + jnp.arange(kk)[None, :]
+        cur = jnp.take_along_axis(buf, b[:, None], axis=1)
+        prop = jnp.take_along_axis(
+            buf, jnp.clip(gidx, 0, L - 1), axis=1)
+        prop = jnp.where(has[:, None], prop,
+                         jnp.broadcast_to(cur, (B, kk))).astype(jnp.int32)
+        # --- verify: one (kk+1)-window forward, per-slot positions
+        window = jnp.concatenate([cur, prop], axis=1)
+        positions = b[:, None] + jnp.arange(W)[None, :]
+        lg, caches = m_(window, positions=positions, caches=caches,
+                        cache_pos=b)
+        t = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        match = prop == t[:, :kk]
+        m = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
+                    axis=1) + 1
+        if eos is not None:
+            is_eos = t == eos
+            eos_idx = jnp.argmax(is_eos, axis=1)
+            has_eos = jnp.any(is_eos, axis=1) & (eos_idx < m)
+            m = jnp.where(has_eos, eos_idx + 1, m)
+        m = jnp.where(fin, 0, jnp.minimum(m, lim - pos))
+
+        def row(bf, tw, p, f):
+            st = jnp.minimum(p, L - W)
+            old = jax.lax.dynamic_slice(bf, (st,), (W,))
+            return jax.lax.dynamic_update_slice(
+                bf, jnp.where(f, old, tw), (st,))
+
+        buf = jax.vmap(row)(buf, t, posx, fin)
+        outs = jax.lax.dynamic_update_index_in_dim(outs, t, i, axis=1)
+        ms = jax.lax.dynamic_update_index_in_dim(ms, m, i, axis=1)
+        return pos + m, buf, caches, outs, ms
+
+    outs0 = jnp.zeros((B, rounds, W), jnp.int32)
+    ms0 = jnp.zeros((B, rounds), jnp.int32)
+    _pos, _buf, caches, outs, ms = jax.lax.fori_loop(
+        0, rounds, round_body, (pos, buf, caches, outs0, ms0))
+    return caches, outs, ms
+
+
 def _next_token_fn(sampling: bool):
     """The decode-loop next-token step: argmax (the measured fast path)
     or the in-program sampler; both also emit the chosen token's raw
@@ -346,11 +412,26 @@ class ContinuousBatchingEngine:
             decoding = [s for s in range(self.n_slots)
                         if self.slot_state[s] == "decode"]
             if decoding and self.speculative:
-                # speculative serving: one prefill dispatch (if any) then
-                # one multi-round verify dispatch — each round emits
-                # 1..spec_k+1 tokens per slot
-                self._advance_prefill()
-                self._spec_step(max(int(chunk), 1))
+                # speculative serving: prefill chunk + verify rounds in
+                # ONE dispatch when both kinds of work exist
+                rounds = max(int(chunk), 1)
+                work = self._gather_prefill()
+                if work is None:
+                    self._spec_step(rounds)
+                else:
+                    active, args, ends, _samp = work
+                    self.stats["combined_dispatches"] += 1
+                    self.stats["prefill_chunk_dispatches"] += 1
+                    self.stats["decode_dispatches"] += 1
+                    dec, buf, pos, lim, act = self._spec_args()
+                    fn = self._combined_spec_fn(args[0].shape[0], rounds)
+                    self.caches, nxt, outs, ms = fn(
+                        self._state, self.caches, *args,
+                        jnp.asarray(buf), jnp.asarray(pos),
+                        jnp.asarray(lim), jnp.asarray(act))
+                    self._apply_spec(dec, np.asarray(outs),
+                                     np.asarray(ms), rounds)
+                    self._apply_prefill(active, ends, np.asarray(nxt))
                 finished.extend(self._collect())
                 continue
             if decoding:
@@ -923,7 +1004,6 @@ class ContinuousBatchingEngine:
         if key not in self._jit_cache:
             graphdef = self._graphdef
             kk, nn = self.spec_k, self.spec_n
-            W = kk + 1
             eos = self.eos_token_id
             park = self.max_len  # parked slots decide above real rows
 
@@ -931,79 +1011,51 @@ class ContinuousBatchingEngine:
             def spec_decode(state, caches, buf, pos, lim, active):
                 m_ = nnx.merge(graphdef, state)
                 _s4_prepare(m_)
-                B, L = buf.shape
-
-                def round_body(i, carry):
-                    pos, buf, caches, outs, ms = carry
-                    fin = ~active | (pos >= lim)
-                    posx = jnp.where(fin, park, pos)
-                    b = posx - 1
-                    # --- propose: last n-gram match in the slot buffer
-                    sidx = posx[:, None] - nn + jnp.arange(nn)[None, :]
-                    suffix = jnp.take_along_axis(
-                        buf, jnp.clip(sidx, 0, L - 1), axis=1)
-                    nwin = L - nn + 1
-                    eq = jnp.ones((B, nwin), bool)
-                    for j in range(nn):
-                        eq = eq & (jax.lax.dynamic_slice_in_dim(
-                            buf, j, nwin, 1) == suffix[:, j:j + 1])
-                    jidx = jnp.arange(nwin)[None, :]
-                    validm = eq & (jidx + nn < posx[:, None])
-                    jbest = jnp.max(jnp.where(validm, jidx, -1), axis=1)
-                    has = jbest >= 0
-                    gidx = (jbest + nn)[:, None] + jnp.arange(kk)[None, :]
-                    cur = jnp.take_along_axis(buf, b[:, None], axis=1)
-                    prop = jnp.take_along_axis(
-                        buf, jnp.clip(gidx, 0, L - 1), axis=1)
-                    prop = jnp.where(has[:, None], prop,
-                                     jnp.broadcast_to(cur, (B, kk))
-                                     ).astype(jnp.int32)
-                    # --- verify: one (kk+1)-window forward, per-slot pos
-                    window = jnp.concatenate([cur, prop], axis=1)
-                    positions = b[:, None] + jnp.arange(W)[None, :]
-                    lg, caches = m_(window, positions=positions,
-                                    caches=caches, cache_pos=b)
-                    t = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-                    match = prop == t[:, :kk]
-                    m = jnp.sum(jnp.cumprod(match.astype(jnp.int32),
-                                            axis=1), axis=1) + 1
-                    if eos is not None:
-                        is_eos = t == eos
-                        eos_idx = jnp.argmax(is_eos, axis=1)
-                        has_eos = jnp.any(is_eos, axis=1) & (eos_idx < m)
-                        m = jnp.where(has_eos, eos_idx + 1, m)
-                    m = jnp.where(fin, 0, jnp.minimum(m, lim - pos))
-
-                    def row(bf, tw, p, f):
-                        st = jnp.minimum(p, L - W)
-                        old = jax.lax.dynamic_slice(bf, (st,), (W,))
-                        return jax.lax.dynamic_update_slice(
-                            bf, jnp.where(f, old, tw), (st,))
-
-                    buf = jax.vmap(row)(buf, t, posx, fin)
-                    outs = jax.lax.dynamic_update_index_in_dim(
-                        outs, t, i, axis=1)
-                    ms = jax.lax.dynamic_update_index_in_dim(
-                        ms, m, i, axis=1)
-                    return pos + m, buf, caches, outs, ms
-
-                outs0 = jnp.zeros((B, rounds, W), jnp.int32)
-                ms0 = jnp.zeros((B, rounds), jnp.int32)
-                _pos, _buf, caches, outs, ms = jax.lax.fori_loop(
-                    0, rounds, round_body, (pos, buf, caches, outs0, ms0))
-                return caches, outs, ms
+                return _spec_rounds(m_, caches, buf, pos, lim, active,
+                                    rounds, kk, nn, eos, park)
 
             self._jit_cache[key] = spec_decode
         return self._jit_cache[key]
 
-    def _spec_step(self, rounds: int):
-        """One speculative decode dispatch: ``rounds`` verify rounds for
-        every decoding slot (1..spec_k+1 tokens each per round)."""
-        self.stats["decode_dispatches"] += 1
+    def _combined_spec_fn(self, n: int, rounds: int):
+        """ONE jitted program = one prefill chunk over ``n`` rows + the
+        speculative verify rounds for the decoding slots (spec engines
+        are greedy-only, so the prefill emission is a plain argmax).
+        Prefill rows and decode slots are disjoint, same safety argument
+        as ``_combined_fn``."""
+        key = ("combined_spec", n, rounds)
+        if key not in self._jit_cache:
+            graphdef = self._graphdef
+            C = self.prefill_chunk
+            kk, nn = self.spec_k, self.spec_n
+            eos = self.eos_token_id
+            park = self.max_len
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def combined(state, caches, ids, rows, starts, last_idx,
+                         buf, pos, lim, active):
+                m_ = nnx.merge(graphdef, state)
+                _s4_prepare(m_)
+                positions = starts[:, None] + jnp.arange(C)[None, :]
+                sub = jax.tree.map(lambda c: c[rows], caches)
+                logits, sub = m_(ids, positions=positions, caches=sub,
+                                 cache_pos=starts)
+                caches = jax.tree.map(lambda c, sb: c.at[rows].set(sb),
+                                      caches, sub)
+                nxt = jnp.argmax(logits[jnp.arange(n), last_idx], axis=-1)
+                caches, outs, ms = _spec_rounds(
+                    m_, caches, buf, pos, lim, active, rounds, kk, nn,
+                    eos, park)
+                return caches, nxt, outs, ms
+
+            self._jit_cache[key] = combined
+        return self._jit_cache[key]
+
+    def _spec_args(self):
+        """(buf, pos, lim, active) host arrays + the decoding slot list
+        for a speculative dispatch."""
         dec = [s for s in range(self.n_slots)
                if self.slot_state[s] == "decode"]
-        if not dec:
-            return
         L = self._cache_rows
         buf = np.zeros((self.n_slots, L), np.int32)
         pos = np.ones((self.n_slots,), np.int32)  # parked slots: b=0
@@ -1017,12 +1069,9 @@ class ContinuousBatchingEngine:
             lim[s_] = min(len(req.prompt) + req.max_new_tokens,
                           self.max_len)
             act[s_] = True
-        fn = self._spec_decode_fn(rounds)
-        self.caches, outs, ms = fn(self._state, self.caches,
-                                   jnp.asarray(buf), jnp.asarray(pos),
-                                   jnp.asarray(lim), jnp.asarray(act))
-        outs = np.asarray(outs)
-        ms = np.asarray(ms)
+        return dec, buf, pos, lim, act
+
+    def _apply_spec(self, dec, outs, ms, rounds: int):
         for s_ in dec:
             req = self.slot_req[s_]
             if req is None:
@@ -1039,8 +1088,8 @@ class ContinuousBatchingEngine:
                     tok = int(outs[s_, r_, j])
                     self.slot_tok[s_] = tok
                     # spec rounds emit argmax tokens; logprobs are NaN
-                    # placeholders (the window program has no logprob
-                    # epilogue)
+                    # placeholders (no logprob epilogue in the window
+                    # program)
                     self._append_token(req, s_, tok, None)
                     applied += 1
                 if applied > 0:
@@ -1049,6 +1098,19 @@ class ContinuousBatchingEngine:
                     # EOS/max_new may truncate the device's count)
                     self.stats["spec_rounds"] += 1
                     self.stats["spec_accepted"] += applied
+
+    def _spec_step(self, rounds: int):
+        """One speculative decode dispatch: ``rounds`` verify rounds for
+        every decoding slot (1..spec_k+1 tokens each per round)."""
+        self.stats["decode_dispatches"] += 1
+        dec, buf, pos, lim, act = self._spec_args()
+        if not dec:
+            return
+        fn = self._spec_decode_fn(rounds)
+        self.caches, outs, ms = fn(self._state, self.caches,
+                                   jnp.asarray(buf), jnp.asarray(pos),
+                                   jnp.asarray(lim), jnp.asarray(act))
+        self._apply_spec(dec, np.asarray(outs), np.asarray(ms), rounds)
 
     def _fill_slots(self):
         for slot in range(self.n_slots):

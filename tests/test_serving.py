@@ -766,6 +766,9 @@ def test_engine_speculative_matches_normal(qmodel32):
     m = eng.metrics()
     assert m["spec_rounds"] > 0
     assert m["spec_accepted"] >= m["spec_rounds"]
+    # the third prompt prefills while slots decode -> the combined
+    # prefill+spec program must have run
+    assert m["combined_dispatches"] > 0, m
 
 
 def test_engine_speculative_eos_and_stops(qmodel32):
