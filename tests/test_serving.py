@@ -809,3 +809,73 @@ def test_engine_speculative_guards(qmodel32):
     with pytest.raises(ValueError, match="only 'ngram'"):
         ContinuousBatchingEngine(qmodel32, n_slots=2, max_len=64,
                                  speculative="medusa")
+
+
+@pytest.mark.slow
+def test_engine_fuzz_invariants(qmodel32):
+    """Randomized engine stress (seeded, deterministic): mixed
+    greedy/sampled requests with random stops and lengths, interleaved
+    run bursts, cancellations, and pool pressure. Invariants: every
+    non-cancelled request completes within its budget, bookkeeping
+    arrays return to idle, all pages/staging rows are reclaimed,
+    logprobs stay aligned with generated, and the whole trace is
+    reproducible."""
+    def run_trace(seed):
+        rng = np.random.default_rng(seed)
+        eng = ContinuousBatchingEngine(qmodel32, n_slots=3, max_len=64,
+                                       paged=True, page_size=16,
+                                       n_pages=8, prefill_chunk=16)
+        live, finished, cancelled = [], [], []
+        for step in range(12):
+            # random arrivals
+            for _ in range(int(rng.integers(0, 3))):
+                P = int(rng.integers(3, 30))
+                kw = {}
+                if rng.random() < 0.4:
+                    kw = dict(do_sample=True,
+                              temperature=float(rng.uniform(0.5, 1.5)),
+                              top_k=int(rng.integers(2, 50)),
+                              seed=int(rng.integers(0, 99)))
+                if rng.random() < 0.3:
+                    kw["stop_token_ids"] = [int(rng.integers(0, 256))]
+                r = eng.submit(rng.integers(0, 256, (P,)),
+                               max_new_tokens=int(rng.integers(1, 20)),
+                               **kw)
+                live.append(r)
+            # random cancel
+            if live and rng.random() < 0.25:
+                victim = live[int(rng.integers(0, len(live)))]
+                if not victim.done:
+                    eng.cancel(victim)
+                    cancelled.append(victim)
+            done = eng.run(max_steps=int(rng.integers(1, 4)),
+                           chunk=int(rng.integers(1, 5)))
+            finished.extend(done)
+            live = [r for r in live if not r.done]
+        finished.extend(eng.run(chunk=3))  # drain
+        return eng, finished, cancelled
+
+    for seed in (0, 1, 2):
+        eng, finished, cancelled = run_trace(seed)
+        # every submitted request terminated
+        assert not eng.queue and all(r is None for r in eng.slot_req)
+        assert all(st == "idle" for st in eng.slot_state)
+        # pool fully reclaimed (trash page 0 never in the free list)
+        assert sorted(eng.free_pages) == list(range(1, 8))
+        assert sorted(eng._free_staging) == list(
+            range(eng.prefill_streams))
+        for r in finished:
+            assert r.done
+            assert len(r.generated) <= r.max_new_tokens
+            assert len(r.logprobs) == len(r.generated)
+            if not r.cancelled and not r.stop_token_ids:
+                assert len(r.generated) >= 1
+            if r.stop_token_ids and not r.cancelled and r.generated \
+                    and r.generated[-1] not in r.stop_token_ids:
+                assert len(r.generated) == r.max_new_tokens or \
+                    r.preemptions >= 0  # ended on budget/capacity
+        # determinism: the same seed reproduces the same outputs
+        eng2, finished2, _ = run_trace(seed)
+        a = sorted((r.uid, tuple(r.generated)) for r in finished)
+        b = sorted((r.uid, tuple(r.generated)) for r in finished2)
+        assert a == b, f"seed {seed} trace not reproducible"
