@@ -460,7 +460,7 @@ def _grouped_attention_chunked(q, k, v, q_pos, D, k_scale=None,
                                v_scale=None, q_chunk=512, kv_chunk=1024,
                                softcap=None, window=None,
                                k_off=None, v_off=None,
-                               packed_int4=False):
+                               packed_int4=False, fp8_probs=False):
     """``_grouped_attention`` without the [S, T] score materialization:
     lax.map over query chunks, lax.scan over KV chunks with an
     online-softmax carry — peak extra memory is one
@@ -540,6 +540,14 @@ def _grouped_attention_chunked(q, k, v, q_pos, D, k_scale=None,
             s = jnp.where(valid, s, -1e30)
             m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             pexp = jnp.where(valid, jnp.exp(s - m2), 0.0)
+            if fp8_probs:
+                # fp8_softmax semantics (models.sdpa.fp8_softmax_qdq):
+                # QDQ through e4m3 with the fixed 1/448 scale. The
+                # chunked form rounds the UNNORMALIZED pexp (also in
+                # [0, 1]) — tolerance-level vs the dense order, which
+                # normalizes first
+                pexp = jnp.clip(pexp * 448.0, 0.0, 448.0).astype(
+                    jnp.float8_e4m3fn).astype(jnp.float32) / 448.0
             alpha = jnp.exp(m - m2)
             l2 = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
             if v_scale is not None and not packed_int4:

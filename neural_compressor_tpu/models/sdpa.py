@@ -53,9 +53,42 @@ def sdpa(q, k, v, mask, *, module=None, bias=None, out_dtype=None):
     (Hkv | H; grouped-query K/V are repeated here). ``mask`` broadcasts
     against [B, H, S, T]; ``bias`` (e.g. ALiBi) is added to the scaled
     scores before masking. ``module`` supplies the fp8 flags."""
-    from .llama import _densify
+    from .llama import _ChunkedCausal, _densify, \
+        _grouped_attention_chunked
 
-    mask = _densify(mask, k.shape[2])  # fp8 SDPA has no chunked variant
+    if isinstance(mask, _ChunkedCausal) and bias is None:
+        # long prefill: the per-tensor fp8 scales are GLOBAL statistics
+        # (one amax over the full tensor — cheap, the operands are
+        # materialized at prefill), so Q/K/V QDQ once up front and the
+        # standard chunked online softmax runs on the QDQ'd values
+        # (every e4m3 value is exactly representable in bf16; the dense
+        # path's in-dot scaling is the same product to f32 rounding).
+        # The fp8_softmax probs-QDQ applies per chunk to the
+        # UNNORMALIZED pexp — tolerance-level vs the dense order
+        # (asserted in tests). ALiBi-bias models keep the dense path.
+        if getattr(module, "fp8_sdpa", False):
+            def gqdq(x):
+                xf = x.astype(jnp.float32)
+                sc = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / _FP8_MAX
+                x8 = jnp.clip(xf / sc, -_FP8_MAX, _FP8_MAX).astype(
+                    jnp.float8_e4m3fn)
+                return (x8.astype(jnp.float32) * sc).astype(x.dtype)
+
+            q, k, v = gqdq(q), gqdq(k), gqdq(v)
+        out = _grouped_attention_chunked(
+            q, k, v, mask.q_pos, q.shape[-1],
+            window=mask.window,
+            # fp8_sdpa's PV dot quantizes the PROBS operand too (dense:
+            # fp8_dot's dynamic scale); the chunked form QDQs pexp with
+            # the fixed 1/448 scale — e4m3 is a float format, so the
+            # representation error is relative and the scale choice is
+            # second-order
+            fp8_probs=bool(getattr(module, "fp8_softmax", False)
+                           or getattr(module, "fp8_sdpa", False)))
+        out_dtype = out_dtype or q.dtype
+        return out.astype(out_dtype)
+
+    mask = _densify(mask, k.shape[2])  # dense path (and ALiBi models)
     out_dtype = out_dtype or q.dtype
     D = q.shape[-1]
     H, Hkv = q.shape[1], k.shape[1]

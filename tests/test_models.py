@@ -279,3 +279,49 @@ def test_chunked_prefill_int4_per_channel_k():
     np.testing.assert_allclose(np.asarray(chunked, np.float32),
                                np.asarray(dense, np.float32),
                                rtol=0, atol=2e-4)
+
+
+def test_chunked_prefill_fp8_sdpa_close():
+    """Round 5: fp8-SDPA long prefill rides the chunked online softmax
+    (global per-tensor Q/K/V QDQ + per-chunk probs QDQ) instead of
+    densifying to O(S*T). Forced-chunk output must track the dense fp8
+    path within fp8 tolerance (the probs-QDQ order differs)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.algorithms.calib_capture import \
+        calibration_forward
+    from neural_compressor_tpu.models import LlamaForCausalLM
+    from neural_compressor_tpu.models.llama import set_dense_mask_limit
+
+    rng = np.random.default_rng(0)
+    calib = [jnp.asarray(rng.integers(0, 256, (2, 16))) for _ in range(2)]
+    m = LlamaForCausalLM.from_preset("llama-test", dtype=jnp.float32)
+    qm = nq.quantize(m, nq.FP8Config(dump_stats_path=None,
+                                     quantize_attention=True,
+                                     quantize_softmax=True),
+                     run_fn=lambda mm: calibration_forward(mm, calib))
+    attn = qm.model.layers[0].self_attn
+    assert getattr(attn, "fp8_sdpa", False)
+    assert getattr(attn, "fp8_softmax", False)
+    # bf16-truth reference: the same weights WITHOUT the fp8 attention
+    # flags — dense-fp8 and chunked-fp8 are both e4m3 approximations of
+    # it with different rounding orders, so they are compared against
+    # the truth, not each other
+    mref = LlamaForCausalLM.from_preset("llama-test", dtype=jnp.float32)
+    qref = nq.quantize(mref, nq.FP8Config(dump_stats_path=None),
+                       run_fn=lambda mm: calibration_forward(mm, calib))
+    ids = jnp.asarray(rng.integers(0, 256, (1, 96)))
+    truth = np.asarray(qref(ids), np.float32)
+    dense = np.asarray(qm(ids), np.float32)
+    try:
+        set_dense_mask_limit(96 * 96 - 1)
+        chunked = np.asarray(qm(ids), np.float32)
+    finally:
+        set_dense_mask_limit(16 * 1024 * 1024)
+    scale = np.abs(truth).max() + 1e-9
+    e_dense = np.abs(dense - truth).max() / scale
+    e_chunk = np.abs(chunked - truth).max() / scale
+    # chunked-fp8 must approximate the truth about as well as dense-fp8
+    assert e_chunk < max(2.0 * e_dense, 0.05), (e_chunk, e_dense)
