@@ -73,6 +73,21 @@ def main():
         print(f"  spec k={k}: {tpr:.2f} tokens/round, "
               f"speedup {s/g:.2f}x", flush=True)
 
+    # round-5 later: speculative over PAGED pools (windowed page writes
+    # + W-query paged attention) — memory elasticity AND speculation
+    for k in (8,):
+        spec = ContinuousBatchingEngine(qmodel, n_slots=N_SLOTS,
+                                        max_len=512, paged=True,
+                                        page_size=128,
+                                        speculative="ngram",
+                                        spec_k=k, spec_n=2)
+        wave(spec, prompts(rng), f"paged-spec k={k} cold")
+        s = wave(spec, prompts(rng), f"paged-spec k={k} warm")
+        m = spec.metrics()
+        tpr = m["spec_accepted"] / max(m["spec_rounds"], 1)
+        print(f"  paged-spec k={k}: {tpr:.2f} tokens/round, "
+              f"speedup {s/g:.2f}x vs normal-contiguous", flush=True)
+
 
 if __name__ == "__main__":
     main()

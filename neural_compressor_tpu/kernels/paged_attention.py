@@ -258,7 +258,7 @@ _KPP = 4  # pages staged per grid step (clamped to pmax)
 
 def _paged_kernel_v2(bt_ref, len_ref, q_ref, *args, page, rep_p, gsteps,
                      scale, Hkv, quant, kpp, int4=False, window=None,
-                     softcap=None):
+                     softcap=None, wq=1, rep=None):
     # NO per-head loop: an in-kernel fori_loop over heads with dynamic
     # scratch indexing measured ~25 us/head (801 us/layer at Hkv=32,
     # profile_paged_b8.log) — the head axis rides dot_general BATCH dims
@@ -288,12 +288,21 @@ def _paged_kernel_v2(bt_ref, len_ref, q_ref, *args, page, rep_p, gsteps,
     length = len_ref[b]
     t_idx = p * w + jax.lax.broadcasted_iota(
         jnp.int32, (Hkv, rep_p, w), 2)
-    valid = t_idx < length
+    if wq == 1:
+        qpos = length - 1                          # [scalar]
+        valid = t_idx < length
+    else:
+        # WINDOWED queries (speculative verify): rows pack (w, rep) —
+        # query row i is window index i // rep at position
+        # length - wq + i // rep; causal per row
+        w_of = jax.lax.broadcasted_iota(
+            jnp.int32, (Hkv, rep_p, w), 1) // rep
+        qpos = length - wq + w_of
+        valid = t_idx <= qpos
     if window is not None:
-        # sliding band (gemma local layers): the single query sits at
-        # position length-1, so only keys with q_pos - k_pos < window
-        # participate
-        valid = valid & (t_idx >= length - window)
+        # sliding band (gemma local layers): only keys with
+        # q_pos - k_pos < window participate
+        valid = valid & (t_idx > qpos - window)
 
     q = q_ref[0]                                    # [Hkv, rep_p, D]
     if int4:
@@ -389,10 +398,18 @@ def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
     page = page_c * 2 if int4 else page_c
     pmax = block_tables.shape[1]
     rep = H // Hkv
-    qr = q[:, :, 0].reshape(B, Hkv, rep, D)
-    rep_p = max(rep, 8)
-    if rep_p != rep:
-        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rep), (0, 0)))
+    wq = S  # windowed queries (speculative verify) when S > 1
+    assert not (int4 and wq > 1), "windowed paged attention: no int4 yet"
+    if wq == 1:
+        qr = q[:, :, 0].reshape(B, Hkv, rep, D)
+    else:
+        # rows pack (w, rep): [B, H, W, D] -> [B, Hkv, W*rep, D]
+        qr = (q.reshape(B, Hkv, rep, wq, D).transpose(0, 1, 3, 2, 4)
+              .reshape(B, Hkv, wq * rep, D))
+    rows = wq * rep
+    rep_p = max(-(-rows // 8) * 8, 8)
+    if rep_p != rows:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rep_p - rows), (0, 0)))
     kpp = min(_KPP, pmax)
     # clamp by VMEM: K+V staged blocks are double-buffered; the scoped
     # vmem limit is 16 MB (bf16 MHA-32 pools OOM'd at kpp=4: 16.38 MB).
@@ -463,7 +480,8 @@ def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
     kernel = functools.partial(_paged_kernel_v2, page=page, rep_p=rep_p,
                                gsteps=gsteps, scale=1.0 / (D ** 0.5),
                                Hkv=Hkv, quant=quant, kpp=kpp, int4=int4,
-                               window=window, softcap=softcap)
+                               window=window, softcap=softcap, wq=wq,
+                               rep=rep)
     extra_ops = ((list([k_offs.astype(jnp.float32)] * kpp)
                   + list([v_offs.astype(jnp.float32)] * kpp))
                  if int4 else [])
@@ -476,9 +494,11 @@ def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
         interpret=interpret,
     )(bt, lengths, qr, *([k_pages] * kpp), *([ks3] * kpp),
       *([v_pages] * kpp), *([vs3] * kpp), *extra_ops)
-    if rep_p != rep:
-        out = out[:, :, :rep]
-    return out.reshape(B, Hkv * rep, 1, D)
+    out = out[:, :, :wq * rep]
+    if wq == 1:
+        return out.reshape(B, Hkv * rep, 1, D)
+    return (out.reshape(B, Hkv, wq, rep, D).transpose(0, 1, 3, 2, 4)
+            .reshape(B, Hkv * rep, wq, D))
 
 
 # ---------------------------------------------------------------------------
@@ -687,6 +707,177 @@ def paged_write_rows(cache, k_new, v_new, pos):
                           v_scales=vs if vs is not None else cache.v_scales)
 
 
+# ---------------------------------------------------------------------------
+# WINDOWED paged row write (speculative serving): W consecutive rows per
+# slot, possibly spanning one page boundary — both candidate pages are
+# staged, every window row is patched with a masked select against its
+# block-local offset (rows that fall outside a block simply never match
+# its iota), and both blocks write back aliased. Slots whose window fits
+# one page pass the TRASH page as the second block: its rows never
+# match, so the unchanged block writes back harmlessly.
+# ---------------------------------------------------------------------------
+
+
+def _write_kernel_bf16_w(pid2_ref, off_ref, kn_ref, vn_ref, kp_ref,
+                         vp_ref, ko_ref, vo_ref, *, page, Hkv, D, W):
+    b = pl.program_id(0)
+    blk = pl.program_id(1)               # 0: window's first page, 1: next
+    base = off_ref[b]                    # pos % page of the first row
+    row = jax.lax.broadcasted_iota(jnp.int32, (Hkv, page, D), 1)
+    ko = kp_ref[0]
+    vo = vp_ref[0]
+    for w in range(W):
+        tgt = base + w - blk * page      # outside [0, page): no match
+        ko = jnp.where(row == tgt,
+                       kn_ref[0, :, w][:, None, :].astype(ko.dtype), ko)
+        vo = jnp.where(row == tgt,
+                       vn_ref[0, :, w][:, None, :].astype(vo.dtype), vo)
+    ko_ref[0] = ko
+    vo_ref[0] = vo
+
+
+def _write_kernel_quant_w(pid2_ref, off_ref, kn_ref, vn_ref, kp_ref,
+                          ks_ref, vp_ref, vs_ref, ko_ref, kso_ref,
+                          vo_ref, vso_ref, *, page, Hkv, D, W):
+    b = pl.program_id(0)
+    blk = pl.program_id(1)
+    base = off_ref[b]
+    row = jax.lax.broadcasted_iota(jnp.int32, (Hkv, page, D), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Hkv, page), 1)
+    fp8 = ko_ref.dtype != jnp.int8
+
+    def qrow(f):                          # [Hkv, D] -> codes, scale
+        amax = jnp.max(jnp.abs(f), axis=1, keepdims=True)
+        if fp8:
+            sc = jnp.where(amax <= 0, 1.0, amax / 448.0)
+            cq = jnp.clip(f / sc, -448.0, 448.0)
+        else:
+            sc = jnp.where(amax <= 0, 1.0, amax / 127.0)
+            cq = jnp.clip(jnp.round(f / sc), -128, 127)
+        return cq, sc
+
+    ko = kp_ref[0]
+    vo = vp_ref[0]
+    kso = ks_ref[0]
+    vso = vs_ref[0]
+    for w in range(W):
+        tgt = base + w - blk * page
+        kq, ksc = qrow(kn_ref[0, :, w].astype(jnp.float32))
+        vq, vsc = qrow(vn_ref[0, :, w].astype(jnp.float32))
+        ko = jnp.where(row == tgt, kq.astype(ko.dtype)[:, None, :], ko)
+        vo = jnp.where(row == tgt, vq.astype(vo.dtype)[:, None, :], vo)
+        kso = jnp.where(col == tgt, ksc, kso)
+        vso = jnp.where(col == tgt, vsc, vso)
+    ko_ref[0] = ko
+    vo_ref[0] = vo
+    kso_ref[0] = kso
+    vso_ref[0] = vso
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _paged_write_window_impl(pids2, off, k_new, v_new, k_pages,
+                             k_scales, v_pages, v_scales, interpret):
+    """``pids2`` [2B] = the window's first page id and its successor per
+    slot, interleaved (grid (B, 2) — one staged page block per grid
+    step; non-crossing windows pass the trash page as block 1, which
+    writes back unchanged)."""
+    P, Hkv, page, D = k_pages.shape
+    B = k_new.shape[0]
+    W = k_new.shape[2]
+    quant = k_scales is not None
+
+    def page_map(b, j, pid2_ref, off_ref):
+        return (pid2_ref[b * 2 + j], 0, 0, 0)
+
+    def sc_map(b, j, pid2_ref, off_ref):
+        return (pid2_ref[b * 2 + j], 0, 0)
+
+    new_spec = pl.BlockSpec((1, Hkv, W, D),
+                            lambda b, j, p2, o: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    pg_spec = pl.BlockSpec((1, Hkv, page, D), page_map,
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((1, Hkv, page), sc_map,
+                           memory_space=pltpu.VMEM)
+    if quant:
+        kernel = functools.partial(_write_kernel_quant_w, page=page,
+                                   Hkv=Hkv, D=D, W=W)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, 2),
+                in_specs=[new_spec, new_spec, pg_spec, sc_spec, pg_spec,
+                          sc_spec],
+                out_specs=[pg_spec, sc_spec, pg_spec, sc_spec]),
+            out_shape=[jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+                       jax.ShapeDtypeStruct(k_scales.shape, jnp.float32),
+                       jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+                       jax.ShapeDtypeStruct(v_scales.shape, jnp.float32)],
+            input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(pids2, off, k_new, v_new, k_pages,
+          k_scales.astype(jnp.float32), v_pages,
+          v_scales.astype(jnp.float32))
+        return out
+    kernel = functools.partial(_write_kernel_bf16_w, page=page, Hkv=Hkv,
+                               D=D, W=W)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, 2),
+            in_specs=[new_spec, new_spec, pg_spec, pg_spec],
+            out_specs=[pg_spec, pg_spec]),
+        out_shape=[jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+                   jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype)],
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(pids2, off, k_new, v_new, k_pages, v_pages)
+    return out[0], None, out[1], None
+
+
+def paged_write_window(cache, k_new, v_new, pos):
+    """W consecutive rows per slot into the pages ([B, Hkv, W, D] at
+    per-slot start ``pos`` [B]); int4 pools unsupported (None).
+    The window may span one page boundary (W <= page_size)."""
+    B, Hkv_, W, D = k_new.shape
+    page = cache.page_size
+    if cache.k_pages.dtype == jnp.uint8 or W > page:
+        return None
+    if D % 128 or page % 128 or Hkv_ % 8:
+        return None
+    interpret = not _on_tpu()
+    if interpret and cache.k_pages.dtype not in (jnp.bfloat16, jnp.float32,
+                                                 jnp.int8):
+        return None
+    pmax = cache.block_tables.shape[1]
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
+    p0 = jnp.clip(pos // page, 0, pmax - 1)
+    bt = cache.block_tables.astype(jnp.int32)
+    pid0 = jnp.take_along_axis(bt, p0[:, None], axis=1)[:, 0]
+    p1 = jnp.clip(p0 + 1, 0, pmax - 1)
+    pid1 = jnp.take_along_axis(bt, p1[:, None], axis=1)[:, 0]
+    # block 1 goes to TRASH when the window doesn't cross a boundary OR
+    # there is no successor page (overshoot rows past the table belong
+    # to positions >= the slot's budget — no accepted query ever attends
+    # them, so dropping their KV is safe by the coverage rule)
+    crosses = ((pos % page) + W > page) & (p0 + 1 <= pmax - 1)
+    pid1 = jnp.where(crosses, pid1, 0)
+    pids2 = jnp.stack([pid0, pid1], axis=1).reshape(-1).astype(jnp.int32)
+    off = (pos % page).astype(jnp.int32)
+    kp, ks, vp, vs = _paged_write_window_impl(
+        pids2, off, k_new, v_new, cache.k_pages, cache.k_scales,
+        cache.v_pages, cache.v_scales, interpret)
+    return cache._replace(k_pages=kp, v_pages=vp,
+                          k_scales=ks if ks is not None else cache.k_scales,
+                          v_scales=vs if vs is not None else cache.v_scales)
+
+
 # v2 (all-heads page blocks) is the default; v1 kept for A/B
 _PAGED_V2 = True
 
@@ -694,6 +885,23 @@ _PAGED_V2 = True
 def set_paged_v2(on: bool) -> None:
     global _PAGED_V2
     _PAGED_V2 = bool(on)
+
+
+def paged_window_attention(q, cache, lengths):
+    """W-query windowed attention over a ``PagedKVCache`` (speculative
+    verify): q [B, H, W, D]; ``lengths`` [B] = the per-slot token count
+    INCLUDING the whole window (window row w sits at position
+    lengths - W + w and attends causally). v2 kernel only; int4 pools
+    unsupported. Returns [B, H, W, D]."""
+    from .decode_attention import _F8_VIA_BITS
+
+    assert cache.k_pages.dtype != jnp.uint8, \
+        "windowed paged attention has no int4 support yet"
+    out = _paged_attn_impl_v2(q, cache.k_pages, cache.k_scales,
+                              cache.v_pages, cache.v_scales,
+                              cache.block_tables, lengths,
+                              not _on_tpu(), f8bits=_F8_VIA_BITS)
+    return out * (lengths > 0)[:, None, None, None].astype(out.dtype)
 
 
 def paged_decode_attention(q, cache, lengths, window=None, softcap=None):

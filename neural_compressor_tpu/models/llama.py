@@ -941,15 +941,30 @@ class LlamaAttention(nnx.Module):
         fused_ok = use_fused_decode_attention(B)
         new_cache = None
         if isinstance(cache, PagedKVCache):
-            from ..kernels.paged_attention import paged_decode_attention
+            from ..kernels.paged_attention import (paged_decode_attention,
+                                                   paged_window_attention,
+                                                   paged_write_window)
 
-            assert S == 1, "paged cache is decode-only (engine prefills " \
-                           "through the staging cache)"
             pos_b = jnp.broadcast_to(
                 jnp.asarray(cache_pos, jnp.int32).reshape(-1), (B,))
-            new_cache = _paged_write_row(cache, k, v, pos_b)
-            lengths = pos_b + 1
-            out = paged_decode_attention(q, new_cache, lengths)
+            if S == 1:
+                new_cache = _paged_write_row(cache, k, v, pos_b)
+                lengths = pos_b + 1
+                out = paged_decode_attention(q, new_cache, lengths)
+                out = out.astype(x_dtype).transpose(0, 2, 1, 3)
+                return out.reshape(B, S, H * D), new_cache
+            # W-token verify window (speculative serving over pages):
+            # write the window rows (may span one page boundary), then
+            # causal windowed attention
+            new_cache = paged_write_window(cache, k, v, pos_b)
+            if new_cache is None:  # off-envelope: per-row fallback
+                nc = cache
+                for w_ in range(S):
+                    nc = _paged_write_row(nc, k[:, :, w_:w_ + 1],
+                                          v[:, :, w_:w_ + 1],
+                                          pos_b + w_)
+                new_cache = nc
+            out = paged_window_attention(q, new_cache, pos_b + S)
             out = out.astype(x_dtype).transpose(0, 2, 1, 3)
             return out.reshape(B, S, H * D), new_cache
         if isinstance(cache, QuantKVCache):

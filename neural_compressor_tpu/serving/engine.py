@@ -253,9 +253,6 @@ class ContinuousBatchingEngine:
         # caches only (the paged kernels are single-token).
         if speculative not in (None, "ngram"):
             raise ValueError(f"speculative={speculative!r}: only 'ngram'")
-        if speculative and paged:
-            raise ValueError("speculative serving needs contiguous "
-                             "caches (the paged kernels are decode-only)")
         self.speculative = speculative
         self.spec_k = int(spec_k)
         self.spec_n = int(spec_n)
@@ -316,6 +313,17 @@ class ContinuousBatchingEngine:
                                              max_len, quantized=False)
             self._free_staging = list(range(self.prefill_streams - 1, -1, -1))
             self._staging_of: dict[int, int] = {}  # slot -> staging row
+            if speculative:
+                if self.latent:
+                    raise ValueError("speculative serving has no paged "
+                                     "MLA latent support")
+                if self.pools[0].k_pages.dtype == jnp.uint8:
+                    raise ValueError(
+                        "speculative serving over paged pools supports "
+                        "bf16/int8/fp8 (the windowed kernels have no "
+                        "int4 nibble-window writes yet) — use a "
+                        "contiguous cache for int4-KV speculation")
+                self._cache_rows = max_len + self.spec_k + 2
         else:
             # speculative mode writes verify windows up to spec_k rows
             # past the last decided position (and parks idle slots on a
@@ -413,10 +421,15 @@ class ContinuousBatchingEngine:
                         if self.slot_state[s] == "decode"]
             if decoding and self.speculative:
                 # speculative serving: prefill chunk + verify rounds in
-                # ONE dispatch when both kinds of work exist
+                # ONE dispatch when both kinds of work exist (contiguous;
+                # paged spec runs them as two dispatches — staging and
+                # pools are disjoint either way)
                 rounds = max(int(chunk), 1)
                 work = self._gather_prefill()
                 if work is None:
+                    self._spec_step(rounds)
+                elif self.paged:
+                    self._advance_prefill()
                     self._spec_step(rounds)
                 else:
                     active, args, ends, _samp = work
@@ -1099,18 +1112,59 @@ class ContinuousBatchingEngine:
                     self.stats["spec_rounds"] += 1
                     self.stats["spec_accepted"] += applied
 
+    def _spec_ensure_pages(self, rounds: int):
+        """Worst-case page allocation for a spec dispatch: every round
+        can advance a slot by spec_k+1 tokens and the verify window
+        writes spec_k rows past the last decided one."""
+        W = self.spec_k + 1
+        for slot in range(self.n_slots):
+            if self.slot_state[slot] == "decode":
+                req = self.slot_req[slot]
+                decided = len(self._prompt_of(req))
+                upto = min(decided + rounds * W + self.spec_k,
+                           self.max_len - 1)
+                self._ensure_pages(slot, upto)
+
     def _spec_step(self, rounds: int):
         """One speculative decode dispatch: ``rounds`` verify rounds for
         every decoding slot (1..spec_k+1 tokens each per round)."""
+        if self.paged:
+            self._spec_ensure_pages(rounds)
         self.stats["decode_dispatches"] += 1
         dec, buf, pos, lim, act = self._spec_args()
         if not dec:
             return
-        fn = self._spec_decode_fn(rounds)
-        self.caches, outs, ms = fn(self._state, self.caches,
-                                   jnp.asarray(buf), jnp.asarray(pos),
-                                   jnp.asarray(lim), jnp.asarray(act))
+        if self.paged:
+            fn = self._spec_decode_paged_fn(rounds)
+            self.pools, outs, ms = fn(
+                self._state, self.pools, jnp.asarray(self.block_tables),
+                jnp.asarray(buf), jnp.asarray(pos), jnp.asarray(lim),
+                jnp.asarray(act))
+        else:
+            fn = self._spec_decode_fn(rounds)
+            self.caches, outs, ms = fn(self._state, self.caches,
+                                       jnp.asarray(buf), jnp.asarray(pos),
+                                       jnp.asarray(lim), jnp.asarray(act))
         self._apply_spec(dec, np.asarray(outs), np.asarray(ms), rounds)
+
+    def _spec_decode_paged_fn(self, rounds: int):
+        key = ("spec_decode_paged", rounds)
+        if key not in self._jit_cache:
+            graphdef = self._graphdef
+            kk, nn = self.spec_k, self.spec_n
+            eos = self.eos_token_id
+            park = self.max_len
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def spec_decode(state, pools, bt, buf, pos, lim, active):
+                m_ = nnx.merge(graphdef, state)
+                _s4_prepare(m_)
+                pools = [p._replace(block_tables=bt) for p in pools]
+                return _spec_rounds(m_, pools, buf, pos, lim, active,
+                                    rounds, kk, nn, eos, park)
+
+            self._jit_cache[key] = spec_decode
+        return self._jit_cache[key]
 
     def _fill_slots(self):
         for slot in range(self.n_slots):

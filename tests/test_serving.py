@@ -798,14 +798,14 @@ def test_engine_speculative_eos_and_stops(qmodel32):
 
 
 def test_engine_speculative_guards(qmodel32):
-    """Sampled requests and paged mode are rejected loudly."""
+    """Sampled requests and unknown modes are rejected loudly (paged
+    bf16/int8/fp8 pools are supported since the windowed kernels; int4
+    pools are guarded in test_engine_speculative_paged_int8_and_guards).
+    """
     eng = ContinuousBatchingEngine(qmodel32, n_slots=2, max_len=64,
                                    speculative="ngram")
     with pytest.raises(ValueError, match="greedy-only"):
         eng.submit(np.arange(5), max_new_tokens=4, do_sample=True)
-    with pytest.raises(ValueError, match="contiguous"):
-        ContinuousBatchingEngine(qmodel32, n_slots=2, max_len=64,
-                                 paged=True, speculative="ngram")
     with pytest.raises(ValueError, match="only 'ngram'"):
         ContinuousBatchingEngine(qmodel32, n_slots=2, max_len=64,
                                  speculative="medusa")
@@ -879,3 +879,64 @@ def test_engine_fuzz_invariants(qmodel32):
         a = sorted((r.uid, tuple(r.generated)) for r in finished)
         b = sorted((r.uid, tuple(r.generated)) for r in finished2)
         assert a == b, f"seed {seed} trace not reproducible"
+
+
+def test_engine_speculative_paged(qmodel32):
+    """Speculative serving over PAGED pools (round 5: windowed page
+    writes spanning boundaries + W-query paged attention): requests
+    complete, pages recycle, and outputs agree with greedy_search
+    (first-token exact + large majority — the paged kernel computes in
+    bf16, so near-tie flips vs the f32 contiguous reference are
+    numerics, same framing as the other paged tests)."""
+    rng = np.random.default_rng(60)
+    prompts = [rng.integers(0, 256, (n,)) for n in (9, 20, 6)]
+    refs = [np.asarray(greedy_search(
+        qmodel32, jnp.asarray(p)[None, :], max_new_tokens=10))[0, len(p):]
+        for p in prompts]
+    eng = ContinuousBatchingEngine(qmodel32, n_slots=2, max_len=64,
+                                   paged=True, page_size=16, n_pages=11,
+                                   prefill_chunk=16, speculative="ngram",
+                                   spec_k=4, spec_n=2)
+    reqs = [eng.submit(p, max_new_tokens=10) for p in prompts]
+    done = eng.run(chunk=2)
+    assert len(done) == 3
+    hits = total = 0
+    for p, r, ref in zip(prompts, reqs, refs):
+        assert len(r.generated) == 10
+        assert r.generated[0] == ref[0], f"first token P={len(p)}"
+        hits += int((np.asarray(r.generated) == ref).sum())
+        total += 10
+    assert hits >= (4 * total) // 5, (hits, total)
+    m = eng.metrics()
+    assert m["spec_rounds"] > 0
+    assert sorted(eng.free_pages) == list(range(1, 11))
+
+
+def test_engine_speculative_paged_int8_and_guards(qmodel32):
+    """int8 pools work under paged speculation; int4 pools and paged
+    latent are rejected loudly."""
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.models import LlamaForCausalLM
+
+    m8 = nq.quantize(LlamaForCausalLM.from_preset("llama-test",
+                                                  dtype=jnp.float32),
+                     nq.RTNConfig(dtype="int4", group_size=32)
+                     + nq.KVCacheQuantConfig(dtype="int8"))
+    rng = np.random.default_rng(61)
+    prompt = rng.integers(0, 256, (12,))
+    eng = ContinuousBatchingEngine(m8, n_slots=2, max_len=64, paged=True,
+                                   page_size=16, n_pages=11,
+                                   prefill_chunk=16, speculative="ngram",
+                                   spec_k=4)
+    assert eng.pools[0].k_pages.dtype.name == "int8"
+    r = eng.submit(prompt, max_new_tokens=8)
+    eng.run(chunk=2)
+    assert r.done and len(r.generated) == 8
+
+    m4 = nq.quantize(LlamaForCausalLM.from_preset("llama-test",
+                                                  dtype=jnp.float32),
+                     nq.RTNConfig(dtype="int4", group_size=32)
+                     + nq.KVCacheQuantConfig(dtype="int4"))
+    with pytest.raises(ValueError, match="int4"):
+        ContinuousBatchingEngine(m4, n_slots=2, max_len=64, paged=True,
+                                 page_size=16, speculative="ngram")
