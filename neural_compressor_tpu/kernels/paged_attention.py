@@ -399,7 +399,8 @@ def _paged_attn_impl_v2(q, k_pages, k_scales, v_pages, v_scales,
     pmax = block_tables.shape[1]
     rep = H // Hkv
     wq = S  # windowed queries (speculative verify) when S > 1
-    assert not (int4 and wq > 1), "windowed paged attention: no int4 yet"
+    # int4 works for wq > 1 too: the affine corrections are row-generic
+    # (padded query rows are zero, so their qsum/corr terms vanish)
     if wq == 1:
         qr = q[:, :, 0].reshape(B, Hkv, rep, D)
     else:
@@ -774,17 +775,66 @@ def _write_kernel_quant_w(pid2_ref, off_ref, kn_ref, vn_ref, kp_ref,
     vso_ref[0] = vso
 
 
+def _write_kernel_int4_w(pid2_ref, off_ref, kn_ref, vn_ref, kp_ref,
+                         ks_ref, koff_ref, vp_ref, vs_ref, voff_ref,
+                         ko_ref, kso_ref, koffo_ref, vo_ref, vso_ref,
+                         voffo_ref, *, page, Hkv, D, W):
+    """Windowed variant of ``_write_kernel_int4``: patch W consecutive
+    tokens' nibbles into the staged token-half-split byte block.
+    Window rows outside this block (tgt not in [0, page)) match no byte
+    row and no plane column, so the block writes back unchanged for
+    them — the same coverage rule as the bf16/quant windowed kernels."""
+    b = pl.program_id(0)
+    blk = pl.program_id(1)
+    base = off_ref[b]
+    half = page // 2
+    row = jax.lax.broadcasted_iota(jnp.int32, (Hkv, half, D), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Hkv, page), 1)
+
+    def one(n_ref, p_ref, s_ref, of_ref, o_ref, so_ref, ofo_ref):
+        o = p_ref[0].astype(jnp.int32)                # [Hkv, half, D]
+        so = s_ref[0]
+        ofo = of_ref[0]
+        for w in range(W):
+            tgt = base + w - blk * page
+            valid = (tgt >= 0) & (tgt < page)
+            tgtc = jnp.clip(tgt, 0, page - 1)
+            brow = jnp.where(valid, tgtc % half, -1)
+            hi = tgtc >= half
+            f = n_ref[0, :, w].astype(jnp.float32)    # [Hkv, D]
+            mn = jnp.min(f, axis=1, keepdims=True)
+            mx = jnp.max(f, axis=1, keepdims=True)
+            sc = jnp.where(mx - mn <= 0, 1.0, (mx - mn) / 15.0)
+            c = jnp.clip(jnp.round((f - mn) / sc), 0, 15).astype(jnp.int32)
+            ofv = mn + 8.0 * sc
+            merged = jnp.where(hi, (o & 0x0F) | (c[:, None, :] << 4),
+                               (o & 0xF0) | c[:, None, :])
+            o = jnp.where(row == brow, merged, o)
+            tcol = jnp.where(valid, tgt, -1)
+            so = jnp.where(col == tcol, sc, so)
+            ofo = jnp.where(col == tcol, ofv, ofo)
+        o_ref[0] = o.astype(jnp.uint8)
+        so_ref[0] = so
+        ofo_ref[0] = ofo
+
+    one(kn_ref, kp_ref, ks_ref, koff_ref, ko_ref, kso_ref, koffo_ref)
+    one(vn_ref, vp_ref, vs_ref, voff_ref, vo_ref, vso_ref, voffo_ref)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _paged_write_window_impl(pids2, off, k_new, v_new, k_pages,
-                             k_scales, v_pages, v_scales, interpret):
+                             k_scales, v_pages, v_scales, interpret,
+                             k_offs=None, v_offs=None):
     """``pids2`` [2B] = the window's first page id and its successor per
     slot, interleaved (grid (B, 2) — one staged page block per grid
     step; non-crossing windows pass the trash page as block 1, which
     writes back unchanged)."""
-    P, Hkv, page, D = k_pages.shape
+    P, Hkv, page_c, D = k_pages.shape
     B = k_new.shape[0]
     W = k_new.shape[2]
     quant = k_scales is not None
+    int4 = k_pages.dtype == jnp.uint8
+    page = page_c * 2 if int4 else page_c
 
     def page_map(b, j, pid2_ref, off_ref):
         return (pid2_ref[b * 2 + j], 0, 0, 0)
@@ -795,10 +845,37 @@ def _paged_write_window_impl(pids2, off, k_new, v_new, k_pages,
     new_spec = pl.BlockSpec((1, Hkv, W, D),
                             lambda b, j, p2, o: (b, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    pg_spec = pl.BlockSpec((1, Hkv, page, D), page_map,
+    pg_spec = pl.BlockSpec((1, Hkv, page_c, D), page_map,
                            memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec((1, Hkv, page), sc_map,
                            memory_space=pltpu.VMEM)
+    if quant and int4:
+        kernel = functools.partial(_write_kernel_int4_w, page=page,
+                                   Hkv=Hkv, D=D, W=W)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, 2),
+                in_specs=[new_spec, new_spec, pg_spec, sc_spec, sc_spec,
+                          pg_spec, sc_spec, sc_spec],
+                out_specs=[pg_spec, sc_spec, sc_spec, pg_spec, sc_spec,
+                           sc_spec]),
+            out_shape=[jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+                       jax.ShapeDtypeStruct(k_scales.shape, jnp.float32),
+                       jax.ShapeDtypeStruct(k_offs.shape, jnp.float32),
+                       jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+                       jax.ShapeDtypeStruct(v_scales.shape, jnp.float32),
+                       jax.ShapeDtypeStruct(v_offs.shape, jnp.float32)],
+            input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4, 9: 5},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(pids2, off, k_new, v_new, k_pages,
+          k_scales.astype(jnp.float32), k_offs.astype(jnp.float32),
+          v_pages, v_scales.astype(jnp.float32),
+          v_offs.astype(jnp.float32))
+        return out
     if quant:
         kernel = functools.partial(_write_kernel_quant_w, page=page,
                                    Hkv=Hkv, D=D, W=W)
@@ -843,17 +920,17 @@ def _paged_write_window_impl(pids2, off, k_new, v_new, k_pages,
 
 def paged_write_window(cache, k_new, v_new, pos):
     """W consecutive rows per slot into the pages ([B, Hkv, W, D] at
-    per-slot start ``pos`` [B]); int4 pools unsupported (None).
+    per-slot start ``pos`` [B]); bf16/int8/fp8 AND int4 pools.
     The window may span one page boundary (W <= page_size)."""
     B, Hkv_, W, D = k_new.shape
     page = cache.page_size
-    if cache.k_pages.dtype == jnp.uint8 or W > page:
+    if W > page:
         return None
     if D % 128 or page % 128 or Hkv_ % 8:
         return None
     interpret = not _on_tpu()
     if interpret and cache.k_pages.dtype not in (jnp.bfloat16, jnp.float32,
-                                                 jnp.int8):
+                                                 jnp.int8, jnp.uint8):
         return None
     pmax = cache.block_tables.shape[1]
     pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (B,))
@@ -870,6 +947,13 @@ def paged_write_window(cache, k_new, v_new, pos):
     pid1 = jnp.where(crosses, pid1, 0)
     pids2 = jnp.stack([pid0, pid1], axis=1).reshape(-1).astype(jnp.int32)
     off = (pos % page).astype(jnp.int32)
+    if cache.k_pages.dtype == jnp.uint8:
+        kp, ks, koff, vp, vs, voff = _paged_write_window_impl(
+            pids2, off, k_new, v_new, cache.k_pages, cache.k_scales,
+            cache.v_pages, cache.v_scales, interpret,
+            k_offs=cache.k_offs, v_offs=cache.v_offs)
+        return cache._replace(k_pages=kp, v_pages=vp, k_scales=ks,
+                              v_scales=vs, k_offs=koff, v_offs=voff)
     kp, ks, vp, vs = _paged_write_window_impl(
         pids2, off, k_new, v_new, cache.k_pages, cache.k_scales,
         cache.v_pages, cache.v_scales, interpret)
@@ -891,16 +975,16 @@ def paged_window_attention(q, cache, lengths):
     """W-query windowed attention over a ``PagedKVCache`` (speculative
     verify): q [B, H, W, D]; ``lengths`` [B] = the per-slot token count
     INCLUDING the whole window (window row w sits at position
-    lengths - W + w and attends causally). v2 kernel only; int4 pools
-    unsupported. Returns [B, H, W, D]."""
+    lengths - W + w and attends causally). v2 kernel only; all pool
+    formats incl. int4 affine. Returns [B, H, W, D]."""
     from .decode_attention import _F8_VIA_BITS
 
-    assert cache.k_pages.dtype != jnp.uint8, \
-        "windowed paged attention has no int4 support yet"
     out = _paged_attn_impl_v2(q, cache.k_pages, cache.k_scales,
                               cache.v_pages, cache.v_scales,
                               cache.block_tables, lengths,
-                              not _on_tpu(), f8bits=_F8_VIA_BITS)
+                              not _on_tpu(), f8bits=_F8_VIA_BITS,
+                              k_offs=getattr(cache, "k_offs", None),
+                              v_offs=getattr(cache, "v_offs", None))
     return out * (lengths > 0)[:, None, None, None].astype(out.dtype)
 
 

@@ -317,12 +317,8 @@ class ContinuousBatchingEngine:
                 if self.latent:
                     raise ValueError("speculative serving has no paged "
                                      "MLA latent support")
-                if self.pools[0].k_pages.dtype == jnp.uint8:
-                    raise ValueError(
-                        "speculative serving over paged pools supports "
-                        "bf16/int8/fp8 (the windowed kernels have no "
-                        "int4 nibble-window writes yet) — use a "
-                        "contiguous cache for int4-KV speculation")
+                # all pool formats: bf16/int8/fp8/int4 (the windowed
+                # write kernels patch int4 nibble windows too)
                 self._cache_rows = max_len + self.spec_k + 2
         else:
             # speculative mode writes verify windows up to spec_k rows

@@ -434,3 +434,64 @@ def test_paged_engine_int4_pool_matches_greedy():
         total += len(ref)
     assert hits >= (2 * total) // 3, (hits, total)
     assert sorted(eng.free_pages) == list(range(1, 9))
+
+
+def test_paged_window_write_attention_int4():
+    """Round-5: speculation over int4 pools. The windowed int4 write
+    kernel (nibble windows, possibly crossing one page boundary) equals
+    sequential per-row writes bit-for-bit, and W-query windowed
+    attention row w equals single-query decode attention at that
+    length — covering in-page, page-crossing, and table-edge-overshoot
+    (trash page) windows."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neural_compressor_tpu.kernels import paged_attention as pa
+    from neural_compressor_tpu.models import llama as L
+
+    rng = np.random.default_rng(11)
+    P, Hkv, page, D, B, W, rep = 6, 8, 128, 128, 3, 5, 2
+    half = page // 2
+    kp = jnp.asarray(rng.integers(0, 255, (P, Hkv, half, D)), jnp.uint8)
+    vp = jnp.asarray(rng.integers(0, 255, (P, Hkv, half, D)), jnp.uint8)
+    ks = jnp.asarray(rng.uniform(0.01, 0.1, (P, Hkv, page)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.1, (P, Hkv, page)), jnp.float32)
+    kof = jnp.asarray(rng.uniform(-0.1, 0.1, (P, Hkv, page)), jnp.float32)
+    vof = jnp.asarray(rng.uniform(-0.1, 0.1, (P, Hkv, page)), jnp.float32)
+    bt = jnp.asarray([[1, 2], [3, 4], [5, 0]], jnp.int32)
+    cache = L.PagedKVCache(kp, ks, vp, vs, bt, kof, vof)
+    k_new = jnp.asarray(rng.standard_normal((B, Hkv, W, D)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.standard_normal((B, Hkv, W, D)), jnp.bfloat16)
+    # in-page / crossing into a real successor / overshoot past the
+    # table edge (rows >= 128 land on the trash page)
+    pos = jnp.asarray([10, 125, 125], jnp.int32)
+
+    out = pa.paged_write_window(cache, k_new, v_new, pos)
+    assert out is not None
+
+    ref = cache
+    for w in range(W):
+        ref = pa.paged_write_rows(ref, k_new[:, :, w:w + 1],
+                                  v_new[:, :, w:w + 1], pos + w)
+        assert ref is not None
+    np.testing.assert_array_equal(np.asarray(out.k_pages),
+                                  np.asarray(ref.k_pages))
+    np.testing.assert_array_equal(np.asarray(out.v_pages),
+                                  np.asarray(ref.v_pages))
+    for a, b in ((out.k_scales, ref.k_scales), (out.k_offs, ref.k_offs),
+                 (out.v_scales, ref.v_scales), (out.v_offs, ref.v_offs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    # windowed attention row w == single-query attention at that length
+    q = jnp.asarray(rng.standard_normal((B, Hkv * rep, W, D)) * 0.1,
+                    jnp.float32)
+    lengths = pos + W
+    wout = pa.paged_window_attention(q, out, lengths)
+    assert wout.shape == (B, Hkv * rep, W, D)
+    for w in range(W):
+        one = pa.paged_decode_attention(q[:, :, w:w + 1], out,
+                                        pos + w + 1)
+        np.testing.assert_allclose(np.asarray(wout[:, :, w]),
+                                   np.asarray(one[:, :, 0]),
+                                   rtol=1e-3, atol=2e-3)

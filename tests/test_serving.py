@@ -913,8 +913,9 @@ def test_engine_speculative_paged(qmodel32):
 
 
 def test_engine_speculative_paged_int8_and_guards(qmodel32):
-    """int8 pools work under paged speculation; int4 pools and paged
-    latent are rejected loudly."""
+    """int8 AND int4 pools work under paged speculation (the windowed
+    kernels patch nibble windows too, round 5); paged latent stays
+    rejected loudly."""
     import neural_compressor_tpu as nq
     from neural_compressor_tpu.models import LlamaForCausalLM
 
@@ -937,6 +938,24 @@ def test_engine_speculative_paged_int8_and_guards(qmodel32):
                                                   dtype=jnp.float32),
                      nq.RTNConfig(dtype="int4", group_size=32)
                      + nq.KVCacheQuantConfig(dtype="int4"))
-    with pytest.raises(ValueError, match="int4"):
-        ContinuousBatchingEngine(m4, n_slots=2, max_len=64, paged=True,
-                                 page_size=16, speculative="ngram")
+    eng4 = ContinuousBatchingEngine(m4, n_slots=2, max_len=64, paged=True,
+                                    page_size=16, n_pages=11,
+                                    prefill_chunk=16, speculative="ngram",
+                                    spec_k=4)
+    assert eng4.pools[0].k_pages.dtype.name == "uint8"
+    # int4 numerics flip near-tie argmaxes vs the contiguous reference,
+    # so the check is completion + first-token + majority vs the SAME
+    # model served without speculation (identical pool quantization)
+    ref_eng = ContinuousBatchingEngine(m4, n_slots=2, max_len=64,
+                                       paged=True, page_size=16,
+                                       n_pages=11, prefill_chunk=16)
+    rr = ref_eng.submit(prompt, max_new_tokens=8)
+    ref_eng.run(chunk=2)
+    r4 = eng4.submit(prompt, max_new_tokens=8)
+    eng4.run(chunk=2)
+    assert r4.done and len(r4.generated) == 8
+    got, ref = np.asarray(r4.generated), np.asarray(rr.generated)
+    assert got[0] == ref[0]
+    assert int((got == ref).sum()) >= 6, (got, ref)
+    assert eng4.metrics()["spec_rounds"] > 0
+    assert sorted(eng4.free_pages) == list(range(1, 11))
