@@ -88,6 +88,10 @@ class Request:
     prefill_pos: int = 0          # tokens already written to the cache
     preemptions: int = 0
     _key: np.ndarray | None = None  # PRNG state (uint32[2]), advances/token
+    # prefix caching: tokens covered by remapped cached pages, and
+    # whether their KV still needs the pool->staging copy
+    _prefix_tokens: int = 0
+    _prefix_unstaged: bool = False
 
 
 def _sample_step(logits, keys, temp, topk, topp, dos):
@@ -237,7 +241,8 @@ class ContinuousBatchingEngine:
                  prefill_chunk: int = 256, paged: bool = False,
                  n_pages: int | None = None, page_size: int = 128,
                  prefill_streams: int = 2, speculative: str | None = None,
-                 spec_k: int = 8, spec_n: int = 2):
+                 spec_k: int = 8, spec_n: int = 2,
+                 prefix_cache: bool = False):
         self.model = model
         self.cfg = model.cfg
         self.n_slots = n_slots
@@ -275,6 +280,10 @@ class ContinuousBatchingEngine:
         # generation/_alloc_caches does
         self._model_caches = getattr(model, "init_caches", None)
         self.latent = bool(getattr(model, "use_latent_cache", False))
+        self._pc = None
+        if prefix_cache and not paged:
+            raise ValueError("prefix_cache=True requires paged=True "
+                             "(prefix reuse is page-granular)")
         if paged:
             from ..models.llama import init_paged_pool
 
@@ -300,6 +309,20 @@ class ContinuousBatchingEngine:
             self.block_tables = np.zeros((n_slots, self.pmax), np.int32)
             self.free_pages = list(range(self.n_pages - 1, 0, -1))
             self.slot_pages: list[list[int]] = [[] for _ in range(n_slots)]
+            # automatic PREFIX CACHING (vLLM's KV-reuse feature, owned
+            # natively): full prompt pages are content-hash registered
+            # after commit and re-mapped into later requests' block
+            # tables; the skipped prefix is dequant-copied page->staging
+            # so remainder chunks attend it (serving/prefix_cache.py)
+            if prefix_cache:
+                if self.latent:
+                    raise ValueError("prefix caching has no paged MLA "
+                                     "latent support yet")
+                from .prefix_cache import PagePrefixCache
+
+                self._pc = PagePrefixCache(page_size)
+            else:
+                self._pc = None
             # prefill staging: ``prefill_streams`` contiguous cache rows so
             # several long prompts prefill concurrently (one batched chunk
             # dispatch per engine iteration) instead of one-at-a-time
@@ -354,7 +377,7 @@ class ContinuousBatchingEngine:
                       "generated_tokens": 0, "prefill_chunk_dispatches": 0,
                       "decode_dispatches": 0, "combined_dispatches": 0,
                       "preemptions": 0, "spec_rounds": 0,
-                      "spec_accepted": 0}
+                      "spec_accepted": 0, "prefix_hit_tokens": 0}
 
     # ------------------------------------------------------------------ api
     def submit(self, prompt_ids, max_new_tokens: int = 64,
@@ -513,7 +536,23 @@ class ContinuousBatchingEngine:
         s = dict(self.stats)
         s["generated_tok_s"] = (s["generated_tokens"] / s["wall_s"]
                                 if s["wall_s"] > 0 else 0.0)
+        if self._pc is not None:
+            s.update(self._pc.stats())
         return s
+
+    def reset_prefix_cache(self) -> None:
+        """Forget every cached prefix (weights swapped, cache poisoned,
+        or benchmarking): reusable pages return to the allocator; pages
+        still referenced by live slots just lose their registration and
+        free normally when their slots retire."""
+        if self._pc is None:
+            return
+        while True:
+            pid = self._pc.evict_one()
+            if pid is None:
+                break
+            self.free_pages.append(pid)
+        self._pc.drop()
 
     def print_metrics(self) -> None:
         from ..common.utility import Statistics
@@ -590,6 +629,8 @@ class ContinuousBatchingEngine:
                         continue  # all streams busy — wait for one to free
                     row = self._free_staging.pop()
                     self._staging_of[slot] = row
+                if req._prefix_unstaged:
+                    self._stage_prefix(slot, row)
                 active.append((slot, row))
             else:
                 active.append((slot, slot))
@@ -691,9 +732,17 @@ class ContinuousBatchingEngine:
 
     # -------------------------------------------------------- paged helpers
     def _alloc_page(self, slot: int, page_idx: int) -> bool:
+        if not self.free_pages and self._pc is not None:
+            # evict a reusable (registered, unreferenced) prefix page
+            # before resorting to preemption
+            pid = self._pc.evict_one()
+            if pid is not None:
+                self.free_pages.append(pid)
         if not self.free_pages:
             return False
         pid = self.free_pages.pop()
+        if self._pc is not None:
+            self._pc.acquire(pid)
         self.slot_pages[slot].append(pid)
         self.block_tables[slot, page_idx] = pid
         return True
@@ -735,7 +784,12 @@ class ContinuousBatchingEngine:
                         "even the remaining request; raise n_pages")
 
     def _free_slot_pages(self, slot: int) -> None:
-        self.free_pages.extend(reversed(self.slot_pages[slot]))
+        if self._pc is not None:
+            for pid in reversed(self.slot_pages[slot]):
+                if self._pc.release(pid):
+                    self.free_pages.append(pid)
+        else:
+            self.free_pages.extend(reversed(self.slot_pages[slot]))
         self.slot_pages[slot] = []
         self.block_tables[slot] = 0
 
@@ -815,13 +869,84 @@ class ContinuousBatchingEngine:
             self._jit_cache[key] = copy
         return self._jit_cache[key]
 
+    def _unstage_copy_fn(self):
+        """Inverse of ``_stage_copy_fn``: dequantize ONE pool page into a
+        staging row's rows [start, start+page) — how a cached prefix's KV
+        becomes attendable by the remainder prefill chunks. Numerics
+        match decode exactly: the remainder attends the same dequantized
+        codes the paged attention kernel reads."""
+        key = "unstage_copy"
+        if key not in self._jit_cache:
+            page = self.page_size
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def uncopy(pools, staging, row, pid, start):
+                out = []
+                for pool, cache in zip(pools, staging):
+                    kp = jax.lax.dynamic_slice_in_dim(
+                        pool.k_pages, pid, 1, 0)
+                    vp = jax.lax.dynamic_slice_in_dim(
+                        pool.v_pages, pid, 1, 0)
+                    if pool.k_scales is not None:
+                        ks = jax.lax.dynamic_slice_in_dim(
+                            pool.k_scales, pid, 1, 0)
+                        vs = jax.lax.dynamic_slice_in_dim(
+                            pool.v_scales, pid, 1, 0)
+                    if pool.k_pages.dtype == jnp.uint8:
+                        # int4 token-half-split bytes + per-token affine
+                        ko = jax.lax.dynamic_slice_in_dim(
+                            pool.k_offs, pid, 1, 0)
+                        vo = jax.lax.dynamic_slice_in_dim(
+                            pool.v_offs, pid, 1, 0)
+
+                        def deq4(bts, sc, of):
+                            c = jnp.concatenate(
+                                [(bts & 15).astype(jnp.int8),
+                                 (bts >> 4).astype(jnp.int8)],
+                                axis=-2) - 8         # [1, Hkv, page, D]
+                            return (sc[..., None] * c.astype(jnp.float32)
+                                    + of[..., None])
+
+                        kr, vr = deq4(kp, ks, ko), deq4(vp, vs, vo)
+                    elif pool.k_scales is not None:
+                        kr = kp.astype(jnp.float32) * ks[..., None]
+                        vr = vp.astype(jnp.float32) * vs[..., None]
+                    else:
+                        kr, vr = kp, vp
+                    k2 = jax.lax.dynamic_update_slice(
+                        cache.k, kr.astype(cache.k.dtype),
+                        (row, 0, start, 0))
+                    v2 = jax.lax.dynamic_update_slice(
+                        cache.v, vr.astype(cache.v.dtype),
+                        (row, 0, start, 0))
+                    out.append(cache._replace(k=k2, v=v2))
+                return out
+
+            self._jit_cache[key] = uncopy
+        return self._jit_cache[key]
+
+    def _stage_prefix(self, slot: int, row: int) -> None:
+        """Copy a freshly-mapped cached prefix's KV from its pool pages
+        into the slot's staging row (once, before its first remainder
+        chunk)."""
+        req = self.slot_req[slot]
+        uncopy = self._unstage_copy_fn()
+        for p in range(req._prefix_tokens // self.page_size):
+            self.staging = uncopy(self.pools, self.staging, row,
+                                  self.slot_pages[slot][p],
+                                  p * self.page_size)
+        req._prefix_unstaged = False
+
     def _commit_staging(self, slot: int, length: int, row: int) -> None:
         """Allocate pages for a freshly-prefilled slot and copy its staged
         rows (staging row ``row``) into them; pool pressure preempts a
         decoding victim rather than raising."""
         copy = self._stage_copy_fn()
         n_pages = (length + self.page_size - 1) // self.page_size
-        for p in range(n_pages):
+        req = self.slot_req[slot]
+        shared = (req._prefix_tokens // self.page_size
+                  if req is not None else 0)
+        for p in range(shared, n_pages):
             while not self._alloc_page(slot, p):
                 if not self._preempt_victim(protect=slot):
                     raise RuntimeError(
@@ -830,6 +955,13 @@ class ContinuousBatchingEngine:
                         "preemptable slot; raise n_pages")
             self.pools = copy(self.pools, self.staging, row,
                               self.slot_pages[slot][-1], p * self.page_size)
+        if self._pc is not None and req is not None:
+            # publish this prompt's full pages (immutable: decode and
+            # speculative-window writes land at positions >= length,
+            # i.e. page indices >= length // page_size)
+            keys = self._pc.chunk_keys(self._prompt_of(req))
+            for p in range(shared, length // self.page_size):
+                self._pc.register(self.slot_pages[slot][p], keys[p])
 
     def _paged_decode_fn(self, k: int, sampling: bool):
         key = ("paged_decode", k, sampling)
@@ -1167,16 +1299,35 @@ class ContinuousBatchingEngine:
             if self.slot_req[slot] is not None or not self.queue:
                 continue
             req = self.queue[0]
+            hits: list[int] = []
             if self.paged:
+                src = self._prompt_of(req)
+                if self._pc is not None:
+                    self._pc.lookups += 1
+                    _, hits = self._pc.probe(src)
+                    # chunk starts must stay DUS-safe: later starts step
+                    # by prefill_chunk from the first remainder start,
+                    # so the consumed prefix must be a chunk multiple
+                    # (drop trailing hit pages otherwise — at most
+                    # chunk-1 tokens recomputed)
+                    while hits and (len(hits) * self.page_size) \
+                            % self.prefill_chunk:
+                        hits.pop()
                 # admission control: only admit when the pool can hold
                 # the (resumed) prompt plus one decode page; otherwise
-                # wait for retirements instead of thrashing preemption
-                need = len(self._prompt_of(req)) // self.page_size + 2
-                if len(self.free_pages) < min(need, self.pmax):
+                # wait for retirements instead of thrashing preemption.
+                # Cached-prefix pages are already resident — only the
+                # remainder needs fresh pages (reusable pages count as
+                # allocatable headroom)
+                need = ((len(src) - len(hits) * self.page_size)
+                        // self.page_size + 2)
+                avail = len(self.free_pages) + (
+                    len(self._pc.reusable) if self._pc is not None else 0)
+                if avail < min(need, self.pmax):
                     if all(r is None for r in self.slot_req):
                         raise RuntimeError(
                             f"request {req.uid} needs ~{need} pages but "
-                            f"the idle pool has {len(self.free_pages)} "
+                            f"the idle pool has {avail} "
                             f"free of {self.n_pages} — the pool cannot "
                             "hold this request at all; raise n_pages")
                     break
@@ -1184,6 +1335,23 @@ class ContinuousBatchingEngine:
             self.slot_req[slot] = req
             self.slot_state[slot] = "prefill"
             req.prefill_pos = 0
+            req._prefix_tokens = 0
+            req._prefix_unstaged = False
+            if hits:
+                # map the cached prefix into this slot's block table and
+                # skip its prefill; _gather_prefill stages its KV before
+                # the first remainder chunk runs
+                for p, pid in enumerate(hits):
+                    self._pc.acquire(pid)
+                    self.slot_pages[slot].append(pid)
+                    self.block_tables[slot, p] = pid
+                req._prefix_tokens = len(hits) * self.page_size
+                req._prefix_unstaged = True
+                req.prefill_pos = req._prefix_tokens
+                self._pc.hit_tokens += req._prefix_tokens
+                self.stats["prefix_hit_tokens"] += req._prefix_tokens
+                logger.debug("slot %d: prefix cache hit %d pages for "
+                             "request %d", slot, len(hits), req.uid)
             logger.debug("slot %d <- request %d (P=%d)", slot, req.uid,
                          len(req.prompt))
 

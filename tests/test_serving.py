@@ -959,3 +959,162 @@ def test_engine_speculative_paged_int8_and_guards(qmodel32):
     assert int((got == ref).sum()) >= 6, (got, ref)
     assert eng4.metrics()["spec_rounds"] > 0
     assert sorted(eng4.free_pages) == list(range(1, 11))
+
+
+def test_engine_prefix_caching_exact(qmodel32):
+    """Automatic prefix caching (round 5): requests sharing a page-
+    aligned prompt prefix reuse the pool pages that already hold its KV
+    (block-table remap + one dequant page->staging copy) instead of
+    recomputing the prefill. On f32 pools the cached path is BIT-EXACT
+    vs an uncached engine: the staged prefix is the same KV the fresh
+    prefill would have produced."""
+    rng = np.random.default_rng(77)
+    base = rng.integers(0, 256, (32,))            # 2 full 16-token pages
+    prompts = [np.concatenate([base, rng.integers(0, 256, (7,))])
+               for _ in range(3)]
+    kw = dict(n_slots=2, max_len=64, paged=True, page_size=16,
+              n_pages=16, prefill_chunk=16)
+    ref_eng = ContinuousBatchingEngine(qmodel32, **kw)
+    ref_reqs = [ref_eng.submit(p, max_new_tokens=8) for p in prompts]
+    ref_eng.run(chunk=2)
+    refs = [list(r.generated) for r in ref_reqs]
+
+    eng = ContinuousBatchingEngine(qmodel32, **kw, prefix_cache=True)
+    r0 = eng.submit(prompts[0], max_new_tokens=8)
+    eng.run(chunk=2)
+    m = eng.metrics()
+    assert m["prefix_hit_tokens"] == 0            # cold cache
+    assert m["prefix_cached_pages"] >= 2          # prefix registered
+    assert r0.generated == refs[0]
+
+    d0 = eng.metrics()["prefill_chunk_dispatches"]
+    r1 = eng.submit(prompts[1], max_new_tokens=8)
+    r2 = eng.submit(prompts[2], max_new_tokens=8)
+    eng.run(chunk=2)
+    assert r1.generated == refs[1]                # bit-exact (f32 pools)
+    assert r2.generated == refs[2]
+    m = eng.metrics()
+    assert m["prefix_hit_tokens"] == 64           # 2 requests x 32 tokens
+    # each hit request prefills only its 7-token tail: one chunk apiece
+    assert m["prefill_chunk_dispatches"] - d0 <= 2
+
+    # same full prompt again: hits cap at (P-1)//page pages, leaving the
+    # tail to produce logits — still exact
+    r3 = eng.submit(prompts[0], max_new_tokens=8)
+    eng.run(chunk=2)
+    assert r3.generated == refs[0]
+    assert eng.metrics()["prefix_hit_tokens"] == 96
+
+    # lifetime: all slots idle -> registered pages parked reusable, the
+    # rest free; reset returns everything to the allocator
+    m = eng.metrics()
+    assert len(eng.free_pages) + m["prefix_reusable_pages"] == 15
+    eng.reset_prefix_cache()
+    assert sorted(eng.free_pages) == list(range(1, 16))
+    assert eng.metrics()["prefix_cached_pages"] == 0
+
+
+def test_engine_prefix_caching_eviction_and_pressure(qmodel32):
+    """Under pool pressure reusable prefix pages are evicted (LRU)
+    BEFORE any preemption, and serving stays correct."""
+    rng = np.random.default_rng(78)
+    kw = dict(n_slots=2, max_len=64, paged=True, page_size=16,
+              n_pages=9, prefill_chunk=16)   # 8 usable pages
+    eng = ContinuousBatchingEngine(qmodel32, **kw, prefix_cache=True)
+    ref_eng = ContinuousBatchingEngine(qmodel32, **kw)
+    outs = []
+    for i in range(4):                      # distinct 32-token prefixes
+        p = np.concatenate([rng.integers(0, 256, (32,)),
+                            rng.integers(0, 256, (5,))])
+        r = eng.submit(p, max_new_tokens=6)
+        rr = ref_eng.submit(p, max_new_tokens=6)
+        eng.run(chunk=2)
+        ref_eng.run(chunk=2)
+        outs.append((r, rr))
+    for r, rr in outs:
+        assert r.generated == rr.generated
+    m = eng.metrics()
+    # 4 prefixes x 2 pages = 8 registered > 8-page pool minus working
+    # pages -> evictions must have happened, preemptions must not
+    assert m["prefix_evictions"] > 0
+    assert m["preemptions"] == 0
+    assert len(eng.free_pages) + m["prefix_reusable_pages"] == 8
+
+
+def test_engine_prefix_caching_quantized_pool(qmodel32):
+    """Prefix caching over an int8 pool: the staged prefix is the
+    DEQUANTIZED pool KV (same codes decode attends), so outputs track
+    the uncached engine up to requantization near-ties: first token
+    exact + large majority."""
+    import neural_compressor_tpu as nq
+    from neural_compressor_tpu.models import LlamaForCausalLM
+
+    m8 = nq.quantize(LlamaForCausalLM.from_preset("llama-test",
+                                                  dtype=jnp.float32),
+                     nq.RTNConfig(dtype="int4", group_size=32)
+                     + nq.KVCacheQuantConfig(dtype="int8"))
+    rng = np.random.default_rng(79)
+    base = rng.integers(0, 256, (32,))
+    prompts = [np.concatenate([base, rng.integers(0, 256, (6,))])
+               for _ in range(2)]
+    kw = dict(n_slots=2, max_len=64, paged=True, page_size=16,
+              n_pages=16, prefill_chunk=16)
+    ref_eng = ContinuousBatchingEngine(m8, **kw)
+    rrs = [ref_eng.submit(p, max_new_tokens=8) for p in prompts]
+    ref_eng.run(chunk=2)
+    eng = ContinuousBatchingEngine(m8, **kw, prefix_cache=True)
+    r0 = eng.submit(prompts[0], max_new_tokens=8)
+    eng.run(chunk=2)
+    r1 = eng.submit(prompts[1], max_new_tokens=8)
+    eng.run(chunk=2)
+    assert eng.metrics()["prefix_hit_tokens"] == 32
+    assert r0.generated == rrs[0].generated      # cold path identical
+    got, ref = np.asarray(r1.generated), np.asarray(rrs[1].generated)
+    assert got[0] == ref[0]
+    assert int((got == ref).sum()) >= 6, (got, ref)
+
+
+def test_engine_prefix_cache_requires_paged(qmodel32):
+    with pytest.raises(ValueError, match="paged"):
+        ContinuousBatchingEngine(qmodel32, n_slots=2, max_len=64,
+                                 prefix_cache=True)
+
+
+@pytest.mark.slow
+def test_engine_prefix_caching_int4_pool_trained():
+    """Prefix caching over an INT4 pool on the trained tiny_lm (peaked
+    logits): the staged prefix is the dequantized 4-bit KV, whose error
+    a random-weight model's near-tie argmaxes cannot absorb — on the
+    trained model first tokens are exact and agreement is strong
+    (combo also covers speculative paged serving)."""
+    from neural_compressor_tpu.evaluation.train_tiny import (frozen_corpus,
+                                                             load_tiny_lm)
+
+    tl = load_tiny_lm()
+    if tl is None:
+        pytest.skip("tiny_lm artifact not trained")
+    m = nq.quantize(tl, nq.RTNConfig(dtype="int4", group_size=32)
+                    + nq.KVCacheQuantConfig(dtype="int4"))
+    _, val = frozen_corpus()
+    base = np.asarray(val[0, :32])
+    prompts = [np.concatenate([base, np.asarray(val[i + 1, :6])])
+               for i in range(3)]
+    kw = dict(n_slots=2, max_len=64, paged=True, page_size=16,
+              n_pages=12, prefill_chunk=16, speculative="ngram",
+              spec_k=4, spec_n=2)
+    ref = ContinuousBatchingEngine(m, **kw)
+    rrs = [ref.submit(p, max_new_tokens=8) for p in prompts]
+    ref.run(chunk=2)
+    eng = ContinuousBatchingEngine(m, **kw, prefix_cache=True)
+    r0 = eng.submit(prompts[0], max_new_tokens=8)
+    eng.run(chunk=2)
+    rs = [eng.submit(p, max_new_tokens=8) for p in prompts[1:]]
+    eng.run(chunk=2)
+    hits = total = 0
+    for g_, r_ in zip([r0] + rs, rrs):
+        g, r = np.asarray(g_.generated), np.asarray(r_.generated)
+        assert g[0] == r[0]
+        hits += int((g == r).sum())
+        total += 8
+    assert hits >= (4 * total) // 5, (hits, total)
+    assert eng.metrics()["prefix_hit_tokens"] == 64
