@@ -307,6 +307,11 @@ class ContinuousBatchingEngine:
                     self.cfg, self.n_pages, n_slots, max_len,
                     page_size=page_size, quantized=quantized)
             self.block_tables = np.zeros((n_slots, self.pmax), np.int32)
+            # device-side block table cache: re-uploaded only when the
+            # host table mutates (a per-dispatch jnp.asarray costs a
+            # host->device transfer per round over the TPU tunnel)
+            self._bt_dev = None
+            self._bt_dirty = True
             self.free_pages = list(range(self.n_pages - 1, 0, -1))
             self.slot_pages: list[list[int]] = [[] for _ in range(n_slots)]
             # automatic PREFIX CACHING (vLLM's KV-reuse feature, owned
@@ -492,7 +497,7 @@ class ContinuousBatchingEngine:
                         (self.pools, self.staging, nxt, out, lps, pkeys,
                          plp, dkeys) = fn(
                             self._state, self.pools, self.staging,
-                            jnp.asarray(self.block_tables), *args, toks,
+                            self._bt_device(), *args, toks,
                             pos, *pdev, *dsamp)
                     else:
                         fn = self._combined_fn(args[0].shape[0], chunk,
@@ -745,6 +750,7 @@ class ContinuousBatchingEngine:
             self._pc.acquire(pid)
         self.slot_pages[slot].append(pid)
         self.block_tables[slot, page_idx] = pid
+        self._bt_dirty = True
         return True
 
     def _preempt_victim(self, protect: int | None) -> bool:
@@ -792,6 +798,13 @@ class ContinuousBatchingEngine:
             self.free_pages.extend(reversed(self.slot_pages[slot]))
         self.slot_pages[slot] = []
         self.block_tables[slot] = 0
+        self._bt_dirty = True
+
+    def _bt_device(self):
+        if self._bt_dirty or self._bt_dev is None:
+            self._bt_dev = jnp.asarray(self.block_tables)
+            self._bt_dirty = False
+        return self._bt_dev
 
     def _stage_copy_fn(self):
         key = "stage_copy"
@@ -1265,7 +1278,7 @@ class ContinuousBatchingEngine:
         if self.paged:
             fn = self._spec_decode_paged_fn(rounds)
             self.pools, outs, ms = fn(
-                self._state, self.pools, jnp.asarray(self.block_tables),
+                self._state, self.pools, self._bt_device(),
                 jnp.asarray(buf), jnp.asarray(pos), jnp.asarray(lim),
                 jnp.asarray(act))
         else:
@@ -1345,6 +1358,7 @@ class ContinuousBatchingEngine:
                     self._pc.acquire(pid)
                     self.slot_pages[slot].append(pid)
                     self.block_tables[slot, p] = pid
+                    self._bt_dirty = True
                 req._prefix_tokens = len(hits) * self.page_size
                 req._prefix_unstaged = True
                 req.prefill_pos = req._prefix_tokens
@@ -1389,7 +1403,7 @@ class ContinuousBatchingEngine:
         if self.paged:
             decode_many = self._paged_decode_fn(k, sampling)
             self.pools, out, lps, keys = decode_many(
-                self._state, self.pools, jnp.asarray(self.block_tables),
+                self._state, self.pools, self._bt_device(),
                 toks, pos, *samp)
         else:
             decode_many = self._decode_many_fn(k, sampling)
