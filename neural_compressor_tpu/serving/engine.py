@@ -320,9 +320,6 @@ class ContinuousBatchingEngine:
             # tables; the skipped prefix is dequant-copied page->staging
             # so remainder chunks attend it (serving/prefix_cache.py)
             if prefix_cache:
-                if self.latent:
-                    raise ValueError("prefix caching has no paged MLA "
-                                     "latent support yet")
                 from .prefix_cache import PagePrefixCache
 
                 self._pc = PagePrefixCache(page_size)
@@ -889,6 +886,19 @@ class ContinuousBatchingEngine:
         match decode exactly: the remainder attends the same dequantized
         codes the paged attention kernel reads."""
         key = "unstage_copy"
+        if key not in self._jit_cache and self.latent:
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def uncopy_latent(pools, staging, row, pid, start):
+                out = []
+                for pool, lc in zip(pools, staging):
+                    rows = jax.lax.dynamic_slice_in_dim(
+                        pool.lat_pages, pid, 1, 0)   # [1, 1, page, C]
+                    out.append(lc._replace(lat=jax.lax.dynamic_update_slice(
+                        lc.lat, rows.astype(lc.lat.dtype),
+                        (row, 0, start, 0))))
+                return out
+
+            self._jit_cache[key] = uncopy_latent
         if key not in self._jit_cache:
             page = self.page_size
 

@@ -1118,3 +1118,35 @@ def test_engine_prefix_caching_int4_pool_trained():
         total += 8
     assert hits >= (4 * total) // 5, (hits, total)
     assert eng.metrics()["prefix_hit_tokens"] == 64
+
+
+def test_engine_prefix_caching_latent_deepseek():
+    """Prefix caching over the paged MLA LATENT pool: shared-prompt
+    requests remap the latent pages (unquantized f32 pool -> the staged
+    prefix is bit-identical to a fresh prefill), outputs equal the
+    uncached engine's exactly."""
+    from neural_compressor_tpu.models import enable_mla_latent_cache
+    from neural_compressor_tpu.models.deepseek import DeepseekForCausalLM
+
+    rng = np.random.default_rng(33)
+    base = rng.integers(0, 256, (32,))
+    prompts = [np.concatenate([base, rng.integers(0, 256, (6,))])
+               for _ in range(2)]
+    kw = dict(n_slots=2, max_len=64, paged=True, page_size=16,
+              n_pages=12, prefill_chunk=16)
+    m = DeepseekForCausalLM.from_preset("deepseek-test",
+                                        dtype=jnp.float32)
+    enable_mla_latent_cache(m)
+    ref_eng = ContinuousBatchingEngine(m, **kw)
+    rrs = [ref_eng.submit(p, max_new_tokens=6) for p in prompts]
+    ref_eng.run(chunk=2)
+    eng = ContinuousBatchingEngine(m, **kw, prefix_cache=True)
+    r0 = eng.submit(prompts[0], max_new_tokens=6)
+    eng.run(chunk=2)
+    r1 = eng.submit(prompts[1], max_new_tokens=6)
+    eng.run(chunk=2)
+    assert eng.metrics()["prefix_hit_tokens"] == 32
+    assert r0.generated == rrs[0].generated
+    assert r1.generated == rrs[1].generated
+    m_ = eng.metrics()
+    assert len(eng.free_pages) + m_["prefix_reusable_pages"] == 11
