@@ -90,7 +90,8 @@ def main():
     # --- speculative (prompt-lookup) serving -----------------------------
     # draft-free: each decode round verifies spec_k proposed tokens per
     # slot from that slot's own n-gram history — 6.2x measured on
-    # repetitive workloads at 7B (greedy requests, contiguous caches)
+    # repetitive workloads at 7B. Greedy requests verify by argmax
+    # match; sampled requests by exact rejection sampling
     spec = ContinuousBatchingEngine(qmodel, n_slots=4, max_len=128,
                                     speculative="ngram", spec_k=8)
     # a repetitive-regime prompt: the model's own greedy loop (random

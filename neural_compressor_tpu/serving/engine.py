@@ -94,15 +94,9 @@ class Request:
     _prefix_unstaged: bool = False
 
 
-def _sample_step(logits, keys, temp, topk, topp, dos):
-    """Per-row sampling over a [B, V] logit block — the vectorized twin of
-    ``generation.generate.sample``'s ``pick`` (generate.py:138): identical
-    op sequence (temperature, top-k kth threshold, nucleus threshold on
-    the masked logits, categorical), so a B=1 engine request reproduces a
-    B=1 ``sample()`` run bit-for-bit given the same key sequence. Rows
-    with ``dos``=False take the argmax and leave their key untouched.
-    ``topk`` <= 0 and ``topp`` < 0 mean "disabled" (the masking threshold
-    collapses to -inf = identity, matching sample()'s skipped branch)."""
+def _masked_logits(logits, temp, topk, topp):
+    """The temperature/top-k/top-p filtering pipeline of ``_sample_step``
+    as masked f32 logits over a [B, V] block (categorical-ready)."""
     V = logits.shape[-1]
     lg = logits.astype(jnp.float32) / jnp.maximum(temp, 1e-5)[:, None]
     srt = jnp.sort(lg, axis=-1)[:, ::-1]
@@ -121,7 +115,19 @@ def _sample_step(logits, keys, temp, topk, topp, dos):
     keep = csum - probs < topp[:, None]
     kth_p = jnp.min(jnp.where(keep, srt2, jnp.inf), axis=-1, keepdims=True)
     kth_p = jnp.where((topp >= 0)[:, None], kth_p, -jnp.inf)
-    lg = jnp.where(lg < kth_p, -jnp.inf, lg)
+    return jnp.where(lg < kth_p, -jnp.inf, lg)
+
+
+def _sample_step(logits, keys, temp, topk, topp, dos):
+    """Per-row sampling over a [B, V] logit block — the vectorized twin of
+    ``generation.generate.sample``'s ``pick`` (generate.py:138): identical
+    op sequence (temperature, top-k kth threshold, nucleus threshold on
+    the masked logits, categorical), so a B=1 engine request reproduces a
+    B=1 ``sample()`` run bit-for-bit given the same key sequence. Rows
+    with ``dos``=False take the argmax and leave their key untouched.
+    ``topk`` <= 0 and ``topp`` < 0 mean "disabled" (the masking threshold
+    collapses to -inf = identity, matching sample()'s skipped branch)."""
+    lg = _masked_logits(logits, temp, topk, topp)
     spl = jax.vmap(jax.random.split)(keys)        # [B, 2, 2]
     nk, sub = spl[:, 0], spl[:, 1]
     # row-wise [1, V] categorical == sample()'s batch call at B=1
@@ -145,15 +151,33 @@ def _chosen_logprob(logits, nxt):
 
 
 def _spec_rounds(m_, caches, buf, pos, lim, active, rounds, kk, nn,
-                 eos, park):
+                 eos, park, samp=None):
     """``rounds`` prompt-lookup verify rounds over all slots (shared by
     the pure-spec and combined prefill+spec programs). Returns
-    (caches, outs [B, rounds, kk+1], ms [B, rounds])."""
+    (caches, outs [B, rounds, kk+1], ms [B, rounds], keys [B, 2]).
+
+    ``samp`` = (keys, temp, topk, topp, dos) enables per-slot SAMPLED
+    verification by rejection sampling (vLLM/spec-decoding's exact
+    scheme specialised to a deterministic draft): the n-gram proposal is
+    a point mass, so proposal t_j is accepted with probability
+    p_j(t_j) under the request's temperature/top-k/top-p distribution,
+    and on first rejection the correction token is drawn from the
+    residual p_j with t_j removed (renormalised) — the bonus row (all
+    accepted) draws from the full p_kk. The emitted sequence is
+    distributed EXACTLY as autoregressive sampling from p. Keys advance
+    one split per emitted token (same bookkeeping as ``_sample_step``,
+    so preemption resume stays exact); each row's accept-uniform and
+    correction draw fold that split's subkey with 0/1."""
     W = kk + 1
     B, L = buf.shape
+    sampling = samp is not None
+    if sampling:
+        keys0, temp_s, topk_s, topp_s, dos = samp
+    else:
+        keys0 = jnp.zeros((B, 2), jnp.uint32)
 
     def round_body(i, carry):
-        pos, buf, caches, outs, ms = carry
+        pos, buf, caches, outs, ms, keys = carry
         fin = ~active | (pos >= lim)
         posx = jnp.where(fin, park, pos)
         b = posx - 1
@@ -185,29 +209,85 @@ def _spec_rounds(m_, caches, buf, pos, lim, active, rounds, kk, nn,
         match = prop == t[:, :kk]
         m = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
                     axis=1) + 1
+        emit = t
+        if sampling:
+            V = lg.shape[-1]
+            ml = _masked_logits(
+                lg.astype(jnp.float32).reshape(B * W, V),
+                jnp.repeat(temp_s, W), jnp.repeat(topk_s, W),
+                jnp.repeat(topp_s, W)).reshape(B, W, V)
+
+            def kstep(ks, _):
+                spl = jax.vmap(jax.random.split)(ks)   # [B, 2, 2]
+                return spl[:, 0], (spl[:, 0], spl[:, 1])
+
+            _nk, (states, subs) = jax.lax.scan(kstep, keys, None,
+                                               length=W)
+            chain = jnp.concatenate([keys[None], states], 0)  # [W+1,B,2]
+            ka = jax.vmap(jax.vmap(
+                lambda k: jax.random.fold_in(k, 0)))(subs)    # [W, B, 2]
+            kb = jax.vmap(jax.vmap(
+                lambda k: jax.random.fold_in(k, 1)))(subs)
+            u = jax.vmap(jax.vmap(jax.random.uniform))(ka)    # [W, B]
+            p = jax.nn.softmax(ml, axis=-1)
+            pt = jnp.take_along_axis(
+                p[:, :kk], prop[..., None], axis=-1)[..., 0]  # [B, kk]
+            acc = u.T[:, :kk] < pt
+            macc = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1),
+                           axis=1)                            # [B] 0..kk
+            row_ml = jnp.take_along_axis(
+                ml, macc[:, None, None], axis=1)[:, 0]        # [B, V]
+            tok_rm = jnp.take_along_axis(
+                prop, jnp.clip(macc, 0, kk - 1)[:, None], axis=1)[:, 0]
+            bonus = macc == kk
+            row_ml = jnp.where(
+                (jnp.arange(V)[None, :] == tok_rm[:, None])
+                & ~bonus[:, None], -jnp.inf, row_ml)
+            kb_row = jnp.take_along_axis(
+                kb.transpose(1, 0, 2), macc[:, None, None],
+                axis=1)[:, 0]                                 # [B, 2]
+            y = jax.vmap(
+                lambda k2, l: jax.random.categorical(
+                    k2, l[None, :], axis=-1)[0])(kb_row, row_ml)
+            prop_w = jnp.concatenate([prop, prop[:, -1:]], axis=1)
+            jr = jnp.arange(W)[None, :]
+            emit_s = jnp.where(
+                jr < macc[:, None], prop_w,
+                jnp.where(jr == macc[:, None],
+                          y.astype(jnp.int32)[:, None], t))
+            emit = jnp.where(dos[:, None], emit_s, t)
+            m = jnp.where(dos, macc + 1, m)
         if eos is not None:
-            is_eos = t == eos
+            is_eos = emit == eos
             eos_idx = jnp.argmax(is_eos, axis=1)
             has_eos = jnp.any(is_eos, axis=1) & (eos_idx < m)
             m = jnp.where(has_eos, eos_idx + 1, m)
         m = jnp.where(fin, 0, jnp.minimum(m, lim - pos))
+        if sampling:
+            # key after this round = chain state after m splits (one per
+            # emitted token; truncated rows' splits are never consumed)
+            newk = jnp.take_along_axis(
+                chain.transpose(1, 0, 2),
+                jnp.broadcast_to(m[:, None, None], (B, 1, 2)),
+                axis=1)[:, 0]
+            keys = jnp.where((dos & ~fin)[:, None], newk, keys)
 
-        def row(bf, tw, p, f):
-            st = jnp.minimum(p, L - W)
+        def row(bf, tw, p_, f):
+            st = jnp.minimum(p_, L - W)
             old = jax.lax.dynamic_slice(bf, (st,), (W,))
             return jax.lax.dynamic_update_slice(
                 bf, jnp.where(f, old, tw), (st,))
 
-        buf = jax.vmap(row)(buf, t, posx, fin)
-        outs = jax.lax.dynamic_update_index_in_dim(outs, t, i, axis=1)
+        buf = jax.vmap(row)(buf, emit, posx, fin)
+        outs = jax.lax.dynamic_update_index_in_dim(outs, emit, i, axis=1)
         ms = jax.lax.dynamic_update_index_in_dim(ms, m, i, axis=1)
-        return pos + m, buf, caches, outs, ms
+        return pos + m, buf, caches, outs, ms, keys
 
     outs0 = jnp.zeros((B, rounds, W), jnp.int32)
     ms0 = jnp.zeros((B, rounds), jnp.int32)
-    _pos, _buf, caches, outs, ms = jax.lax.fori_loop(
-        0, rounds, round_body, (pos, buf, caches, outs0, ms0))
-    return caches, outs, ms
+    _pos, _buf, caches, outs, ms, keys = jax.lax.fori_loop(
+        0, rounds, round_body, (pos, buf, caches, outs0, ms0, keys0))
+    return caches, outs, ms, keys
 
 
 def _next_token_fn(sampling: bool):
@@ -253,9 +333,10 @@ class ContinuousBatchingEngine:
         # (spec_k+1)-token window per slot, proposals from the most
         # recent spec_n-gram match in that slot's prompt+generated —
         # measured 3.2x at B=1 on repetitive workloads (PERF_NOTES
-        # round 5). Greedy requests only (speculative SAMPLING needs
-        # rejection-sampling verification — not wired), contiguous
-        # caches only (the paged kernels are single-token).
+        # round 5). Greedy requests verify by argmax match; SAMPLED
+        # requests verify by exact rejection sampling (_spec_rounds
+        # docstring). Contiguous caches AND paged pools of every format
+        # (windowed page kernels).
         if speculative not in (None, "ngram"):
             raise ValueError(f"speculative={speculative!r}: only 'ngram'")
         self.speculative = speculative
@@ -397,10 +478,6 @@ class ContinuousBatchingEngine:
         assert len(prompt) + max_new_tokens <= self.max_len, (
             f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
             f"exceeds max_len ({self.max_len})")
-        if do_sample and self.speculative:
-            raise ValueError(
-                "speculative serving is greedy-only (sampling needs "
-                "rejection-sampling verification)")
         req = Request(next(self._uid), prompt, max_new_tokens,
                       do_sample=do_sample, temperature=float(temperature),
                       top_k=top_k, top_p=top_p, seed=seed,
@@ -447,10 +524,15 @@ class ContinuousBatchingEngine:
                 # pools are disjoint either way)
                 rounds = max(int(chunk), 1)
                 work = self._gather_prefill()
+                spec_sampling = bool(self.slot_samp[decoding].any())
                 if work is None:
                     self._spec_step(rounds)
-                elif self.paged:
-                    self._advance_prefill()
+                elif self.paged or spec_sampling or bool(
+                        np.any(work[3][4])):
+                    # paged, or any sampling in flight (the combined
+                    # program's prefill emission and verify rounds are
+                    # argmax-only): prefill and spec as two dispatches
+                    self._advance_prefill(work)
                     self._spec_step(rounds)
                 else:
                     active, args, ends, _samp = work
@@ -676,12 +758,15 @@ class ContinuousBatchingEngine:
                 jnp.asarray(last))
         return active, args, ends, (keys, temp, topk, topp, dos)
 
-    def _advance_prefill(self):
+    def _advance_prefill(self, work=None):
         """Run ONE batched prefill chunk across every prefilling slot —
         decode of the other slots interleaves between chunks, and a burst
         of long prompts advances together instead of one-at-a-time
-        (round-2 VERDICT Weak #6)."""
-        work = self._gather_prefill()
+        (round-2 VERDICT Weak #6). ``work`` forwards an already-gathered
+        ``_gather_prefill()`` result (gathering twice would rebind
+        staging streams)."""
+        if work is None:
+            work = self._gather_prefill()
         if work is None:
             return
         active, args, ends, samp = work
@@ -1155,7 +1240,7 @@ class ContinuousBatchingEngine:
             self._jit_cache[key] = decode_many
         return self._jit_cache[key]
 
-    def _spec_decode_fn(self, rounds: int):
+    def _spec_decode_fn(self, rounds: int, sampling: bool = False):
         """Jitted prompt-lookup speculative decode over all slots: each
         of ``rounds`` verify rounds proposes spec_k tokens per slot from
         the most recent spec_n-gram match in that slot's token buffer
@@ -1164,7 +1249,7 @@ class ContinuousBatchingEngine:
         generation.ngram_speculative_greedy_search (same KV-coverage
         argument: a rejected row's stale KV is rewritten by the next
         round's window before anything can attend to it)."""
-        key = ("spec_decode", rounds)
+        key = ("spec_decode", rounds, sampling)
         if key not in self._jit_cache:
             graphdef = self._graphdef
             kk, nn = self.spec_k, self.spec_n
@@ -1172,11 +1257,14 @@ class ContinuousBatchingEngine:
             park = self.max_len  # parked slots decide above real rows
 
             @functools.partial(jax.jit, donate_argnums=(1,))
-            def spec_decode(state, caches, buf, pos, lim, active):
+            def spec_decode(state, caches, buf, pos, lim, active,
+                            keys, temp, topk, topp, dos):
                 m_ = nnx.merge(graphdef, state)
                 _s4_prepare(m_)
+                samp = ((keys, temp, topk, topp, dos) if sampling
+                        else None)
                 return _spec_rounds(m_, caches, buf, pos, lim, active,
-                                    rounds, kk, nn, eos, park)
+                                    rounds, kk, nn, eos, park, samp)
 
             self._jit_cache[key] = spec_decode
         return self._jit_cache[key]
@@ -1207,7 +1295,7 @@ class ContinuousBatchingEngine:
                 caches = jax.tree.map(lambda c, sb: c.at[rows].set(sb),
                                       caches, sub)
                 nxt = jnp.argmax(logits[jnp.arange(n), last_idx], axis=-1)
-                caches, outs, ms = _spec_rounds(
+                caches, outs, ms, _k = _spec_rounds(
                     m_, caches, buf, pos, lim, active, rounds, kk, nn,
                     eos, park)
                 return caches, nxt, outs, ms
@@ -1235,11 +1323,18 @@ class ContinuousBatchingEngine:
             act[s_] = True
         return dec, buf, pos, lim, act
 
-    def _apply_spec(self, dec, outs, ms, rounds: int):
+    def _apply_spec(self, dec, outs, ms, rounds: int, keys=None):
         for s_ in dec:
             req = self.slot_req[s_]
             if req is None:
                 continue
+            if keys is not None and req.do_sample:
+                # one split per emitted token on device; host truncation
+                # only happens on DONE requests (stop tokens/sequences),
+                # whose key is never drawn again — same convention as
+                # ``_apply_decode``
+                req._key = keys[s_].copy()
+                self.slot_keys[s_] = keys[s_]
             for r_ in range(rounds):
                 if req.done:
                     break
@@ -1285,21 +1380,25 @@ class ContinuousBatchingEngine:
         dec, buf, pos, lim, act = self._spec_args()
         if not dec:
             return
+        sampling = bool(self.slot_samp[dec].any())
+        samp = self._decode_samp_args()
         if self.paged:
-            fn = self._spec_decode_paged_fn(rounds)
-            self.pools, outs, ms = fn(
+            fn = self._spec_decode_paged_fn(rounds, sampling)
+            self.pools, outs, ms, keys = fn(
                 self._state, self.pools, self._bt_device(),
                 jnp.asarray(buf), jnp.asarray(pos), jnp.asarray(lim),
-                jnp.asarray(act))
+                jnp.asarray(act), *samp)
         else:
-            fn = self._spec_decode_fn(rounds)
-            self.caches, outs, ms = fn(self._state, self.caches,
-                                       jnp.asarray(buf), jnp.asarray(pos),
-                                       jnp.asarray(lim), jnp.asarray(act))
-        self._apply_spec(dec, np.asarray(outs), np.asarray(ms), rounds)
+            fn = self._spec_decode_fn(rounds, sampling)
+            self.caches, outs, ms, keys = fn(
+                self._state, self.caches, jnp.asarray(buf),
+                jnp.asarray(pos), jnp.asarray(lim), jnp.asarray(act),
+                *samp)
+        self._apply_spec(dec, np.asarray(outs), np.asarray(ms), rounds,
+                         np.asarray(keys) if sampling else None)
 
-    def _spec_decode_paged_fn(self, rounds: int):
-        key = ("spec_decode_paged", rounds)
+    def _spec_decode_paged_fn(self, rounds: int, sampling: bool = False):
+        key = ("spec_decode_paged", rounds, sampling)
         if key not in self._jit_cache:
             graphdef = self._graphdef
             kk, nn = self.spec_k, self.spec_n
@@ -1307,12 +1406,15 @@ class ContinuousBatchingEngine:
             park = self.max_len
 
             @functools.partial(jax.jit, donate_argnums=(1,))
-            def spec_decode(state, pools, bt, buf, pos, lim, active):
+            def spec_decode(state, pools, bt, buf, pos, lim, active,
+                            keys, temp, topk, topp, dos):
                 m_ = nnx.merge(graphdef, state)
                 _s4_prepare(m_)
                 pools = [p._replace(block_tables=bt) for p in pools]
+                samp = ((keys, temp, topk, topp, dos) if sampling
+                        else None)
                 return _spec_rounds(m_, pools, buf, pos, lim, active,
-                                    rounds, kk, nn, eos, park)
+                                    rounds, kk, nn, eos, park, samp)
 
             self._jit_cache[key] = spec_decode
         return self._jit_cache[key]

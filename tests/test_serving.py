@@ -798,14 +798,9 @@ def test_engine_speculative_eos_and_stops(qmodel32):
 
 
 def test_engine_speculative_guards(qmodel32):
-    """Sampled requests and unknown modes are rejected loudly (paged
-    bf16/int8/fp8 pools are supported since the windowed kernels; int4
-    pools are guarded in test_engine_speculative_paged_int8_and_guards).
-    """
-    eng = ContinuousBatchingEngine(qmodel32, n_slots=2, max_len=64,
-                                   speculative="ngram")
-    with pytest.raises(ValueError, match="greedy-only"):
-        eng.submit(np.arange(5), max_new_tokens=4, do_sample=True)
+    """Unknown speculative modes are rejected loudly (sampled requests
+    are SUPPORTED since the rejection-sampling verifier — see the
+    spec-sampling tests)."""
     with pytest.raises(ValueError, match="only 'ngram'"):
         ContinuousBatchingEngine(qmodel32, n_slots=2, max_len=64,
                                  speculative="medusa")
@@ -1150,3 +1145,109 @@ def test_engine_prefix_caching_latent_deepseek():
     assert r1.generated == rrs[1].generated
     m_ = eng.metrics()
     assert len(eng.free_pages) + m_["prefix_reusable_pages"] == 11
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (late): SAMPLED speculative serving — rejection-sampling
+# verification of the deterministic n-gram proposals. Exactness facts
+# used below: with top_k=1 (or temperature -> 0) the request's filtered
+# distribution is a point mass on the argmax, so accept/resample always
+# lands on the argmax and the trajectory must equal the greedy one
+# deterministically; the general case is validated by determinism +
+# mixed-batch isolation + a distributional test (slow).
+# ---------------------------------------------------------------------------
+
+
+def test_engine_spec_sampling_topk1_equals_greedy(qmodel32):
+    rng = np.random.default_rng(81)
+    prompt = rng.integers(0, 256, (12,))
+    kw = dict(n_slots=2, max_len=64, speculative="ngram", spec_k=4,
+              spec_n=2)
+    g = ContinuousBatchingEngine(qmodel32, **kw)
+    rg = g.submit(prompt, max_new_tokens=10)
+    g.run(chunk=2)
+    s = ContinuousBatchingEngine(qmodel32, **kw)
+    rs = s.submit(prompt, max_new_tokens=10, do_sample=True, top_k=1,
+                  seed=5)
+    s.run(chunk=2)
+    assert rs.generated == rg.generated
+    # near-zero temperature: point mass again
+    s2 = ContinuousBatchingEngine(qmodel32, **kw)
+    rt = s2.submit(prompt, max_new_tokens=10, do_sample=True,
+                   temperature=1e-4, seed=11)
+    s2.run(chunk=2)
+    assert rt.generated == rg.generated
+    assert s.metrics()["spec_rounds"] > 0
+
+
+def test_engine_spec_sampling_deterministic_and_mixed(qmodel32):
+    """Same seed -> same trajectory (contiguous AND paged pools); a
+    sampled request and a greedy request serve in the same spec batch
+    without perturbing each other (greedy slot == solo greedy run)."""
+    rng = np.random.default_rng(82)
+    p1 = rng.integers(0, 256, (9,))
+    p2 = rng.integers(0, 256, (13,))
+    for paged in (False, True):
+        kw = dict(n_slots=2, max_len=64, speculative="ngram", spec_k=4,
+                  spec_n=2)
+        if paged:
+            kw.update(paged=True, page_size=16, n_pages=11,
+                      prefill_chunk=16)
+        outs = []
+        for _ in range(2):
+            eng = ContinuousBatchingEngine(qmodel32, **kw)
+            rs = eng.submit(p1, max_new_tokens=8, do_sample=True,
+                            temperature=0.9, top_k=40, seed=7)
+            rg = eng.submit(p2, max_new_tokens=8)
+            eng.run(chunk=2)
+            outs.append((list(rs.generated), list(rg.generated)))
+        assert outs[0] == outs[1], (paged, outs)
+        solo = ContinuousBatchingEngine(qmodel32, **kw)
+        rr = solo.submit(p2, max_new_tokens=8)
+        solo.run(chunk=2)
+        assert outs[0][1] == list(rr.generated), paged
+
+
+@pytest.mark.slow
+def test_engine_spec_sampling_distribution():
+    """The rejection-sampling verifier preserves the sampling
+    distribution: over many seeds, the empirical distribution of the
+    first POST-PREFILL token from a spec engine matches the non-spec
+    engine's (total variation below a generous bound). The trained
+    tiny_lm gives a peaked, stable target; prompts are repetitive so
+    proposals actually fire (acceptance is exercised, not bypassed)."""
+    from neural_compressor_tpu.evaluation.train_tiny import (frozen_corpus,
+                                                             load_tiny_lm)
+
+    tl = load_tiny_lm()
+    if tl is None:
+        pytest.skip("tiny_lm artifact not trained")
+    m = nq.quantize(tl, nq.RTNConfig(dtype="int4", group_size=32))
+    _, val = frozen_corpus()
+    piece = np.asarray(val[0, :12])
+    prompt = np.concatenate([piece, piece])   # repetitive: PLD fires
+    N = 240
+    counts = {False: {}, True: {}}
+    for spec in (False, True):
+        kw = dict(n_slots=8, max_len=64)
+        if spec:
+            kw.update(speculative="ngram", spec_k=4, spec_n=2)
+        eng = ContinuousBatchingEngine(m, **kw)
+        reqs = [eng.submit(prompt, max_new_tokens=3, do_sample=True,
+                           temperature=1.2, top_k=20, seed=1000 + i)
+                for i in range(N)]
+        eng.run(chunk=2)
+        for r in reqs:
+            # token index 1 = the first token the SPEC path emits (index
+            # 0 comes from the prefill program in both engines)
+            key = (r.generated[0], r.generated[1])
+            counts[spec][key] = counts[spec].get(key, 0) + 1
+        if spec:
+            assert eng.metrics()["spec_rounds"] > 0
+    keys = set(counts[False]) | set(counts[True])
+    tv = 0.5 * sum(abs(counts[False].get(k, 0) - counts[True].get(k, 0))
+                   for k in keys) / N
+    # sqrt-N noise floor for two independent 240-draw empiricals over a
+    # peaked distribution is ~0.1; a broken verifier (e.g. always-accept)
+    # shifts mass by O(1)
+    assert tv < 0.25, (tv, counts)
