@@ -907,6 +907,7 @@ def test_engine_speculative_paged(qmodel32):
     assert sorted(eng.free_pages) == list(range(1, 11))
 
 
+@pytest.mark.slow
 def test_engine_speculative_paged_int8_and_guards(qmodel32):
     """int8 AND int4 pools work under paged speculation (the windowed
     kernels patch nibble windows too, round 5); paged latent stays
@@ -1036,6 +1037,7 @@ def test_engine_prefix_caching_eviction_and_pressure(qmodel32):
     assert len(eng.free_pages) + m["prefix_reusable_pages"] == 8
 
 
+@pytest.mark.slow
 def test_engine_prefix_caching_quantized_pool(qmodel32):
     """Prefix caching over an int8 pool: the staged prefix is the
     DEQUANTIZED pool KV (same codes decode attends), so outputs track
@@ -1115,6 +1117,7 @@ def test_engine_prefix_caching_int4_pool_trained():
     assert eng.metrics()["prefix_hit_tokens"] == 64
 
 
+@pytest.mark.slow
 def test_engine_prefix_caching_latent_deepseek():
     """Prefix caching over the paged MLA LATENT pool: shared-prompt
     requests remap the latent pages (unquantized f32 pool -> the staged
@@ -1180,6 +1183,7 @@ def test_engine_spec_sampling_topk1_equals_greedy(qmodel32):
     assert s.metrics()["spec_rounds"] > 0
 
 
+@pytest.mark.slow
 def test_engine_spec_sampling_deterministic_and_mixed(qmodel32):
     """Same seed -> same trajectory (contiguous AND paged pools); a
     sampled request and a greedy request serve in the same spec batch
