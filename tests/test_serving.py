@@ -1255,3 +1255,48 @@ def test_engine_spec_sampling_distribution():
     # peaked distribution is ~0.1; a broken verifier (e.g. always-accept)
     # shifts mass by O(1)
     assert tv < 0.25, (tv, counts)
+
+
+def test_spec_rejection_sampling_math():
+    """The rejection-sampling verifier against a MOCK model with a known
+    constant distribution (p(token 3) = 0.6, rest uniform): the mean
+    number of accepted+corrected tokens matches the closed form
+    1 + sum_j p^j, correction rows NEVER redraw the removed proposal,
+    and bonus rows draw it at ~p. Exercises the device math in
+    isolation from any real model."""
+    from neural_compressor_tpu.serving.engine import _spec_rounds
+
+    V, B, kk, nn = 16, 512, 4, 2
+    W = kk + 1
+    p3 = 0.6
+    base = np.full((V,), np.log((1 - p3) / (V - 1)), np.float32)
+    base[3] = np.log(p3)
+    LG = jnp.asarray(base)
+
+    def mock_model(window, positions=None, caches=None, cache_pos=None):
+        Bw, Ww = window.shape
+        return jnp.broadcast_to(LG, (Bw, Ww, V)), caches
+
+    L = 32
+    buf = np.full((B, L), 3, np.int32)    # proposer proposes 3 forever
+    pos = np.full((B,), 16, np.int32)
+    lim = np.full((B,), 30, np.int32)
+    act = np.ones((B,), bool)
+    import jax
+
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B))
+    samp = (keys, jnp.ones((B,), jnp.float32),
+            jnp.zeros((B,), jnp.int32), -jnp.ones((B,), jnp.float32),
+            jnp.ones((B,), bool))
+    _c, outs, ms, _nk = _spec_rounds(
+        mock_model, None, jnp.asarray(buf), jnp.asarray(pos),
+        jnp.asarray(lim), jnp.asarray(act), 1, kk, nn, None, L,
+        samp=samp)
+    m = np.asarray(ms)[:, 0]
+    expected = 1 + sum(p3 ** j for j in range(1, kk + 1))
+    assert abs(m.mean() - expected) < 0.15, (m.mean(), expected)
+    outs = np.asarray(outs)[:, 0]
+    corr = outs[np.arange(B), m - 1]
+    bonus = m == W
+    assert not (corr[~bonus] == 3).any()          # residual excludes 3
+    assert abs((corr[bonus] == 3).mean() - p3) < 0.12
