@@ -322,6 +322,7 @@ class ContinuousBatchingEngine:
                  n_pages: int | None = None, page_size: int = 128,
                  prefill_streams: int = 2, speculative: str | None = None,
                  spec_k: int = 8, spec_n: int = 2,
+                 spec_adaptive: bool = False, spec_min_rate: float = 1.3,
                  prefix_cache: bool = False):
         self.model = model
         self.cfg = model.cfg
@@ -342,6 +343,17 @@ class ContinuousBatchingEngine:
         self.speculative = speculative
         self.spec_k = int(spec_k)
         self.spec_n = int(spec_n)
+        # ADAPTIVE speculation (vLLM's dynamic-spec analog): when the
+        # EWMA of tokens/round over spec dispatches drops below
+        # ``spec_min_rate``, the engine falls back to plain decode for a
+        # cooldown of dispatches, then re-probes with one spec dispatch
+        # — flat-distribution workloads measured 0.73x UNDER speculation
+        # at 7B (PERF_NOTES "SAMPLED speculation"), so paying for
+        # windows no one accepts is a real regression, not a wash
+        self.spec_adaptive = bool(spec_adaptive)
+        self.spec_min_rate = float(spec_min_rate)
+        self._spec_ewma: float | None = None
+        self._spec_cool = 0
         # chunk starts step by the chunk size from 0: a chunk that would
         # cross max_len gets its dynamic_update_slice start CLAMPED,
         # silently shifting rows — round down to a divisor of max_len
@@ -419,6 +431,7 @@ class ContinuousBatchingEngine:
                                              max_len, quantized=False)
             self._free_staging = list(range(self.prefill_streams - 1, -1, -1))
             self._staging_of: dict[int, int] = {}  # slot -> staging row
+            self._cache_rows = max_len
             if speculative:
                 if self.latent:
                     raise ValueError("speculative serving has no paged "
@@ -460,7 +473,8 @@ class ContinuousBatchingEngine:
                       "generated_tokens": 0, "prefill_chunk_dispatches": 0,
                       "decode_dispatches": 0, "combined_dispatches": 0,
                       "preemptions": 0, "spec_rounds": 0,
-                      "spec_accepted": 0, "prefix_hit_tokens": 0}
+                      "spec_accepted": 0, "prefix_hit_tokens": 0,
+                      "spec_suppressed_dispatches": 0}
 
     # ------------------------------------------------------------------ api
     def submit(self, prompt_ids, max_new_tokens: int = 64,
@@ -517,6 +531,15 @@ class ContinuousBatchingEngine:
                                       self.max_len - 1))
             decoding = [s for s in range(self.n_slots)
                         if self.slot_state[s] == "decode"]
+            if decoding and self.speculative and self._spec_cool > 0:
+                # adaptive cooldown: recent acceptance too low — serve
+                # this iteration through the plain decode path
+                self._spec_cool -= 1
+                self.stats["spec_suppressed_dispatches"] += 1
+                self._advance_prefill()
+                self.step_many(chunk)
+                finished.extend(self._collect())
+                continue
             if decoding and self.speculative:
                 # speculative serving: prefill chunk + verify rounds in
                 # ONE dispatch when both kinds of work exist (contiguous;
@@ -1324,6 +1347,7 @@ class ContinuousBatchingEngine:
         return dec, buf, pos, lim, act
 
     def _apply_spec(self, dec, outs, ms, rounds: int, keys=None):
+        r0, a0 = self.stats["spec_rounds"], self.stats["spec_accepted"]
         for s_ in dec:
             req = self.slot_req[s_]
             if req is None:
@@ -1357,6 +1381,16 @@ class ContinuousBatchingEngine:
                     # EOS/max_new may truncate the device's count)
                     self.stats["spec_rounds"] += 1
                     self.stats["spec_accepted"] += applied
+        if self.spec_adaptive:
+            dr = self.stats["spec_rounds"] - r0
+            da = self.stats["spec_accepted"] - a0
+            if dr > 0:
+                rate = da / dr
+                self._spec_ewma = (rate if self._spec_ewma is None else
+                                   0.6 * self._spec_ewma + 0.4 * rate)
+                if self._spec_ewma < self.spec_min_rate:
+                    self._spec_cool = 8  # plain-decode dispatches before
+                    #                      the next speculation probe
 
     def _spec_ensure_pages(self, rounds: int):
         """Worst-case page allocation for a spec dispatch: every round
@@ -1485,7 +1519,7 @@ class ContinuousBatchingEngine:
         """Per-slot decode positions; non-decoding slots park their garbage
         cache write on the last row (never attended: causal mask excludes
         it and requests terminate before reaching it)."""
-        park = self.max_len - 1
+        park = self._cache_rows - 1
         return np.where(
             np.asarray([s == "decode" for s in self.slot_state]),
             self.slot_pos, park).astype(np.int32)

@@ -1300,3 +1300,37 @@ def test_spec_rejection_sampling_math():
     bonus = m == W
     assert not (corr[~bonus] == 3).any()          # residual excludes 3
     assert abs((corr[bonus] == 3).mean() - p3) < 0.12
+
+
+def test_engine_adaptive_speculation(qmodel32):
+    """spec_adaptive: a no-structure workload (proposals never accepted)
+    trips the EWMA threshold and the engine falls back to plain decode
+    for cooldown windows — outputs stay greedy-exact on both paths; a
+    cycling workload keeps speculation on (no suppression)."""
+    rng = np.random.default_rng(90)
+    kw = dict(n_slots=2, max_len=96, speculative="ngram", spec_k=4,
+              spec_n=2, spec_adaptive=True)
+    # random prompt: acceptance ~1.0 -> suppression kicks in
+    p_rand = rng.integers(0, 256, (40,))
+    eng = ContinuousBatchingEngine(qmodel32, **kw)
+    r = eng.submit(p_rand, max_new_tokens=32)
+    eng.run(chunk=2)
+    m = eng.metrics()
+    assert m["spec_suppressed_dispatches"] > 0, m
+    assert m["spec_rounds"] > 0            # it probed before suppressing
+    ref = np.asarray(greedy_search(
+        qmodel32, jnp.asarray(p_rand)[None, :], max_new_tokens=32))
+    np.testing.assert_array_equal(np.asarray(r.generated),
+                                  ref[0, len(p_rand):])
+    # cycling prompt: acceptance ~2.5 -> stays enabled
+    p_cyc = np.tile([7, 191], 20).astype(np.int32)
+    eng2 = ContinuousBatchingEngine(qmodel32, **kw)
+    r2 = eng2.submit(p_cyc, max_new_tokens=32)
+    eng2.run(chunk=2)
+    m2 = eng2.metrics()
+    assert m2["spec_suppressed_dispatches"] == 0, m2
+    assert m2["spec_accepted"] / m2["spec_rounds"] > 1.5
+    ref2 = np.asarray(greedy_search(
+        qmodel32, jnp.asarray(p_cyc)[None, :], max_new_tokens=32))
+    np.testing.assert_array_equal(np.asarray(r2.generated),
+                                  ref2[0, len(p_cyc):])
