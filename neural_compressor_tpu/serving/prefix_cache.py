@@ -121,7 +121,7 @@ class PagePrefixCache:
         self.evictions += 1
         return pid
 
-    def drop(self, n_reusable_free: int = 0) -> None:
+    def drop(self) -> None:
         """Clear the index entirely (``reset_prefix_cache``): all
         registered pages forget their keys; reusable pages must be
         handed back to the allocator by the caller beforehand."""
