@@ -37,6 +37,15 @@ def main():
     print("sampled logprobs:",
           [round(lp, 3) for lp in sampled.logprobs])
 
+    # --- top-N logprobs (OpenAI-style) -----------------------------------
+    tl = ContinuousBatchingEngine(qmodel, n_slots=2, max_len=128,
+                                  logprobs_topk=3)
+    rt = tl.submit(prompt, max_new_tokens=3, top_logprobs=3)
+    tl.run()
+    for tok, (vals, ids) in zip(rt.generated, rt.top_items):
+        print(f"  [top_logprobs] chose {tok}; top-3 "
+              f"{[(i, round(v, 2)) for i, v in zip(ids, vals)]}")
+
     # --- stop conditions -------------------------------------------------
     stop_tok = greedy.generated[3]
     seq = tuple(greedy.generated[2:4])

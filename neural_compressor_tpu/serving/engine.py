@@ -88,6 +88,11 @@ class Request:
     prefill_pos: int = 0          # tokens already written to the cache
     preemptions: int = 0
     _key: np.ndarray | None = None  # PRNG state (uint32[2]), advances/token
+    # OpenAI-style top-N logprobs: per generated token, a
+    # (values, token_ids) pair of the raw distribution's top
+    # ``top_logprobs`` entries (requires the engine's ``logprobs_topk``)
+    top_logprobs: int = 0
+    top_items: list = dataclasses.field(default_factory=list)
     # prefix caching: tokens covered by remapped cached pages, and
     # whether their KV still needs the pool->staging copy
     _prefix_tokens: int = 0
@@ -148,6 +153,15 @@ def _chosen_logprob(logits, nxt):
     chosen = jnp.take_along_axis(
         lgf, nxt[:, None].astype(jnp.int32), axis=1)[:, 0]
     return chosen - lse
+
+
+def _top_n_logprobs(logits, n):
+    """[B, V] -> (values [B, n], ids [B, n]): the top-n of the RAW
+    log-distribution (same normalisation as ``_chosen_logprob`` — the
+    OpenAI-style ``top_logprobs`` payload)."""
+    lgf = logits.astype(jnp.float32)
+    lp = lgf - jax.scipy.special.logsumexp(lgf, axis=-1, keepdims=True)
+    return jax.lax.top_k(lp, n)
 
 
 def _spec_rounds(m_, caches, buf, pos, lim, active, rounds, kk, nn,
@@ -323,7 +337,7 @@ class ContinuousBatchingEngine:
                  prefill_streams: int = 2, speculative: str | None = None,
                  spec_k: int = 8, spec_n: int = 2,
                  spec_adaptive: bool = False, spec_min_rate: float = 1.3,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False, logprobs_topk: int = 0):
         self.model = model
         self.cfg = model.cfg
         self.n_slots = n_slots
@@ -354,6 +368,14 @@ class ContinuousBatchingEngine:
         self.spec_min_rate = float(spec_min_rate)
         self._spec_ewma: float | None = None
         self._spec_cool = 0
+        # per-request top-N logprobs (OpenAI/vLLM ``top_logprobs``):
+        # the engine-level cap sizes the programs' extra [B, k, N]
+        # outputs; requests ask for n <= cap at submit()
+        self._tln = int(logprobs_topk)
+        if self._tln and speculative:
+            raise ValueError("logprobs_topk is not supported under "
+                             "speculative serving (spec rounds emit "
+                             "tokens without logprob payloads)")
         # chunk starts step by the chunk size from 0: a chunk that would
         # cross max_len gets its dynamic_update_slice start CLAMPED,
         # silently shifting rows — round down to a divisor of max_len
@@ -481,7 +503,8 @@ class ContinuousBatchingEngine:
                do_sample: bool = False, temperature: float = 1.0,
                top_k: int | None = None, top_p: float | None = None,
                seed: int = 0, stop_token_ids=(), stop_sequences=(),
-               stream: Callable | None = None) -> Request:
+               stream: Callable | None = None,
+               top_logprobs: int = 0) -> Request:
         """Queue a request. Sampling knobs match
         :func:`~..generation.generate.sample`; ``stop_token_ids`` are
         additional per-request EOS-like tokens (kept in the output);
@@ -489,6 +512,11 @@ class ContinuousBatchingEngine:
         match; ``stream(req, tok)`` fires per decided token."""
         prompt = np.asarray(prompt_ids, np.int32)
         assert prompt.ndim == 1, "submit() takes a single unbatched prompt"
+        if top_logprobs > self._tln:
+            raise ValueError(
+                f"top_logprobs={top_logprobs} exceeds the engine's "
+                f"logprobs_topk={self._tln} (set it at construction — "
+                "it sizes the programs' top-N outputs)")
         assert len(prompt) + max_new_tokens <= self.max_len, (
             f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
             f"exceeds max_len ({self.max_len})")
@@ -498,7 +526,7 @@ class ContinuousBatchingEngine:
                       stop_token_ids=tuple(int(t) for t in stop_token_ids),
                       stop_sequences=tuple(
                           tuple(int(t) for t in s) for s in stop_sequences),
-                      stream=stream)
+                      stream=stream, top_logprobs=int(top_logprobs))
         if do_sample:
             req._key = np.asarray(jax.random.PRNGKey(seed), np.uint32)
         self.queue.append(req)
@@ -579,6 +607,11 @@ class ContinuousBatchingEngine:
                 # writes the page pools — disjoint buffers, one program.
                 work = self._gather_prefill()
                 if work is None:
+                    self.step_many(chunk)
+                elif self._tln:
+                    # top-N logprob outputs ride only the split prefill/
+                    # decode programs — skip the combined fusion
+                    self._advance_prefill(work)
                     self.step_many(chunk)
                 else:
                     active, args, ends, psamp = work
@@ -685,11 +718,12 @@ class ContinuousBatchingEngine:
         comes from ``_next_token_fn`` — argmax, or the in-program sampler
         for rows finishing a sampled request (non-final chunks pass
         dos=False so the request key only advances on EMITTED tokens)."""
-        key = ("prefill_batch", n, sampling)
+        key = ("prefill_batch", n, sampling, self._tln)
         if key not in self._jit_cache:
             graphdef = self._graphdef
             C = self.prefill_chunk
             nxt_fn = _next_token_fn(sampling)
+            tln = self._tln
 
             @functools.partial(jax.jit, donate_argnums=(1,))
             def prefill(state, caches, ids, rows, starts, last_idx,
@@ -702,9 +736,14 @@ class ContinuousBatchingEngine:
                                 cache_pos=starts)
                 caches = jax.tree.map(lambda c, s: c.at[rows].set(s),
                                       caches, sub)
-                nxt, keys, lp = nxt_fn(logits[jnp.arange(n), last_idx],
-                                       keys, temp, topk, topp, dos)
-                return caches, nxt, keys, lp
+                last = logits[jnp.arange(n), last_idx]
+                nxt, keys, lp = nxt_fn(last, keys, temp, topk, topp, dos)
+                if tln:
+                    tv, ti = _top_n_logprobs(last, tln)
+                else:
+                    tv = jnp.zeros((n, 1), jnp.float32)
+                    ti = jnp.zeros((n, 1), jnp.int32)
+                return caches, nxt, keys, lp, tv, ti
 
             self._jit_cache[key] = prefill
         return self._jit_cache[key]
@@ -797,7 +836,7 @@ class ContinuousBatchingEngine:
         prefill = self._prefill_batch_fn(args[0].shape[0], sampling)
         self.stats["prefill_chunk_dispatches"] += 1
         target = self.staging if self.paged else self.caches
-        target, nxt, keys, lp = prefill(
+        target, nxt, keys, lp, tlv, tli = prefill(
             self._state, target, *args,
             *(jnp.asarray(a) for a in samp))
         if self.paged:
@@ -805,9 +844,12 @@ class ContinuousBatchingEngine:
         else:
             self.caches = target
         self._apply_prefill(active, ends, np.asarray(nxt),
-                            np.asarray(keys), np.asarray(lp))
+                            np.asarray(keys), np.asarray(lp),
+                            np.asarray(tlv) if self._tln else None,
+                            np.asarray(tli) if self._tln else None)
 
-    def _apply_prefill(self, active, ends, nxt, keys=None, lps=None):
+    def _apply_prefill(self, active, ends, nxt, keys=None, lps=None,
+                       tlv=None, tli=None):
         for i, (slot, row) in enumerate(active):
             req = self.slot_req[slot]
             if req.done:  # cancelled mid-prefill: freed by _collect
@@ -827,8 +869,13 @@ class ContinuousBatchingEngine:
             self._load_slot_samp(slot, req)
             tok = int(nxt[i])
             self.slot_tok[slot] = tok
+            top = None
+            if tlv is not None and req.top_logprobs:
+                nn_ = req.top_logprobs
+                top = (tlv[i, :nn_].tolist(), tli[i, :nn_].tolist())
             self._append_token(req, slot, tok,
-                               float(lps[i]) if lps is not None else None)
+                               float(lps[i]) if lps is not None else None,
+                               top=top)
             logger.debug("slot %d prefilled request %d (P=%d)",
                          slot, req.uid, P)
 
@@ -1095,10 +1142,11 @@ class ContinuousBatchingEngine:
                 self._pc.register(self.slot_pages[slot][p], keys[p])
 
     def _paged_decode_fn(self, k: int, sampling: bool):
-        key = ("paged_decode", k, sampling)
+        key = ("paged_decode", k, sampling, self._tln)
         if key not in self._jit_cache:
             graphdef = self._graphdef
             nxt_fn = _next_token_fn(sampling)
+            tln = self._tln
 
             @functools.partial(jax.jit, donate_argnums=(1,))
             def decode_many(state, pools, bt, toks, pos,
@@ -1108,7 +1156,7 @@ class ContinuousBatchingEngine:
                 pools = [p._replace(block_tables=bt) for p in pools]
 
                 def body(i, carry):
-                    toks, pos, pools, out, lps, keys = carry
+                    toks, pos, pools, out, lps, keys, tlv, tli = carry
                     logits, pools = m(toks[:, None], positions=pos[:, None],
                                       caches=pools, cache_pos=pos)
                     nxt, keys, lp = nxt_fn(logits[:, 0], keys, temp, topk,
@@ -1117,13 +1165,24 @@ class ContinuousBatchingEngine:
                         out, nxt[:, None], (0, i))
                     lps = jax.lax.dynamic_update_slice(
                         lps, lp[:, None], (0, i))
-                    return nxt, pos + 1, pools, out, lps, keys
+                    if tln:
+                        tv, ti = _top_n_logprobs(logits[:, 0], tln)
+                        tlv = jax.lax.dynamic_update_slice(
+                            tlv, tv[:, None], (0, i, 0))
+                        tli = jax.lax.dynamic_update_slice(
+                            tli, ti[:, None], (0, i, 0))
+                    return nxt, pos + 1, pools, out, lps, keys, tlv, tli
 
-                out0 = jnp.zeros((toks.shape[0], k), jnp.int32)
-                lp0 = jnp.zeros((toks.shape[0], k), jnp.float32)
-                _t, _p, pools, out, lps, keys = jax.lax.fori_loop(
-                    0, k, body, (toks, pos, pools, out0, lp0, keys))
-                return pools, out, lps, keys
+                B = toks.shape[0]
+                out0 = jnp.zeros((B, k), jnp.int32)
+                lp0 = jnp.zeros((B, k), jnp.float32)
+                tlv0 = jnp.zeros((B, k, max(tln, 1)), jnp.float32)
+                tli0 = jnp.zeros((B, k, max(tln, 1)), jnp.int32)
+                _t, _p, pools, out, lps, keys, tlv, tli = \
+                    jax.lax.fori_loop(0, k, body, (toks, pos, pools,
+                                                   out0, lp0, keys,
+                                                   tlv0, tli0))
+                return pools, out, lps, keys, tlv, tli
 
             self._jit_cache[key] = decode_many
         return self._jit_cache[key]
@@ -1230,10 +1289,11 @@ class ContinuousBatchingEngine:
         return self._jit_cache[key]
 
     def _decode_many_fn(self, k: int, sampling: bool):
-        key = ("decode_many", k, sampling)
+        key = ("decode_many", k, sampling, self._tln)
         if key not in self._jit_cache:
             graphdef = self._graphdef
             nxt_fn = _next_token_fn(sampling)
+            tln = self._tln
 
             @functools.partial(jax.jit, donate_argnums=(1,))
             def decode_many(state, caches, toks, pos,
@@ -1242,7 +1302,7 @@ class ContinuousBatchingEngine:
                 _s4_prepare(m)
 
                 def body(i, carry):
-                    toks, pos, caches, out, lps, keys = carry
+                    toks, pos, caches, out, lps, keys, tlv, tli = carry
                     logits, caches = m(toks[:, None],
                                        positions=pos[:, None],
                                        caches=caches, cache_pos=pos)
@@ -1252,13 +1312,24 @@ class ContinuousBatchingEngine:
                         out, nxt[:, None], (0, i))
                     lps = jax.lax.dynamic_update_slice(
                         lps, lp[:, None], (0, i))
-                    return nxt, pos + 1, caches, out, lps, keys
+                    if tln:
+                        tv, ti = _top_n_logprobs(logits[:, 0], tln)
+                        tlv = jax.lax.dynamic_update_slice(
+                            tlv, tv[:, None], (0, i, 0))
+                        tli = jax.lax.dynamic_update_slice(
+                            tli, ti[:, None], (0, i, 0))
+                    return nxt, pos + 1, caches, out, lps, keys, tlv, tli
 
-                out0 = jnp.zeros((toks.shape[0], k), jnp.int32)
-                lp0 = jnp.zeros((toks.shape[0], k), jnp.float32)
-                _t, _p, caches, out, lps, keys = jax.lax.fori_loop(
-                    0, k, body, (toks, pos, caches, out0, lp0, keys))
-                return caches, out, lps, keys
+                B = toks.shape[0]
+                out0 = jnp.zeros((B, k), jnp.int32)
+                lp0 = jnp.zeros((B, k), jnp.float32)
+                tlv0 = jnp.zeros((B, k, max(tln, 1)), jnp.float32)
+                tli0 = jnp.zeros((B, k, max(tln, 1)), jnp.int32)
+                _t, _p, caches, out, lps, keys, tlv, tli = \
+                    jax.lax.fori_loop(0, k, body, (toks, pos, caches,
+                                                   out0, lp0, keys,
+                                                   tlv0, tli0))
+                return caches, out, lps, keys, tlv, tli
 
             self._jit_cache[key] = decode_many
         return self._jit_cache[key]
@@ -1548,18 +1619,20 @@ class ContinuousBatchingEngine:
         samp = self._decode_samp_args()
         if self.paged:
             decode_many = self._paged_decode_fn(k, sampling)
-            self.pools, out, lps, keys = decode_many(
+            self.pools, out, lps, keys, tlv, tli = decode_many(
                 self._state, self.pools, self._bt_device(),
                 toks, pos, *samp)
         else:
             decode_many = self._decode_many_fn(k, sampling)
-            self.caches, out, lps, keys = decode_many(
+            self.caches, out, lps, keys, tlv, tli = decode_many(
                 self._state, self.caches, toks, pos, *samp)
         self._apply_decode(np.asarray(out), dec, k, np.asarray(keys),
-                           np.asarray(lps))
+                           np.asarray(lps),
+                           np.asarray(tlv) if self._tln else None,
+                           np.asarray(tli) if self._tln else None)
 
     def _append_token(self, req: Request, slot: int, tok: int,
-                      lp: float | None = None) -> None:
+                      lp: float | None = None, top=None) -> None:
         """Append one decided token to ``req`` with the full stop
         treatment: counters, logprob, streaming callback, EOS /
         per-request stop tokens (kept in the output), multi-token stop
@@ -1567,6 +1640,8 @@ class ContinuousBatchingEngine:
         cache-capacity stop."""
         req.generated.append(tok)
         req.logprobs.append(lp if lp is not None else float("nan"))
+        if req.top_logprobs and top is not None:
+            req.top_items.append(top)
         self.stats["generated_tokens"] += 1
         if req.stream is not None:
             req.stream(req, tok)
@@ -1579,6 +1654,8 @@ class ContinuousBatchingEngine:
                     tuple(req.generated[-L:]) == seq:
                 del req.generated[-L:]
                 del req.logprobs[-L:]
+                if req.top_items:
+                    del req.top_items[-L:]
                 self.stats["generated_tokens"] -= L
                 req.done = True
                 break
@@ -1586,7 +1663,8 @@ class ContinuousBatchingEngine:
                 or self.slot_pos[slot] >= self.max_len - 1):
             req.done = True
 
-    def _apply_decode(self, out, dec_slots, k: int, keys=None, lps=None):
+    def _apply_decode(self, out, dec_slots, k: int, keys=None, lps=None,
+                      tlv=None, tli=None):
         """Host bookkeeping for one [n_slots, k] decode result, applied
         only to ``dec_slots`` (the slots that were decoding when the
         dispatch was issued — state may have moved since)."""
@@ -1600,9 +1678,15 @@ class ContinuousBatchingEngine:
                 self.slot_pos[slot] += 1
                 tok = int(out[slot, j])
                 self.slot_tok[slot] = tok
+                top = None
+                if tlv is not None and req.top_logprobs:
+                    nn_ = req.top_logprobs
+                    top = (tlv[slot, j, :nn_].tolist(),
+                           tli[slot, j, :nn_].tolist())
                 self._append_token(
                     req, slot, tok,
-                    float(lps[slot, j]) if lps is not None else None)
+                    float(lps[slot, j]) if lps is not None else None,
+                    top=top)
             if req.do_sample and keys is not None:
                 # device key advanced once per decode step; an active
                 # request consumed every step, so this is its post-last-

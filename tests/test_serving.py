@@ -1334,3 +1334,49 @@ def test_engine_adaptive_speculation(qmodel32):
         qmodel32, jnp.asarray(p_cyc)[None, :], max_new_tokens=32))
     np.testing.assert_array_equal(np.asarray(r2.generated),
                                   ref2[0, len(p_cyc):])
+
+
+def test_engine_top_n_logprobs(qmodel32):
+    """OpenAI-style top_logprobs: the engine returns the top-N of the
+    raw log-distribution per generated token (engine-level
+    ``logprobs_topk`` sizes the program outputs; requests ask for
+    n <= cap). Checked exactly against a manual forward (f32), in both
+    cache modes; greedy's chosen token must head the list with the
+    chosen-logprob value."""
+    rng = np.random.default_rng(95)
+    prompt = rng.integers(0, 256, (9,))
+    for paged in (False, True):
+        kw = dict(n_slots=2, max_len=64, logprobs_topk=3)
+        if paged:
+            kw.update(paged=True, page_size=16, n_pages=9,
+                      prefill_chunk=16)
+        eng = ContinuousBatchingEngine(qmodel32, **kw)
+        r = eng.submit(prompt, max_new_tokens=5, top_logprobs=2)
+        plain = eng.submit(prompt, max_new_tokens=5)   # no top-N asked
+        eng.run(chunk=2)
+        assert len(r.top_items) == 5
+        assert plain.top_items == []
+        import jax
+
+        seq = np.concatenate([prompt, np.asarray(r.generated)])
+        logits = qmodel32(jnp.asarray(seq)[None, :])
+        lp = np.asarray(jax.nn.log_softmax(
+            np.asarray(logits, np.float32)[0]))
+        for i, (vals, ids) in enumerate(r.top_items):
+            ref_row = lp[len(prompt) - 1 + i]
+            order = np.argsort(-ref_row)[:2]
+            np.testing.assert_array_equal(np.asarray(ids), order)
+            # decode-path logits vs one full forward differ by matmul
+            # accumulation order on the quantized model (~1e-3)
+            np.testing.assert_allclose(np.asarray(vals), ref_row[order],
+                                       rtol=5e-3, atol=5e-3)
+            # greedy: the emitted token is rank 0 and its value equals
+            # the scalar logprob stream (same program, same logits)
+            assert ids[0] == r.generated[i]
+            assert abs(vals[0] - r.logprobs[i]) < 1e-4
+
+    with pytest.raises(ValueError, match="logprobs_topk"):
+        eng.submit(prompt, max_new_tokens=2, top_logprobs=5)
+    with pytest.raises(ValueError, match="speculative"):
+        ContinuousBatchingEngine(qmodel32, n_slots=2, max_len=64,
+                                 speculative="ngram", logprobs_topk=2)
