@@ -534,6 +534,18 @@ class ContinuousBatchingEngine:
         self.stats["prompt_tokens"] += len(prompt)
         return req
 
+    def submit_n(self, prompt_ids, n: int, max_new_tokens: int = 64,
+                 seed: int = 0, **kw) -> list:
+        """vLLM-style ``n`` completions of one prompt: ``n`` requests
+        with seeds ``seed..seed+n-1`` (greedy duplicates are pointless —
+        sampling is implied unless explicitly disabled). With
+        ``prefix_cache=True`` the shared prompt's full pages are reused
+        across the siblings after the first commits, so the marginal
+        prefill cost of each extra completion is the prompt tail only."""
+        kw.setdefault("do_sample", True)
+        return [self.submit(prompt_ids, max_new_tokens=max_new_tokens,
+                            seed=seed + i, **kw) for i in range(n)]
+
     def run(self, max_steps: int = 10_000,
             chunk: int = 8) -> list[Request]:
         """Serve until queue and slots drain. ``chunk`` decode steps run

@@ -1380,3 +1380,30 @@ def test_engine_top_n_logprobs(qmodel32):
     with pytest.raises(ValueError, match="speculative"):
         ContinuousBatchingEngine(qmodel32, n_slots=2, max_len=64,
                                  speculative="ngram", logprobs_topk=2)
+
+
+def test_engine_submit_n_completions(qmodel32):
+    """submit_n: n sampled completions of one prompt (distinct seeds ->
+    distinct trajectories, seed-deterministic), sharing prompt pages
+    under prefix caching."""
+    rng = np.random.default_rng(97)
+    prompt = np.concatenate([rng.integers(0, 256, (32,)),
+                             rng.integers(0, 256, (5,))])
+    # n_slots < n: the third sibling admits after a first one commits,
+    # so its prompt pages come from the cache (concurrent siblings
+    # prefill independently by design — first commit wins registration)
+    kw = dict(n_slots=2, max_len=64, paged=True, page_size=16,
+              n_pages=16, prefill_chunk=16, prefix_cache=True)
+    eng = ContinuousBatchingEngine(qmodel32, **kw)
+    reqs = eng.submit_n(prompt, 3, max_new_tokens=6, temperature=0.9,
+                        seed=5)
+    eng.run(chunk=2)
+    outs = [tuple(r.generated) for r in reqs]
+    assert len(set(outs)) >= 2          # different seeds diverge
+    assert eng.metrics()["prefix_hit_tokens"] >= 32  # siblings reuse
+    # deterministic: same seeds reproduce
+    eng2 = ContinuousBatchingEngine(qmodel32, **kw)
+    reqs2 = eng2.submit_n(prompt, 3, max_new_tokens=6, temperature=0.9,
+                          seed=5)
+    eng2.run(chunk=2)
+    assert outs == [tuple(r.generated) for r in reqs2]
