@@ -1382,6 +1382,7 @@ def test_engine_top_n_logprobs(qmodel32):
                                  speculative="ngram", logprobs_topk=2)
 
 
+@pytest.mark.slow
 def test_engine_submit_n_completions(qmodel32):
     """submit_n: n sampled completions of one prompt (distinct seeds ->
     distinct trajectories, seed-deterministic), sharing prompt pages
