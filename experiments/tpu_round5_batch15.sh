@@ -1,0 +1,10 @@
+#!/bin/bash
+cd /root/repo
+set -x
+date
+timeout 90 python -c "import jax, jax.numpy as jnp; print((jnp.ones((256,256))@jnp.ones((256,256))).sum())" || exit 1
+timeout 4200 python experiments/engine_topn_overhead.py > experiments/engine_topn_overhead2.log 2>&1
+date
+timeout 5400 python experiments/engine_spec_paged_fullpool.py > experiments/engine_spec_paged_fullpool2.log 2>&1
+date
+echo ALL-DONE > experiments/tpu_round5_batch15.done

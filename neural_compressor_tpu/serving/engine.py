@@ -608,9 +608,9 @@ class ContinuousBatchingEngine:
                         self._state, self.caches, *args,
                         jnp.asarray(buf), jnp.asarray(pos),
                         jnp.asarray(lim), jnp.asarray(act))
-                    self._apply_spec(dec, np.asarray(outs),
-                                     np.asarray(ms), rounds)
-                    self._apply_prefill(active, ends, np.asarray(nxt))
+                    outs, ms, nxt = jax.device_get((outs, ms, nxt))
+                    self._apply_spec(dec, outs, ms, rounds)
+                    self._apply_prefill(active, ends, nxt)
                 finished.extend(self._collect())
                 continue
             if decoding:
@@ -653,12 +653,14 @@ class ContinuousBatchingEngine:
                          dkeys) = fn(
                             self._state, self.caches, *args, toks, pos,
                             *pdev, *dsamp)
-                    self._apply_decode(np.asarray(out), decoding, chunk,
-                                       np.asarray(dkeys),
-                                       np.asarray(lps))
-                    self._apply_prefill(active, ends, np.asarray(nxt),
-                                        np.asarray(pkeys),
-                                        np.asarray(plp))
+                    # ONE host round trip for the whole dispatch: each
+                    # separate np.asarray costs a full tunnel RTT
+                    # (~25 ms), device_get of the tuple batches them
+                    # (readback_ab.log: 24 vs 126 ms for 5 arrays)
+                    out, dkeys, lps, nxt, pkeys, plp = jax.device_get(
+                        (out, dkeys, lps, nxt, pkeys, plp))
+                    self._apply_decode(out, decoding, chunk, dkeys, lps)
+                    self._apply_prefill(active, ends, nxt, pkeys, plp)
             else:
                 self._advance_prefill()
             finished.extend(self._collect())
@@ -855,10 +857,11 @@ class ContinuousBatchingEngine:
             self.staging = target
         else:
             self.caches = target
-        self._apply_prefill(active, ends, np.asarray(nxt),
-                            np.asarray(keys), np.asarray(lp),
-                            np.asarray(tlv) if self._tln else None,
-                            np.asarray(tli) if self._tln else None)
+        nxt, keys, lp, tlv, tli = jax.device_get(
+            (nxt, keys, lp, tlv, tli))
+        self._apply_prefill(active, ends, nxt, keys, lp,
+                            tlv if self._tln else None,
+                            tli if self._tln else None)
 
     def _apply_prefill(self, active, ends, nxt, keys=None, lps=None,
                        tlv=None, tli=None):
@@ -1511,8 +1514,9 @@ class ContinuousBatchingEngine:
                 self._state, self.caches, jnp.asarray(buf),
                 jnp.asarray(pos), jnp.asarray(lim), jnp.asarray(act),
                 *samp)
-        self._apply_spec(dec, np.asarray(outs), np.asarray(ms), rounds,
-                         np.asarray(keys) if sampling else None)
+        outs, ms, keys = jax.device_get((outs, ms, keys))
+        self._apply_spec(dec, outs, ms, rounds,
+                         keys if sampling else None)
 
     def _spec_decode_paged_fn(self, rounds: int, sampling: bool = False):
         key = ("spec_decode_paged", rounds, sampling)
@@ -1638,10 +1642,12 @@ class ContinuousBatchingEngine:
             decode_many = self._decode_many_fn(k, sampling)
             self.caches, out, lps, keys, tlv, tli = decode_many(
                 self._state, self.caches, toks, pos, *samp)
-        self._apply_decode(np.asarray(out), dec, k, np.asarray(keys),
-                           np.asarray(lps),
-                           np.asarray(tlv) if self._tln else None,
-                           np.asarray(tli) if self._tln else None)
+        # one batched host fetch per dispatch (see readback_ab.log)
+        out, keys, lps, tlv, tli = jax.device_get(
+            (out, keys, lps, tlv, tli))
+        self._apply_decode(out, dec, k, keys, lps,
+                           tlv if self._tln else None,
+                           tli if self._tln else None)
 
     def _append_token(self, req: Request, slot: int, tok: int,
                       lp: float | None = None, top=None) -> None:
