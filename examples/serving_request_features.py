@@ -96,6 +96,13 @@ def main():
           f"{m['prefix_hit_tokens']} prompt tokens from the cache "
           f"({m['prefix_cached_pages']} pages registered)")
 
+    # --- n completions per prompt ----------------------------------------
+    nc = ContinuousBatchingEngine(qmodel, n_slots=2, max_len=128)
+    sibs = nc.submit_n(prompt, 3, max_new_tokens=5, temperature=0.9,
+                       seed=11)
+    nc.run()
+    print("n=3 completions:", [r.generated for r in sibs])
+
     # --- speculative (prompt-lookup) serving -----------------------------
     # draft-free: each decode round verifies spec_k proposed tokens per
     # slot from that slot's own n-gram history — 6.2x measured on
