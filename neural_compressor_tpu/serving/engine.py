@@ -528,7 +528,15 @@ class ContinuousBatchingEngine:
                           tuple(int(t) for t in s) for s in stop_sequences),
                       stream=stream, top_logprobs=int(top_logprobs))
         if do_sample:
-            req._key = np.asarray(jax.random.PRNGKey(seed), np.uint32)
+            # threefry2x32 seed layout ([hi32, lo32] of the 64-bit
+            # seed) computed HOST-side: np.asarray(PRNGKey(seed)) costs
+            # a device round trip per submit over the tunnel
+            # (equivalence asserted in test_engine_prng_key_host_layout)
+            s_ = int(seed)
+            if s_ >= 1 << 32:      # x64-off jax truncates wide seeds
+                s_ &= 0xFFFFFFFF
+            s64 = s_ & 0xFFFFFFFFFFFFFFFF   # sign-extend negatives
+            req._key = np.array([s64 >> 32, s64 & 0xFFFFFFFF], np.uint32)
         self.queue.append(req)
         self.stats["requests"] += 1
         self.stats["prompt_tokens"] += len(prompt)

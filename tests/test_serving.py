@@ -1408,3 +1408,19 @@ def test_engine_submit_n_completions(qmodel32):
                           seed=5)
     eng2.run(chunk=2)
     assert outs == [tuple(r.generated) for r in reqs2]
+
+
+def test_engine_prng_key_host_layout():
+    """submit() builds the request PRNG key host-side; it must equal
+    jax.random.PRNGKey bit-for-bit (threefry2x32 [hi32, lo32] layout) —
+    the engine's sampling exactness vs sample() depends on it."""
+    import jax
+
+    for seed in (0, 1, 7, 2**31 - 1, 2**31 + 7, 2**32 + 5, 123456789):
+        ref = np.asarray(jax.random.PRNGKey(seed), np.uint32)
+        s_ = int(seed)
+        if s_ >= 1 << 32:
+            s_ &= 0xFFFFFFFF
+        s64 = s_ & 0xFFFFFFFFFFFFFFFF
+        host = np.array([s64 >> 32, s64 & 0xFFFFFFFF], np.uint32)
+        np.testing.assert_array_equal(host, ref, err_msg=str(seed))
