@@ -819,10 +819,14 @@ def test_engine_fuzz_invariants(qmodel32):
         rng = np.random.default_rng(seed)
         eng = ContinuousBatchingEngine(qmodel32, n_slots=3, max_len=64,
                                        paged=True, page_size=16,
-                                       n_pages=8, prefill_chunk=16)
+                                       n_pages=8, prefill_chunk=16,
+                                       prefix_cache=bool(seed % 2))
+        shared = rng.integers(0, 256, (16,))   # one full page
         live, finished, cancelled = [], [], []
         for step in range(12):
-            # random arrivals
+            # random arrivals (some share a page-aligned prefix so the
+            # prefix cache actually registers/maps/evicts under the
+            # same pressure and cancellation churn)
             for _ in range(int(rng.integers(0, 3))):
                 P = int(rng.integers(3, 30))
                 kw = {}
@@ -833,7 +837,10 @@ def test_engine_fuzz_invariants(qmodel32):
                               seed=int(rng.integers(0, 99)))
                 if rng.random() < 0.3:
                     kw["stop_token_ids"] = [int(rng.integers(0, 256))]
-                r = eng.submit(rng.integers(0, 256, (P,)),
+                prompt = rng.integers(0, 256, (P,))
+                if rng.random() < 0.4:
+                    prompt = np.concatenate([shared, prompt])[:40]
+                r = eng.submit(prompt,
                                max_new_tokens=int(rng.integers(1, 20)),
                                **kw)
                 live.append(r)
@@ -855,7 +862,12 @@ def test_engine_fuzz_invariants(qmodel32):
         # every submitted request terminated
         assert not eng.queue and all(r is None for r in eng.slot_req)
         assert all(st == "idle" for st in eng.slot_state)
-        # pool fully reclaimed (trash page 0 never in the free list)
+        # pool fully reclaimed (trash page 0 never in the free list);
+        # with prefix caching, registered pages park reusable instead
+        if eng._pc is not None:
+            m_ = eng.metrics()
+            assert len(eng.free_pages) + m_["prefix_reusable_pages"] == 7
+            eng.reset_prefix_cache()
         assert sorted(eng.free_pages) == list(range(1, 8))
         assert sorted(eng._free_staging) == list(
             range(eng.prefill_streams))
