@@ -92,10 +92,11 @@ def profile(engine, tag, rng):
 
 
 def main():
-    print("device:", jax.devices(), flush=True)
+    preset = "llama3-8b" if "--llama3" in sys.argv else "llama2-7b"
+    print("device:", jax.devices(), "preset:", preset, flush=True)
     t0 = time.time()
     qmodel = build_quantized(
-        LlamaConfig(**LLAMA_PRESETS["llama2-7b"]),
+        LlamaConfig(**LLAMA_PRESETS[preset]),
         nq.RTNConfig(dtype="int4", group_size=128, quant_lm_head=True))
     fuse_for_serving(qmodel)
     to_w4a8_serving(qmodel)
@@ -109,6 +110,7 @@ def main():
     del cont
     paged = ContinuousBatchingEngine(qmodel, n_slots=N_SLOTS, max_len=512,
                                      paged=True, page_size=128,
+                                     n_pages=N_SLOTS * 4 + 1,
                                      speculative="ngram", spec_k=8,
                                      spec_n=2)
     b = profile(paged, "paged", rng)
